@@ -1,0 +1,69 @@
+"""Join operators, centered on the reference's one join: the stateful
+broadcast semi-join (O10).
+
+Reference: `FilterTopNCoFlatMap` (`TopNHashtags.java:298-335`) keeps the
+latest top-N in a per-task `String[]` and emits a tweet iff ANY of its tags
+is in that array — i.e. `tweets SEMI JOIN topN ON array_contains(tweet.tags,
+topN.tag)`, with the build side broadcast (`:131`).
+
+Two Spark formulations, both provided:
+
+1. `semi_join_array_contains` — direct: left_semi join on the theta predicate
+   `array_contains(tags, tag)`. With `broadcast()` on the (<= N x windows)-row
+   build side this is a BroadcastNestedLoopJoin; fine because the build side
+   is tiny and broadcast, so it is still one pass over the probe side with no
+   shuffle. This is the literal translation of `:312-320`.
+2. `semi_join_exploded` — equi: explode the array, inner/semi join on tag
+   equality, distinct by row id. Turns the theta join into a
+   BroadcastHashJoin; preferred at scale when the array fan-out is bounded
+   (a tweet has few tags) because hash probing beats per-row array scans.
+
+At 100 TB both stream the probe side with ZERO shuffle (build side broadcast
+from the driver); the exploded variant additionally keeps whole-stage codegen
+through the probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def semi_join_array_contains(
+    probe: DataFrame,
+    build: DataFrame,
+    array_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Rows of ``probe`` whose ``array_col`` contains >= 1 value of
+    ``build.key_col``. Build side is broadcast (reference `:131`)."""
+    return probe.join(
+        F.broadcast(build.select(key_col).distinct()),
+        on=F.expr(f"array_contains({array_col}, {key_col})"),
+        how="left_semi",
+    )
+
+
+def semi_join_exploded(
+    probe: DataFrame,
+    build: DataFrame,
+    array_col: str,
+    key_col: str,
+    id_cols: tuple[str, ...],
+) -> DataFrame:
+    """Same semantics via explode + equi semi-join (BroadcastHashJoin).
+
+    The pre-explode projection keeps only (row-identity, token) columns so
+    the fan-out never widens the full rows; the final semi-join on
+    ``id_cols`` recovers the original rows without duplication (left_semi
+    dedups the build side internally — no distinct needed).
+    """
+    probe_tokens = probe.select(
+        *[F.col(c) for c in id_cols], F.explode(F.col(array_col)).alias("__token")
+    )
+    matched_ids = probe_tokens.join(
+        F.broadcast(build.select(F.col(key_col).alias("__token")).distinct()),
+        on="__token",
+        how="left_semi",
+    ).select(*[F.col(c) for c in id_cols])
+    return probe.join(matched_ids, on=list(id_cols), how="left_semi")

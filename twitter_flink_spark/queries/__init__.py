@@ -1,0 +1,4 @@
+"""Importing this package registers every driver-facing query into
+`twitter_flink_spark.registry`. One module per SURVEY.md §2 area."""
+
+from twitter_flink_spark.queries import core  # noqa: F401

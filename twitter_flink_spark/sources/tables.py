@@ -1,0 +1,63 @@
+"""Batch scans over the driver's parquet tables.
+
+Reference analog: the only source the reference has is the live Twitter
+stream (`TopNHashtags.java:94-95,116-117`); its server-side filter endpoint
+(`TwitterFilterEndpoint.java:46-66`) is predicate pushdown. In Spark both are
+free: `spark.read.parquet` gives a columnar scan with filter pushdown and
+column pruning handled by Catalyst — a `.filter`/`.select` right after the
+scan reaches the parquet reader (`PushedFilters`/`ReadSchema` in .explain).
+
+Scale notes: a parquet scan over 100 TB splits by `maxPartitionBytes`
+(default 128 MB → ~800k tasks); filters prune row groups via min/max stats,
+and partition-column predicates prune whole directories. Nothing here
+collects to the driver.
+
+Timestamp handling: the testdata parquet uses TIMESTAMP(NANOS) which Spark's
+reader rejects. With ``spark.sql.legacy.parquet.nanosAsLong=true`` the column
+arrives as a nanosecond long; we truncate to microseconds (floor division,
+matching DuckDB's TIMESTAMP_NS→TIMESTAMP cast) and convert to TimestampType.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: table name -> columns that are nanosecond timestamps in the testdata.
+TABLES: dict[str, tuple[str, ...]] = {
+    "region": (),
+    "nation": (),
+    "customer": (),
+    "supplier": (),
+    "part": (),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+    "documents": (),
+    "embeddings": (),
+}
+
+
+def _ns_long_to_timestamp(df: DataFrame, columns: tuple[str, ...]) -> DataFrame:
+    for name in columns:
+        if name in df.columns and dict(df.dtypes)[name] == "bigint":
+            df = df.withColumn(
+                name, F.timestamp_micros(F.floor(F.col(name) / F.lit(1000)).cast("long"))
+            )
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with timestamp normalization applied."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _ns_long_to_timestamp(df, TABLES.get(name, ()))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every testdata table. Lazy — nothing is scanned until an action."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
