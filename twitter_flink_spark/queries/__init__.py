@@ -2,3 +2,4 @@
 `twitter_flink_spark.registry`. One module per SURVEY.md §2 area."""
 
 from twitter_flink_spark.queries import core  # noqa: F401
+from twitter_flink_spark.queries import relational  # noqa: F401
