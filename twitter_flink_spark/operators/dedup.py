@@ -1,0 +1,162 @@
+"""Deduplication operators for LLM training-data pipelines: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard.
+
+Portability contract: every hash is built from `md5(string)` (identical hex
+output in Spark and DuckDB), so the DuckDB oracle computes byte-identical
+signatures — the dedup output is fully deterministic and oracle-checkable,
+unlike library MinHash implementations with engine-private hash functions.
+
+Scale design:
+- Shingling + signatures are one explode + one hash-aggregate per doc
+  (partial agg; shuffle carries k mins per doc, not shingles).
+- LSH banding turns the O(n^2) near-dup search into an equi self-join on
+  (band, band_hash) — at 100 TB the join shuffles on band hash and only
+  bucket-mates meet. Bucket skew (a degenerate band value) is handled by
+  AQE skew-join splitting.
+- Jaccard verification joins only the candidate pairs (LSH output), never
+  the full cross product.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_K = 16  #: number of hash functions (signature length)
+LSH_BANDS = 8  #: bands of r = K/BANDS rows each; catch-prob at J=0.8 ≈ 0.9997
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 ngram: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Documents with fewer than ``ngram`` tokens produce no shingles (and thus
+    never appear in candidate pairs) — mirrored in the oracle.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - (ngram - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, ngram)),
+        )
+    )
+    return (
+        docs.where(n >= ngram)
+        .select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    )
+
+
+def minhash_signature(shingled: DataFrame, id_col: str = "doc_id",
+                      k: int = MINHASH_K) -> DataFrame:
+    """MinHash signature: k columns h0..h{k-1}, each the lexicographic min of
+    md5(f"{i}:{shingle}") over the doc's shingles. One hash-aggregate."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(signatures: DataFrame, id_col: str = "doc_id",
+              k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
+    """Band the signature: (id, band, band_hash) with band_hash =
+    md5(concat of the band's r signature entries)."""
+    r = k // bands
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * r + j}") for j in range(r)]
+        parts.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat(*cols)).alias("band_hash"),
+            )
+        )
+    return reduce(DataFrame.unionAll, parts)
+
+
+def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Self-join on (band, band_hash): distinct candidate pairs (doc_a <
+    doc_b). Equi-join — no cross product; AQE splits skewed buckets."""
+    a = bands_df.select(
+        F.col(id_col).alias("doc_a"), "band", "band_hash"
+    )
+    b = bands_df.select(
+        F.col(id_col).alias("doc_b"), "band", "band_hash"
+    )
+    return (
+        a.join(b, on=["band", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, shingled: DataFrame,
+                   threshold: float = 0.5) -> DataFrame:
+    """Exact shingle-set Jaccard for each candidate pair; keep >= threshold.
+    Joins shingles only against candidates (semi-scope), never all-pairs."""
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, on="doc_a")
+        .join(sb, on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                F.col("sz").alias("sz_a")), on="doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("sz").alias("sz_b")), on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_dup_pairs(docs: DataFrame, threshold: float = 0.5,
+                           ngram: int = 3) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
+    → exact-Jaccard verify. Deterministic (md5) ⇒ oracle-checkable."""
+    shingled = doc_shingles(docs, ngram=ngram)
+    sigs = minhash_signature(shingled)
+    cands = lsh_candidate_pairs(lsh_bands(sigs))
+    return jaccard_verify(cands, shingled, threshold=threshold)
+
+
+def simhash16(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """16-bit SimHash fingerprint per document, as a 16-char '0'/'1' string.
+
+    Token hash = md5(token); nibble j (hex digit at position j) contributes
+    +1 to bit j if >= 8 else -1; bit = 1 iff the signed sum >= 0. String
+    output keeps it engine-portable (no 64-bit unsigned arithmetic).
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    hashed = tok.select(id_col, F.md5(F.col("token")).alias("h"))
+    digit_exprs = []
+    for j in range(16):
+        d = F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), j + 1, 1)) - 1
+        digit_exprs.append(
+            F.sum(F.when(d >= 8, 1).otherwise(-1)).alias(f"s{j}")
+        )
+    sums = hashed.groupBy(id_col).agg(*digit_exprs)
+    bits = F.concat(
+        *[F.when(F.col(f"s{j}") >= 0, "1").otherwise("0") for j in range(16)]
+    )
+    return sums.select(F.col(id_col), bits.alias("simhash"))

@@ -1,0 +1,89 @@
+"""Similarity search over embedding columns (north-star: SURVEY.md §2.3).
+
+All vector math is built-in higher-order functions (`zip_with` +
+`aggregate`) on `array<float>` cast to double — JVM-side, no Python UDF in
+the hot path. (A pandas_udf variant exists in functions/vectors.py for the
+API-surface demonstration, but the oracle-checked queries use builtins.)
+
+Scale design:
+- Brute-force top-k: queries (small set) are BROADCAST against the corpus;
+  the probe side streams — no shuffle of the corpus. Per-query top-k via
+  WindowGroupLimit (heap before shuffle). 100 TB corpus => each task scores
+  its partition locally and ships k rows per query.
+- IVF-style ANN: restrict scoring to the query's coarse cell (here the
+  `label` column as the quantizer; in production, a k-means assignment
+  column). The join becomes an equi-join on the cell id — partition
+  pruning for vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two array columns (left-to-right
+    accumulation — same order DuckDB's list_cosine_similarity uses)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def topk_neighbors(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbors per query vector.
+
+    ``cell_col`` None → brute force (broadcast queries x full corpus).
+    ``cell_col`` set → IVF-style: only score corpus rows in the query's
+    cell (equi-join on the cell column).
+    Output: (query_id, neighbor_id, cosine, rank) with deterministic
+    tie-break (cosine desc, neighbor_id asc).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        *([F.col(cell_col).alias("__qcell")] if cell_col else []),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        *([F.col(cell_col).alias("__ccell")] if cell_col else []),
+    )
+    if cell_col:
+        joined = c.join(F.broadcast(q), F.col("__qcell") == F.col("__ccell"))
+    else:
+        joined = c.crossJoin(F.broadcast(q))
+    scored = (
+        joined.where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qvec"), F.col("__cvec")).alias("__cos"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__cos"), 6).alias("cosine"),
+            "rank",
+        )
+    )

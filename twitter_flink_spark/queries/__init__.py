@@ -2,4 +2,7 @@
 `twitter_flink_spark.registry`. One module per SURVEY.md §2 area."""
 
 from twitter_flink_spark.queries import core  # noqa: F401
+from twitter_flink_spark.queries import dedup  # noqa: F401
 from twitter_flink_spark.queries import relational  # noqa: F401
+from twitter_flink_spark.queries import similarity  # noqa: F401
+from twitter_flink_spark.queries import textops  # noqa: F401

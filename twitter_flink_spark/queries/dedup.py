@@ -1,0 +1,219 @@
+"""Dedup queries over `documents` (north-star: SURVEY.md §2.3), each with a
+DuckDB oracle computing byte-identical md5-based signatures."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from twitter_flink_spark.operators.dedup import (
+    MINHASH_K,
+    minhash_near_dup_pairs,
+    simhash16,
+)
+from twitter_flink_spark.registry import register
+from twitter_flink_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash groupBy)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT text, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY text
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a hash groupBy on the full text, keeping the lowest
+    doc_id (deterministic — unlike dropDuplicates, whose survivor depends on
+    partition order). At 100 TB: group on md5(text) instead to shrink
+    shuffle keys; survivor selection is the same min-aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+
+
+def _minhash_oracle(k: int = MINHASH_K, bands: int = 8, ngram: int = 3,
+                    threshold: float = 0.5) -> str:
+    r = k // bands
+    h_cols = ",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(k)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({concat}) AS band_hash FROM sig".format(
+            b=b,
+            concat=" || ".join(f"h{b * r + j}" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+  WHERE len(str_split(text, ' ')) >= {ngram}
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{ngram - 1}], ' ') AS shingle
+  FROM tok, unnest(range(1, len(toks) - {ngram - 2})) AS t(i)
+),
+sig AS (
+  SELECT doc_id,
+         {h_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_inter * 1.0 / (za.sz + zb.sz - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sz za ON za.doc_id = i.doc_a
+JOIN sz zb ON zb.doc_id = i.doc_b
+WHERE round(i.n_inter * 1.0 / (za.sz + zb.sz - i.n_inter), 6) >= {threshold}
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(8 bands) near-dup pairs with exact shingle-Jaccard
+    verification at >= 0.5. The oracle recomputes the identical md5
+    signatures, so candidate generation matches exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, threshold=0.5, ngram=3)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (brute verification of a bounded candidate set)
+
+
+@register(
+    "ngram_jaccard_same_source",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, source, str_split(text, ' ') AS toks FROM documents
+  WHERE len(str_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, source, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM tok, unnest(range(1, len(toks) - 1)) AS t(i)
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh sa
+  JOIN sh sb ON sb.source = sa.source AND sb.shingle = sa.shingle
+            AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT i.doc_a, i.doc_b,
+         round(i.n_inter * 1.0 / (za.sz + zb.sz - i.n_inter), 6) AS jaccard
+  FROM inter i
+  JOIN sz za ON za.doc_id = i.doc_a
+  JOIN sz zb ON zb.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3
+""",
+)
+def ngram_jaccard_same_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard >= 0.3 for pairs WITHIN the same `source`
+    (blocking key bounds the pair space — the classic partition-then-compare
+    dedup shape; at 100 TB the join shuffles on (source, shingle), never a
+    cross product)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        )
+    )
+    sh = (
+        docs.where(F.size(toks) >= 3)
+        .select("doc_id", "source", F.explode(shingles).alias("shingle"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "source", "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "source", "shingle")
+    inter = (
+        sa.join(sb, on=["source", "shingle"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            on="doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            on="doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+
+
+@register(
+    "simhash_fingerprints",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents
+),
+hashed AS (
+  SELECT doc_id, md5(token) AS h FROM tok WHERE token <> ''
+),
+sums AS (
+  SELECT doc_id,
+         """ + ",\n         ".join(
+        f"sum(CASE WHEN strpos('0123456789abcdef', substring(h, {j + 1}, 1)) - 1 >= 8 "
+        f"THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(16)
+    ) + """
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id,
+       """ + " || ".join(
+        f"(CASE WHEN s{j} >= 0 THEN '1' ELSE '0' END)" for j in range(16)
+    ) + """ AS simhash
+FROM sums
+""",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (md5-nibble majority vote), emitted as a
+    bit string — portable across engines, groupable for near-dup banding."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash16(docs)

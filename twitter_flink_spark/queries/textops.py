@@ -1,0 +1,226 @@
+"""Text-analysis queries over `documents` (north-star: SURVEY.md §2.3):
+quality scoring, token counting, language-ID heuristic, fingerprinting.
+All built-in expressions; regex dialect restricted to the RE2∩Java-safe
+subset so Spark and DuckDB extract identical tokens."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from twitter_flink_spark.registry import register
+from twitter_flink_spark.sources.tables import load_table
+
+_STOPWORDS = ("the", "a", "of", "to", "and")
+
+# Marker tokens per language for the n-gram-style scoring heuristic. The
+# corpus vocabulary is synthetic, so the marker sets are drawn from it; the
+# point is the operator shape (score-per-language, argmax with deterministic
+# tie-break), not linguistic accuracy.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "table", "row"),
+    "es": ("data", "part", "filter"),
+    "de": ("order", "window", "batch"),
+    "zh": ("spark", "stream", "vector"),
+}
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, n_chars, str_split(text, ' ') AS toks FROM documents
+),
+t AS (
+  SELECT doc_id, n_chars, unnest(toks) AS token FROM tok
+),
+stats AS (
+  SELECT doc_id,
+         count(*) AS n_tokens,
+         count(DISTINCT token) AS n_distinct,
+         round(avg(length(token)), 6) AS avg_token_len,
+         round(sum(CASE WHEN token IN {_STOPWORDS} THEN 1 ELSE 0 END) * 1.0
+               / count(*), 6) AS stopword_ratio
+  FROM t WHERE token <> ''
+  GROUP BY doc_id
+)
+SELECT s.doc_id, d.n_chars, s.n_tokens, s.n_distinct, s.avg_token_len,
+       s.stopword_ratio,
+       round(s.n_distinct * 1.0 / s.n_tokens, 6) AS type_token_ratio
+FROM stats s JOIN documents d ON d.doc_id = s.doc_id
+""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metrics per document: token counts, average token length,
+    stopword ratio, type-token ratio — the standard cheap filters of an LLM
+    data pipeline. One explode + one hash aggregate (partial agg; no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    stats = t.groupBy("doc_id", "n_chars").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+        F.round(F.avg(F.length("token")), 6).alias("avg_token_len"),
+        F.round(
+            F.sum(F.when(F.col("token").isin(*_STOPWORDS), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("stopword_ratio"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_distinct",
+        "avg_token_len",
+        "stopword_ratio",
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+@register(
+    "token_count_regex",
+    oracle=r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+       len(str_split(text, ' ')) AS n_ws_tokens
+FROM documents
+""",
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letters runs | digit runs | single punctuation) — the pattern uses only
+    RE2∩Java syntax so both engines tokenize identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("n_bpe_tokens"),
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = _LANG_MARKERS[lang]
+    return (
+        "sum(CASE WHEN token IN "
+        + str(markers)
+        + f" THEN 1 ELSE 0 END) AS score_{lang}"
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, unnest(str_split(text, ' ')) AS token FROM documents
+),
+scores AS (
+  SELECT doc_id, lang,
+         {", ".join(_lang_score_sql(lang) for lang in sorted(_LANG_MARKERS))}
+  FROM t WHERE token <> ''
+  GROUP BY doc_id, lang
+),
+ranked AS (
+  SELECT doc_id, lang AS labeled_lang, l.pred_lang, l.score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY l.score DESC, l.pred_lang ASC) AS rn
+  FROM scores,
+  LATERAL (VALUES {", ".join(f"('{lang}', score_{lang})" for lang in sorted(_LANG_MARKERS))})
+    AS l(pred_lang, score)
+)
+SELECT doc_id, labeled_lang, pred_lang, score
+FROM ranked WHERE rn = 1
+""",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by marker-token scoring: score each candidate language by
+    its marker hit count, argmax with deterministic tie-break (score desc,
+    lang asc). The unpivot→rank shape is how a real n-gram profile LID runs
+    at scale (profiles broadcast, one pass over tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    scores = t.groupBy("doc_id", "labeled_lang").agg(
+        *[
+            F.sum(
+                F.when(F.col("token").isin(*_LANG_MARKERS[lang]), 1).otherwise(0)
+            ).alias(f"score_{lang}")
+            for lang in sorted(_LANG_MARKERS)
+        ]
+    )
+    lang_structs = F.array(
+        *[
+            F.struct(
+                F.lit(lang).alias("pred_lang"),
+                F.col(f"score_{lang}").alias("score"),
+            )
+            for lang in sorted(_LANG_MARKERS)
+        ]
+    )
+    exploded = scores.select(
+        "doc_id", "labeled_lang", F.explode(lang_structs).alias("l")
+    ).select("doc_id", "labeled_lang", "l.pred_lang", "l.score")
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("pred_lang").asc()
+    )
+    return (
+        exploded.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "labeled_lang", "pred_lang", "score")
+    )
+
+
+@register(
+    "doc_fingerprints_modp",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+  WHERE len(str_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+2], ' ')) AS h
+  FROM tok, unnest(range(1, len(toks) - 1)) AS t(i)
+),
+sampled AS (
+  SELECT doc_id, h FROM sh WHERE substring(h, 1, 1) = '0'
+)
+SELECT doc_id, count(*) AS n_fingerprints,
+       min(h) AS min_fp, max(h) AS max_fp
+FROM sampled GROUP BY doc_id
+""",
+)
+def doc_fingerprints_modp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by mod-p sampling of rolling 3-gram hashes
+    (keep hashes whose first hex digit is '0' ≈ 1/16 sample) — the
+    winnowing-style sketch used for corpus-level near-dup detection. md5 on
+    both engines ⇒ identical fingerprint sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 3))),
+        )
+    )
+    sh = (
+        docs.where(F.size(toks) >= 3)
+        .select("doc_id", F.explode(shingles).alias("h"))
+        .where(F.substring(F.col("h"), 1, 1) == "0")
+    )
+    return sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("h").alias("min_fp"),
+        F.max("h").alias("max_fp"),
+    )
