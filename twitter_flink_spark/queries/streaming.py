@@ -1,0 +1,92 @@
+"""Streaming queries registered with the driver — each runs a real
+Structured Streaming query to completion (availableNow trigger) and is
+checked against a batch-semantics DuckDB oracle. This pins Spark's
+batch/streaming unification to OUR window + watermark configuration: if the
+watermark or window arithmetic drifted, the oracle would catch it.
+
+Append-mode emission contract (measured, tests/test_streaming.py): a window
+is emitted iff window_end <= max(ts) - watermark — the oracle encodes
+exactly that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from twitter_flink_spark.registry import register
+from twitter_flink_spark.streaming.pipeline import (
+    TopNFeedback,
+    run_to_memory,
+    windowed_stream_counts,
+)
+from twitter_flink_spark.streaming.sources import stream_table
+
+_STREAM_COUNTS_ORACLE = """
+WITH expanded AS (
+  SELECT event_type, ts,
+         to_timestamp(CAST(floor(epoch(ts)/60)*60 - 60*i.i AS BIGINT))::TIMESTAMP
+           AS window_start
+  FROM events CROSS JOIN (SELECT unnest(range(5)) AS i) i
+),
+counts AS (
+  SELECT window_start,
+         window_start + INTERVAL 300 SECOND AS window_end,
+         event_type, count(*) AS cnt
+  FROM expanded GROUP BY 1, 2, 3
+),
+maxts AS (SELECT max(ts) AS mx FROM events)
+SELECT c.window_start, c.window_end, c.event_type, c.cnt
+FROM counts c, maxts
+WHERE c.window_end <= maxts.mx - INTERVAL 1 SECOND
+"""
+
+
+@register("streaming_sliding_counts", oracle=_STREAM_COUNTS_ORACLE)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O6+O7 sliding-window count under readStream + withWatermark,
+    append mode, run to completion. Result = batch result restricted to
+    watermark-closed windows."""
+    src = stream_table(spark, sf_dir, "events")
+    agg = windowed_stream_counts(src, key_cols=("event_type",))
+    return run_to_memory(agg, output_mode="append")
+
+
+_TOPN_FEEDBACK_ORACLE = """
+WITH expanded AS (
+  SELECT event_type, ts,
+         to_timestamp(CAST(floor(epoch(ts)/60)*60 - 60*i.i AS BIGINT))::TIMESTAMP
+           AS window_start
+  FROM events CROSS JOIN (SELECT unnest(range(5)) AS i) i
+),
+counts AS (
+  SELECT window_start, event_type, count(*) AS cnt
+  FROM expanded GROUP BY 1, 2
+),
+maxts AS (SELECT max(ts) AS mx FROM events),
+closed AS (
+  SELECT c.* FROM counts c, maxts
+  WHERE c.window_start + INTERVAL 300 SECOND <= maxts.mx - INTERVAL 1 SECOND
+),
+lastw AS (SELECT max(window_start) AS ws FROM closed),
+topn AS (
+  SELECT c.event_type FROM closed c JOIN lastw ON c.window_start = lastw.ws
+  ORDER BY c.cnt DESC, c.event_type ASC LIMIT 3
+)
+SELECT e.event_id, e.event_type, e.user_id
+FROM events e
+WHERE e.event_type IN (SELECT event_type FROM topn)
+"""
+
+
+@register("streaming_topn_feedback", oracle=_TOPN_FEEDBACK_ORACLE)
+def streaming_topn_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's feedback loop (O6-O13), deterministic replay order:
+    the leaderboard stream runs to completion (its final snapshot = top-3
+    keys of the last watermark-closed window, upserted rank-keyed into the
+    KV store), then the event stream is filtered against that snapshot —
+    the reference's "latest-seen top-N" semantics
+    (`TopNHashtags.java:303,312-334`) with the two-input race pinned to a
+    deterministic order for the correctness gate."""
+    fb = TopNFeedback(spark, sf_dir, key_col="event_type", n=3)
+    fb.run_leaderboard()
+    return fb.run_filter()

@@ -1,0 +1,212 @@
+"""Structured-Streaming layer (SURVEY.md §7 M4): the reference pipeline's
+streaming semantics — watermarked sliding-window aggregation, the top-N
+feedback loop, and the rank-keyed KV (Redis-shaped) sink — as thin layers
+over the SAME query expressions the batch path uses.
+
+Reference mapping:
+- ingestion-time + 1 s watermark (`TopNHashtags.java:98,216-227`)
+  → `withWatermark(ts, '1 second')` over the data's own event time
+    (deterministic, per SURVEY.md §7 hard-parts).
+- 300 s/60 s sliding window count (`:126,:247-280`)
+  → the batch `sliding_window_counts` expression under `readStream`.
+- top-N broadcast back to the tweet filter (`:129-137,:298-335`)
+  → `foreachBatch` feedback: the leaderboard query maintains per-window
+    counts + the current top-N snapshot; the filter query semi-joins each
+    micro-batch against the LATEST snapshot ("latest-seen" semantics,
+    including the cold-start window where nothing passes, `:330-333`).
+    Spark DAGs are acyclic and streaming forbids rank-after-agg in append
+    mode, so the loop lives in foreachBatch orchestration — a pattern, not
+    an engine extension (SURVEY.md §4).
+- Redis `SET Top10-{rank} -> "tag, count"` (`:148-174`)
+  → `KVStore.upsert_leaderboard`: overwrite-by-rank KV semantics behind a
+    plain dict (swap for a real Redis client in production; the sink
+    contract — idempotent upsert keyed by rank — is what matters).
+
+State scale note: the streaming agg state is (windows x keys) rows in the
+state store — bounded by the watermark evicting closed windows; the top-N
+snapshot is <= N rows, broadcast-sized by construction, exactly like the
+reference's `String[] topN`.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from twitter_flink_spark.streaming.sources import stream_table
+
+
+def windowed_stream_counts(
+    src: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    window_size: str = "300 seconds",
+    window_slide: str = "60 seconds",
+    watermark: str = "1 second",
+    with_max_ts: bool = False,
+) -> DataFrame:
+    """The batch sliding-window count expression under a watermark."""
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    if with_max_ts:
+        aggs.append(F.max(ts_col).alias("max_ts"))
+    return (
+        src.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window_size, window_slide).alias("window"),
+            *[F.col(c) for c in key_cols],
+        )
+        .agg(*aggs)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *[F.col(c) for c in key_cols],
+            *(["cnt", "max_ts"] if with_max_ts else ["cnt"]),
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str = "append",
+                  timeout_s: int = 300) -> DataFrame:
+    """Run a finite stream to completion (availableNow) into a uniquely-named
+    memory sink; return the materialized result as a DataFrame."""
+    name = f"tfs_mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# The top-N feedback loop
+
+
+@dataclass
+class KVStore:
+    """Redis-shaped KV sink: upsert-by-rank leaderboard
+    (`SET "Top{N}-{rank}" -> "tag, count"`, `TopNHashtags.java:157-168`).
+    Overwrite-by-rank is the contract (Complete/upsert output, not append);
+    swap the dict for a Redis client in production."""
+
+    prefix: str = "Top10-"
+    data: dict[str, str] = field(default_factory=dict)
+
+    def upsert(self, ranked: list[tuple[str, int]]) -> None:
+        self.data = {
+            f"{self.prefix}{i + 1}": f"{key}, {cnt}"
+            for i, (key, cnt) in enumerate(ranked)
+        }
+
+
+@dataclass
+class TopNFeedback:
+    """Orchestrates the two streaming queries of the reference pipeline.
+
+    The leaderboard query accumulates per-(window, key) counts in driver
+    state (the foreachBatch mirror of the state store), tracks the max event
+    time seen, and after every micro-batch recomputes the snapshot: the
+    top-N keys of the most recent CLOSED window (window_end <= max_ts -
+    watermark) — the analog of "the last window that fired". The filter
+    query checks each micro-batch against the latest snapshot.
+    """
+
+    spark: SparkSession
+    sf_dir: str
+    key_col: str = "event_type"
+    n: int = 3
+    watermark_s: int = 1
+    kv: KVStore = field(default_factory=KVStore)
+
+    def __post_init__(self):
+        self._counts: dict[tuple, int] = {}
+        self._window_end: dict[tuple, object] = {}
+        self._max_ts = None
+        self.snapshot: list[str] = []  # latest top-N keys (empty = cold start)
+        import tempfile
+
+        self._out_dir = tempfile.mkdtemp(prefix="tfs-matches-") + "/out"
+
+    # -- leaderboard side (reference O6-O9 + O13) --
+
+    def _update_leaderboard(self, batch_df: DataFrame, batch_id: int) -> None:
+        for row in batch_df.collect():  # update-mode deltas: (windows x keys) rows, small
+            key = (row["window_start"], row[self.key_col])
+            self._counts[key] = row["cnt"]
+            self._window_end[key] = row["window_end"]
+            if self._max_ts is None or row["max_ts"] > self._max_ts:
+                self._max_ts = row["max_ts"]
+        self._recompute_snapshot()
+
+    def _recompute_snapshot(self) -> None:
+        import datetime
+
+        if self._max_ts is None:
+            return
+        wm = self._max_ts - datetime.timedelta(seconds=self.watermark_s)
+        closed = [
+            (ws, key)
+            for (ws, key) in self._counts
+            if self._window_end[(ws, key)] <= wm
+        ]
+        if not closed:
+            return
+        last_ws = max(ws for ws, _ in closed)
+        ranked = sorted(
+            ((key, self._counts[(ws, key)]) for ws, key in closed if ws == last_ws),
+            key=lambda kc: (-kc[1], kc[0]),
+        )[: self.n]
+        self.snapshot = [key for key, _ in ranked]
+        self.kv.upsert(ranked)
+
+    def run_leaderboard(self, timeout_s: int = 300) -> None:
+        src = stream_table(self.spark, self.sf_dir, "events")
+        agg = windowed_stream_counts(
+            src, key_cols=(self.key_col,), with_max_ts=True,
+            watermark=f"{self.watermark_s} second",
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(self._update_leaderboard)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+
+    # -- filter side (reference O10-O12) --
+
+    def _filter_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # NB: foreachBatch hands us a CLONED SparkSession — temp views
+        # registered here are invisible to the outer session, so the output
+        # sink is a parquet append (the standard foreachBatch sink pattern,
+        # and what production would do — per-batch idempotent append).
+        snap = self.snapshot
+        if not snap:  # cold start: null topN => nothing passes (`:330-333`)
+            return
+        matched = batch_df.where(F.col(self.key_col).isin(*snap))
+        matched.select("event_id", self.key_col, "user_id").write.mode(
+            "append"
+        ).parquet(self._out_dir)
+
+    def run_filter(self, timeout_s: int = 300) -> DataFrame:
+        src = stream_table(self.spark, self.sf_dir, "events")
+        q = (
+            src.writeStream.outputMode("append")
+            .foreachBatch(self._filter_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        import os
+
+        if os.path.isdir(self._out_dir):
+            return self.spark.read.parquet(self._out_dir)
+        schema = "event_id long, " + self.key_col + " string, user_id long"
+        return self.spark.createDataFrame([], schema)
