@@ -1,0 +1,102 @@
+"""Multimodal column plumbing (north-star: SURVEY.md §2.3).
+
+Images/audio/video are opaque `binary` columns with typed metadata. The
+Spark-side plumbing — schema, Arrow batch shape, mapInPandas signature,
+partition sizing — is real and tested; the actual media decode is STUBBED:
+the container ships no image/audio libraries, so `decode_media_meta` tries
+the real decoder import and falls back to a deterministic fake that derives
+metadata purely from the payload bytes (making the operator oracle-checkable
+end-to-end).
+
+Scale notes: media payloads dominate row size, so the decode operator (a)
+selects ONLY (id, payload) into the UDF — metadata-only downstream plans
+never move the bytes again; (b) runs via mapInPandas so each Arrow batch
+amortizes Python crossing; (c) for 100 TB of media you bound
+`spark.sql.files.maxPartitionBytes` and rely on batch iteration (the
+iterator signature) so a partition never materializes fully in memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_META_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, format string"
+)
+
+FRAME_SAMPLE_SCHEMA = "doc_id long, frame_idx int, frame_offset long, frame_len long"
+
+
+def _decode_one(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic fake decode: metadata derived from the payload alone.
+    A real build replaces this body with PIL/ffmpeg; the signature and the
+    surrounding plumbing do not change."""
+    try:  # real decoder when available (not in this container)
+        import PIL.Image  # type: ignore  # noqa: F401
+
+        raise NotImplementedError(
+            "real image decode is intentionally not wired in this build"
+        )
+    except ImportError:
+        pass
+    n = len(payload)
+    return (n % 640 + 1, (n * 7) % 480 + 1, "fake/deterministic")
+
+
+def attach_payload(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Synthesize the opaque binary column (UTF-8 bytes of the text — the
+    fixture stand-in for real media bytes)."""
+    return docs.select(
+        F.col(id_col), F.encode(F.col(text_col), "UTF-8").alias("payload")
+    )
+
+
+def decode_media_meta(with_payload: DataFrame) -> DataFrame:
+    """mapInPandas decode: (doc_id, payload) → typed metadata rows.
+
+    Iterator-of-batches signature: a partition streams through as Arrow
+    batches; nothing materializes per-partition.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [_decode_one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "format": [m[2] for m in meta],
+                }
+            )
+
+    return with_payload.mapInPandas(decode, schema=DECODE_META_SCHEMA)
+
+
+def sample_frames(with_payload: DataFrame, n_frames_mod: int = 8) -> DataFrame:
+    """Frame sampling for "video" payloads: deterministic frame table
+    (doc_id, frame_idx, offset, length) — n_frames = n_bytes % mod + 1,
+    frames evenly spaced. Pure plumbing: the byte-slicing downstream would
+    be another mapInPandas."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_len": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                k = n % n_frames_mod + 1
+                step = n // k if k else 0
+                for i in range(k):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(i * step)
+                    out["frame_len"].append(step if i < k - 1 else n - (k - 1) * step)
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(frames, schema=FRAME_SAMPLE_SCHEMA)
