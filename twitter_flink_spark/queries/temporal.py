@@ -1,0 +1,162 @@
+"""Temporal / advanced-analytic queries: as-of join, sessionization,
+percentiles, extended window analytics. The reference has none of these
+(SURVEY.md §2.2) — they are the temporal operators a complete engine needs,
+each expressed as window functions (single shuffle per partition key; no
+self-joins, no ranges exploded)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from twitter_flink_spark.registry import register
+from twitter_flink_spark.sources.tables import load_table
+
+
+@register(
+    "asof_join_purchase_last_click",
+    oracle="""
+WITH ordered AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+  FROM events
+)
+SELECT event_id, user_id, ts AS purchase_ts, last_click_ts,
+       round(epoch(ts) - epoch(last_click_ts), 6) AS gap_seconds
+FROM ordered
+WHERE event_type = 'purchase'
+""",
+)
+def asof_join_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as a window function: for every purchase, the
+    latest preceding click of the same user. No range-join explosion — one
+    shuffle on user_id, one ordered pass per partition (the scalable as-of
+    formulation; a backward range join would be O(n·m) per user)."""
+    e = load_table(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(win)
+    return (
+        e.withColumn("last_click_ts", last_click)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+            F.round(
+                F.unix_micros("ts") / 1e6 - F.unix_micros("last_click_ts") / 1e6, 6
+            ).alias("gap_seconds"),
+        )
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sessions AS (
+  SELECT user_id, event_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): lag → new-session flag →
+    running sum = session id → per-session aggregate. The batch equivalent
+    of a session window, O(n log n) per user partition, one shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_micros("ts") / 1e6 - F.unix_micros(F.lag("ts").over(w)) / 1e6
+    flagged = e.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wf))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "value_percentiles_per_type",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.50), 4) AS p50,
+       round(quantile_cont(value, 0.75), 4) AS p75,
+       round(quantile_cont(value, 0.95), 4) AS p95
+FROM events
+GROUP BY event_type
+""",
+)
+def value_percentiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation). At 100 TB swap for
+    `approx_percentile` (t-digest sketch, mergeable partials) — exact
+    percentile requires a per-group sort."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+
+
+@register(
+    "window_analytics_extended",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       CAST(ntile(4) OVER w AS INTEGER) AS price_quartile,
+       CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank,
+       round(percent_rank() OVER w, 6) AS price_percent_rank,
+       round(first_value(o_totalprice) OVER w2, 2) AS max_price_in_status,
+       round(last_value(o_totalprice) OVER w2, 2) AS min_price_in_status
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC),
+       w2 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def window_analytics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / dense_rank / percent_rank / first_value / last_value with
+    explicit frames and total deterministic ordering."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("price_percent_rank"),
+        F.round(F.first("o_totalprice").over(w2), 2).alias("max_price_in_status"),
+        F.round(F.last("o_totalprice").over(w2), 2).alias("min_price_in_status"),
+    )

@@ -41,9 +41,9 @@ TABLES: dict[str, tuple[str, ...]] = {
 def _ns_long_to_timestamp(df: DataFrame, columns: tuple[str, ...]) -> DataFrame:
     for name in columns:
         if name in df.columns and dict(df.dtypes)[name] == "bigint":
-            df = df.withColumn(
-                name, F.timestamp_micros(F.floor(F.col(name) / F.lit(1000)).cast("long"))
-            )
+            # integer DIV, not float division: epoch-nanos exceed double's
+            # 2^53 mantissa, so ns/1000.0 truncates off-by-one-microsecond
+            df = df.withColumn(name, F.timestamp_micros(F.expr(f"{name} DIV 1000")))
     return df
 
 

@@ -36,7 +36,6 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.readStream.schema(schema).parquet(staged)
     for col in TABLES.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
-            df = df.withColumn(
-                col, F.timestamp_micros(F.floor(F.col(col) / F.lit(1000)).cast("long"))
-            )
+            # integer DIV — see sources/tables.py on double-mantissa loss
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
     return df
