@@ -19,10 +19,9 @@ Scale design:
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 MINHASH_K = 16  #: number of hash functions (signature length)
 LSH_BANDS = 8  #: bands of r = K/BANDS rows each; catch-prob at J=0.8 ≈ 0.9997
@@ -63,19 +62,22 @@ def minhash_signature(shingled: DataFrame, id_col: str = "doc_id",
 def lsh_bands(signatures: DataFrame, id_col: str = "doc_id",
               k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
     """Band the signature: (id, band, band_hash) with band_hash =
-    md5(concat of the band's r signature entries)."""
+    md5(concat of the band's r signature entries).
+
+    Single pass: build all band hashes as an array of structs and
+    posexplode — a union of per-band selects would re-derive the whole
+    signature aggregation (and its parquet scan) once per band.
+    """
     r = k // bands
-    parts = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * r + j}") for j in range(r)]
-        parts.append(
-            signatures.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat(*cols)).alias("band_hash"),
-            )
-        )
-    return reduce(DataFrame.unionAll, parts)
+    band_hashes = F.array(
+        *[
+            F.md5(F.concat(*[F.col(f"h{b * r + j}") for j in range(r)]))
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("band", "band_hash")
+    )
 
 
 def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -129,9 +131,21 @@ def jaccard_verify(pairs: DataFrame, shingled: DataFrame,
 def minhash_near_dup_pairs(docs: DataFrame, threshold: float = 0.5,
                            ngram: int = 3) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
-    → exact-Jaccard verify. Deterministic (md5) ⇒ oracle-checkable."""
-    shingled = doc_shingles(docs, ngram=ngram)
-    sigs = minhash_signature(shingled)
+    → exact-Jaccard verify. Deterministic (md5) ⇒ oracle-checkable.
+
+    The shingle table feeds both the signature aggregate and the Jaccard
+    verify (3 consumers after the candidate self-join), so it is persisted
+    spill-safely rather than re-exploded per consumer; at cluster scale the
+    same role is played by checkpointing the shingle table to distributed
+    storage once and scanning it per stage.
+    """
+    shingled = doc_shingles(docs, ngram=ngram).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # signatures are one row per doc (tiny); both sides of the band
+    # self-join consume them, and re-deriving means 16 md5-min aggregates
+    # over every shingle — twice.
+    sigs = minhash_signature(shingled).persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(lsh_bands(sigs))
     return jaccard_verify(cands, shingled, threshold=threshold)
 

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from twitter_flink_spark.operators.dedup import (
     MINHASH_K,
@@ -152,6 +153,7 @@ def ngram_jaccard_same_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         docs.where(F.size(toks) >= 3)
         .select("doc_id", "source", F.explode(shingles).alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "source", "shingle")
