@@ -70,6 +70,53 @@ def test_agg_is_partial_final(spark):
     assert "partial_count" in plan
 
 
+def test_bucketed_join_has_no_shuffle(spark):
+    """Two tables bucketed by the join key must sort-merge join with ZERO
+    Exchange — the pre-shuffled-storage property that amortizes one
+    distribution across every later query on that key."""
+    from twitter_flink_spark.operators.bucketing import read_bucketed, write_bucketed
+    from twitter_flink_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o, "tfs_plan_orders_b", "o_orderkey", buckets=4)
+    write_bucketed(li, "tfs_plan_lineitem_b", "l_orderkey", buckets=4)
+    ob = read_bucketed(spark, "tfs_plan_orders_b")
+    lb = read_bucketed(spark, "tfs_plan_lineitem_b")
+    # at test scale Catalyst would (rightly) broadcast the small side and
+    # skip the bucketed scan entirely; disable broadcast to surface the
+    # shuffle-free sort-merge plan that matters at 100 TB
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        # and a groupBy on the bucket key needs no exchange either
+        agg = lb.groupBy("l_orderkey").count()
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in agg_plan, agg_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_spreads_keys(spark):
+    """The salted join must shuffle on (key, salt) — visible as the salt
+    column inside the join keys — and stay an equi hash/merge join."""
+    from twitter_flink_spark.operators.joins import salted_equi_join
+    from twitter_flink_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    s = load_table(spark, SF_DIR, "supplier")
+    joined = salted_equi_join(
+        li, s, "l_suppkey", "s_suppkey", salt_from="l_orderkey", n_salts=4
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "__salt_l" in plan and "CartesianProduct" not in plan
+
+
 def test_no_cartesian_anywhere():
     """Every registered query must avoid CartesianProduct (the one
     intentional cross join — the scalar-subquery broadcast — compiles to

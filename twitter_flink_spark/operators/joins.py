@@ -67,3 +67,42 @@ def semi_join_exploded(
         how="left_semi",
     ).select(*[F.col(c) for c in id_cols])
     return probe.join(matched_ids, on=list(id_cols), how="left_semi")
+
+
+def salted_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt_from: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: split each hot ``left_key`` value across
+    ``n_salts`` reducers.
+
+    The fact (left) side gets a deterministic salt from a non-key column
+    (``pmod(xxhash64(salt_from), n)`` — hashing the KEY would map a hot key
+    to one salt and change nothing); the dimension (right) side is
+    replicated once per salt value. The join key becomes (key, salt), so a
+    key holding 20% of all rows spreads over n reducers instead of one.
+
+    Semantically identical to ``left.join(right, key)`` for inner/left
+    joins. Prefer AQE's skew-join splitting when it fires (same idea,
+    runtime-detected); explicit salting is for when the skew is known and
+    the optimizer's thresholds miss it, or the join is shuffled-hash where
+    AQE skew handling doesn't apply.
+    """
+    salted_l = left.withColumn(
+        "__salt_l",
+        F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts)).cast("int"),
+    )
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    salted_r = right.withColumn("__salt_r", F.explode(salts))
+    joined = salted_l.join(
+        salted_r,
+        (salted_l[left_key] == salted_r[right_key])
+        & (salted_l["__salt_l"] == salted_r["__salt_r"]),
+        how,
+    )
+    return joined.drop("__salt_l", "__salt_r")

@@ -5,8 +5,11 @@ from twitter_flink_spark.queries import core  # noqa: F401
 from twitter_flink_spark.queries import dedup  # noqa: F401
 from twitter_flink_spark.queries import multimodal  # noqa: F401
 from twitter_flink_spark.queries import relational  # noqa: F401
+from twitter_flink_spark.queries import scale  # noqa: F401
 from twitter_flink_spark.queries import similarity  # noqa: F401
+from twitter_flink_spark.queries import sketches  # noqa: F401
 from twitter_flink_spark.queries import streaming  # noqa: F401
+from twitter_flink_spark.queries import subqueries  # noqa: F401
 from twitter_flink_spark.queries import temporal  # noqa: F401
 from twitter_flink_spark.queries import textops  # noqa: F401
 from twitter_flink_spark.queries import tweets  # noqa: F401

@@ -1,0 +1,92 @@
+"""Scale-technique queries: explicit skew salting and bucketed (pre-shuffled)
+storage. Each produces the SAME result as its naive formulation — the oracle
+is the naive SQL — so the correctness gate proves the rewrite is semantics-
+preserving while tests/test_plans.py proves the plan shape (no Exchange on
+the bucketed join)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from twitter_flink_spark.operators.bucketing import read_bucketed, write_bucketed
+from twitter_flink_spark.operators.joins import salted_equi_join
+from twitter_flink_spark.registry import register
+from twitter_flink_spark.sources.tables import load_table
+
+
+@register(
+    "salted_join_supplier_revenue",
+    oracle="""
+SELECT s.s_name,
+       count(*) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+GROUP BY s.s_name
+""",
+)
+def salted_join_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier revenue through the salted join path: lineitem is salted
+    by a hash of its orderkey (splitting any hot supplier across 8 reducers),
+    supplier is replicated x8. The oracle is the plain join — salting must be
+    invisible in the result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    joined = salted_equi_join(
+        li, s, left_key="l_suppkey", right_key="s_suppkey",
+        salt_from="l_orderkey", n_salts=8,
+    )
+    return joined.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+@register(
+    "bucketed_join_order_revenue",
+    oracle="""
+SELECT o.o_orderkey, round(o.o_totalprice, 2) AS totalprice,
+       count(*) AS n_items,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_totalprice
+""",
+)
+def bucketed_join_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-storage pipeline: CTAS both tables hash-bucketed by orderkey
+    (the one-time distribution cost), then join + per-order aggregate with
+    ZERO runtime Exchange — the plan the same query would need one shuffle
+    per side for on unbucketed data. Oracle = the unbucketed join."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    write_bucketed(o, "tfs_orders_by_okey", "o_orderkey", buckets=8)
+    write_bucketed(li, "tfs_lineitem_by_okey", "l_orderkey", buckets=8)
+    ob = read_bucketed(spark, "tfs_orders_by_okey")
+    lb = read_bucketed(spark, "tfs_lineitem_by_okey")
+    # per-order sums are few items each, so float summation order can flip
+    # the cent digit between engines — exact DECIMAL arithmetic instead
+    # (prices/discounts are 2-decimal quantities, so DECIMAL is lossless).
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(disc_price).cast("double").alias("revenue"),
+        )
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "n_items",
+            "revenue",
+        )
+    )

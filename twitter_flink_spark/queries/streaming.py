@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from twitter_flink_spark.registry import register
 from twitter_flink_spark.streaming.pipeline import (
     TopNFeedback,
@@ -20,6 +22,7 @@ from twitter_flink_spark.streaming.pipeline import (
     windowed_stream_counts,
 )
 from twitter_flink_spark.streaming.sources import stream_table
+from twitter_flink_spark.streaming.stateful import running_totals_stream
 
 _STREAM_COUNTS_ORACLE = """
 WITH expanded AS (
@@ -90,3 +93,50 @@ def streaming_topn_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
     fb = TopNFeedback(spark, sf_dir, key_col="event_type", n=3)
     fb.run_leaderboard()
     return fb.run_filter()
+
+
+@register(
+    "streaming_dedup_first_seen",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def streaming_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (`dropDuplicates` on a key subset): emit each
+    (user, event_type) pair once, on first sight — the streaming form of
+    the LLM-pipeline exact-dedup operator. State = one entry per distinct
+    key in the state store; on unbounded streams use
+    `dropDuplicatesWithinWatermark` so keys older than the watermark evict.
+    Only the key columns are emitted (WHICH physical row survives is
+    batch-order-dependent; the key set is not)."""
+    src = stream_table(spark, sf_dir, "events")
+    deduped = src.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return run_to_memory(deduped, output_mode="append")
+
+
+@register(
+    "streaming_stateful_running_totals",
+    oracle="""
+SELECT user_id, count(*) AS cum_events, round(sum(value), 2) AS cum_value
+FROM events
+GROUP BY user_id
+""",
+)
+def streaming_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (`applyInPandasWithState`): per-user running
+    (count, sum) in the managed state store, run to completion. The per-batch
+    emission history depends on source batching, so the query reduces to the
+    final row per key — max cum_events and its cum_value — which must equal
+    the batch groupBy totals."""
+    src = stream_table(spark, sf_dir, "events")
+    emitted = run_to_memory(running_totals_stream(src), output_mode="update")
+    final = emitted.groupBy("user_id").agg(
+        F.max(F.struct("cum_events", "cum_value")).alias("f")
+    )
+    return final.select(
+        "user_id",
+        F.col("f.cum_events").alias("cum_events"),
+        F.round(F.col("f.cum_value"), 2).alias("cum_value"),
+    )

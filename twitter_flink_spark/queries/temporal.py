@@ -103,6 +103,52 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_window_builtin",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 1800 SECOND AS session_end,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native `session_window` (gap-merge inside the aggregate —
+    no per-user sort+lag pass, and the same expression works under
+    readStream+watermark). Boundary semantics differ from the hand-rolled
+    `sessionize_events`: a session is [first_ts, last_ts + gap), so an
+    event at exactly last_ts+gap starts a NEW session — the oracle flags
+    with `>= 1800` accordingly, vs `> 1800` for the lag formulation."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "value_percentiles_per_type",
     oracle="""
 SELECT event_type,
