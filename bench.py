@@ -44,6 +44,9 @@ def main() -> None:
         except Exception as exc:  # keep the bench line parseable on failure
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+        # isolate queries: drop any persisted intermediates a query left
+        # behind so later timings don't pay its cache memory pressure
+        spark.catalog.clearCache()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(

@@ -102,6 +102,24 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_partitioned_write_prunes_directories(spark):
+    """A filter on the partition column must appear as PartitionFilters
+    (directory pruning), not a row-level filter over a full scan."""
+    from twitter_flink_spark.sources.files import (
+        scratch_dir,
+        write_partitioned_parquet,
+    )
+    from twitter_flink_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF_DIR, "events")
+    path = scratch_dir("plan-part-events")
+    write_partitioned_parquet(e, path, ("event_type",))
+    back = spark.read.parquet(path).where(F.col("event_type") == "purchase")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*event_type.*purchase", plan), plan
+
+
 def test_salted_join_spreads_keys(spark):
     """The salted join must shuffle on (key, salt) — visible as the salt
     column inside the join keys — and stay an equi hash/merge join."""

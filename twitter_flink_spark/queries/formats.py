@@ -1,0 +1,104 @@
+"""File-format round-trip queries: each writes a testdata table through a
+sink format, reads it back schema-explicitly, and aggregates — the oracle
+aggregates the ORIGINAL table, so a pass proves the format round-trip is
+lossless (types, timestamps, nulls) end to end."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from twitter_flink_spark.registry import register
+from twitter_flink_spark.sources.files import (
+    read_csv,
+    read_jsonl,
+    scratch_dir,
+    write_csv,
+    write_jsonl,
+    write_partitioned_parquet,
+)
+from twitter_flink_spark.sources.tables import load_table
+
+
+@register(
+    "csv_roundtrip_orders",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       min(o_orderdate) AS first_order,
+       max(o_orderdate) AS last_order
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → CSV (header, pinned timestamp format) → schema-explicit
+    read → aggregate. Must equal aggregating the source parquet directly:
+    numeric precision and microsecond timestamps survive the text format."""
+    o = load_table(spark, sf_dir, "orders")
+    path = scratch_dir("csv-orders")
+    write_csv(o, path)
+    back = read_csv(spark, path, o.schema)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+@register(
+    "jsonl_roundtrip_events",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM events
+GROUP BY event_type
+""",
+)
+def jsonl_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events (incl. nested-JSON `props` string) → JSON-lines → read →
+    aggregate; the lakehouse interchange format the tweet source (O1)
+    consumes."""
+    e = load_table(spark, sf_dir, "events")
+    path = scratch_dir("jsonl-events")
+    write_jsonl(e, path)
+    back = read_jsonl(spark, path, e.schema)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "partitioned_parquet_pruned_agg",
+    oracle="""
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+WHERE event_type IN ('purchase', 'click')
+GROUP BY user_id
+""",
+)
+def partitioned_parquet_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → parquet partitioned BY event_type → filtered aggregate.
+    The IN-predicate prunes non-matching partition directories at plan
+    time (PartitionFilters — asserted in tests/test_plans.py); only the
+    two matching directories are ever opened."""
+    e = load_table(spark, sf_dir, "events")
+    path = scratch_dir("part-events")
+    write_partitioned_parquet(e, path, ("event_type",))
+    back = spark.read.parquet(path)
+    return (
+        back.where(F.col("event_type").isin("purchase", "click"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
