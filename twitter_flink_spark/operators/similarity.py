@@ -87,3 +87,51 @@ def topk_neighbors(
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (sign-bit SimHash over embeddings)
+
+
+def random_hyperplanes(
+    n_planes: int, dim: int, seed: int = 42
+) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes, coefficients rounded to 6
+    decimals so the SAME literals embed in the Spark expression and the
+    DuckDB oracle (bit-for-bit identical sign computations)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [
+        [round(float(x), 6) for x in rng.standard_normal(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def lsh_sign_bands(
+    vectors: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, band_sig) where band_sig concatenates the sign bits of
+    `len(planes)//bands` hyperplane dot products.
+
+    Two vectors collide in a band with prob (1 - angle/pi)^r — banding
+    trades recall for candidate count. All JVM-side: the dot products are
+    zip_with/aggregate against literal arrays, one pass, no shuffle until
+    the (band, sig) self-join.
+    """
+    r = len(planes) // bands
+    bits = [
+        F.when(dot(F.col(vec_col), F.array(*[F.lit(c) for c in p])) > 0, "1")
+        .otherwise("0")
+        for p in planes
+    ]
+    sigs = F.array(
+        *[F.concat(*bits[b * r : (b + 1) * r]) for b in range(bands)]
+    )
+    return vectors.select(
+        F.col(id_col), F.posexplode(sigs).alias("band", "band_sig")
+    )

@@ -43,8 +43,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH near-dup
 
 
-def _minhash_oracle(k: int = MINHASH_K, bands: int = 8, ngram: int = 3,
-                    threshold: float = 0.5) -> str:
+def _minhash_pair_ctes(k: int = MINHASH_K, bands: int = 8, ngram: int = 3,
+                       threshold: float = 0.5) -> str:
+    """The shared CTE chain ending in `pairs` (verified near-dup pairs) —
+    composed into both the pair oracle and the recursive clustering
+    oracle."""
     r = k // bands
     h_cols = ",\n         ".join(
         f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(k)
@@ -56,8 +59,7 @@ def _minhash_oracle(k: int = MINHASH_K, bands: int = 8, ngram: int = 3,
         )
         for b in range(bands)
     )
-    return f"""
-WITH tok AS (
+    return f"""tok AS (
   SELECT doc_id, str_split(text, ' ') AS toks FROM documents
   WHERE len(str_split(text, ' ')) >= {ngram}
 ),
@@ -85,13 +87,41 @@ inter AS (
   JOIN sh sa ON sa.doc_id = c.doc_a
   JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
   GROUP BY c.doc_a, c.doc_b
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b,
+         round(i.n_inter * 1.0 / (za.sz + zb.sz - i.n_inter), 6) AS jaccard
+  FROM inter i
+  JOIN sz za ON za.doc_id = i.doc_a
+  JOIN sz zb ON zb.doc_id = i.doc_b
+  WHERE round(i.n_inter * 1.0 / (za.sz + zb.sz - i.n_inter), 6) >= {threshold}
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_minhash_pair_ctes()}
+SELECT doc_a, doc_b, jaccard FROM pairs
+"""
+
+
+def _cluster_oracle() -> str:
+    """Connected components over the near-dup pairs via recursive label
+    reachability: each node's cluster id = min doc_id reachable."""
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+bidir AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+walk(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM bidir)
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN bidir e ON e.a = w.node
 )
-SELECT i.doc_a, i.doc_b,
-       round(i.n_inter * 1.0 / (za.sz + zb.sz - i.n_inter), 6) AS jaccard
-FROM inter i
-JOIN sz za ON za.doc_id = i.doc_a
-JOIN sz zb ON zb.doc_id = i.doc_b
-WHERE round(i.n_inter * 1.0 / (za.sz + zb.sz - i.n_inter), 6) >= {threshold}
+SELECT node AS doc_id, min(label) AS cluster_id
+FROM walk GROUP BY node
 """
 
 
@@ -102,6 +132,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures, so candidate generation matches exactly."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_dup_pairs(docs, threshold=0.5, ngram=3)
+
+
+@register("dedup_cluster_components", oracle=_cluster_oracle())
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup CLUSTERS: iterative connected components
+    (min-label propagation, operators/graph.py) over the MinHash-LSH pair
+    graph. cluster_id = min doc_id of the component — the survivor a dedup
+    pipeline keeps. Oracle: recursive-CTE reachability over the identical
+    pair set (Spark has no recursive SQL; the iterative DataFrame loop is
+    the engine's equivalent, and this query proves it reaches the same
+    fixed point)."""
+    from twitter_flink_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5, ngram=3)
+    return connected_components(pairs)
 
 
 # ---------------------------------------------------------------------------

@@ -4,12 +4,22 @@ sides; results rounded to 6 decimals)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from twitter_flink_spark.operators.similarity import cosine, topk_neighbors
+from twitter_flink_spark.operators.similarity import (
+    cosine,
+    lsh_sign_bands,
+    random_hyperplanes,
+    topk_neighbors,
+)
 from twitter_flink_spark.registry import register
 from twitter_flink_spark.sources.tables import load_table
+
+#: shared by the Spark query and the generated oracle — identical literals
+#: make the sign computations bit-for-bit equal across engines.
+_LSH_PLANES = random_hyperplanes(n_planes=8, dim=64, seed=42)
+_LSH_BANDS = 4
 
 
 @register(
@@ -67,6 +77,101 @@ def cosine_topk_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return topk_neighbors(emb, queries, k=5, cell_col="label")
+
+
+def _lsh_oracle(planes: list[list[float]], bands: int, k: int = 5) -> str:
+    r = len(planes) // bands
+    bit_exprs = ",\n         ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(c) for c in p)}]::DOUBLE[]) > 0 "
+        f"THEN '1' ELSE '0' END) AS bit{i}"
+        for i, p in enumerate(planes)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT vec_id, {b} AS band, {concat} AS band_sig FROM sig".format(
+            b=b,
+            concat=" || ".join(f"bit{b * r + j}" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding,
+         {bit_exprs}
+  FROM embeddings
+),
+banded AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM banded a JOIN banded b USING (band, band_sig)
+  WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      n.embedding::DOUBLE[]), 6) AS cosine,
+         CAST(row_number() OVER (
+            PARTITION BY c.query_id
+            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                            n.embedding::DOUBLE[]) DESC,
+                     c.neighbor_id ASC) AS INTEGER) AS rank
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings n ON n.vec_id = c.neighbor_id
+)
+WHERE rank <= {k}
+"""
+
+
+@register("cosine_topk_lsh_hyperplane", oracle=_lsh_oracle(_LSH_PLANES, _LSH_BANDS))
+def cosine_topk_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: 8 random-hyperplane sign bits banded 4x2; only
+    candidates sharing a band signature with the query are exactly scored.
+    Candidate generation is an equi self-join on (band, sig) — the
+    all-pairs scoring of brute force never happens, which is the point at
+    corpus scale. Recall is the banding collision probability, a tunable;
+    the oracle recomputes identical buckets so the result is exact for the
+    implementation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    banded = lsh_sign_bands(emb, _LSH_PLANES, _LSH_BANDS)
+    q_side = banded.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "band", "band_sig"
+    )
+    c_side = banded.select(
+        F.col("vec_id").alias("neighbor_id"), "band", "band_sig"
+    )
+    cands = (
+        q_side.join(c_side, on=["band", "band_sig"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__nv")
+    )
+    scored = (
+        cands.join(F.broadcast(qv), on="query_id")
+        .join(nv, on="neighbor_id")
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__nv")).alias("__cos")
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("__cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
 
 
 @register(
