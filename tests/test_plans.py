@@ -135,6 +135,39 @@ def test_salted_join_spreads_keys(spark):
     assert "__salt_l" in plan and "CartesianProduct" not in plan
 
 
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling must engage on a pathologically skewed key:
+    after execution the final adaptive sort-merge join is marked
+    isSkew=true — the runtime safety net the salted join complements."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # 200k rows on ONE key vs a uniform spread — textbook skew
+        skewed = spark.range(200_000).select(
+            F.when(F.col("id") % 10 == 0, F.col("id")).otherwise(F.lit(0)).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        uniform = spark.range(1000).select(F.col("id").alias("k"))
+        joined = skewed.join(uniform, on="k")
+        joined.write.format("noop").mode("overwrite").save()
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isSkew=true" in final_plan or "skew=true" in final_plan, final_plan
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
 def test_no_cartesian_anywhere():
     """Every registered query must avoid CartesianProduct (the one
     intentional cross join — the scalar-subquery broadcast — compiles to

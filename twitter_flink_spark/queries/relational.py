@@ -668,6 +668,68 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "pivot_priority_by_status",
+    oracle="""
+SELECT o_orderpriority,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_O,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_F,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_P
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority, one column per status. The value
+    list is pinned (no discovery pass over the data — at 100 TB an
+    unpinned pivot costs an extra distinct scan); compiles to one
+    conditional aggregate, same as the oracle's CASE sums."""
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )
+
+
+@register(
+    "unpivot_part_measures",
+    oracle="""
+SELECT p_partkey, measure, round(val, 2) AS val
+FROM (
+  SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part
+  UNION ALL
+  SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS val FROM part
+)
+""",
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide numeric columns → (key, measure, value) long
+    form — one Expand pass (each input row fans out to n_measures rows
+    in-place), not a self-union that scans the table per measure."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").alias("retailprice"),
+        )
+        .unpivot(
+            ids=["p_partkey"],
+            values=["size", "retailprice"],
+            variableColumnName="measure",
+            valueColumnName="__val",
+        )
+        .select("p_partkey", "measure", F.round("__val", 2).alias("val"))
+    )
+
+
+@register(
     "having_frequent_buyers",
     oracle="""
 SELECT o_custkey, count(*) AS n_orders

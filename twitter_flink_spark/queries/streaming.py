@@ -95,6 +95,41 @@ def streaming_topn_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fb.run_filter()
 
 
+_TUMBLING_COUNTS_ORACLE = """
+WITH bucketed AS (
+  SELECT event_type,
+         to_timestamp(CAST(floor(epoch(ts)/60)*60 AS BIGINT))::TIMESTAMP
+           AS window_start,
+         ts
+  FROM events
+),
+counts AS (
+  SELECT window_start,
+         window_start + INTERVAL 60 SECOND AS window_end,
+         event_type, count(*) AS cnt
+  FROM bucketed GROUP BY 1, 2, 3
+),
+maxts AS (SELECT max(ts) AS mx FROM events)
+SELECT c.window_start, c.window_end, c.event_type, c.cnt
+FROM counts c, maxts
+WHERE c.window_end <= maxts.mx - INTERVAL 1 SECOND
+"""
+
+
+@register("streaming_tumbling_counts", oracle=_TUMBLING_COUNTS_ORACLE)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling (non-overlapping) 60 s windows under readStream — slide ==
+    size, so each event lands in exactly one window and streaming state is
+    1/5th of the sliding variant's. Append mode emits watermark-closed
+    windows only; the oracle encodes the same emission rule."""
+    src = stream_table(spark, sf_dir, "events")
+    agg = windowed_stream_counts(
+        src, key_cols=("event_type",), window_size="60 seconds",
+        window_slide="60 seconds",
+    )
+    return run_to_memory(agg, output_mode="append")
+
+
 @register(
     "streaming_dedup_first_seen",
     oracle="""
