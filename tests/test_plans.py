@@ -159,8 +159,11 @@ def test_aqe_splits_skewed_join(spark):
         )
         uniform = spark.range(1000).select(F.col("id").alias("k"))
         joined = skewed.join(uniform, on="k")
-        joined.write.format("noop").mode("overwrite").save()
+        # execute THROUGH the DataFrame's own QueryExecution: a write/count
+        # spawns a fresh one, leaving this plan un-finalized (isFinalPlan=false)
+        joined.collect()
         final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final_plan, final_plan
         assert "isSkew=true" in final_plan or "skew=true" in final_plan, final_plan
     finally:
         for k, v in saved.items():

@@ -61,6 +61,38 @@ def write_partitioned_parquet(
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files; returns the
+    output file count.
+
+    Small-files compaction is a first-class maintenance op at scale:
+    streaming sinks and fine-grained partitioning produce thousands of
+    KB-sized files whose per-file open/footer cost dominates scans. One
+    `repartition(n)` round-robin shuffle yields uniformly sized outputs
+    (coalesce would skip the shuffle but inherits upstream skew)."""
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, fs in os.walk(src_path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n = max(1, -(-total // target_file_bytes))  # ceil-div
+    spark.read.parquet(src_path).repartition(n).write.mode(
+        "overwrite"
+    ).parquet(dst_path)
+    return sum(
+        1
+        for _, _, fs in os.walk(dst_path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
 def scratch_dir(tag: str) -> str:
     """Per-run scratch directory for sink round-trips (driver runs queries
     repeatedly in one process; each run writes fresh)."""
