@@ -52,14 +52,19 @@ def topk_neighbors(
     Output: (query_id, neighbor_id, cosine, rank) with deterministic
     tie-break (cosine desc, neighbor_id asc).
     """
+    # norms are computed ONCE per vector before the join — inside the pair
+    # fan-out they would be re-evaluated per pair (3x the higher-order-fn
+    # work; numerically identical since the expressions are unchanged)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__qnorm"),
         *([F.col(cell_col).alias("__qcell")] if cell_col else []),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__cnorm"),
         *([F.col(cell_col).alias("__ccell")] if cell_col else []),
     )
     if cell_col:
@@ -71,7 +76,10 @@ def topk_neighbors(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qvec"), F.col("__cvec")).alias("__cos"),
+            (
+                dot(F.col("__qvec"), F.col("__cvec"))
+                / (F.col("__qnorm") * F.col("__cnorm"))
+            ).alias("__cos"),
         )
     )
     win = Window.partitionBy("query_id").orderBy(

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from twitter_flink_spark.operators.similarity import (
-    cosine,
+    dot,
     lsh_sign_bands,
     random_hyperplanes,
     topk_neighbors,
@@ -148,15 +148,25 @@ def cosine_topk_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("__qn"),
+    )
     nv = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__nv")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__nv"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("__nn"),
     )
     scored = (
         cands.join(F.broadcast(qv), on="query_id")
         .join(nv, on="neighbor_id")
         .select(
-            "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__nv")).alias("__cos")
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("__qv"), F.col("__nv")) / (F.col("__qn") * F.col("__nn"))).alias(
+                "__cos"
+            ),
         )
     )
     win = Window.partitionBy("query_id").orderBy(
@@ -191,11 +201,20 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking keys; threshold 0.4 for this corpus whose max off-diagonal
     cosine is ~0.51)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms once per vector, NOT per pair: the label self-join fans each
+    # vector out to every cell-mate, and re-deriving dot(v,v) inside that
+    # fan-out triples the per-pair arithmetic
     a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("__ea")
+        F.col("vec_id").alias("vec_a"),
+        F.col("label"),
+        F.col("embedding").alias("__ea"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("__na"),
     )
     b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("__eb")
+        F.col("vec_id").alias("vec_b"),
+        F.col("label"),
+        F.col("embedding").alias("__eb"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("__nb"),
     )
     return (
         a.join(b, on="label")
@@ -203,7 +222,9 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
-            cosine(F.col("__ea"), F.col("__eb")).alias("__cos"),
+            (dot(F.col("__ea"), F.col("__eb")) / (F.col("__na") * F.col("__nb"))).alias(
+                "__cos"
+            ),
         )
         .where(F.col("__cos") >= 0.4)
         .select("vec_a", "vec_b", F.round("__cos", 6).alias("cosine"))
