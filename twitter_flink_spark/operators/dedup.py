@@ -139,7 +139,11 @@ def minhash_near_dup_pairs(docs: DataFrame, threshold: float = 0.5,
     same role is played by checkpointing the shingle table to distributed
     storage once and scanning it per stage.
     """
-    shingled = doc_shingles(docs, ngram=ngram).persist(
+    from twitter_flink_spark.sources.tables import spread
+
+    # spread the docs before shingling: 16 md5-mins per shingle is the
+    # dominant cost, and a single-split input would run it all in one task
+    shingled = doc_shingles(spread(docs, "doc_id"), ngram=ngram).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     # signatures are one row per doc (tiny); both sides of the band
@@ -158,7 +162,9 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id",
     +1 to bit j if >= 8 else -1; bit = 1 iff the signed sum >= 0. String
     output keeps it engine-portable (no 64-bit unsigned arithmetic).
     """
-    tok = docs.select(
+    from twitter_flink_spark.sources.tables import spread
+
+    tok = spread(docs, id_col).select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
     ).where(F.col("token") != "")

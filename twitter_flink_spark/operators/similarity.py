@@ -61,7 +61,11 @@ def topk_neighbors(
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__qnorm"),
         *([F.col(cell_col).alias("__qcell")] if cell_col else []),
     )
-    c = corpus.select(
+    # repartition the probe (corpus) side: the broadcast join preserves its
+    # partitioning, so a single-file corpus would otherwise score every
+    # (query x corpus) pair in one task regardless of cluster size
+    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(n_parts, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__cnorm"),

@@ -13,7 +13,7 @@ from twitter_flink_spark.operators.dedup import (
     simhash16,
 )
 from twitter_flink_spark.registry import register
-from twitter_flink_spark.sources.tables import load_table
+from twitter_flink_spark.sources.tables import load_table, spread
 
 # ---------------------------------------------------------------------------
 # Exact dedup (hash groupBy)
@@ -197,7 +197,8 @@ def ngram_jaccard_same_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sh = (
-        docs.where(F.size(toks) >= 3)
+        spread(docs, "doc_id")
+        .where(F.size(toks) >= 3)
         .select("doc_id", "source", F.explode(shingles).alias("shingle"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -204,7 +204,13 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms once per vector, NOT per pair: the label self-join fans each
     # vector out to every cell-mate, and re-deriving dot(v,v) inside that
     # fan-out triples the per-pair arithmetic
-    a = emb.select(
+    #
+    # probe side is repartitioned so pair-scoring parallelism doesn't
+    # inherit the input file layout: the broadcast join preserves probe
+    # partitioning, and a single-file table would otherwise score every
+    # pair in one task
+    n_parts = spark.sparkContext.defaultParallelism
+    a = emb.repartition(n_parts, "vec_id").select(
         F.col("vec_id").alias("vec_a"),
         F.col("label"),
         F.col("embedding").alias("__ea"),

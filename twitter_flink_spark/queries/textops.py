@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from twitter_flink_spark.registry import register
-from twitter_flink_spark.sources.tables import load_table
+from twitter_flink_spark.sources.tables import load_table, spread
 
 _STOPWORDS = ("the", "a", "of", "to", "and")
 
@@ -215,7 +215,8 @@ def doc_fingerprints_modp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sh = (
-        docs.where(F.size(toks) >= 3)
+        spread(docs, "doc_id")
+        .where(F.size(toks) >= 3)
         .select("doc_id", F.explode(shingles).alias("h"))
         .where(F.substring(F.col("h"), 1, 1) == "0")
     )

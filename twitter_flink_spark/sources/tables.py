@@ -61,3 +61,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every testdata table. Lazy — nothing is scanned until an action."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition ``df`` on ``key`` to the session's default
+    parallelism, decoupling downstream compute parallelism from the input
+    file layout.
+
+    Use before a hash/explode-heavy pipeline whose input is a SMALL table:
+    a table that fits one parquet split arrives as one partition, and every
+    narrow transformation after it (explode, md5 fan-out, per-pair scoring
+    under a broadcast join) inherits that single task no matter how many
+    cores the cluster has. The shuffle moves only the small table; at
+    100 TB inputs the scan already yields thousands of splits and this
+    becomes a cheap no-op-sized safeguard."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, key)
