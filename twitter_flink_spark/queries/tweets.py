@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from twitter_flink_spark.registry import register
-from twitter_flink_spark.sources.tables import load_table
+from twitter_flink_spark.sources.tables import load_table, spread
 from twitter_flink_spark.sources.tweets import parse_statuses
 
 #: Garbage lines every batch of raw statuses is spiked with — all must be
@@ -31,7 +31,9 @@ def status_json_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     string whose hashtags are the doc's first 5 tokens UPPERCASED (so the
     parser's lowercasing, reference `:202`, is observable), spiked with
     malformed lines."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread first: the to_json/from_json round-trip is per-row CPU-bound,
+    # and a single-split documents table would serialize it into one task
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.split(F.col("text"), " ")
     status = F.struct(
         F.col("doc_id").alias("id"),

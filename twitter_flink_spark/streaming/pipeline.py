@@ -69,19 +69,35 @@ def windowed_stream_counts(
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str = "append",
-                  timeout_s: int = 300) -> DataFrame:
+                  timeout_s: int = 300,
+                  state_partitions: int | None = 8) -> DataFrame:
     """Run a finite stream to completion (availableNow) into a uniquely-named
-    memory sink; return the materialized result as a DataFrame."""
-    name = f"tfs_mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
+    memory sink; return the materialized result as a DataFrame.
+
+    ``state_partitions`` sizes the stream's shuffle (= state store instance
+    count): unlike batch shuffles, streaming state partitioning should track
+    STATE size — live (window x key) rows bounded by watermark eviction —
+    not input size, and each instance pays fixed load/commit/maintenance
+    cost per micro-batch. The default (8) fits the fixtures' <=200 k state
+    rows; pass None to inherit the session's shuffle partitions (what a
+    production job sized for wide state would do). Set only for the stream's
+    own planning, then restored."""
     spark = stream_df.sparkSession
+    name = f"tfs_mem_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination(timeout_s)
     return spark.table(name)
 
 
@@ -172,12 +188,18 @@ class TopNFeedback:
             src, key_cols=(self.key_col,), with_max_ts=True,
             watermark=f"{self.watermark_s} second",
         )
-        q = (
-            agg.writeStream.outputMode("update")
-            .foreachBatch(self._update_leaderboard)
-            .trigger(availableNow=True)
-            .start()
-        )
+        # same state-partition sizing rationale as run_to_memory
+        prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                agg.writeStream.outputMode("update")
+                .foreachBatch(self._update_leaderboard)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            self.spark.conf.set("spark.sql.shuffle.partitions", prev)
         q.awaitTermination(timeout_s)
 
     # -- filter side (reference O10-O12) --
