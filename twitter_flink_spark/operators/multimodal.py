@@ -79,6 +79,49 @@ def decode_media_meta(with_payload: DataFrame) -> DataFrame:
     return with_payload.mapInPandas(decode, schema=DECODE_META_SCHEMA)
 
 
+def resize_media(with_payload: DataFrame, stride: int = 4) -> DataFrame:
+    """Resize for "image" payloads: deterministic byte-stride downsample
+    (every ``stride``-th byte), the stub stand-in for PIL's resize — a real
+    build swaps only the per-batch body. Emits (doc_id, resized binary) so
+    downstream operators (decode, feature-extract, storage) chain on the
+    resized column; resized length = ceil(n_bytes / stride)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized": [bytes(p)[::stride] for p in pdf["payload"]],
+                }
+            )
+
+    return with_payload.mapInPandas(resize, schema="doc_id long, resized binary")
+
+
+def extract_features(with_payload: DataFrame, n_buckets: int = 16) -> DataFrame:
+    """Feature extraction for opaque payloads: a byte-value histogram
+    (bucket = byte % n_buckets) as `array<long>` counts — a REAL (not
+    stubbed) content feature usable by the similarity operators downstream;
+    a media build would swap in a CNN/audio embedding with the same
+    (id, array) output shape. numpy-vectorized per Arrow batch."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counts = [
+                np.bincount(
+                    np.frombuffer(bytes(p), dtype=np.uint8) % n_buckets,
+                    minlength=n_buckets,
+                ).tolist()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": counts})
+
+    return with_payload.mapInPandas(
+        feats, schema="doc_id long, features array<long>"
+    )
+
+
 def sample_frames(with_payload: DataFrame, n_frames_mod: int = 8) -> DataFrame:
     """Frame sampling for "video" payloads: deterministic frame table
     (doc_id, frame_idx, offset, length) — n_frames = n_bytes % mod + 1,

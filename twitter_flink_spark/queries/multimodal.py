@@ -7,13 +7,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from twitter_flink_spark.operators.multimodal import (
     attach_payload,
     decode_media_meta,
+    extract_features,
+    resize_media,
     sample_frames,
 )
 from twitter_flink_spark.registry import register
-from twitter_flink_spark.sources.tables import load_table
+from twitter_flink_spark.sources.tables import load_table, spread
 
 
 @register(
@@ -58,3 +62,51 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic from payload length."""
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(attach_payload(docs))
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+SELECT doc_id, CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS resized_bytes
+FROM documents
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary payload → stride-4 resize (stubbed byte downsample) → length
+    of the resized column measured SPARK-side (F.length over the binary the
+    UDF emitted), proving the resized payload itself round-trips through
+    Arrow — not just its metadata. bytes[::4] has ceil(n/4) elements."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    resized = resize_media(attach_payload(docs), stride=4)
+    return resized.select(
+        "doc_id", F.length("resized").cast("long").alias("resized_bytes")
+    )
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, ascii(c) % 16 AS bucket
+  FROM (SELECT doc_id, unnest(str_split(text, '')) AS c FROM documents)
+)
+SELECT doc_id, bucket, count(*) AS cnt
+FROM chars
+GROUP BY doc_id, bucket
+""",
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload → byte-histogram feature vector (array<long>, 16 buckets) —
+    a real content feature, numpy-vectorized per Arrow batch — exploded to
+    (doc_id, bucket, cnt) rows for the oracle. ASCII text means byte
+    values == codepoints, so DuckDB reproduces the histogram from chars;
+    zero-count buckets are dropped on both sides."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    feats = extract_features(attach_payload(docs), n_buckets=16)
+    return (
+        feats.select(
+            "doc_id", F.posexplode("features").alias("bucket", "cnt")
+        )
+        .where(F.col("cnt") > 0)
+        .select("doc_id", F.col("bucket").cast("int").alias("bucket"), "cnt")
+    )
