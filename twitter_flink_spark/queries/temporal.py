@@ -206,3 +206,50 @@ def window_analytics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("o_totalprice").over(w2), 2).alias("max_price_in_status"),
         F.round(F.last("o_totalprice").over(w2), 2).alias("min_price_in_status"),
     )
+
+
+@register(
+    "banded_range_join_followups",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id,
+       count(x.event_id) AS follow_cnt
+FROM events p
+LEFT JOIN events x
+  ON x.user_id = p.user_id
+ AND x.ts > p.ts
+ AND x.ts <= p.ts + INTERVAL 60 SECOND
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+""",
+)
+def banded_range_join_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded (interval) range join: for each purchase, count the same
+    user's events in the following 60 s band. The equality on user_id makes
+    this a plain shuffled equi-join with the band as a residual join
+    predicate — NOT a cartesian/broadcast-nested-loop: each side shuffles
+    once on user_id, pairs are generated only within a user, and the band
+    filter runs inside the join. Skewed users (one key with millions of
+    events) are the scale risk; AQE skew-join splitting handles it (see
+    `queries/scale.py` for the explicit salting variant of the same
+    problem)."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("pts"),
+    )
+    x = e.select(
+        F.col("user_id").alias("xuser"),
+        F.col("event_id").alias("xid"),
+        F.col("ts").alias("xts"),
+    )
+    joined = p.join(
+        x,
+        (p.user_id == x.xuser)
+        & (F.col("xts") > F.col("pts"))
+        & (F.col("xts") <= F.col("pts") + F.expr("INTERVAL 60 SECONDS")),
+        "left",
+    )
+    return joined.groupBy("purchase_id", "user_id").agg(
+        F.count("xid").alias("follow_cnt")
+    )
