@@ -18,7 +18,22 @@ import time
 from twitter_flink_spark.session import get_spark
 
 
+def _claim_stdout() -> "os.IO":
+    """Return a handle on the REAL stdout and point fd 1 at stderr.
+
+    The driver parses our single JSON line off stdout; the Spark JVM (ivy
+    resolution banners, log4j fallbacks) writes directly to fd 1, which it
+    inherits at launch. Re-pointing fd 1 → fd 2 BEFORE the JVM starts keeps
+    stdout byte-clean; the JSON line goes to the saved duplicate at the end.
+    """
+    real = os.fdopen(os.dup(1), "w")
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+    return real
+
+
 def main() -> None:
+    real_stdout = _claim_stdout()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="tfs-bench")
@@ -57,7 +72,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
-        )
+        ),
+        file=real_stdout,
+        flush=True,
     )
     spark.stop()
 

@@ -1,11 +1,15 @@
 """Local mirror of the driver's DuckDB-oracle comparison: row count, schema
 (column-name set), and order-insensitive value comparison.
 
-Values are canonicalized cell-by-cell (timestamps → isoformat, floats →
-12-significant-digit repr, NaN/None → sentinel) and compared as sorted row
-multisets, so any residual cross-engine float jitter must be removed by the
-queries themselves (round on both sides) — same discipline the driver's
-value-hash demands.
+STRICT by default (round-2 change): cells are stringified essentially raw —
+`str(int)` for ints, `repr(float)` for floats (so `123` vs `123.0` MISMATCH,
+reproducing the driver's value-hash semantics that caught the r01
+HUGEINT-sum oracles), timestamps → isoformat, NaN/None → sentinel. Any
+cross-engine numeric-type or float-jitter divergence must be fixed in the
+query/oracle pair (CAST both sides, round both sides) — never here.
+
+The old 12-sig-digit / int-coercing comparison survives behind `lax=True`
+for diagnostics only; no test uses it for pass/fail.
 """
 
 from __future__ import annotations
@@ -30,29 +34,31 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _canon_cell(v) -> str:
+def _canon_cell(v, lax: bool = False) -> str:
     if v is None:
         return "\x00NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "\x00NULL"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.12g}"
+        if lax:
+            if v == int(v) and abs(v) < 1e15:
+                return str(int(v))
+            return f"{v:.12g}"
+        return repr(v)
     if isinstance(v, (pd.Timestamp, _dt.datetime)):
         return v.isoformat()
     return str(v)
 
 
-def canon_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
+def canon_rows(df: pd.DataFrame, lax: bool = False) -> list[tuple[str, ...]]:
     cols = sorted(df.columns)
     out = []
     for row in df[cols].itertuples(index=False, name=None):
-        out.append(tuple(_canon_cell(v) for v in row))
+        out.append(tuple(_canon_cell(v, lax) for v in row))
     return sorted(out)
 
 
-def compare(spark_df, oracle_df: pd.DataFrame) -> list[str]:
+def compare(spark_df, oracle_df: pd.DataFrame, lax: bool = False) -> list[str]:
     """Return a list of mismatch descriptions (empty == pass)."""
     problems: list[str] = []
     sp = spark_df.toPandas()
@@ -63,7 +69,7 @@ def compare(spark_df, oracle_df: pd.DataFrame) -> list[str]:
         return problems
     if len(sp) != len(oracle_df):
         problems.append(f"row count: spark={len(sp)} oracle={len(oracle_df)}")
-    a, b = canon_rows(sp), canon_rows(oracle_df)
+    a, b = canon_rows(sp, lax), canon_rows(oracle_df, lax)
     if a != b:
         only_spark = [r for r in a if r not in set(b)][:5]
         only_oracle = [r for r in b if r not in set(a)][:5]

@@ -671,9 +671,9 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     "pivot_priority_by_status",
     oracle="""
 SELECT o_orderpriority,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_O,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_F,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_P
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_O,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_F,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_P
 FROM orders
 GROUP BY o_orderpriority
 """,

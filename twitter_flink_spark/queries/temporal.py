@@ -71,9 +71,9 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, event_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_id
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,

@@ -109,9 +109,9 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lang_score_sql(lang: str) -> str:
     markers = _LANG_MARKERS[lang]
     return (
-        "sum(CASE WHEN token IN "
+        "CAST(sum(CASE WHEN token IN "
         + str(markers)
-        + f" THEN 1 ELSE 0 END) AS score_{lang}"
+        + f" THEN 1 ELSE 0 END) AS BIGINT) AS score_{lang}"
     )
 
 
