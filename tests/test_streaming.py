@@ -67,6 +67,34 @@ def test_feedback_snapshot_and_kv(spark):
     assert types <= set(fb.snapshot)
 
 
+def test_feedback_state_bounded_by_watermark(spark):
+    """Driver-side leaderboard state must not retain every (window, key) ever
+    seen (round-1 leak): after the stream drains, _counts holds only windows
+    still open at the final watermark plus the snapshotted (last closed)
+    window — the same bound the engine's state store gets from the watermark.
+    Snapshot/KV results are identical to the unevicted computation (pinned by
+    test_feedback_snapshot_and_kv)."""
+    fb = TopNFeedback(spark, SF_DIR, key_col="event_type", n=3)
+    fb.run_leaderboard()
+    assert fb.snapshot  # eviction must not have eaten the snapshot
+
+    batch = load_table(spark, SF_DIR, "events")
+    b = sliding_window_counts(batch, ts_col="ts", key_cols=("event_type",))
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - datetime.timedelta(seconds=1)
+    rows = b.collect()
+    total = len(rows)
+    closed_ws = [r["window_start"] for r in rows if r["window_end"] <= wm]
+    last_ws = max(closed_ws)
+    expected_keep = {
+        (r["window_start"], r["event_type"])
+        for r in rows
+        if r["window_end"] > wm or r["window_start"] == last_ws
+    }
+    assert set(fb._counts) == expected_keep
+    assert len(fb._counts) < total  # strictly evicted something
+
+
 def test_kv_store_overwrite_by_rank():
     kv = KVStore()
     kv.upsert([("alpha", 10), ("beta", 7)])

@@ -181,6 +181,22 @@ class TopNFeedback:
         )[: self.n]
         self.snapshot = [key for key, _ in ranked]
         self.kv.upsert(ranked)
+        # Evict state the snapshot can never need again: windows fully below
+        # the watermark AND older than the one just snapshotted. Keeping
+        # last_ws matters for correctness: update-mode rows carry full
+        # aggregated values, so an evicted entry that gets a late re-emission
+        # re-inserts cleanly — but only SOME keys of a window re-emit, and a
+        # partially-resurrected window older than last_ws must never win the
+        # `max(ws)` race. Bounds driver state to (open windows x keys) + one
+        # closed window — same bound the engine's state store gets from the
+        # watermark (fixes the unbounded growth flagged in round 1).
+        for wk in [
+            wk
+            for wk in self._counts
+            if wk[0] < last_ws and self._window_end[wk] <= wm
+        ]:
+            del self._counts[wk]
+            del self._window_end[wk]
 
     def run_leaderboard(self, timeout_s: int = 300) -> None:
         src = stream_table(self.spark, self.sf_dir, "events")
