@@ -100,4 +100,224 @@ def test_kv_store_overwrite_by_rank():
     kv.upsert([("alpha", 10), ("beta", 7)])
     assert kv.data == {"Top10-1": "alpha, 10", "Top10-2": "beta, 7"}
     kv.upsert([("gamma", 99)])  # a new window fires: full overwrite
+    # rank 2 must be explicitly DELETEd on the client — a real store
+    # persists keys, so a shorter leaderboard must not leave stale ranks
     assert kv.data == {"Top10-1": "gamma, 99"}
+
+
+def test_redis_client_adapter_needs_package():
+    import pytest
+
+    from twitter_flink_spark.streaming.pipeline import redis_kv_client
+
+    try:
+        import redis  # noqa: F401  # pragma: no cover
+    except ImportError:
+        with pytest.raises(RuntimeError, match="redis"):
+            redis_kv_client()
+    else:  # pragma: no cover - container ships without redis
+        assert hasattr(redis_kv_client(), "set")
+
+
+def _split_events(spark, dest, n_chunks=4):
+    """Write the events table as n time-contiguous parquet files with
+    strictly increasing mtimes (the file source batches in mtime order)."""
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, SF_DIR, "events")
+    n = ev.count()
+    w = Window.orderBy("ts", "event_id")
+    idx = ev.withColumn("_i", F.row_number().over(w))
+    os.makedirs(dest, exist_ok=True)
+    out = []
+    for i in range(n_chunks):
+        lo, hi = i * n // n_chunks, (i + 1) * n // n_chunks
+        stage = f"{dest}-stage{i}"
+        (
+            idx.where((F.col("_i") > lo) & (F.col("_i") <= hi))
+            .drop("_i")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        target = os.path.join(dest, f"{i:02d}.parquet")
+        shutil.move(os.path.join(stage, part), target)
+        shutil.rmtree(stage)
+        t = time.time() - (n_chunks - i) * 10
+        os.utime(target, (t, t))
+        out.append(target)
+    return out
+
+
+def test_feedback_checkpoint_restart(spark, tmp_path):
+    """Kill-and-restart the leaderboard between micro-batches: with a
+    checkpoint (engine state) + the counts write-ahead log (driver mirror),
+    the restarted run's final KV and snapshot equal an uninterrupted run —
+    the state the reference loses on restart (`TopNHashtags.java:303`)."""
+    import shutil
+
+    full = str(tmp_path / "full")
+    files = _split_events(spark, full, n_chunks=4)
+
+    baseline = TopNFeedback(
+        spark, SF_DIR, key_col="event_type", n=3,
+        src_path=full, max_files_per_trigger=1,
+    )
+    baseline.run_leaderboard()
+    assert baseline.snapshot
+
+    # run 1: only the first half of the data exists; availableNow drains it
+    # (2 micro-batches) and the process "dies" (instance dropped)
+    grow = str(tmp_path / "grow")
+    ck = str(tmp_path / "ck")
+    (tmp_path / "grow").mkdir()
+    for f in files[:2]:
+        shutil.copy2(f, grow)
+    fb1 = TopNFeedback(
+        spark, SF_DIR, key_col="event_type", n=3,
+        src_path=grow, checkpoint_dir=ck, max_files_per_trigger=1,
+    )
+    fb1.run_leaderboard()
+    assert fb1._counts  # saw some state before the "crash"
+
+    # run 2: a FRESH instance (new dicts, new KV) on the same checkpoint,
+    # after more data arrived — engine state resumes from the checkpoint,
+    # the driver mirror restores from the counts log
+    for f in files[2:]:
+        shutil.copy2(f, grow)
+    fb2 = TopNFeedback(
+        spark, SF_DIR, key_col="event_type", n=3,
+        src_path=grow, checkpoint_dir=ck, max_files_per_trigger=1,
+    )
+    assert fb2.snapshot == fb1.snapshot  # restored, not cold-started
+    fb2.run_leaderboard()
+
+    assert fb2.snapshot == baseline.snapshot
+    assert fb2.kv.data == baseline.kv.data
+
+
+# ---------------------------------------------------------------------------
+# Streaming source connectors (reference O1): file replay, socket, kafka
+
+
+def _status_lines(spark, limit=200):
+    """Raw status JSON lines from the tweet fixture (good + malformed)."""
+    from twitter_flink_spark.queries.tweets import status_json_stream
+
+    rows = status_json_stream(spark, SF_DIR).limit(limit).collect()
+    return [r["value"] for r in rows]
+
+
+def _batch_tag_counts(spark, lines):
+    from twitter_flink_spark.sources.tweets import parse_statuses
+
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    return sorted(
+        tuple(r)
+        for r in parse_statuses(raw)
+        .select(F.explode("tags").alias("tag"))
+        .groupBy("tag")
+        .count()
+        .collect()
+    )
+
+
+def test_file_stream_parse_matches_batch(spark, tmp_path):
+    """streamed parse over a text-file source == batch parse of the same
+    lines (the same oracle discipline as tweet_parse_hashtag_counts)."""
+    from twitter_flink_spark.queries.tweets import MALFORMED_LINES
+    from twitter_flink_spark.streaming.sources import stream_status_lines
+
+    lines = _status_lines(spark) + list(MALFORMED_LINES)
+    src = tmp_path / "statuses"
+    src.mkdir()
+    (src / "part-0.txt").write_text(
+        "\n".join(l for l in lines if "\n" not in l) + "\n"
+    )
+    parsed = stream_status_lines(spark, str(src))
+    counts = (
+        parsed.select(F.explode("tags").alias("tag")).groupBy("tag").count()
+    )
+    got = run_to_memory(counts, output_mode="complete")
+    assert sorted(tuple(r) for r in got.collect()) == _batch_tag_counts(
+        spark, lines
+    )
+
+
+def test_socket_stream_parse_matches_batch(spark):
+    """A real TCP server feeding the socket source: parsed counts equal the
+    batch parse of the very same lines; malformed lines die in-parser."""
+    import socket
+    import threading
+    import time
+
+    from twitter_flink_spark.queries.tweets import MALFORMED_LINES
+    from twitter_flink_spark.streaming.sources import socket_status_stream
+
+    lines = _status_lines(spark, limit=100) + [
+        l for l in MALFORMED_LINES if l and "\n" not in l
+    ]
+    n_good = sum(1 for l in lines if l.startswith('{"id"'))
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+    done = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        conn.sendall(("\n".join(lines) + "\n").encode())
+        done.wait(timeout=120)  # keep the socket open until the query stops
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    parsed = socket_status_stream(spark, "127.0.0.1", port)
+    name = "tfs_socket_parse"
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.table(name).count() >= n_good:
+                break
+            time.sleep(0.5)
+        got = spark.table(name)
+        tag_counts = sorted(
+            tuple(r)
+            for r in got.select(F.explode("tags").alias("tag"))
+            .groupBy("tag")
+            .count()
+            .collect()
+        )
+        assert got.count() == n_good
+        assert tag_counts == _batch_tag_counts(spark, lines)
+    finally:
+        q.stop()
+        done.set()
+        server.close()
+
+
+def test_kafka_stream_needs_connector(spark):
+    """Without the kafka connector jar the path must fail loudly and
+    actionably, not with a bare ClassNotFound."""
+    import pytest
+
+    from twitter_flink_spark.streaming.sources import kafka_status_stream
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka_status_stream(spark, "localhost:9092", "statuses")

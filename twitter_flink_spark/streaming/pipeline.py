@@ -105,21 +105,60 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "append",
 # The top-N feedback loop
 
 
+class DictKVClient:
+    """In-process client speaking the minimal KV wire contract (`set`/
+    `delete`) — the test double for a real Redis client, same surface."""
+
+    def __init__(self) -> None:
+        self.data: dict[str, str] = {}
+
+    def set(self, key: str, value: str) -> None:
+        self.data[key] = value
+
+    def delete(self, key: str) -> None:
+        self.data.pop(key, None)
+
+
+def redis_kv_client(host: str = "localhost", port: int = 6379):
+    """A real Redis client with the same `set`/`delete` surface, when the
+    `redis` package is importable (not shipped in this container — the
+    adapter is the production path, `DictKVClient` the test path)."""
+    try:
+        import redis  # type: ignore[import-not-found]
+    except ImportError as exc:
+        raise RuntimeError(
+            "redis_kv_client needs the 'redis' package (pip install redis)"
+        ) from exc
+    return redis.Redis(host=host, port=port, decode_responses=True)
+
+
 @dataclass
 class KVStore:
     """Redis-shaped KV sink: upsert-by-rank leaderboard
     (`SET "Top{N}-{rank}" -> "tag, count"`, `TopNHashtags.java:157-168`).
-    Overwrite-by-rank is the contract (Complete/upsert output, not append);
-    swap the dict for a Redis client in production."""
+
+    Talks to any client with `set(key, value)`/`delete(key)` — a real Redis
+    client drops in unchanged. Overwrite-by-rank is the contract; because a
+    real store persists keys across calls, ranks beyond the new list's
+    length are explicitly DELETEd (a shorter leaderboard must not leave
+    rank 7 of the previous window lying around — a staleness bug the
+    reference avoids only by always writing exactly N entries)."""
 
     prefix: str = "Top10-"
-    data: dict[str, str] = field(default_factory=dict)
+    client: DictKVClient = field(default_factory=DictKVClient)
+    _last_n: int = 0
 
     def upsert(self, ranked: list[tuple[str, int]]) -> None:
-        self.data = {
-            f"{self.prefix}{i + 1}": f"{key}, {cnt}"
-            for i, (key, cnt) in enumerate(ranked)
-        }
+        for i, (key, cnt) in enumerate(ranked):
+            self.client.set(f"{self.prefix}{i + 1}", f"{key}, {cnt}")
+        for rank in range(len(ranked) + 1, self._last_n + 1):
+            self.client.delete(f"{self.prefix}{rank}")
+        self._last_n = len(ranked)
+
+    @property
+    def data(self) -> dict[str, str]:
+        """The dict view (DictKVClient only) — what tests assert against."""
+        return self.client.data
 
 
 @dataclass
@@ -140,6 +179,15 @@ class TopNFeedback:
     n: int = 3
     watermark_s: int = 1
     kv: KVStore = field(default_factory=KVStore)
+    #: direct parquet directory to stream instead of a testdata table — the
+    #: path is stable across restarts, which checkpoint offsets require
+    src_path: str | None = None
+    #: enables restartable mode: engine state checkpoints here, and the
+    #: driver mirror write-ahead-logs micro-batch counts to
+    #: {checkpoint_dir}/counts_log so a restarted process recovers the
+    #: snapshot the reference loses (`TopNHashtags.java:303`)
+    checkpoint_dir: str | None = None
+    max_files_per_trigger: int | None = None
 
     def __post_init__(self):
         self._counts: dict[tuple, int] = {}
@@ -149,10 +197,48 @@ class TopNFeedback:
         import tempfile
 
         self._out_dir = tempfile.mkdtemp(prefix="tfs-matches-") + "/out"
+        self._log_dir = (
+            self.checkpoint_dir + "/counts_log" if self.checkpoint_dir else None
+        )
+        if self._log_dir:
+            self._restore()
+
+    def _restore(self) -> None:
+        """Rebuild the driver mirror from the write-ahead counts log.
+
+        Update-mode rows carry full aggregated values and counts only grow,
+        so `max(cnt)` per (window, key) is the latest value — which also
+        dedups the at-least-once replay foreachBatch can produce after a
+        crash. Without this log a restart would only see windows whose
+        counts CHANGE post-restart (update mode re-emits on change only)."""
+        import os
+
+        if not (self._log_dir and os.path.isdir(self._log_dir)):
+            return
+        log = self.spark.read.parquet(self._log_dir)
+        for row in (
+            log.groupBy("window_start", self.key_col)
+            .agg(
+                F.max("cnt").alias("cnt"),
+                F.max("window_end").alias("window_end"),
+                F.max("max_ts").alias("max_ts"),
+            )
+            .collect()
+        ):
+            key = (row["window_start"], row[self.key_col])
+            self._counts[key] = row["cnt"]
+            self._window_end[key] = row["window_end"]
+            if self._max_ts is None or row["max_ts"] > self._max_ts:
+                self._max_ts = row["max_ts"]
+        self._recompute_snapshot()
 
     # -- leaderboard side (reference O6-O9 + O13) --
 
     def _update_leaderboard(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self._log_dir:
+            # write-ahead: log before mutating the mirror, so a crash between
+            # the two replays the batch (at-least-once) and _restore dedups
+            batch_df.write.mode("append").parquet(self._log_dir)
         for row in batch_df.collect():  # update-mode deltas: (windows x keys) rows, small
             key = (row["window_start"], row[self.key_col])
             self._counts[key] = row["cnt"]
@@ -198,8 +284,22 @@ class TopNFeedback:
             del self._counts[wk]
             del self._window_end[wk]
 
+    def _source(self) -> DataFrame:
+        if self.src_path is not None:
+            schema = self.spark.read.parquet(self.src_path).schema
+            reader = self.spark.readStream.schema(schema)
+            if self.max_files_per_trigger is not None:
+                reader = reader.option(
+                    "maxFilesPerTrigger", str(self.max_files_per_trigger)
+                )
+            return reader.parquet(self.src_path)
+        return stream_table(
+            self.spark, self.sf_dir, "events",
+            max_files_per_trigger=self.max_files_per_trigger,
+        )
+
     def run_leaderboard(self, timeout_s: int = 300) -> None:
-        src = stream_table(self.spark, self.sf_dir, "events")
+        src = self._source()
         agg = windowed_stream_counts(
             src, key_cols=(self.key_col,), with_max_ts=True,
             watermark=f"{self.watermark_s} second",
@@ -208,12 +308,16 @@ class TopNFeedback:
         prev = self.spark.conf.get("spark.sql.shuffle.partitions")
         self.spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
-            q = (
+            writer = (
                 agg.writeStream.outputMode("update")
                 .foreachBatch(self._update_leaderboard)
                 .trigger(availableNow=True)
-                .start()
             )
+            if self.checkpoint_dir:
+                writer = writer.option(
+                    "checkpointLocation", self.checkpoint_dir + "/leaderboard"
+                )
+            q = writer.start()
         finally:
             self.spark.conf.set("spark.sql.shuffle.partitions", prev)
         q.awaitTermination(timeout_s)
