@@ -1,0 +1,57 @@
+"""Connected-components operators: equivalence of the two formulations and
+the O(log n)-round convergence bound of large-star/small-star on the
+adversarial case (a long path) where min-label propagation needs
+O(diameter) rounds."""
+
+from __future__ import annotations
+
+import math
+
+from twitter_flink_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _labels(df):
+    return sorted((r["doc_id"], r["cluster_id"]) for r in df.collect())
+
+
+def test_star_converges_logarithmically_on_path(spark):
+    """1000-node path graph: star rounds must be O(log n), nowhere near the
+    999 rounds label propagation would need, and every node must land in
+    the single component labeled by the min node."""
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    ).repartition(8)
+    rounds: list[int] = []
+    labels = _labels(
+        connected_components_star(pairs, max_iter=30, rounds_out=rounds)
+    )
+    assert labels == [(i, 0) for i in range(n)]
+    # 2·ceil(log2(n)) + slack; a diameter-bound algorithm would need ~999
+    assert rounds[0] <= 2 * math.ceil(math.log2(n)) + 3
+
+
+def test_star_equals_label_propagation_on_multi_component(spark):
+    """Both formulations must reach the identical fixed point on a graph
+    with several components of different shapes (clique, path, pair,
+    isolated-by-self-pair)."""
+    edges = (
+        # clique on 0-3
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        # path 10-15
+        + [(i, i + 1) for i in range(10, 15)]
+        # pair
+        + [(100, 101)]
+        # star centered high (center is NOT the min)
+        + [(205, v) for v in (201, 202, 203)]
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    a = _labels(connected_components(pairs))
+    b = _labels(connected_components_star(pairs))
+    assert a == b
+    assert {c for _, c in b} == {0, 10, 100, 201}

@@ -35,6 +35,27 @@ def test_pandas_cosine_equals_builtin(spark):
     assert diffs.collect()[0]["d"] < 1e-9
 
 
+def test_decode_one_both_paths():
+    """_decode_one: deterministic fake on non-image bytes (with or without
+    PIL importable — an installed Pillow must NOT break the fallback), real
+    metadata when PIL can actually decode the payload."""
+    from twitter_flink_spark.operators.multimodal import _decode_one
+
+    payload = b"definitely not an image"
+    n = len(payload)
+    assert _decode_one(payload) == (n % 640 + 1, (n * 7) % 480 + 1, "fake/deterministic")
+
+    try:
+        import io
+
+        import PIL.Image
+    except ImportError:
+        return  # container ships without Pillow; fake path covered above
+    buf = io.BytesIO()
+    PIL.Image.new("RGB", (3, 2)).save(buf, format="PNG")
+    assert _decode_one(buf.getvalue()) == (3, 2, "png")
+
+
 def test_pandas_norm_positive(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     n = emb.select(norm_pandas(F.col("embedding")).alias("n"))

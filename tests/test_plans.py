@@ -135,6 +135,24 @@ def test_salted_join_spreads_keys(spark):
     assert "__salt_l" in plan and "CartesianProduct" not in plan
 
 
+def test_salted_join_rejects_right_outer(spark):
+    """right/full-outer through the salted join would duplicate unmatched
+    dimension rows per salt — misuse must raise, not return wrong rows."""
+    import pytest
+
+    from twitter_flink_spark.operators.joins import salted_equi_join
+    from twitter_flink_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    s = load_table(spark, SF_DIR, "supplier")
+    for how in ("right", "full", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_equi_join(
+                li, s, "l_suppkey", "s_suppkey",
+                salt_from="l_orderkey", n_salts=4, how=how,
+            )
+
+
 def test_aqe_splits_skewed_join(spark):
     """AQE skew-join handling must engage on a pathologically skewed key:
     after execution the final adaptive sort-merge join is marked

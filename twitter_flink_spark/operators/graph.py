@@ -12,8 +12,9 @@ inherent to iterate-until-fixed-point, the same loop GraphX/Pregel runs.
 Scale: each round is one self-contained shuffle join (edges ⨝ labels on
 node id) + a min-aggregate; rounds needed = graph diameter, and near-dup
 graphs are overwhelmingly tiny cliques (diameter 1-2). For adversarial
-long-chain graphs switch to large-star/small-star (alternating min-label
-exchange), which converges in O(log n) rounds.
+long-chain graphs use `connected_components_star` (alternating
+large-star/small-star, Kiveris et al., "Connected Components in MapReduce
+and Beyond"), which converges in O(log n) rounds.
 """
 
 from __future__ import annotations
@@ -66,4 +67,97 @@ def connected_components(
     bidir.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(Γ(u) ∪ {u}). One shuffle (groupBy u) + one join."""
+    bidir = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = bidir.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        bidir.join(m, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient each edge large→small, then for each node u connect u and all
+    its (smaller) neighbors to min(Γ(u) ∪ {u})."""
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    m = directed.groupBy("src").agg(F.min("dst").alias("m"))
+    nbrs = directed.join(m, "src").where(F.col("dst") != F.col("m")).select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    selfs = m.select(F.col("src"), F.col("m").alias("dst"))
+    return nbrs.unionAll(selfs).where(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+    rounds_out: list | None = None,
+) -> DataFrame:
+    """(doc_id, cluster_id) via alternating large-star/small-star — the
+    O(log n)-round formulation for adversarial graphs (long chains) where
+    plain min-label propagation needs diameter rounds.
+
+    Convergence is detected by an order-insensitive edge-set signature
+    (count + sum of per-edge hashes): when a large-star+small-star round
+    leaves the edge set unchanged, every component is a star centered on
+    its min node. `rounds_out`, if given, receives the round count (tests
+    pin the O(log n) bound with it)."""
+    edges = (
+        pairs.select(
+            F.least(a_col, b_col).alias("src"), F.greatest(a_col, b_col).alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: a bigint sum of 2^63-range hashes overflows ANSI
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = signature(edges)
+    rounds = 0
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        rounds += 1
+        new_sig = signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    # converged: every edge is (member, center); centers label themselves
+    labels = edges.select(F.col("src").alias("node"), F.col("dst").alias("label"))
+    return (
+        nodes.join(labels, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("label", "node").alias("cluster_id"),
+        )
     )

@@ -93,6 +93,12 @@ def salted_equi_join(
     the optimizer's thresholds miss it, or the join is shuffled-hash where
     AQE skew handling doesn't apply.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # right/full outer would emit each unmatched right row once PER SALT
+        # (the dimension side is replicated) — fail loudly, not wrongly
+        raise ValueError(
+            f"salted_equi_join preserves semantics only for inner/left joins, got {how!r}"
+        )
     salted_l = left.withColumn(
         "__salt_l",
         F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts)).cast("int"),

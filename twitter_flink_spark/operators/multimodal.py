@@ -32,16 +32,21 @@ FRAME_SAMPLE_SCHEMA = "doc_id long, frame_idx int, frame_offset long, frame_len 
 
 
 def _decode_one(payload: bytes) -> tuple[int, int, str]:
-    """Deterministic fake decode: metadata derived from the payload alone.
-    A real build replaces this body with PIL/ffmpeg; the signature and the
-    surrounding plumbing do not change."""
-    try:  # real decoder when available (not in this container)
-        import PIL.Image  # type: ignore  # noqa: F401
+    """Decode one payload to (width, height, format).
 
-        raise NotImplementedError(
-            "real image decode is intentionally not wired in this build"
-        )
-    except ImportError:
+    Uses PIL when importable AND the bytes are a real image; in every other
+    case (no PIL in this container, or non-image bytes like the text-derived
+    fixture payloads) falls back to the deterministic fake, which derives
+    metadata purely from the payload so the operator stays oracle-checkable.
+    """
+    try:  # real decoder when available
+        import io
+
+        import PIL.Image  # type: ignore[import-not-found]
+
+        with PIL.Image.open(io.BytesIO(payload)) as img:
+            return (img.width, img.height, (img.format or "unknown").lower())
+    except Exception:  # ImportError or undecodable bytes → deterministic fake
         pass
     n = len(payload)
     return (n % 640 + 1, (n * 7) % 480 + 1, "fake/deterministic")

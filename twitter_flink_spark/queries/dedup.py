@@ -150,6 +150,20 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@register("dedup_cluster_star", oracle=_cluster_oracle())
+def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as `dedup_cluster_components`, computed with the
+    alternating large-star/small-star formulation (Kiveris et al.) —
+    O(log n) rounds instead of O(diameter), the variant that survives
+    adversarial long-chain graphs at scale. Identical fixed point, same
+    recursive-CTE oracle."""
+    from twitter_flink_spark.operators.graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5, ngram=3)
+    return connected_components_star(pairs)
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (brute verification of a bounded candidate set)
 
