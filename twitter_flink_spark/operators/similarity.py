@@ -63,9 +63,15 @@ def topk_neighbors(
     )
     # repartition the probe (corpus) side: the broadcast join preserves its
     # partitioning, so a single-file corpus would otherwise score every
-    # (query x corpus) pair in one task regardless of cluster size
+    # (query x corpus) pair in one task regardless of cluster size; keyed
+    # off the input's partition count so a real-scale corpus (already
+    # well-split) skips the shuffle entirely
     n_parts = corpus.sparkSession.sparkContext.defaultParallelism
-    c = corpus.repartition(n_parts, id_col).select(
+    if corpus.rdd.getNumPartitions() >= n_parts:
+        c = corpus
+    else:
+        c = corpus.repartition(n_parts, id_col)
+    c = c.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__cnorm"),

@@ -13,4 +13,5 @@ from twitter_flink_spark.queries import streaming  # noqa: F401
 from twitter_flink_spark.queries import subqueries  # noqa: F401
 from twitter_flink_spark.queries import temporal  # noqa: F401
 from twitter_flink_spark.queries import textops  # noqa: F401
+from twitter_flink_spark.queries import tpch_extra  # noqa: F401
 from twitter_flink_spark.queries import tweets  # noqa: F401

@@ -72,8 +72,12 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     a table that fits one parquet split arrives as one partition, and every
     narrow transformation after it (explode, md5 fan-out, per-pair scoring
     under a broadcast join) inherits that single task no matter how many
-    cores the cluster has. The shuffle moves only the small table; at
-    100 TB inputs the scan already yields thousands of splits and this
-    becomes a cheap no-op-sized safeguard."""
+    cores the cluster has.
+
+    Keyed off the INPUT's partition count: if the scan already yields at
+    least the session's parallelism (any real-scale input), this is a
+    literal no-op — the shuffle only exists for under-split inputs."""
     n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n, key)
