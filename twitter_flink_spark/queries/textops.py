@@ -225,3 +225,145 @@ def doc_fingerprints_modp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").alias("min_fp"),
         F.max("h").alias("max_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction, repetition scoring, BPE pair statistics
+
+
+@register(
+    "text_redact_pii",
+    oracle="""
+WITH spiked AS (
+  SELECT doc_id,
+         text || ' contact: user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS body
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(body, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(body, '\\+1-555-[0-9]{4}')) AS BIGINT)
+         AS n_phones,
+       regexp_replace(
+         regexp_replace(body, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+         '\\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+FROM spiked
+""",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails, phone numbers) — the redaction pass every
+    training-data pipeline runs before tokenization. The fixture spikes a
+    deterministic email+phone per document so the match count is known ≥ 1;
+    patterns stay in the RE2∩Java-safe subset; counts come from the same
+    regex as the replacement, so they cross-check each other."""
+    docs = load_table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email_re = "[a-z0-9._]+@[a-z0-9.]+"
+    phone_re = r"\+1-555-[0-9]{4}"
+    spiked = docs.select("doc_id", body.alias("body"))
+    return spiked.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("body", F.lit(email_re), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("body", F.lit(phone_re), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("body", email_re, "<EMAIL>"),
+            phone_re,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+
+
+@register(
+    "text_repetition_scores",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents
+),
+freq AS (
+  SELECT doc_id, token, count(*) AS cnt
+  FROM t WHERE token <> '' GROUP BY doc_id, token
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       count(*) AS n_distinct,
+       CAST(max(cnt) AS BIGINT) AS top_token_freq,
+       round(max(cnt) * 1.0 / sum(cnt), 6) AS max_token_ratio,
+       round(1.0 - count(*) * 1.0 / sum(cnt), 6) AS repetition_ratio
+FROM freq GROUP BY doc_id
+""",
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring per document (max-token share, 1 - distinct/total)
+    — the cheap degenerate-text filter (boilerplate, keyword stuffing) of a
+    dedup/quality pipeline. Two-level aggregate: per-(doc, token) counts,
+    then per-doc stats; both levels get map-side partials."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return freq.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_token_freq"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("max_token_ratio"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)) / F.sum("cnt"), 6
+        ).alias("repetition_ratio"),
+    )
+
+
+@register(
+    "bpe_top_pairs",
+    oracle="""
+WITH tok AS (
+  SELECT str_split(text, ' ') AS toks FROM documents
+  WHERE len(str_split(text, ' ')) >= 2
+),
+pairs AS (
+  SELECT array_to_string(toks[i:i+1], ' ') AS pair
+  FROM tok, unnest(range(1, len(toks))) AS t(i)
+)
+SELECT pair, count(*) AS cnt
+FROM pairs
+GROUP BY pair
+ORDER BY cnt DESC, pair ASC
+LIMIT 20
+""",
+)
+def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core step of BPE vocabulary induction: count adjacent token
+    pairs corpus-wide, take the top merges (deterministic tie-break). The
+    pair fan-out is zip_with over two array slices (JVM-side, no UDF), the
+    count is one partial+final aggregate, and the top-20 is a
+    TakeOrderedAndProject — no global sort materializes."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        spread(docs, "doc_id")
+        .where(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(20)
+    )
