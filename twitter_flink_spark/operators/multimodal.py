@@ -31,6 +31,14 @@ DECODE_META_SCHEMA = (
 FRAME_SAMPLE_SCHEMA = "doc_id long, frame_idx int, frame_offset long, frame_len long"
 
 
+try:  # resolved ONCE per worker: a failed import inside the per-row loop
+    # would rescan sys.path for every payload (imports that fail are not
+    # cached), turning the decode hot path into filesystem calls
+    import PIL.Image as _pil_image  # type: ignore[import-not-found]
+except ImportError:
+    _pil_image = None
+
+
 def _decode_one(payload: bytes) -> tuple[int, int, str]:
     """Decode one payload to (width, height, format).
 
@@ -39,15 +47,14 @@ def _decode_one(payload: bytes) -> tuple[int, int, str]:
     fixture payloads) falls back to the deterministic fake, which derives
     metadata purely from the payload so the operator stays oracle-checkable.
     """
-    try:  # real decoder when available
-        import io
+    if _pil_image is not None:
+        try:
+            import io
 
-        import PIL.Image  # type: ignore[import-not-found]
-
-        with PIL.Image.open(io.BytesIO(payload)) as img:
-            return (img.width, img.height, (img.format or "unknown").lower())
-    except Exception:  # ImportError or undecodable bytes → deterministic fake
-        pass
+            with _pil_image.open(io.BytesIO(payload)) as img:
+                return (img.width, img.height, (img.format or "unknown").lower())
+        except Exception:  # undecodable bytes → deterministic fake
+            pass
     n = len(payload)
     return (n % 640 + 1, (n * 7) % 480 + 1, "fake/deterministic")
 

@@ -327,38 +327,31 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
-    l1 = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .where(F.col("l_shipdate") > F.date_add("o_orderdate", 60))
-        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    joined = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add("o_orderdate", 60)).alias("is_late"),
     )
-    # distinct (orderkey, suppkey) pairs: the EXISTS probes are per-pair
-    pairs = l.select("l_orderkey", "l_suppkey").distinct()
-    other = pairs.select(
-        F.col("l_orderkey").alias("e_okey"), F.col("l_suppkey").alias("e_skey")
+    # EXISTS(other supplier)        ⇔ distinct suppliers on the order > 1
+    # NOT EXISTS(other LATE supplier) for a late row
+    #                               ⇔ distinct LATE suppliers == 1 (just me)
+    # → the two correlated subqueries collapse into ONE per-order aggregate
+    #   on the orderkey shuffle the late rows already need.
+    per_order = joined.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
     )
-    l1_e = l1.join(
-        other,
-        (F.col("l_orderkey") == F.col("e_okey"))
-        & (F.col("l_suppkey") != F.col("e_skey")),
-        "left_semi",
-    )
-    late_pairs = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .where(F.col("l_shipdate") > F.date_add("o_orderdate", 60))
-        .select(
-            F.col("l_orderkey").alias("a_okey"), F.col("l_suppkey").alias("a_skey")
-        )
-        .distinct()
-    )
-    l1_ne = l1_e.join(
-        late_pairs,
-        (F.col("l_orderkey") == F.col("a_okey"))
-        & (F.col("l_suppkey") != F.col("a_skey")),
-        "left_anti",
-    )
+    late = joined.where(F.col("is_late")).select("l_orderkey", "l_suppkey")
     return (
-        l1_ne.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        late.join(
+            per_order.where(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
