@@ -102,3 +102,31 @@ def partitioned_parquet_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "orc_roundtrip_lineitem",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       min(l_shipdate) AS first_ship,
+       max(l_shipdate) AS last_ship
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → ORC → read back → aggregate; must equal aggregating the
+    source parquet (types, microsecond timestamps, nulls survive). ORC is
+    the second columnar sink a lakehouse ingest needs beside parquet."""
+    li = load_table(spark, sf_dir, "lineitem")
+    path = scratch_dir("orc-lineitem")
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.schema(li.schema).orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )

@@ -253,3 +253,39 @@ def banded_range_join_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("purchase_id", "user_id").agg(
         F.count("xid").alias("follow_cnt")
     )
+
+
+@register(
+    "range_frame_moving_value",
+    oracle="""
+SELECT event_id, user_id, ts,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 300 SECOND PRECEDING AND CURRENT ROW
+       ), 2) AS moving_sum_5m,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 300 SECOND PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_events_5m
+FROM events
+""",
+)
+def range_frame_moving_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) window frame: per-user trailing-5-minute sum and
+    count at every event — the time-decayed feature computation of a
+    feature-engineering pipeline, as one sort per user partition instead of
+    a self-join. RANGE frames bound by VALUE distance (here seconds), which
+    ROWS frames cannot express; ties on ts share a frame on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-300, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 2).alias("moving_sum_5m"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_events_5m"),
+    )

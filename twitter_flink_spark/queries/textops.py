@@ -367,3 +367,52 @@ def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("pair").asc())
         .limit(20)
     )
+
+
+@register(
+    "hash_split_assignment",
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id,
+         CASE
+           WHEN strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13
+             THEN 'train'
+           WHEN strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 14
+             THEN 'val'
+           ELSE 'test'
+         END AS split,
+         n_chars
+  FROM documents
+)
+SELECT split, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM assigned GROUP BY split
+""",
+)
+def hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-independent hash
+    (md5 of the id, first nibble: 13/16 train, 1/16 val, 2/16 test) — the
+    reproducible-split primitive of a training pipeline: stable across
+    engines and runs, no RNG state, no shuffle beyond the final count."""
+    docs = load_table(spark, sf_dir, "documents")
+    nib = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    assigned = docs.select(
+        "doc_id",
+        "n_chars",
+        F.when(nib < 13, "train").when(nib < 14, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -48,12 +48,15 @@ def _ns_long_to_timestamp(df: DataFrame, columns: tuple[str, ...]) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table with timestamp normalization applied."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
-        pass
+    """Load one testdata table with timestamp normalization applied.
+
+    Applies the full runtime conf set (nanosAsLong, UTC, AQE, Arrow) — the
+    driver hands us a VANILLA session, and without AQE its default 200
+    shuffle partitions cost ~200 near-empty tasks per aggregation at small
+    SF (and no skew-split at large SF)."""
+    from twitter_flink_spark.session import tune_session
+
+    tune_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return _ns_long_to_timestamp(df, TABLES.get(name, ()))
 
