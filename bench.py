@@ -60,8 +60,16 @@ def main() -> None:
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
         # isolate queries: drop any persisted intermediates a query left
-        # behind so later timings don't pay its cache memory pressure
+        # behind so later timings don't pay its cache memory pressure.
+        # clearCache() misses RDD-level blocks (localCheckpoint), so sweep
+        # the persistent-RDD registry too — nothing from a finished query
+        # is referenced again.
         spark.catalog.clearCache()
+        try:
+            for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+                rdd.unpersist(False)
+        except Exception:
+            pass
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(

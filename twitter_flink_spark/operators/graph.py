@@ -24,6 +24,34 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+def _persistent_rdd_ids(sc) -> set[int]:
+    """IDs of currently-persisted RDDs (includes localCheckpoint blocks)."""
+    try:
+        return set(sc._jsc.getPersistentRDDs().keys())
+    except Exception:  # pragma: no cover - py4j surface drift
+        return set()
+
+
+def _unpersist_ids(sc, ids: set[int]) -> None:
+    """Free the storage blocks of the given RDD ids (non-blocking).
+
+    `localCheckpoint` pins its blocks in executor storage until the Python
+    DataFrame is garbage-collected; an iterate-to-fixed-point loop that
+    checkpoints per round would otherwise hold every round's blocks live at
+    once, stealing execution memory from whatever runs next in the session.
+    Only call this on checkpoints no later computation references — a
+    truncated-lineage DataFrame whose blocks are dropped cannot recompute.
+    """
+    if not ids:
+        return
+    try:
+        for rid, rdd in sc._jsc.getPersistentRDDs().items():
+            if rid in ids:
+                rdd.unpersist(False)
+    except Exception:  # pragma: no cover
+        pass
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -38,22 +66,27 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sc = pairs.sparkSession.sparkContext
+    before = _persistent_rdd_ids(sc)
     labels = (
         bidir.select("src")
         .distinct()
         .select(F.col("src").alias("node"), F.col("src").alias("label"))
         .localCheckpoint()
     )
+    labels_ids = _persistent_rdd_ids(sc) - before
     for _ in range(max_iter):
         neighbor_labels = bidir.join(
             labels, bidir.dst == labels.node
         ).select(F.col("src").alias("node"), "label")
+        before = _persistent_rdd_ids(sc)
         new_labels = (
             labels.unionAll(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()  # eager: materializes + truncates lineage
         )
+        new_ids = _persistent_rdd_ids(sc) - before
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -61,6 +94,10 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # previous round's checkpoint blocks are dead now (new_labels is
+        # materialized and `changed` consumed the old labels) — free them
+        _unpersist_ids(sc, labels_ids)
+        labels_ids = new_ids
         labels = new_labels
         if changed == 0:
             break
@@ -118,6 +155,8 @@ def connected_components_star(
     leaves the edge set unchanged, every component is a star centered on
     its min node. `rounds_out`, if given, receives the round count (tests
     pin the O(log n) bound with it)."""
+    sc = pairs.sparkSession.sparkContext
+    before = _persistent_rdd_ids(sc)
     edges = (
         pairs.select(
             F.least(a_col, b_col).alias("src"), F.greatest(a_col, b_col).alias("dst")
@@ -126,6 +165,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    edges_ids = _persistent_rdd_ids(sc) - before
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -144,7 +184,11 @@ def connected_components_star(
     sig = signature(edges)
     rounds = 0
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        before = _persistent_rdd_ids(sc)
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_ids = _persistent_rdd_ids(sc) - before
+        _unpersist_ids(sc, edges_ids)  # old round's blocks are dead
+        edges, edges_ids = new_edges, new_ids
         rounds += 1
         new_sig = signature(edges)
         if new_sig == sig:
