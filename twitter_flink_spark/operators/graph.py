@@ -67,14 +67,25 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sc = pairs.sparkSession.sparkContext
+
+    def _signature(lbl: DataFrame):
+        # Labels only ever DECREASE under min-propagation, so the label
+        # assignment is at a fixed point iff this order-insensitive hash sum
+        # is unchanged — one tiny agg job instead of a new⋈old join per round.
+        row = lbl.agg(
+            F.sum(F.xxhash64("node", "label").cast("decimal(38,0)")).alias("h")
+        ).collect()[0]
+        return row["h"]
+
+    # round 0 fused into initialization: label(u) = min(u, min neighbors(u))
     before = _persistent_rdd_ids(sc)
     labels = (
-        bidir.select("src")
-        .distinct()
-        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        bidir.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.first("src"), F.min("dst")).alias("label"))
         .localCheckpoint()
     )
     labels_ids = _persistent_rdd_ids(sc) - before
+    sig = _signature(labels)
     for _ in range(max_iter):
         neighbor_labels = bidir.join(
             labels, bidir.dst == labels.node
@@ -87,20 +98,14 @@ def connected_components(
             .localCheckpoint()  # eager: materializes + truncates lineage
         )
         new_ids = _persistent_rdd_ids(sc) - before
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        # previous round's checkpoint blocks are dead now (new_labels is
-        # materialized and `changed` consumed the old labels) — free them
+        # previous round's checkpoint blocks are dead now — free them
         _unpersist_ids(sc, labels_ids)
         labels_ids = new_ids
         labels = new_labels
-        if changed == 0:
+        new_sig = _signature(labels)
+        if new_sig == sig:
             break
+        sig = new_sig
     bidir.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
