@@ -280,3 +280,65 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit string — portable across engines, groupable for near-dup banding."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash16(docs)
+
+
+def _canonical_oracle() -> str:
+    """Clustering oracle extended with survivor selection: per cluster keep
+    the longest document (ties: lowest doc_id)."""
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+bidir AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+walk(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM bidir)
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN bidir e ON e.a = w.node
+),
+comp AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars,
+         row_number() OVER (
+           PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id
+         ) AS rn
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT cluster_id,
+       min(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+       count(*) AS n_members,
+       CAST(sum(n_chars) AS BIGINT) AS member_chars
+FROM ranked
+GROUP BY cluster_id
+"""
+
+
+@register("dedup_select_canonical", oracle=_canonical_oracle())
+def dedup_select_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the dedup pipeline: near-dup pairs → clusters (star CC)
+    → one surviving document per cluster (longest text, ties to the lowest
+    doc_id). What a 100 TB dedup job actually emits: a keep-list. The
+    cluster assignment is tiny next to the corpus, so the join back to
+    `documents` broadcasts it; survivor selection is one windowed rank per
+    cluster."""
+    from twitter_flink_spark.operators.graph import connected_components_star
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5, ngram=3)
+    clusters = connected_components_star(pairs)
+    member = F.broadcast(clusters).join(docs, "doc_id").select(
+        "cluster_id", "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = member.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("canonical_doc"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("n_chars").cast("long").alias("member_chars"),
+    )

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from twitter_flink_spark.registry import register
 from twitter_flink_spark.sources.tables import load_table, spread
@@ -413,6 +414,163 @@ def hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term
+  ) AS rn FROM scored
+)
+WHERE rn <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with per-document top-3 terms — the classic relevance /
+    keyword-extraction feature of a text pipeline. Three aggregations that
+    all shuffle on `term` or `doc_id` (document frequency is a second agg
+    over the tf output, not a distinct over raw tokens — 10x less shuffle
+    input); doc count is a broadcast scalar; ranking rounds BEFORE
+    ordering so cross-engine float noise cannot flip ranks (ties broken
+    by term)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread(docs, "doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@register(
+    "pack_sequences_greedy",
+    oracle="""
+WITH tok AS (
+  SELECT source, doc_id, len(list_filter(str_split(text, ' '), t -> t <> ''))
+           AS n_tok
+  FROM documents
+),
+cum AS (
+  SELECT source, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM tok
+)
+SELECT source, CAST((cum_tok - n_tok) // 2048 AS BIGINT) AS seq_id,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM cum
+GROUP BY 1, 2
+""",
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: concatenate documents (in stable
+    doc_id order, independently per source shard) into 2048-token context
+    windows; a document starts in the window its running offset falls in.
+    One sort per source partition — no shuffle beyond the final per-window
+    count; at 100 TB the per-shard ordering is exactly how packing is run
+    (global order would serialize)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = spread(docs, "doc_id").select(
+        "source",
+        "doc_id",
+        n_tok.alias("n_tok"),
+    ).withColumn("cum_tok", F.sum("n_tok").over(w))
+    return (
+        cum.groupBy(
+            "source",
+            F.floor((F.col("cum_tok") - F.col("n_tok")) / 2048)
+            .cast("long")
+            .alias("seq_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@register(
+    "stratified_sample_per_lang",
+    oracle="""
+WITH rated AS (
+  SELECT doc_id, lang, n_chars,
+         CASE lang WHEN 'en' THEN '40' WHEN 'fr' THEN 'cc' ELSE 'ff' END
+           AS keep_below,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+  FROM documents
+)
+SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM rated WHERE bucket < keep_below
+GROUP BY lang
+""",
+)
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates
+    (downsample dominant 'en' to ~25%, 'fr' to ~80%, keep the rest) via a
+    content-independent hash threshold — rebalancing a training mix
+    without RNG state. The two-hex-digit md5 prefix is uniform on
+    [0,256); a lexicographic compare against the per-stratum threshold
+    string is identical on both engines. No shuffle before the final
+    count: the filter is a scan-side predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep_below = (
+        F.when(F.col("lang") == "en", "40")
+        .when(F.col("lang") == "fr", "cc")
+        .otherwise("ff")
+    )
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    kept = docs.where(bucket < keep_below)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )

@@ -478,3 +478,123 @@ def array_agg_tokens_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+WITH pv AS (
+  SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM pv
+WHERE part_value > 1.1 * (SELECT avg(part_value) FROM pv)
+""",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification), adapted: no
+    partsupp table, so "stock value" per part = lineitem revenue. The
+    HAVING threshold is a scalar subquery over the SAME aggregate —
+    TPC-H's `0.0001/SF` fraction made scale-free as 1.1x the mean part
+    value (a fixed global fraction selects nothing at 10x the parts).
+    Plan: one shuffle agg, the 1-row mean broadcast back — the agg is NOT
+    recomputed (Catalyst reuses the exchange under AQE)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "part_value"
+        )
+    )
+    thresh = pv.agg((F.avg("part_value") * 1.1).alias("t"))
+    return pv.join(F.broadcast(thresh)).where(
+        F.col("part_value") > F.col("t")
+    ).select("l_partkey", "part_value")
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 300
+)
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+""",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume orders): IN over a grouped-HAVING subquery
+    on the same fact table. Spark: the qualifying-orderkey set is a
+    semi-join build side; both lineitem aggregations shuffle on
+    l_orderkey, so AQE plans one exchange feeding both; customer is a
+    broadcast dim. Deterministic LIMIT: ties broken by orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .where(F.col("sq") > 300)
+        .select("l_orderkey")
+    )
+    joined = (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+    )
+    return (
+        joined.groupBy(
+            "c_name", "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q20_dominant_part_suppliers",
+    oracle="""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+pt AS (
+  SELECT l_partkey, sum(q) AS tq, count(*) AS ns FROM sp GROUP BY 1
+)
+SELECT s.s_name, sp.l_suppkey, count(*) AS n_parts_dominated
+FROM sp
+JOIN pt USING (l_partkey)
+JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+WHERE sp.q > 2.0 * pt.tq / pt.ns
+GROUP BY 1, 2
+""",
+)
+def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-availability suppliers), adapted: no
+    partsupp/availqty, so a supplier "dominates" a part when its shipped
+    quantity exceeds 2x the mean per-supplier quantity for that part — the
+    same correlated-threshold semi-join chain (per-group agg joined back
+    against a coarser agg of itself). Both aggs share the (partkey)
+    shuffle; supplier is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(F.sum("l_quantity").alias("q"))
+    pt = sp.groupBy("l_partkey").agg(
+        F.sum("q").alias("tq"), F.count(F.lit(1)).alias("ns")
+    )
+    dom = sp.join(pt, "l_partkey").where(
+        F.col("q") > 2.0 * F.col("tq") / F.col("ns")
+    )
+    return (
+        dom.join(F.broadcast(s), dom.l_suppkey == s.s_suppkey)
+        .groupBy("s_name", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts_dominated"))
+    )
