@@ -235,3 +235,44 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__cos") >= 0.4)
         .select("vec_a", "vec_b", F.round("__cos", 6).alias("cosine"))
     )
+
+
+@register(
+    "label_centroids",
+    oracle="""
+SELECT label, CAST(i AS BIGINT) AS dim, n_vecs,
+       round(s / n_vecs, 4) + 0.0 AS centroid
+FROM (
+  SELECT e.label, t.i,
+         sum(CAST(e.embedding[t.i] AS DOUBLE)) AS s,
+         count(*) AS n_vecs
+  FROM embeddings e
+  CROSS JOIN unnest(range(1, 65)) AS t(i)
+  GROUP BY 1, 2
+)
+""",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the 64-dim embeddings — the k-means update /
+    IVF codebook step of a vector index build. posexplode turns the array
+    into (dim, component) rows; one shuffle on (label, dim); accumulation
+    in DOUBLE on both engines, divided once at the end (a running float
+    mean would diverge across engines and partitionings)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("label", (F.col("pos") + 1).alias("dim"), F.col("col"))
+    return (
+        comps.groupBy("label", "dim")
+        .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n_vecs"))
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            # + 0.0 collapses IEEE -0.0 (which round() can emit on either
+            # engine) to +0.0 so the value hash agrees
+            (F.round(F.col("s") / F.col("n_vecs"), 4) + F.lit(0.0)).alias(
+                "centroid"
+            ),
+        )
+    )

@@ -231,3 +231,55 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gap_seconds"),
     )
     return run_to_memory(joined, output_mode="append")
+
+
+@register(
+    "streaming_session_counts",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+agg AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         round(sum(value), 2) AS total_value,
+         min(ts) AS session_start, max(ts) AS last_event
+  FROM sessions GROUP BY 1, 2
+),
+maxts AS (SELECT max(ts) AS mx FROM events)
+SELECT a.user_id, a.session_start, a.n_events, a.total_value
+FROM agg a, maxts
+WHERE a.last_event + INTERVAL 1800 SECOND <= maxts.mx - INTERVAL 1 SECOND
+""",
+)
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows (`F.session_window`, 30-min inactivity
+    gap) per user under a watermark — the managed-state equivalent of the
+    batch `sessionize_events` query. A session's window end is its last
+    event + gap; append mode emits exactly the sessions whose end clears
+    the final watermark (max ts − 1 s), which the oracle restates over the
+    batch lag-based sessionization. Merging sessions across micro-batches
+    exercises the state store's session-merge path, not the plain
+    keyed-window path."""
+    src = stream_table(spark, sf_dir, "events")
+    agg = (
+        src.withWatermark("ts", "1 second")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+    )
+    return run_to_memory(agg, output_mode="append")

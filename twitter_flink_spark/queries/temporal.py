@@ -289,3 +289,131 @@ def range_frame_moving_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 2).alias("moving_sum_5m"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_events_5m"),
     )
+
+
+@register(
+    "resample_fill_forward",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr, round(avg(value), 4) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT CAST(epoch(date_trunc('hour', min(ts))) AS BIGINT) AS e0,
+         CAST(epoch(max(ts)) AS BIGINT) AS e1
+  FROM events
+),
+grid AS (
+  SELECT u.user_id, to_timestamp(CAST(g.g AS BIGINT))::TIMESTAMP AS hr
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN bounds b
+  -- range() is exclusive-upper; +1 makes it "points <= e1", matching
+  -- Spark's inclusive sequence(t0, t1)
+  CROSS JOIN unnest(range(b.e0, b.e1 + 1, 3600)) AS g(g)
+),
+joined AS (
+  SELECT g.user_id, g.hr, h.v,
+         CASE WHEN h.v IS NULL THEN 0 ELSE 1 END AS observed
+  FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hr = g.hr
+)
+SELECT user_id, hr,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hr ROWS UNBOUNDED PRECEDING
+       ) AS value_ff,
+       CAST(observed AS BIGINT) AS observed
+FROM joined
+""",
+)
+def resample_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: aggregate events to an hourly per-user grid
+    over the corpus time span, then forward-fill gaps with the last
+    observed hourly average — the gap-filling step of any sensor/metrics
+    pipeline. The dense grid is sequence+explode (no driver loop); the
+    fill is one `last(ignorenulls)` running window per user — a single
+    sort per user partition, no self-join. Leading hours before a user's
+    first event stay NULL on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"), F.max("ts").alias("t1")
+    )
+    grid = (
+        e.select("user_id")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "hr"], "left").select(
+        "user_id",
+        "hr",
+        "v",
+        F.when(F.col("v").isNull(), 0).otherwise(1).cast("long").alias("observed"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hr",
+        F.last("v", ignorenulls=True).over(w).alias("value_ff"),
+        "observed",
+    )
+
+
+@register(
+    "anomaly_zscore_trailing",
+    oracle="""
+WITH stats AS (
+  SELECT event_id, user_id, ts, value,
+         avg(value) OVER w AS mu,
+         stddev_samp(value) OVER w AS sd,
+         count(*) OVER w AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 604800 SECOND PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts, value,
+       round((value - mu) / sd, 3) AS zscore
+FROM stats
+WHERE n >= 5 AND sd > 1e-9 AND abs((value - mu) / sd) > 2.0
+""",
+)
+def anomaly_zscore_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection in batch: flag events whose value
+    deviates more than 2 trailing standard deviations from the same
+    user's trailing 7 days (RANGE frame over event time; sized to the
+    corpus event density so the support filter keeps real rows). One sort per user
+    partition computes mean, stddev and support count in a single window
+    pass; low-support (<5 events) and zero-variance frames are excluded
+    before the ratio so both engines agree on the null/∞ edge."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    stats = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        stats.where(
+            (F.col("n") >= 5) & (F.col("sd") > 1e-9) & (F.abs(z) > 2.0)
+        )
+        .select("event_id", "user_id", "ts", "value", F.round(z, 3).alias("zscore"))
+    )
