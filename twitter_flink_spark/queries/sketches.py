@@ -48,3 +48,84 @@ def approx_value_percentiles_per_type(spark: SparkSession, sf_dir: str) -> DataF
         pcts[2].alias("p75"),
         pcts[3].alias("p95"),
     )
+
+
+_CMS_D = 4  # independent hash rows
+_CMS_W = 512  # counters per row; corpus has ~5 event types, so w >> keys
+_CMS_THRESHOLD_PCT = 0.05  # heavy hitter = >= 5% of the stream
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+WITH cells AS (
+  SELECT s.seed,
+         ('0x' || substr(md5(s.seed || ':' || e.event_type), 1, 8))::BIGINT
+           % {_CMS_W} AS col,
+         count(*) AS cnt
+  FROM events e CROSS JOIN unnest(range(0, {_CMS_D})) AS s(seed)
+  GROUP BY 1, 2
+),
+candidates AS (SELECT DISTINCT event_type FROM events),
+est AS (
+  SELECT c.event_type, min(cells.cnt) AS est_cnt
+  FROM candidates c
+  JOIN cells
+    ON cells.col = ('0x' || substr(md5(cells.seed || ':' || c.event_type), 1, 8))::BIGINT
+                   % {_CMS_W}
+  GROUP BY 1
+),
+total AS (SELECT count(*) AS n FROM events)
+SELECT e.event_type, e.est_cnt
+FROM est e, total t
+WHERE e.est_cnt >= t.n * {_CMS_THRESHOLD_PCT}
+""",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch built AS a DataFrame: each event
+    increments one counter per hash row (d=4 md5-derived hashes, w=512
+    columns), so the sketch is a 4x512 table produced by ONE partial
+    hash aggregation — the shuffle carries at most d*w counter cells per
+    task, never per-key rows, which is the whole point at 100 TB (state is
+    O(d*w), independent of key cardinality). Estimates are min-over-rows
+    (classic CMS upper bound); candidate keys come from a distinct scan here,
+    but any external candidate list joins the same way without rescanning the
+    stream. md5-derived hashing makes the sketch deterministic across
+    engines, so the oracle rebuilds the identical sketch in SQL.
+
+    Reference parity: the reference keeps exact per-key windowed counts
+    (`TopNHashtags.java` keyed state); this is the bounded-memory analog its
+    topology would need once key cardinality outgrows state."""
+    e = load_table(spark, sf_dir, "events")
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("seed")
+    cell = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("seed"), F.col("event_type"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W
+    )
+    cells = (
+        e.select("event_type", seeds)
+        .select("seed", cell.alias("col"))
+        .groupBy("seed", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    candidates = e.select("event_type").distinct()
+    cand_cells = candidates.select(
+        "event_type", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("seed")
+    ).select("event_type", "seed", cell.alias("col"))
+    est = (
+        cand_cells.join(F.broadcast(cells), ["seed", "col"])
+        .groupBy("event_type")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    total = e.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        est.join(F.broadcast(total))
+        .where(F.col("est_cnt") >= F.col("n") * _CMS_THRESHOLD_PCT)
+        .select("event_type", "est_cnt")
+    )

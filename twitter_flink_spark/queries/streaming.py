@@ -181,25 +181,26 @@ def streaming_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataF
     "streaming_stream_stream_join",
     oracle="""
 SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
-       CAST(epoch(p.ts) - epoch(c.ts) AS BIGINT) AS gap_seconds
+       CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS gap_seconds
 FROM events p JOIN events c
   ON c.user_id = p.user_id
- AND c.ts >= p.ts - INTERVAL 600 SECOND AND c.ts <= p.ts
-WHERE p.event_type = 'purchase' AND p.value > 400
+ AND c.ts >= p.ts - INTERVAL 86400 SECOND AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND p.value > 150
   AND c.event_type = 'click'
 """,
 )
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with an event-time range condition: each
     high-value purchase joined to the same user's clicks in the preceding
-    10 minutes. Both sides carry watermarks and the time-range bound, so
+    24 hours (sized to the corpus event density so the gate sees real
+    matches; the state bound scales with the interval). Both sides carry watermarks and the time-range bound, so
     the join state evicts rows older than watermark+range instead of
     buffering both streams forever — the only form of stream-stream join
     that survives an unbounded run. Drained to completion, the emitted set
     equals the batch interval join (the oracle)."""
     p = (
         stream_table(spark, sf_dir, "events")
-        .where((F.col("event_type") == "purchase") & (F.col("value") > 400))
+        .where((F.col("event_type") == "purchase") & (F.col("value") > 150))
         .select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id"),
@@ -220,7 +221,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = p.join(
         c,
         (F.col("user_id") == F.col("c_user"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 600 SECONDS"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 86400 SECONDS"))
         & (F.col("c_ts") <= F.col("p_ts")),
     ).select(
         "purchase_id",

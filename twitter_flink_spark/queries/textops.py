@@ -574,3 +574,57 @@ def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+_CHUNK_WIN = 8  # tokens per chunk
+_CHUNK_STRIDE = 4  # tokens between chunk starts (50% overlap)
+
+
+@register(
+    "udtf_chunk_documents",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST((s.s - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(s.s - 1 AS BIGINT) AS start_tok,
+       array_to_string(toks[s.s:s.s + {_CHUNK_WIN} - 1], ' ') AS chunk_text
+FROM tok
+CROSS JOIN unnest(range(1, greatest(len(toks) - {_CHUNK_WIN}, 0) + 2,
+                        {_CHUNK_STRIDE})) AS s(s)
+""",
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (8-token windows, stride 4) via a
+    Python UDTF in a LATERAL join — the extension point for per-row
+    expansion logic too irregular for built-ins (real tokenizers, markup
+    splitters). The UDTF is Arrow-batched by Spark 4; for THIS fixed
+    window/stride the pure-builtin plan is `sequence`+`explode`+`slice`
+    (zero Python), which is the 100 TB path — the UDTF query exists to
+    pin the table-function API surface and its oracle.
+
+    Chunks start every `stride` tokens; the final window is the last one
+    that starts at or before len-win (clamped so short docs yield exactly
+    one chunk)."""
+    from pyspark.sql.functions import udtf
+
+    win, stride = _CHUNK_WIN, _CHUNK_STRIDE
+
+    @udtf(returnType="chunk_id: long, start_tok: long, chunk_text: string")
+    class Chunker:
+        def eval(self, text: str):  # noqa: ANN001
+            toks = [t for t in (text or "").split(" ")]
+            last_start = max(len(toks) - win, 0)
+            cid = 0
+            for start in range(0, last_start + 1, stride):
+                yield cid, start, " ".join(toks[start : start + win])
+                cid += 1
+
+    spark.udtf.register("tfs_chunker", Chunker)
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    docs.createOrReplaceTempView("tfs_chunk_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_id, c.start_tok, c.chunk_text "
+        "FROM tfs_chunk_docs d, LATERAL tfs_chunker(d.text) c"
+    )

@@ -368,14 +368,19 @@ SELECT n.n_name, count(*) AS numcust,
 FROM customer c
 JOIN nation n ON n.n_nationkey = c.c_nationkey, avg_bal
 WHERE c.c_acctbal > avg_bal.a
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= DATE '2000-08-01')
 GROUP BY n.n_name
 """,
 )
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape (above-average-balance customers who never ordered).
-    Adaptation: no c_phone, so the grouping key is the customer's nation.
-    Scalar avg broadcast, NOT EXISTS as an anti-join on custkey."""
+    """TPC-H Q22 shape (above-average-balance customers gone idle).
+    Adaptations: no c_phone, so the grouping key is the customer's nation;
+    and because every testdata customer has orders, "idle" means no order in
+    the corpus's final year (>= 2000-08-01) rather than never — same NOT
+    EXISTS anti-join shape, but the gate returns real rows at every SF.
+    Scalar avg broadcast, NOT EXISTS as an anti-join on custkey; the date
+    filter pushes into the orders scan before the anti-join builds."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
@@ -385,7 +390,11 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.crossJoin(F.broadcast(avg_bal))
         .where(F.col("c_acctbal") > F.col("__avg"))
-        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(
+            o.where(F.col("o_orderdate") >= "2000-08-01"),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
