@@ -417,3 +417,55 @@ def anomaly_zscore_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "ts", "value", F.round(z, 3).alias("zscore"))
     )
+
+
+@register(
+    "asof_join_purchase_attribution",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+       c.event_id AS last_click_id, c.ts AS last_click_ts,
+       CASE WHEN c.event_id IS NULL THEN NULL
+            ELSE CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT)
+       END AS click_age_seconds
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def asof_join_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase annotated with the same user's most recent
+    click at or before it (classic last-touch attribution / point-in-time
+    feature lookup). Implemented by `operators/asof.py` as union + running
+    `last(ignorenulls)` — one shuffle per side, no range-join explosion;
+    the oracle is DuckDB's native ASOF LEFT JOIN, pinning our operator to a
+    reference implementation of the semantics (inclusive ties, NULL when no
+    prior click)."""
+    from twitter_flink_spark.operators.asof import asof_join_backward
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("last_click_id"),
+        F.col("ts").alias("last_click_ts"),
+    )
+    out = asof_join_backward(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="last_click_ts",
+        payload_cols=("last_click_id", "last_click_ts"),
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "ts",
+        "last_click_id",
+        "last_click_ts",
+        (F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts"))
+        .cast("long")
+        .alias("click_age_seconds"),
+    )
