@@ -40,10 +40,21 @@ TABLES: dict[str, tuple[str, ...]] = {
 
 def _ns_long_to_timestamp(df: DataFrame, columns: tuple[str, ...]) -> DataFrame:
     for name in columns:
-        if name in df.columns and dict(df.dtypes)[name] == "bigint":
-            # integer DIV, not float division: epoch-nanos exceed double's
-            # 2^53 mantissa, so ns/1000.0 truncates off-by-one-microsecond
+        if name not in df.columns:
+            continue
+        dtype = dict(df.dtypes)[name]
+        if dtype == "bigint":
+            # TIMESTAMP(NANOS) read via nanosAsLong. Integer DIV, not float
+            # division: epoch-nanos exceed double's 2^53 mantissa, so
+            # ns/1000.0 truncates off-by-one-microsecond
             df = df.withColumn(name, F.timestamp_micros(F.expr(f"{name} DIV 1000")))
+        elif dtype == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+            # TIMESTAMP_NTZ. The session timezone is pinned to UTC
+            # (RUNTIME_CONFS), so casting to TimestampType preserves the
+            # wall-clock value exactly as DuckDB's naive read does, and the
+            # rest of the engine sees one timestamp type either way.
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
     return df
 
 

@@ -17,7 +17,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from twitter_flink_spark.sources.tables import TABLES
+from twitter_flink_spark.sources.tables import TABLES, _ns_long_to_timestamp
 
 
 def stream_status_lines(spark: SparkSession, path: str) -> DataFrame:
@@ -112,8 +112,4 @@ def stream_table(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.option("recursiveFileLookup", "true").parquet(staged)
-    for col in TABLES.get(name, ()):
-        if col in df.columns and dict(df.dtypes)[col] == "bigint":
-            # integer DIV — see sources/tables.py on double-mantissa loss
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
-    return df
+    return _ns_long_to_timestamp(df, TABLES.get(name, ()))
