@@ -1,6 +1,7 @@
 """Importing this package registers every driver-facing query into
 `twitter_flink_spark.registry`. One module per SURVEY.md §2 area."""
 
+from twitter_flink_spark.queries import connectors  # noqa: F401
 from twitter_flink_spark.queries import core  # noqa: F401
 from twitter_flink_spark.queries import dedup  # noqa: F401
 from twitter_flink_spark.queries import formats  # noqa: F401
@@ -15,3 +16,4 @@ from twitter_flink_spark.queries import temporal  # noqa: F401
 from twitter_flink_spark.queries import textops  # noqa: F401
 from twitter_flink_spark.queries import tpch_extra  # noqa: F401
 from twitter_flink_spark.queries import tweets  # noqa: F401
+from twitter_flink_spark.queries import variant  # noqa: F401

@@ -1,0 +1,82 @@
+"""Queries over the custom Python DataSource connector (sources/pyds.py).
+
+Reference analog: O1 (custom source connector, `TopNHashtags.java:94-95`) and
+O2 (source-side predicate pushdown, `TwitterFilterEndpoint.java:46-66`).
+The source is deterministic — every row a pure md5 function of its id — so
+the DuckDB oracle re-derives the whole dataset in SQL and the driver's
+value-hash verifies the connector itself, not just the query on top."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from twitter_flink_spark.registry import register
+from twitter_flink_spark.sources.pyds import (
+    SOURCE_NAME,
+    register_datasource,
+    status_oracle_cte,
+)
+
+_N_ROWS = 20000
+
+
+def _statuses(spark: SparkSession) -> DataFrame:
+    register_datasource(spark)
+    return (
+        spark.read.format(SOURCE_NAME)
+        .option("rows", _N_ROWS)
+        .option("numPartitions", 8)
+        .load()
+    )
+
+
+@register(
+    "pyds_status_tag_counts",
+    oracle=f"""
+WITH {status_oracle_cte(_N_ROWS)}
+SELECT tag, count(*) AS cnt, count(DISTINCT status_id) AS n_statuses
+FROM status_tags
+GROUP BY tag
+""",
+)
+def pyds_status_tag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode + grouped count over the custom connector (the reference's
+    source→flatMap→count spine, with the source a Python DataSource read
+    partition-parallel on executors). 16 possible tags; duplicate tags
+    within one status count twice, so cnt >= n_statuses distinguishes the
+    two aggregates."""
+    df = _statuses(spark)
+    return (
+        df.select("status_id", F.explode("tags").alias("tag"))
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("status_id").alias("n_statuses"),
+        )
+    )
+
+
+@register(
+    "pyds_lang_pushdown_counts",
+    oracle=f"""
+WITH {status_oracle_cte(_N_ROWS)}
+SELECT tag, count(*) AS cnt
+FROM status_tags
+WHERE lang = 'en'
+GROUP BY tag
+""",
+)
+def pyds_lang_pushdown_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same spine with `lang = 'en'` absorbed INTO the connector via
+    `pushFilters` (non-matching rows are never generated, never serialized
+    to Spark) — the engine-side twin of the reference's server-side language
+    filter (`TwitterFilterEndpoint.java:53-55`). tests/test_pyds.py pins
+    that the filter is actually absorbed, not re-evaluated post-scan."""
+    df = _statuses(spark)
+    return (
+        df.where(F.col("lang") == "en")
+        .select(F.explode("tags").alias("tag"))
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

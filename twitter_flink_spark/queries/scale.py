@@ -6,7 +6,7 @@ the bucketed join)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from twitter_flink_spark.operators.bucketing import read_bucketed, write_bucketed
@@ -89,4 +89,44 @@ def bucketed_join_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items",
             "revenue",
         )
+    )
+
+
+@register(
+    "seeded_shuffle_shards",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, md5('seed42:' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM documents
+)
+SELECT doc_id,
+       substr(skey, 1, 1) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY substr(skey, 1, 1) ORDER BY skey, doc_id
+       ) AS BIGINT) AS pos
+FROM keyed
+""",
+)
+def seeded_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle for training-data ordering: every doc gets
+    a seeded pseudo-random key (md5 of seed:doc_id — reproducible across
+    runs and engines, unlike rand()), the first hex digit assigns one of 16
+    shards, and the position within the shard is a rank over the key. The
+    100 TB shape: a single global ORDER BY rand() funnels the sort through
+    one reducer chain, while shard-then-rank is an embarrassingly parallel
+    per-shard sort (one hash shuffle on shard, 16-way+ parallel window) —
+    and a new seed string reshuffles every epoch with zero data movement of
+    the underlying table."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string"))).alias(
+            "skey"
+        ),
+    )
+    w = Window.partitionBy(F.substring("skey", 1, 1)).orderBy("skey", "doc_id")
+    return keyed.select(
+        "doc_id",
+        F.substring("skey", 1, 1).alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
     )

@@ -628,3 +628,80 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, c.chunk_id, c.start_tok, c.chunk_text "
         "FROM tfs_chunk_docs d, LATERAL tfs_chunker(d.text) c"
     )
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(toks[j:j+4], ' ')) AS g
+  FROM tok CROSS JOIN unnest(range(1, greatest(len(toks) - 3, 1))) AS u(j)
+),
+bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 97 < 5
+),
+train AS (
+  SELECT doc_id, g FROM grams WHERE doc_id % 97 >= 5
+),
+scored AS (
+  SELECT t.doc_id,
+         count(*) AS n_grams,
+         count(b.g) AS n_shared
+  FROM train t LEFT JOIN bench b USING (g)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_grams, n_shared,
+       round(n_shared / n_grams, 4) AS overlap_frac
+FROM scored
+WHERE n_shared > 0
+""",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check — the decontamination step every
+    LLM training pipeline runs before training: for each training document,
+    the fraction of its distinct word 5-grams that also appear in a held-out
+    benchmark set (here: docs with doc_id % 97 < 5 stand in for the eval
+    suite). Grams are md5-hashed so the join key is a fixed-width string,
+    and the benchmark side is a distinct-gram set that is tiny relative to
+    the corpus — Spark broadcasts it, so at 100 TB this is one broadcast
+    semi-probe per training gram, no shuffle of the training side. Output:
+    every contaminated train doc with its gram counts and overlap fraction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                # sequence(1, n) DESCENDS for n < 1, so short docs (< 5
+                # tokens) must short-circuit to an empty gram list
+                F.expr(
+                    "CASE WHEN size(split(text, ' ')) >= 5 THEN"
+                    " transform(sequence(1, size(split(text, ' ')) - 4),"
+                    " j -> md5(array_join(slice(split(text, ' '), j, 5), ' ')))"
+                    " ELSE array() END"
+                )
+            )
+        ).alias("g"),
+    )
+    bench = (
+        grams.where(F.col("doc_id") % 97 < 5).select("g").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = grams.where(F.col("doc_id") % 97 >= 5)
+    scored = (
+        train.join(F.broadcast(bench), on="g", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_shared"),
+        )
+    )
+    return scored.where(F.col("n_shared") > 0).select(
+        "doc_id",
+        "n_grams",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_grams"), 4).alias("overlap_frac"),
+    )

@@ -32,6 +32,8 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python DataSource API: allow readers to absorb filters (sources/pyds.py)
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -1,0 +1,188 @@
+"""Custom connector via Spark 4's Python DataSource API.
+
+Reference analog: the reference's only source is a custom connector — Flink's
+``TwitterSource`` wired to a hand-built endpoint (`TopNHashtags.java:94-95`,
+`TwitterFilterEndpoint.java:13-66`). The idiomatic Spark 4 counterpart is a
+``pyspark.sql.datasource.DataSource``: the engine asks the source for its
+schema and partitions, then runs ``read(partition)`` task-parallel on the
+executors — exactly how a real connector to a REST API / proprietary store /
+firehose is built today, with no JVM code.
+
+This module implements a deterministic synthetic "status" source (the shape
+of §1.2's tweet JSON after parsing: id, text, tags[], lang) in both batch and
+micro-batch streaming forms. Determinism matters twice over:
+
+- every row is a pure function of its ``status_id`` (md5-derived), so a
+  DuckDB oracle can re-derive the exact dataset with ``range()`` + ``md5()``
+  and the driver's value-hash check verifies the CONNECTOR, not just the
+  query on top of it;
+- partition boundaries don't affect content, so the batch read and the
+  micro-batch streaming read of the same range are provably identical
+  (pinned by tests/test_pyds.py).
+
+Scale: ``partitions()`` splits the id range into ``numPartitions`` slices —
+reading is embarrassingly parallel and driver-side state is O(partitions).
+The streaming reader's offset is a single row index; each trigger claims the
+next ``rowsPerBatch`` ids, so restart-from-checkpoint resumes exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
+
+SOURCE_NAME = "synthetic_statuses"
+SCHEMA = "status_id BIGINT, text STRING, tags ARRAY<STRING>, lang STRING"
+
+
+def status_row(i: int) -> tuple[int, str, list[str], str]:
+    """The one row for status id ``i`` — pure, shared by batch and stream.
+
+    Mirrored in SQL by ``status_oracle_cte`` below; any edit here must keep
+    the two in lockstep (the driver's value-hash compares them).
+    """
+    h = hashlib.md5(str(i).encode()).hexdigest()
+    c0 = h[0]
+    n_tags = 1 if c0 <= "4" else 2 if c0 <= "9" else 3
+    tags = [f"tag{h[1 + j]}" for j in range(n_tags)]
+    lang = "en" if h[1] <= "7" else "nl"
+    text = f"status {i} " + " ".join("#" + t for t in tags)
+    return (i, text, tags, lang)
+
+
+def status_oracle_cte(n_rows: int) -> str:
+    """DuckDB CTE producing exactly the rows ``status_row`` yields for ids
+    [0, n_rows) — the SQL mirror of the Python generator (exploded to one
+    row per (status_id, tag); re-aggregate as the query needs)."""
+    return f"""
+ids AS (
+  SELECT CAST(g AS BIGINT) AS status_id, md5(CAST(g AS VARCHAR)) AS h
+  FROM range(0, {n_rows}) t(g)
+),
+statuses AS (
+  SELECT status_id, h,
+         CASE WHEN substr(h, 1, 1) <= '4' THEN 1
+              WHEN substr(h, 1, 1) <= '9' THEN 2
+              ELSE 3 END AS n_tags,
+         CASE WHEN substr(h, 2, 1) <= '7' THEN 'en' ELSE 'nl' END AS lang
+  FROM ids
+),
+status_tags AS (
+  SELECT status_id, lang, 'tag' || substr(h, 1 + j, 1) AS tag
+  FROM statuses CROSS JOIN unnest([1, 2, 3]) AS u(j)
+  WHERE j <= n_tags
+)"""
+
+
+class _IdRange(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticStatusBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("rows", 10000))
+        self.n_parts = max(1, int(options.get("numPartitions", 8)))
+        self.lang_filter: str | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Source-side predicate pushdown — the connector-level analog of the
+        reference pushing language filters into Twitter's servers
+        (`TwitterFilterEndpoint.java:46-66`). ``lang = <lit>`` is absorbed
+        (rows are skipped at generation, before they ever reach Spark);
+        everything else is returned for Spark to evaluate post-scan."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("lang",):
+                self.lang_filter = f.value
+            else:
+                yield f
+
+    def partitions(self) -> Sequence[InputPartition]:
+        step = -(-self.n_rows // self.n_parts)  # ceil div
+        return [
+            _IdRange(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _IdRange) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            row = status_row(i)
+            if self.lang_filter is not None and row[3] != self.lang_filter:
+                continue
+            yield row
+
+
+class SyntheticStatusStreamReader(DataSourceStreamReader):
+    """Micro-batch reader: the offset is just "rows emitted so far"."""
+
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("rows", 10000))
+        self.rows_per_batch = int(options.get("rowsPerBatch", 1000))
+        self.n_parts = max(1, int(options.get("numPartitions", 4)))
+        self._head = 0  # driver-side cursor for rate limiting
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        # Rate limiting MUST happen here: whatever this returns is the end
+        # offset Spark records as consumed for the batch — truncating later
+        # in partitions() would silently skip the remainder. In a real
+        # connector this asks the upstream system for its head and caps it;
+        # here the head advances one batch of ids per trigger. (After a
+        # restart the cursor re-advances from 0 — Spark plans from the
+        # checkpointed offset, so early calls may yield empty batches until
+        # the cursor catches up; content is exact either way.)
+        self._head = min(self._head + self.rows_per_batch, self.n_rows)
+        return {"index": self._head}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = int(start["index"]), int(end["index"])
+        if hi <= lo:
+            return [_IdRange(lo, lo)]
+        step = -(-(hi - lo) // self.n_parts)
+        return [_IdRange(a, min(a + step, hi)) for a in range(lo, hi, step)]
+
+    def read(self, partition: _IdRange) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield status_row(i)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to ack; checkpoint offsets are the truth
+
+
+class SyntheticStatusDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return SOURCE_NAME
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return SyntheticStatusBatchReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return SyntheticStatusStreamReader(self.options)
+
+
+def register_datasource(spark) -> None:
+    """Idempotently register the source on a session (the driver hands us a
+    vanilla one, so every query that uses the source registers first).
+    Spark refuses a reader that merely IMPLEMENTS pushFilters unless python
+    filter pushdown is switched on, so enable it here too."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+    spark.dataSource.register(SyntheticStatusDataSource)
