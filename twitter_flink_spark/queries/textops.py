@@ -705,3 +705,89 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared",
         F.round(F.col("n_shared") / F.col("n_grams"), 4).alias("overlap_frac"),
     )
+
+
+@register(
+    "pmi_bigram_collocations",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+),
+pairs AS (
+  SELECT toks[j] AS w1, toks[j + 1] AS w2
+  FROM tok CROSS JOIN unnest(range(1, len(toks))) AS u(j)
+  WHERE len(toks) >= 2
+),
+big AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+uni AS (
+  SELECT t AS w, count(*) AS c
+  FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY t
+),
+tot AS (
+  SELECT CAST((SELECT sum(c) FROM uni) AS DOUBLE) AS n_uni,
+         CAST((SELECT sum(c12) FROM big) AS DOUBLE) AS n_big
+)
+SELECT b.w1, b.w2, b.c12,
+       round(ln((CAST(b.c12 AS DOUBLE) * t.n_uni * t.n_uni)
+                / ((t.n_big * CAST(u1.c AS DOUBLE)) * CAST(u2.c AS DOUBLE))), 4)
+         + 0.0 AS pmi
+FROM big b
+CROSS JOIN tot t
+JOIN uni u1 ON b.w1 = u1.w
+JOIN uni u2 ON b.w2 = u2.w
+WHERE b.c12 >= 20
+""",
+)
+def pmi_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent word pairs — the classic
+    collocation detector (and a building block of phrase-mining / tokenizer
+    induction over a training corpus). Bigrams come from zipping each token
+    array with its own tail (no self-join of the corpus); unigram counts are
+    a vocabulary-sized table joined back twice (broadcast at scale — the
+    vocabulary is tiny relative to the corpus); the totals are a broadcast
+    1-row aggregate. PMI = ln(P(w1,w2) / (P(w1)·P(w2))) with bigram and
+    unigram probabilities over their own totals; the arithmetic is
+    parenthesized identically in both engines so the doubles agree
+    bit-for-bit before rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " j -> struct(element_at(toks, j) AS w1,"
+                " element_at(toks, j + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("n_uni")).crossJoin(
+        big.agg(F.sum("c12").cast("double").alias("n_big"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        big.where(F.col("c12") >= 20)
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+    )
+    pmi = F.log(
+        (F.col("c12").cast("double") * F.col("n_uni") * F.col("n_uni"))
+        / (
+            (F.col("n_big") * F.col("c1").cast("double"))
+            * F.col("c2").cast("double")
+        )
+    )
+    # + 0.0 canonicalizes IEEE -0.0 (a tiny negative PMI rounded to zero)
+    # to 0.0 identically in both engines
+    return scored.select(
+        "w1", "w2", "c12", (F.round(pmi, 4) + F.lit(0.0)).alias("pmi")
+    )
