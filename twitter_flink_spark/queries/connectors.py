@@ -80,3 +80,38 @@ def pyds_lang_pushdown_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tag")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "streaming_pyds_tag_counts",
+    oracle=f"""
+WITH {status_oracle_cte(_N_ROWS)}
+SELECT lang, tag, count(*) AS cnt
+FROM status_tags
+GROUP BY lang, tag
+""",
+)
+def streaming_pyds_tag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same connector under `readStream`: micro-batch offsets over the id
+    range, explode + grouped count in complete output mode, run to
+    completion — proving the DataSourceStreamReader path produces the exact
+    batch dataset. availableNow snapshots latestOffset() once, so the
+    registered query drains in a single batch (rowsPerBatch = rows); the
+    multi-trigger replay incl. batch boundaries is pinned by
+    tests/test_pyds.py::test_stream_read_equals_batch."""
+    from twitter_flink_spark.streaming.pipeline import run_to_memory
+
+    register_datasource(spark)
+    stream = (
+        spark.readStream.format(SOURCE_NAME)
+        .option("rows", _N_ROWS)
+        .option("rowsPerBatch", _N_ROWS)
+        .option("numPartitions", 8)
+        .load()
+    )
+    agg = (
+        stream.select("lang", F.explode("tags").alias("tag"))
+        .groupBy("lang", "tag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return run_to_memory(agg, output_mode="complete")

@@ -791,3 +791,76 @@ def pmi_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "w1", "w2", "c12", (F.round(pmi, 4) + F.lit(0.0)).alias("pmi")
     )
+
+
+@register(
+    "lm_bigram_doc_scores",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+  WHERE len(str_split(text, ' ')) >= 2
+),
+doc_bigrams AS (
+  SELECT doc_id, toks[j] AS w1, toks[j + 1] AS w2
+  FROM tok CROSS JOIN unnest(range(1, len(toks))) AS u(j)
+),
+big AS (SELECT w1, w2, count(*) AS c12 FROM doc_bigrams GROUP BY w1, w2),
+ctx AS (SELECT w1, count(*) AS c1 FROM doc_bigrams GROUP BY w1),
+vocab AS (
+  SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+  FROM (SELECT unnest(str_split(text, ' ')) AS t FROM documents)
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln((CAST(b.c12 AS DOUBLE) + 1.0)
+                    / (CAST(c.c1 AS DOUBLE) + vocab.v))), 4) AS avg_logprob
+FROM doc_bigrams d
+JOIN big b ON d.w1 = b.w1 AND d.w2 = b.w2
+JOIN ctx c ON d.w1 = c.w1
+CROSS JOIN vocab
+GROUP BY d.doc_id
+""",
+)
+def lm_bigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical LM quality scoring — the perplexity-style filter an LLM
+    data pipeline runs to drop degenerate text: train an add-one-smoothed
+    bigram model on the corpus itself (bigram + context counts, one pass),
+    then score every document by its mean bigram log-probability. The model
+    tables are vocabulary-sized → broadcast joins against the exploded
+    corpus; no shuffle of the corpus beyond the per-doc aggregate. The
+    probability arithmetic is integer counts → identical doubles → ln, so
+    both engines agree before the final rounded average."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    doc_bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " j -> struct(element_at(toks, j) AS w1,"
+                " element_at(toks, j + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    big = doc_bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = doc_bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .agg(F.countDistinct("t").cast("double").alias("v"))
+    )
+    logp = F.log(
+        (F.col("c12").cast("double") + F.lit(1.0))
+        / (F.col("c1").cast("double") + F.col("v"))
+    )
+    return (
+        doc_bigrams.join(F.broadcast(big), ["w1", "w2"])
+        .join(F.broadcast(ctx), ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 4).alias("avg_logprob"),
+        )
+    )
