@@ -202,3 +202,30 @@ def test_all_plans_no_cartesian(spark, name):
         pytest.skip("streaming queries execute eagerly; covered elsewhere")
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_contamination_benchmark_side_broadcast(spark):
+    """The benchmark gram set must be the broadcast build side; the training
+    corpus must never shuffle for the probe."""
+    plan = plan_of(spark, "contamination_ngram_overlap")
+    assert "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lm_model_tables_broadcast(spark):
+    """All three LM model-table joins (bigram, context, vocab) broadcast —
+    the corpus-side bigrams must not shuffle to meet them."""
+    plan = plan_of(spark, "lm_bigram_doc_scores")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_seeded_shuffle_no_global_sort(spark):
+    """The epoch shuffle must rank per-shard (hash partition on the shard
+    digit), never funnel through a single global sort partition."""
+    plan = plan_of(spark, "seeded_shuffle_shards")
+    assert "hashpartitioning" in plan
+    assert "rangepartitioning" not in plan  # a global ORDER BY would show this
+    assert "SinglePartition" not in plan
