@@ -11,6 +11,7 @@ from twitter_flink_spark.queries import relational  # noqa: F401
 from twitter_flink_spark.queries import scale  # noqa: F401
 from twitter_flink_spark.queries import similarity  # noqa: F401
 from twitter_flink_spark.queries import sketches  # noqa: F401
+from twitter_flink_spark.queries import sqlsurface  # noqa: F401
 from twitter_flink_spark.queries import streaming  # noqa: F401
 from twitter_flink_spark.queries import subqueries  # noqa: F401
 from twitter_flink_spark.queries import temporal  # noqa: F401
