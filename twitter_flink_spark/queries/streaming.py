@@ -284,3 +284,58 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "n_events", "total_value")
     )
     return run_to_memory(agg, output_mode="append")
+
+
+_STATIC_ENRICH_ORACLE = """
+WITH joined AS (
+  SELECT e.ts, c.c_mktsegment
+  FROM events e JOIN customer c ON c.c_custkey = e.user_id
+),
+bucketed AS (
+  SELECT c_mktsegment,
+         to_timestamp(CAST(floor(epoch(ts)/60)*60 AS BIGINT))::TIMESTAMP
+           AS window_start,
+         ts
+  FROM joined
+),
+counts AS (
+  SELECT window_start,
+         window_start + INTERVAL 60 SECOND AS window_end,
+         c_mktsegment, count(*) AS cnt
+  FROM bucketed GROUP BY 1, 2, 3
+),
+maxts AS (SELECT max(ts) AS mx FROM events)
+SELECT c.window_start, c.window_end, c.c_mktsegment, c.cnt
+FROM counts c, maxts
+WHERE c.window_end <= maxts.mx - INTERVAL 1 SECOND
+"""
+
+
+@register("streaming_static_enrich_counts", oracle=_STATIC_ENRICH_ORACLE)
+def streaming_static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a static dimension
+    (customer, broadcast — it never enters the state store), then tumbling
+    windowed counts per market segment in append mode. The watermark is
+    assigned BEFORE the join so the event-time clock follows the full
+    stream, not the join survivors — the oracle's window-close rule uses
+    max(ts) over all events accordingly. This is the canonical streaming
+    enrichment topology: dimension updates swap the broadcast per
+    micro-batch; only the windowed aggregate is stateful."""
+    from twitter_flink_spark.sources.tables import load_table
+
+    src = stream_table(spark, sf_dir, "events").withWatermark("ts", "1 second")
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    agg = (
+        src.join(dim, src.user_id == dim.c_custkey)
+        .groupBy(F.window("ts", "60 seconds"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "c_mktsegment",
+            "cnt",
+        )
+    )
+    return run_to_memory(agg, output_mode="append")
