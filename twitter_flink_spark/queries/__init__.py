@@ -7,6 +7,7 @@ from twitter_flink_spark.queries import dedup  # noqa: F401
 from twitter_flink_spark.queries import formats  # noqa: F401
 from twitter_flink_spark.queries import multimodal  # noqa: F401
 from twitter_flink_spark.queries import pandasops  # noqa: F401
+from twitter_flink_spark.queries import quality  # noqa: F401
 from twitter_flink_spark.queries import relational  # noqa: F401
 from twitter_flink_spark.queries import scale  # noqa: F401
 from twitter_flink_spark.queries import similarity  # noqa: F401

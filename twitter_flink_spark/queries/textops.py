@@ -864,3 +864,76 @@ def lm_bigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(logp), 4).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "posexplode_token_positions",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, str_split(text, ' ') AS toks
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT doc_id, CAST(j - 1 AS INTEGER) AS pos, toks[j] AS token
+FROM tok CROSS JOIN unnest(range(1, len(toks) + 1)) AS u(j)
+WHERE toks[j] <> ''
+""",
+)
+def posexplode_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal explode: every token with its 0-based position — the shape
+    token-level annotation pipelines (NER tags, span labels) need, where a
+    plain explode loses the offset. One Generate node, position computed
+    during the unnest, not by a window function after it."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "token"),
+        )
+        .where(F.col("token") != "")
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+    )
+
+
+@register(
+    "map_event_type_counts_per_user",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_types,
+       string_agg(event_type || ':' || cnt, ',' ORDER BY event_type)
+         AS type_counts
+FROM c GROUP BY user_id
+""",
+)
+def map_event_type_counts_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType aggregation: per-user map of event_type → count, built with
+    map_from_entries over a sorted entry list (collect_list order is
+    partition-dependent; sort_array pins it), then serialized to a canonical
+    'k:v,...' string so the map VALUE — not just its cardinality — is
+    oracle-checked. The map stays bounded by the event-type vocabulary, so
+    per-user state never grows with event volume."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    m = F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+    )
+    return (
+        c.groupBy("user_id")
+        .agg(m.alias("m"))
+        .select(
+            "user_id",
+            F.size("m").cast("long").alias("n_types"),
+            F.array_join(
+                F.transform(
+                    F.map_entries("m"),
+                    lambda kv: F.concat(
+                        kv.key, F.lit(":"), kv.value.cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("type_counts"),
+        )
+    )
