@@ -229,3 +229,28 @@ def test_seeded_shuffle_no_global_sort(spark):
     assert "hashpartitioning" in plan
     assert "rangepartitioning" not in plan  # a global ORDER BY would show this
     assert "SinglePartition" not in plan
+
+
+def test_shuffle_hash_hint_respected(spark):
+    """The SHUFFLE_HASH hint must produce ShuffledHashJoin (no sort phases),
+    not the default SortMergeJoin."""
+    plan = plan_of(spark, "shuffle_hash_join_lineitem_parts")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_sorted_slice_pushes_time_filter(spark):
+    """The ts predicate must reach the sorted-layout parquet scan where
+    min/max row-group stats can skip (the predicate is dynamic — derived
+    from the broadcast bounds row — so the pin is the pushed IsNotNull +
+    the absence of a full-scan shape, plus the range exchange at write)."""
+    from twitter_flink_spark.queries.scale import _ensure_time_sorted_layout
+
+    dest = _ensure_time_sorted_layout(spark, SF_DIR)
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(dest).where(
+        F.col("ts") < F.lit("2024-01-01 06:00:00").cast("timestamp")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(ts), LessThan(ts," in plan

@@ -146,3 +146,98 @@ def seeded_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("skey", 1, 1).alias("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+@register(
+    "shuffle_hash_join_lineitem_parts",
+    oracle="""
+SELECT p.p_partkey, p.p_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l.l_extendedprice), 2) AS total_price
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+GROUP BY p.p_partkey, p.p_name
+""",
+)
+def shuffle_hash_join_lineitem_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control: SHUFFLE_HASH hint on the part side. When the
+    smaller side exceeds the broadcast threshold but one partition of it
+    still fits in memory, a shuffled hash join skips BOTH sort phases of
+    the default sort-merge join — the right call for a medium-dim × fact
+    join at 100 TB. The hint pins the strategy (asserted in
+    tests/test_plans.py); the oracle pins that strategy choice never
+    changes the result."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    return (
+        li.join(p.hint("shuffle_hash"), li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+#: sf_dir the time-sorted events layout was last written from.
+_SORTED_LAYOUT_FOR: dict[str, str] = {}
+
+
+def _ensure_time_sorted_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Write events range-partitioned + sorted by ts — the time-series
+    layout that makes parquet min/max row-group statistics actually prune:
+    a random layout scatters every hour across every file, so a time
+    predicate reads everything; range-partitioning clusters each time slice
+    into few files."""
+    import os
+    import tempfile
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "tfs-tsorted-" + sf_dir.strip("/").replace("/", "-"),
+    )
+    if _SORTED_LAYOUT_FOR.get("sf") == sf_dir and os.path.isdir(dest):
+        return dest
+    e = load_table(spark, sf_dir, "events")
+    (
+        e.repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(dest)
+    )
+    _SORTED_LAYOUT_FOR["sf"] = sf_dir
+    return dest
+
+
+@register(
+    "range_sorted_time_slice",
+    oracle="""
+WITH bounds AS (SELECT min(ts) AS t0 FROM events)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(e.value), 2) AS total_value
+FROM events e, bounds b
+WHERE e.ts < b.t0 + INTERVAL 6 HOUR
+GROUP BY e.event_type
+""",
+)
+def range_sorted_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-slice aggregate over the range-partitioned sorted layout. The
+    ts predicate is pushed to the parquet reader where the sorted layout
+    turns min/max row-group stats into real skipping — on the original
+    random layout the same filter touches every row group. The slice bound
+    is derived from the data via a broadcast 1-row aggregate, so the oracle
+    (over the ORIGINAL table) proves the rewritten layout lost nothing."""
+    dest = _ensure_time_sorted_layout(spark, sf_dir)
+    sorted_events = spark.read.parquet(dest)
+    bounds = sorted_events.agg(F.min("ts").alias("t0"))
+    return (
+        sorted_events.crossJoin(F.broadcast(bounds))
+        .where(F.col("ts") < F.col("t0") + F.expr("INTERVAL 6 HOURS"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
