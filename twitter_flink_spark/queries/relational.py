@@ -745,3 +745,39 @@ def having_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= 15)
     )
+
+
+@register(
+    "scalar_try_functions",
+    oracle="""
+SELECT event_id,
+       CASE WHEN user_id % 3 = 0 THEN NULL
+            ELSE round(value / CAST(user_id % 3 AS DOUBLE), 6) END AS safe_ratio,
+       TRY_CAST(event_type AS BIGINT) AS bad_cast,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS good_cast,
+       CASE WHEN len(str_split(event_type, '_')) >= 2
+            THEN str_split(event_type, '_')[2] END AS second_part
+FROM events
+""",
+)
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safe scalar surface: `try_divide` (NULL on /0 instead of
+    failing the job or emitting Inf), `try_cast` (NULL on malformed input —
+    here a non-numeric string vs a numeric JSON field), `try_element_at`
+    (NULL past the end). At 100 TB these are the difference between one
+    poison row killing a 10-hour job under ANSI mode and a NULL the
+    downstream aggregate ignores."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.round(
+            F.try_divide("value", (F.col("user_id") % 3).cast("double")), 6
+        ).alias("safe_ratio"),
+        F.expr("try_cast(event_type AS BIGINT)").alias("bad_cast"),
+        F.expr(
+            "try_cast(get_json_object(props, '$.k') AS BIGINT)"
+        ).alias("good_cast"),
+        F.try_element_at(F.split("event_type", "_"), F.lit(2)).alias(
+            "second_part"
+        ),
+    )
