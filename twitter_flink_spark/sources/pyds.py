@@ -137,17 +137,21 @@ class SyntheticStatusStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         # Rate limiting MUST happen here: whatever this returns is the end
         # offset Spark records as consumed for the batch — truncating later
-        # in partitions() would silently skip the remainder. In a real
-        # connector this asks the upstream system for its head and caps it;
-        # here the head advances one batch of ids per trigger. (After a
-        # restart the cursor re-advances from 0 — Spark plans from the
-        # checkpointed offset, so early calls may yield empty batches until
-        # the cursor catches up; content is exact either way.)
+        # in partitions() would silently skip the remainder. A real
+        # connector asks the upstream system for its (monotonic) head and
+        # caps it; this synthetic source self-advances, so after a restart
+        # the cursor must first be RESTORED from the offsets Spark replays
+        # (partitions()/commit() below) — returning an offset below the
+        # checkpointed position would rewind the offset log and re-emit
+        # committed batches (observed as duplicates before this guard).
         self._head = min(self._head + self.rows_per_batch, self.n_rows)
         return {"index": self._head}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = int(start["index"]), int(end["index"])
+        # WAL replay on restart hands us the checkpointed range — adopt it
+        # as the cursor floor so latestOffset never goes backwards.
+        self._head = max(self._head, lo, hi)
         if hi <= lo:
             return [_IdRange(lo, lo)]
         step = -(-(hi - lo) // self.n_parts)
@@ -158,7 +162,10 @@ class SyntheticStatusStreamReader(DataSourceStreamReader):
             yield status_row(i)
 
     def commit(self, end: dict) -> None:
-        pass  # nothing external to ack; checkpoint offsets are the truth
+        # nothing external to ack (checkpoint offsets are the truth), but
+        # adopt the committed position as the cursor floor — on restart
+        # Spark may replay commit() before the next latestOffset().
+        self._head = max(self._head, int(end["index"]))
 
 
 class SyntheticStatusDataSource(DataSource):
