@@ -342,3 +342,50 @@ def dedup_select_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.sum("n_chars").cast("long").alias("member_chars"),
     )
+
+
+@register(
+    "er_fuzzy_name_pairs",
+    oracle="""
+WITH names AS (
+  SELECT DISTINCT p_name FROM part
+),
+blocked AS (
+  SELECT p_name,
+         str_split(p_name, ' ')[len(str_split(p_name, ' '))] AS block
+  FROM names
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM blocked a JOIN blocked b
+  ON a.block = b.block AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+""",
+)
+def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocking + edit-distance verify — the standard
+    fuzzy-matching shape (dedupe product names, merge customer records):
+    candidate pairs come from an equi-join on a cheap blocking key (the
+    last name token), and the expensive pairwise Levenshtein runs
+    ONLY inside blocks. All-pairs edit distance is O(n²) and unshardable;
+    blocking makes the join an ordinary hash-partitioned equi-join whose
+    cost is Σ blocksize² — the knob (block key granularity) trades recall
+    for compute, exactly like LSH banding in `dedup_minhash_lsh`. Distinct
+    names first: row-level duplicates would square the pair count for no
+    information."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    toks = F.split("p_name", " ")
+    blocked = names.select(
+        "p_name",
+        F.element_at(toks, F.size(toks)).alias("block"),
+    )
+    a = blocked.select(F.col("p_name").alias("name_a"), "block")
+    b = blocked.select(F.col("p_name").alias("name_b"), "block")
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "block")
+        .where(F.col("name_a") < F.col("name_b"))
+        .where(dist <= 3)
+        .select("name_a", "name_b", dist.cast("int").alias("dist"))
+    )
