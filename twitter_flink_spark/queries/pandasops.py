@@ -92,3 +92,42 @@ def applyinpandas_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope", 6).alias("slope"),
         F.round("intercept", 6).alias("intercept"),
     )
+
+
+@register(
+    "pandas_udaf_value_mad",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(mad(value), 6) AS value_mad
+FROM events
+GROUP BY event_type
+""",
+)
+def pandas_udaf_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (Series → scalar) — the UDAF face of
+    the UDF surface, distinct from the grouped-map form above: Spark plans
+    it like an aggregate (per-group Arrow batch in, one value out). Note
+    the planner restriction: pandas group-aggregates cannot share an .agg()
+    with JVM aggregates, so the row count is a pandas aggregate too (the
+    real cost is the same Arrow transfer either way). Median absolute
+    deviation is the robust spread statistic quality pipelines prefer over
+    stddev (outliers move stddev, not MAD); no built-in expression computes
+    it, which is exactly when the escape hatch is warranted."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def mad(v: pd.Series) -> float:
+        x = v.to_numpy()
+        m = np.median(x)
+        return float(np.median(np.abs(x - m)))
+
+    @F.pandas_udf("long")
+    def arrow_count(v: pd.Series) -> int:
+        return len(v)
+
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        arrow_count("value").alias("n"),
+        F.round(mad("value"), 6).alias("value_mad"),
+    )
