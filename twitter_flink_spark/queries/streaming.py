@@ -339,3 +339,25 @@ def streaming_static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return run_to_memory(agg, output_mode="append")
+
+
+@register(
+    "streaming_dedup_watermark_bounded",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def streaming_dedup_watermark_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dropDuplicatesWithinWatermark`: same first-seen emission as
+    `streaming_dedup_first_seen`, but the state store EVICTS keys once the
+    watermark passes them — the only dedup form whose state is bounded on
+    an unbounded stream (plain dropDuplicates retains every key forever).
+    The fixture replays as a single micro-batch, so every duplicate pair
+    falls inside the watermark delta and the result is exactly DISTINCT —
+    deterministic for the oracle while still exercising the
+    eviction-capable operator and its required watermark wiring."""
+    src = stream_table(spark, sf_dir, "events").withWatermark("ts", "1 second")
+    deduped = src.select("user_id", "event_type", "ts").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    ).drop("ts")
+    return run_to_memory(deduped, output_mode="append")
