@@ -1,0 +1,142 @@
+"""Property-based tests (hypothesis): the custom operators must agree with
+brute-force pure-Python references on randomized inputs — shapes the fixed
+fixtures can't sweep (tie storms, singleton keys, chains vs cliques, hot
+keys). Example counts are small because every example builds Spark
+DataFrames; the value is in the adversarial shapes hypothesis finds, not
+the volume."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+# --- as-of join ------------------------------------------------------------
+
+_left_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)),  # (key, ts)
+    min_size=1,
+    max_size=15,
+)
+# unique (key, ts) on the right so the latest-at-or-before row is unambiguous
+_right_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 999)),
+    min_size=0,
+    max_size=15,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@settings(**_SETTINGS)
+@given(left=_left_rows, right=_right_rows)
+def test_asof_backward_matches_bruteforce(spark, left, right):
+    from twitter_flink_spark.operators.asof import asof_join_backward
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, lts long"
+    ).select("lid", "k", F.timestamp_seconds("lts").alias("lts"))
+    rdf = spark.createDataFrame(
+        right or [], "k long, rts long, payload long"
+    ).select("k", F.timestamp_seconds("rts").alias("rts"), "payload")
+    out = {
+        r.lid: r.payload
+        for r in asof_join_backward(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+            payload_cols=("payload",),
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        candidates = [(rt, p) for (rk, rt, p) in right if rk == k and rt <= t]
+        expected = max(candidates)[1] if candidates else None
+        assert out[i] == expected, (i, k, t, candidates)
+
+
+# --- salted join -----------------------------------------------------------
+
+_fact_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 10**6)),  # (key, salt_src)
+    min_size=0,
+    max_size=30,
+)
+_dim_rows = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 999)),  # (key, attr)
+    min_size=0,
+    max_size=6,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(**_SETTINGS)
+@given(fact=_fact_rows, dim=_dim_rows, how=st.sampled_from(["inner", "left"]))
+def test_salted_join_matches_plain_join(spark, fact, dim, how):
+    from twitter_flink_spark.operators.joins import salted_equi_join
+
+    fdf = spark.createDataFrame(
+        [(i, k, s) for i, (k, s) in enumerate(fact)] or [],
+        "fid long, fk long, salt_src long",
+    )
+    ddf = spark.createDataFrame(dim or [], "dk long, attr long")
+    got = sorted(
+        (r.fid, r.attr)
+        for r in salted_equi_join(
+            fdf, ddf, left_key="fk", right_key="dk",
+            salt_from="salt_src", n_salts=4, how=how,
+        ).collect()
+    )
+    dim_map = dict(dim)
+    expected = []
+    for i, (k, _) in enumerate(fact):
+        if k in dim_map:
+            expected.append((i, dim_map[k]))
+        elif how == "left":
+            expected.append((i, None))
+    assert got == sorted(expected)
+
+
+# --- connected components --------------------------------------------------
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(**_SETTINGS)
+@given(edges=_edges)
+def test_connected_components_both_algorithms(spark, edges):
+    from twitter_flink_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    expected = _union_find_components(edges)
+    for fn in (connected_components, connected_components_star):
+        got = {r[0]: r[1] for r in fn(pairs).collect()}
+        assert got == expected, fn.__name__

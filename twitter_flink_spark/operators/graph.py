@@ -171,9 +171,11 @@ def connected_components_star(
         .localCheckpoint()
     )
     edges_ids = _persistent_rdd_ids(sc) - before
+    # node universe from the ORIGINAL pairs, not the self-loop-filtered
+    # edges: a node appearing only as (x, x) still owns a singleton row
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionAll(edges.select(F.col("dst").alias("node")))
+        pairs.select(F.col(a_col).alias("node"))
+        .unionAll(pairs.select(F.col(b_col).alias("node")))
         .distinct()
         .localCheckpoint()
     )
