@@ -937,3 +937,36 @@ def map_event_type_counts_per_user(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("type_counts"),
         )
     )
+
+
+@register(
+    "filter_by_length_percentile",
+    oracle="""
+WITH bounds AS (
+  SELECT quantile_cont(n_chars, 0.05) AS lo,
+         quantile_cont(n_chars, 0.95) AS hi
+  FROM documents
+)
+SELECT d.doc_id, d.n_chars, d.lang
+FROM documents d, bounds b
+WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+""",
+)
+def filter_by_length_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-outlier filtering — the first gate of LLM corpus curation:
+    keep documents whose length lies inside the [p5, p95] band of the
+    corpus's own distribution (fragments and concatenation accidents live
+    in the tails). The band is a broadcast 1-row aggregate joined to the
+    scan, so the filter is a cheap residual predicate on every row; at
+    100 TB swap the exact `percentile` for `approx_percentile` (mergeable
+    t-digest, no per-group sort) — same plan shape, sketch-bounded error."""
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .where((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .select("doc_id", "n_chars", "lang")
+    )
