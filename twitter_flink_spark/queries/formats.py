@@ -201,3 +201,39 @@ def binaryfile_ingest_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("content").alias("payload_md5"),
         F.col("length").alias("n_bytes"),
     )
+
+
+@register(
+    "xml_roundtrip_orders",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS totalprice
+FROM orders
+WHERE o_orderkey % 50 = 0
+""",
+)
+def xml_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip via Spark 4's built-in XML expressions: each order row
+    is serialized to an XML document (`to_xml`) and parsed back with an
+    explicit schema (`from_xml`) — the lossless-ingest proof for the one
+    enterprise format parquet-era stacks still receive. The oracle reads
+    the base columns directly, so any type drift through the XML text form
+    (long/string/double) fails the value hash. Row-level XML parse is
+    pure-expression work inside whole-stage codegen — it scales like any
+    projection, unlike a document-level XML file reader."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 0)
+    xml = F.to_xml(
+        F.struct("o_orderkey", "o_orderstatus", "o_totalprice"),
+        {"rowTag": "order"},
+    )
+    parsed = o.select(
+        F.from_xml(
+            xml,
+            "STRUCT<o_orderkey: BIGINT, o_orderstatus: STRING, o_totalprice: DOUBLE>",
+            {"rowTag": "order"},
+        ).alias("x")
+    )
+    return parsed.select(
+        F.col("x.o_orderkey").alias("o_orderkey"),
+        F.col("x.o_orderstatus").alias("o_orderstatus"),
+        F.round("x.o_totalprice", 2).alias("totalprice"),
+    )
