@@ -361,3 +361,68 @@ def streaming_dedup_watermark_bounded(spark: SparkSession, sf_dir: str) -> DataF
         ["user_id", "event_type"]
     ).drop("ts")
     return run_to_memory(deduped, output_mode="append")
+
+
+#: sf_dir the 4-file events copy was last staged from (multi-batch replay).
+_SPLIT_EVENTS_FOR: dict[str, str] = {}
+
+
+def _ensure_split_events(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from twitter_flink_spark.sources.tables import load_table
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "tfs-evsplit-" + sf_dir.strip("/").replace("/", "-"),
+    )
+    if _SPLIT_EVENTS_FOR.get("sf") != sf_dir or not os.path.isdir(dest):
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(dest)
+        _SPLIT_EVENTS_FOR["sf"] = sf_dir
+    return dest
+
+
+@register(
+    "streaming_incremental_mv",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 2) AS val
+FROM events
+GROUP BY user_id
+""",
+)
+def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized view: the event stream replays
+    as FOUR micro-batches (maxFilesPerTrigger=1 over a 4-file copy); each
+    batch's per-user partial aggregates merge into a persistent snapshot
+    inside foreachBatch (`streaming/pipeline.py::IncrementalMV`). The final
+    snapshot must equal the one-shot batch aggregate — the incremental
+    maintenance invariant. No stream state at all: partials are map-side
+    reduced per batch, the merge is one keyed outer join against the
+    snapshot (a table-format MERGE INTO at scale)."""
+    import tempfile
+
+    from twitter_flink_spark.streaming.pipeline import IncrementalMV
+
+    staged = _ensure_split_events(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    mv = IncrementalMV(spark, key_col="user_id")
+    q = (
+        stream.writeStream.foreachBatch(mv.merge_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="tfs-mv-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return mv.snapshot().select(
+        "user_id", "cnt", F.round("val", 2).alias("val")
+    )

@@ -352,3 +352,70 @@ class TopNFeedback:
             return self.spark.read.parquet(self._out_dir)
         schema = "event_id long, " + self.key_col + " string, user_id long"
         return self.spark.createDataFrame([], schema)
+
+
+class IncrementalMV:
+    """Incrementally-maintained materialized view: a keyed aggregate table
+    kept up to date by merging each micro-batch's partial aggregates into a
+    persistent snapshot inside ``foreachBatch`` — the streaming
+    upsert-into-table pattern (Delta/Iceberg ``MERGE INTO`` at scale; here
+    a ping-pong parquet rewrite, the same topology with a cruder writer).
+
+    Why partials-then-merge instead of a complete-mode aggregate: complete
+    mode re-emits the WHOLE aggregate every trigger (unbounded output at
+    scale), and update mode still keeps all keys in the state store. The
+    MV pattern keeps NO stream state at all — each batch reduces to its
+    per-key partials (map-side combine), and the merge cost is one keyed
+    outer join against the snapshot, which a real table format turns into
+    a partition-pruned MERGE. Restart safety comes from the sink table's
+    transactionality (here: last-fully-written ping-pong dir).
+    """
+
+    def __init__(self, spark, key_col: str = "user_id"):
+        import tempfile
+
+        self.spark = spark
+        self.key_col = key_col
+        self._root = tempfile.mkdtemp(prefix="tfs-mv-")
+        self._version = 0
+
+    def _dir(self, v: int) -> str:
+        import os
+
+        return os.path.join(self._root, f"v{v}")
+
+    def merge_batch(self, batch_df, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        partial = batch_df.groupBy(self.key_col).agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("val")
+        )
+        if self._version == 0:
+            merged = partial
+        else:
+            snap = self.spark.read.parquet(self._dir(self._version))
+            merged = (
+                snap.select(
+                    self.key_col,
+                    F.col("cnt").alias("s_cnt"),
+                    F.col("val").alias("s_val"),
+                )
+                .join(partial, self.key_col, "full_outer")
+                .select(
+                    self.key_col,
+                    (
+                        F.coalesce("s_cnt", F.lit(0))
+                        + F.coalesce("cnt", F.lit(0))
+                    ).alias("cnt"),
+                    (
+                        F.coalesce("s_val", F.lit(0.0))
+                        + F.coalesce("val", F.lit(0.0))
+                    ).alias("val"),
+                )
+            )
+        # ping-pong: write the NEW version, never the dir being read
+        merged.write.mode("overwrite").parquet(self._dir(self._version + 1))
+        self._version += 1
+
+    def snapshot(self):
+        return self.spark.read.parquet(self._dir(self._version))
