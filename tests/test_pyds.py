@@ -100,8 +100,18 @@ def test_pushdown_filter_not_reapplied_post_scan(spark):
         .where(F.col("lang") == "en")
     )
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
-    # a residual (un-pushed) equality would print as `lang#N = en`
-    assert "= en)" not in optimized, optimized
+    # a residual (un-pushed) predicate would surface as a Filter NODE
+    # applying an equality to lang above the scan — match the node shape,
+    # not an exact literal rendering (formatting varies across Spark
+    # versions). Spark legitimately keeps an isnotnull(lang) guard (the
+    # connector absorbed only the equality), so only ` = ` comparisons in
+    # a Filter line count as un-pushed.
+    residual = [
+        ln
+        for ln in optimized.splitlines()
+        if "Filter" in ln and "lang" in ln and " = " in ln
+    ]
+    assert residual == [], optimized
     assert df.count() == sum(1 for i in range(64) if status_row(i)[3] == "en")
 
 
@@ -136,14 +146,21 @@ def test_stream_restart_resumes_exactly(spark):
         ckpt, out = os.path.join(root, "ckpt"), os.path.join(root, "out")
         q = start(ckpt, out)
         deadline = time.monotonic() + 60
+        committed = 0
         while time.monotonic() < deadline:
             try:
-                if spark.read.parquet(out).count() >= 150:
-                    break  # some batches committed, range not done
+                committed = spark.read.parquet(out).count()
             except Exception:
-                pass  # no files yet
+                committed = 0  # no files yet
+            if committed >= 150:
+                break  # some batches committed, range not done
             time.sleep(0.2)
-        q.stop()  # kill mid-replay
+        q.stop()  # kill mid-replay (usually)
+        # timing tolerance: on a slow/fast machine the first run may have
+        # committed anywhere from 0 to all N rows before the stop — the
+        # restart invariant below (exactly-once, full range) must hold in
+        # EVERY case, including already-complete-before-stop; nothing about
+        # this test requires the kill to land mid-range.
         q2 = start(ckpt, out)  # resume from the same checkpoint
         deadline = time.monotonic() + 120
         ids: list[int] = []

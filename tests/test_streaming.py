@@ -119,6 +119,33 @@ def test_redis_client_adapter_needs_package():
         assert hasattr(redis_kv_client(), "set")
 
 
+def test_kv_store_against_redis_adapter(monkeypatch):
+    """The SAME leaderboard contract as test_kv_store_overwrite_by_rank,
+    but through `redis_kv_client()` backed by a vendored redis-py-shaped
+    fake — covers the production adapter path (import, client construction
+    with decode_responses, and the set/delete wire surface redis-py
+    exposes) that `DictKVClient` shortcuts."""
+    import sys
+
+    import fake_redis
+
+    from twitter_flink_spark.streaming.pipeline import redis_kv_client
+
+    monkeypatch.setitem(sys.modules, "redis", fake_redis)
+    client = redis_kv_client(host="example.test", port=6380)
+    assert isinstance(client, fake_redis.Redis)
+    assert (client.host, client.port) == ("example.test", 6380)
+    assert client.decode_responses  # adapter must ask for str responses
+
+    kv = KVStore(client=client)
+    kv.upsert([("alpha", 10), ("beta", 7)])
+    assert client.get("Top10-1") == "alpha, 10"
+    assert client.get("Top10-2") == "beta, 7"
+    kv.upsert([("gamma", 99)])  # shorter board: stale rank 2 DELETEd
+    assert client.get("Top10-1") == "gamma, 99"
+    assert client.get("Top10-2") is None
+
+
 def _split_events(spark, dest, n_chunks=4):
     """Write the events table as n time-contiguous parquet files with
     strictly increasing mtimes (the file source batches in mtime order)."""
@@ -321,3 +348,69 @@ def test_kafka_stream_needs_connector(spark):
 
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         kafka_status_stream(spark, "localhost:9092", "statuses")
+
+
+def test_incremental_mv_bucket_pruned_merge(spark):
+    """A micro-batch merge rewrites ONLY the buckets whose keys it touches:
+    untouched bucket files stay byte-identical (same path, same bytes), a
+    replayed batch_id is a no-op, and a fresh IncrementalMV pointed at the
+    same root resumes from the committed manifest."""
+    import os
+
+    from twitter_flink_spark.streaming.pipeline import IncrementalMV
+
+    mv = IncrementalMV(spark, key_col="user_id", n_buckets=4)
+    b0 = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "user_id long, value double"
+    )
+    mv.merge_batch(b0, 0)
+
+    def bucket_files():
+        out = {}
+        for b, v in mv._buckets.items():
+            d = mv._bucket_dir(b, v)
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    p = os.path.join(d, f)
+                    with open(p, "rb") as fh:
+                        out[(b, f)] = (p, fh.read())
+        return out
+
+    assert len(mv._buckets) >= 2, "fixture keys must span several buckets"
+    before = bucket_files()
+    key_bucket = {
+        r.user_id: r.b
+        for r in b0.select(
+            "user_id", F.pmod(F.hash("user_id"), F.lit(4)).alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    target = key_bucket[0]
+    keys = [k for k, b in key_bucket.items() if b == target][:3]
+    b1 = spark.createDataFrame(
+        [(k, 100.0) for k in keys], "user_id long, value double"
+    )
+    mv.merge_batch(b1, 1)
+
+    after = bucket_files()
+    for kf, path_and_bytes in before.items():
+        if kf[0] != target:
+            assert after[kf] == path_and_bytes  # byte-identical, same file
+    assert mv._buckets[target] == 2  # touched bucket got a new version
+
+    snap = {r.user_id: (r.cnt, r.val) for r in mv.snapshot().collect()}
+    assert len(snap) == 40
+    for k in keys:
+        assert snap[k] == (2, float(k) + 100.0)
+
+    # replayed micro-batch (foreachBatch at-least-once): skipped entirely
+    mv.merge_batch(b1, 1)
+    assert mv._buckets[target] == 2
+    assert bucket_files() == after
+
+    # restart: a new instance on the same root resumes from the manifest
+    mv2 = IncrementalMV(spark, key_col="user_id", n_buckets=4, root=mv._root)
+    assert mv2._last_batch_id == 1 and mv2._buckets == mv._buckets
+    mv2.merge_batch(b1, 1)  # replay across restart: still a no-op
+    assert mv2._buckets == mv._buckets

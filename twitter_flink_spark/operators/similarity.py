@@ -36,6 +36,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+#: brute-force path cap: the query side is broadcast, so it must stay
+#: executor-memory-sized. 64k queries x (few-KB vector + norm) ~ low
+#: hundreds of MB — at the edge of a sane broadcast. Beyond it the
+#: brute-force plan silently degrades to an O(n*q) all-pairs pass; refuse
+#: and point at the bucketed paths instead.
+MAX_BROADCAST_QUERIES = 65536
+
+
 def topk_neighbors(
     corpus: DataFrame,
     queries: DataFrame,
@@ -43,15 +51,29 @@ def topk_neighbors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str | None = None,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
 ) -> DataFrame:
     """Top-k cosine neighbors per query vector.
 
-    ``cell_col`` None → brute force (broadcast queries x full corpus).
+    ``cell_col`` None → brute force (broadcast queries x full corpus),
+    guarded: raises ``ValueError`` when the query side exceeds
+    ``max_broadcast_queries`` rows — use the IVF path (``cell_col``) or
+    ``lsh_sign_bands`` for a non-broadcast-sized query set.
     ``cell_col`` set → IVF-style: only score corpus rows in the query's
     cell (equi-join on the cell column).
     Output: (query_id, neighbor_id, cosine, rank) with deterministic
     tie-break (cosine desc, neighbor_id asc).
     """
+    if cell_col is None:
+        # limit(bound+1).count() touches at most bound+1 rows — a cheap
+        # pre-flight action, not a full count of the query table
+        probe = queries.limit(max_broadcast_queries + 1).count()
+        if probe > max_broadcast_queries:
+            raise ValueError(
+                f"brute-force topk_neighbors broadcasts the query side, but "
+                f"it has > {max_broadcast_queries} rows; use cell_col= (IVF) "
+                f"or lsh_sign_bands for a corpus-sized query set"
+            )
     # norms are computed ONCE per vector before the join — inside the pair
     # fan-out they would be re-evaluated per pair (3x the higher-order-fn
     # work; numerically identical since the expressions are unchanged)
@@ -64,13 +86,12 @@ def topk_neighbors(
     # repartition the probe (corpus) side: the broadcast join preserves its
     # partitioning, so a single-file corpus would otherwise score every
     # (query x corpus) pair in one task regardless of cluster size; keyed
-    # off the input's partition count so a real-scale corpus (already
-    # well-split) skips the shuffle entirely
-    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() >= n_parts:
-        c = corpus
-    else:
-        c = corpus.repartition(n_parts, id_col)
+    # off the scan's FILE metadata (plan-level, no DataFrame->RDD
+    # conversion) so a real-scale corpus (already well-split) skips the
+    # shuffle entirely
+    from twitter_flink_spark.sources.tables import spread
+
+    c = spread(corpus, id_col)
     c = c.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),

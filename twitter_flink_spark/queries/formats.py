@@ -146,6 +146,17 @@ def _ensure_payload_files(spark: SparkSession, sf_dir: str) -> str:
     import shutil
     import tempfile
 
+    spark_master = spark.sparkContext.master
+    if not spark_master.startswith("local"):
+        # executors write into the DRIVER-local tmp dir below; on a real
+        # cluster each executor would write to its own disk and the
+        # driver-side binaryFile read would see missing files — there the
+        # staging root must be shared storage (HDFS/S3)
+        raise RuntimeError(
+            "payload staging writes to driver-local tmp and requires a "
+            f"local master (got {spark_master!r}); configure a shared "
+            "staging root for cluster deployments"
+        )
     dest = os.path.join(
         tempfile.gettempdir(),
         "tfs-binfiles-" + sf_dir.strip("/").replace("/", "-"),

@@ -153,7 +153,9 @@ class SyntheticStatusStreamReader(DataSourceStreamReader):
         # as the cursor floor so latestOffset never goes backwards.
         self._head = max(self._head, lo, hi)
         if hi <= lo:
-            return [_IdRange(lo, lo)]
+            # empty offset range: the contract wants an empty sequence —
+            # a placeholder range would schedule a no-op task per batch
+            return []
         step = -(-(hi - lo) // self.n_parts)
         return [_IdRange(a, min(a + step, hi)) for a in range(lo, hi, step)]
 

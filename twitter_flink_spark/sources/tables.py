@@ -88,10 +88,19 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     under a broadcast join) inherits that single task no matter how many
     cores the cluster has.
 
-    Keyed off the INPUT's partition count: if the scan already yields at
-    least the session's parallelism (any real-scale input), this is a
-    literal no-op — the shuffle only exists for under-split inputs."""
+    Keyed off the scan's FILE metadata (`df.inputFiles()` — plan-level,
+    no DataFrame->RDD conversion): a scan backed by at least
+    default-parallelism files (any real-scale input) skips the shuffle
+    entirely; the count is conservative (one oversized file splits into
+    several partitions at read time), so the worst case is a redundant
+    shuffle on a few-huge-files layout, never a missing one. A non-file
+    input (memory relation, stream) reports no files and is left alone —
+    its partitioning came from the session, not a file layout."""
     n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= n:
         return df
     return df.repartition(n, key)
