@@ -254,3 +254,43 @@ def test_range_sorted_slice_pushes_time_filter(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(ts), LessThan(ts," in plan
+
+
+def test_runtime_bloom_filter_injects(spark):
+    """Spark's runtime-filter rule must inject a bloom filter built from
+    the selective (filtered) join side into the big side's scan when the
+    join cannot broadcast — the 100 TB shuffle-join shape where a bloom
+    probe prunes most of the fact table before the exchange. Conf-gated
+    (the application-side threshold defaults to 10 GiB, far above test
+    scale), so the test pins that the knob works, not that it is always
+    on."""
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.sources.tables import load_table
+
+    saved = {}
+    for k, v in (
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+        (
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        ),
+    ):
+        saved[k] = spark.conf.get(k)
+        spark.conf.set(k, v)
+    try:
+        orders = load_table(spark, SF_DIR, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_DIR, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized, optimized
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

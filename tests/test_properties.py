@@ -140,3 +140,48 @@ def test_connected_components_both_algorithms(spark, edges):
     for fn in (connected_components, connected_components_star):
         got = {r[0]: r[1] for r in fn(pairs).collect()}
         assert got == expected, fn.__name__
+
+
+# --- incremental MV (bucketed snapshot + replay idempotence) ---------------
+
+_mv_batches = st.lists(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(-50, 50)),  # (key, value)
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(**_SETTINGS)
+@given(batches=_mv_batches, replay_mask=st.integers(0, 15))
+def test_incremental_mv_matches_bruteforce(spark, batches, replay_mask):
+    """Any sequence of micro-batches, with any subset of them REPLAYED
+    immediately after commit (foreachBatch's at-least-once contract), must
+    yield the same snapshot as a one-shot aggregate over all rows. Sweeps
+    empty batches, hot keys, and negative values the fixture can't."""
+    from twitter_flink_spark.streaming.pipeline import IncrementalMV
+
+    mv = IncrementalMV(spark, key_col="user_id", n_buckets=4)
+    for i, batch in enumerate(batches):
+        df = spark.createDataFrame(
+            [(k, float(v)) for k, v in batch] or [],
+            "user_id long, value double",
+        )
+        mv.merge_batch(df, i)
+        if replay_mask & (1 << i):
+            mv.merge_batch(df, i)  # replayed epoch: must be a no-op
+    got = {
+        r.user_id: (r.cnt, round(r.val, 6))
+        for r in mv.snapshot().collect()
+    }
+    expected: dict[int, tuple[int, float]] = {}
+    for batch in batches:
+        for k, v in batch:
+            c, s = expected.get(k, (0, 0.0))
+            expected[k] = (c + 1, s + float(v))
+    assert got == {
+        k: (c, round(s, 6)) for k, (c, s) in expected.items()
+    }, (batches, replay_mask)

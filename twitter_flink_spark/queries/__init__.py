@@ -1,6 +1,7 @@
 """Importing this package registers every driver-facing query into
 `twitter_flink_spark.registry`. One module per SURVEY.md §2 area."""
 
+from twitter_flink_spark.queries import analytics  # noqa: F401
 from twitter_flink_spark.queries import connectors  # noqa: F401
 from twitter_flink_spark.queries import core  # noqa: F401
 from twitter_flink_spark.queries import dedup  # noqa: F401

@@ -1,0 +1,308 @@
+"""Behavioral / frontier analytics beyond the reference surface (round 3).
+
+Six shapes the reference cannot express but a production analytics engine
+needs, each chosen for a distinct execution pattern:
+
+- CDC latest-row compaction (the upsert-view of an append log)
+- funnel conversion (ordered multi-stage dependency, staged semi-joins)
+- frequent-pair co-occurrence (Apriori-style frequency pruning BEFORE the
+  quadratic pair fan-out — the market-basket shape at corpus scale)
+- Pareto frontier (dominance via aggregate + running max over price
+  levels, not an O(n^2) all-pairs anti-join)
+- observed metrics (`Dataset.observe` — data-quality counters collected
+  DURING the main pass, no second scan)
+- gaps-and-islands daily streaks (the classic sessionization-by-calendar
+  trick: day - row_number collapses consecutive runs to a constant key)
+
+Reference parity: none of these exist in the 450-LoC Flink job
+(`TopNHashtags.java` has a single windowed count + semi-join); they extend
+SURVEY.md §2.3's north-star inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from twitter_flink_spark.registry import register
+from twitter_flink_spark.sources.tables import load_table
+
+
+@register(
+    "cdc_latest_per_key",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         row_number() OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id, ts, round(value, 2) AS value
+FROM ranked WHERE rn = 1
+""",
+)
+def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/upsert compaction: latest row per (user_id, event_type) from an
+    append-only log — how a change stream becomes a current-state table
+    (and how an LLM corpus keeps only the newest version of each doc).
+    Deterministic tie-break (ts DESC, event_id DESC). At scale this is one
+    hash shuffle on the key; Spark turns the rn=1 filter into
+    WindowGroupLimit, so each partition keeps one row per key before any
+    sort completes."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "ts",
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+@register(
+    "funnel_conversion_steps",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT 'view' AS stage, 1 AS stage_ord, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT 'click', 2, CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT 'purchase', 3, CAST(count(*) AS BIGINT) FROM p
+""",
+)
+def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER their first
+    view, then purchased AFTER that first qualifying click. Each stage is
+    min-ts aggregate -> equi-join to the next stage's candidates — three
+    key-partitioned shuffles on user_id, no window over the raw log. The
+    per-stage tables shrink monotonically, so at 100 TB every stage after
+    the first joins against an already-reduced key set."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, name: str, ord_: int) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(ord_).alias("stage_ord"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        stage(v, "view", 1)
+        .unionAll(stage(c, "click", 2))
+        .unionAll(stage(p, "purchase", 3))
+    )
+
+
+_TOP_TOKENS = 40
+
+
+@register(
+    "frequent_token_pairs",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS token
+  FROM documents
+), top_tok AS (
+  SELECT token FROM (
+    SELECT token,
+           row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rn
+    FROM tok GROUP BY token
+  ) WHERE rn <= {_TOP_TOKENS}
+), ftok AS (
+  SELECT t.doc_id, t.token FROM tok t JOIN top_tok USING (token)
+)
+SELECT a.token AS t1, b.token AS t2, CAST(count(*) AS BIGINT) AS n_docs
+FROM ftok a JOIN ftok b
+  ON a.doc_id = b.doc_id AND a.token < b.token
+GROUP BY a.token, b.token
+""",
+)
+def frequent_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence (market-basket pairs) with Apriori-style
+    pruning: only the {TOP} globally most document-frequent tokens enter
+    the pair fan-out, so per-doc pair expansion is bounded by C({TOP},2)
+    instead of C(tokens_per_doc,2) — the difference between a bounded
+    equi-self-join and a quadratic blow-up at corpus scale. The frequent
+    set is broadcast (tiny by construction); the self-join shuffles on
+    doc_id only."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    rn_w = Window.orderBy(F.col("df_docs").desc(), F.col("token").asc())
+    top = (
+        counts.withColumn("rn", F.row_number().over(rn_w))
+        .where(F.col("rn") <= _TOP_TOKENS)
+        .select("token")
+    )
+    ftok = tok.join(F.broadcast(top), "token")
+    a = ftok.select(F.col("doc_id"), F.col("token").alias("t1"))
+    b = ftok.select(F.col("doc_id"), F.col("token").alias("t2"))
+    return (
+        a.join(b, ["doc_id"])
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "pareto_frontier_parts",
+    oracle="""
+SELECT x.p_partkey, x.p_retailprice, x.p_size
+FROM part x
+WHERE NOT EXISTS (
+  SELECT 1 FROM part y
+  WHERE y.p_retailprice < x.p_retailprice AND y.p_size >= x.p_size
+)
+""",
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline): parts not dominated by any strictly
+    cheaper part of at least equal size. NOT an all-pairs anti-join — the
+    frontier test collapses to `p_size > max(p_size) over all strictly
+    cheaper price levels`: aggregate to distinct price levels (1000 here;
+    orders of magnitude below row count by construction), one running max
+    over that tiny level table, broadcast it back. O(n) + O(levels) vs the
+    oracle's O(n^2) NOT EXISTS."""
+    part = load_table(spark, sf_dir, "part")
+    levels = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("level_max")
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    running = levels.select(
+        "p_retailprice", F.max("level_max").over(w).alias("cheaper_max")
+    )
+    return (
+        part.join(F.broadcast(running), "p_retailprice")
+        .where(
+            F.col("cheaper_max").isNull()
+            | (F.col("p_size") > F.col("cheaper_max"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+def observed_clean_events(
+    spark: SparkSession, sf_dir: str, observation=None
+):
+    """Filter pipeline with `observe` metrics attached: rows kept, rows
+    with negative value, and mean kept value are counted DURING the scan
+    (CollectMetrics node) — zero extra passes, the Spark-native form of
+    data-quality counters a pipeline would otherwise pay a second
+    aggregation for."""
+    ev = load_table(spark, sf_dir, "events")
+    kept = ev.where(F.col("value").isNotNull() & (F.col("event_type") != "error"))
+    return kept.observe(
+        observation if observation is not None else "dq_metrics",
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum((F.col("value") < 0).cast("long")).alias("n_negative"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+    )
+
+
+@register(
+    "observed_quality_metrics",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(avg(value), 2) AS avg_value
+FROM events
+WHERE value IS NOT NULL AND event_type <> 'error'
+GROUP BY event_type
+""",
+)
+def observed_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the observed filter pipeline (metrics piggyback on
+    this same execution — asserted in tests/test_analytics.py)."""
+    kept = observed_clean_events(spark, sf_dir)
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 2).alias("avg_value"),
+    )
+
+
+@register(
+    "user_daily_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), keyed AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY d
+             ) AS INTEGER) AS grp
+  FROM days
+), streaks AS (
+  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS streak
+  FROM keyed GROUP BY user_id, grp
+)
+SELECT user_id, max(streak) AS longest_streak
+FROM streaks GROUP BY user_id
+""",
+)
+def user_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of CONSECUTIVE active days per user.
+    `day - row_number()` is constant within a consecutive run, so one
+    window + two aggregations replace any iterative/self-join formulation.
+    Everything partitions by user_id — a single shuffle key end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    keyed = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    return (
+        keyed.groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("streak"))
+        .groupBy("user_id")
+        .agg(F.max("streak").alias("longest_streak"))
+    )

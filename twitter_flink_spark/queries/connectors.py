@@ -115,3 +115,105 @@ def streaming_pyds_tag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+def _require_local(spark: SparkSession) -> None:
+    master = spark.sparkContext.master
+    if not master.startswith("local"):
+        raise RuntimeError(
+            "json_dir_sink queries stage to driver-local tmp and require a "
+            f"local master (got {master!r}); point the sink path at shared "
+            "storage for cluster deployments"
+        )
+
+
+@register(
+    "pyds_writer_roundtrip",
+    oracle="""
+SELECT event_id, user_id, round(value, 2) AS value
+FROM events
+WHERE event_type = 'purchase'
+""",
+)
+def pyds_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side connector surface (reference O13, the custom Redis sink,
+    `TopNHashtags.java:148-174`): purchases flow through the Python
+    DataSource WRITER — executor tasks stage JSON-lines files, the driver
+    commit publishes them atomically with a _SUCCESS manifest — then read
+    back and verified row-for-row against the source table, proving the
+    bytes survived the task-stage → driver-commit → publish cycle."""
+    import os
+    import tempfile
+
+    from twitter_flink_spark.sources.pyds_sink import SINK_NAME, register_sink
+    from twitter_flink_spark.sources.tables import load_table
+
+    _require_local(spark)
+    register_sink(spark)
+    dest = tempfile.mkdtemp(prefix="tfs-pyds-sink-")
+    (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.round("value", 2).alias("value"))
+        .write.format(SINK_NAME)
+        .mode("overwrite")
+        .option("path", dest)
+        .save()
+    )
+    assert os.path.exists(os.path.join(dest, "_SUCCESS"))
+    return spark.read.schema("event_id long, user_id long, value double").json(
+        os.path.join(dest, "part-*.json")
+    )
+
+
+@register(
+    "streaming_pyds_writer_roundtrip",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def streaming_pyds_writer_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME sink as a streaming epoch writer: the events table replays
+    as four micro-batches (maxFilesPerTrigger=1 over a 4-file copy), each
+    epoch committed via an idempotent per-batch marker (a replayed epoch
+    discards its restage instead of double-publishing — sink-side
+    exactly-once under the at-least-once delivery contract). The read-back
+    aggregate must equal the one-shot batch aggregate over the source."""
+    import os
+    import tempfile
+
+    from twitter_flink_spark.queries.streaming import _ensure_split_events
+    from twitter_flink_spark.sources.pyds_sink import SINK_NAME, register_sink
+
+    _require_local(spark)
+    register_sink(spark)
+    staged = _ensure_split_events(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    dest = tempfile.mkdtemp(prefix="tfs-pyds-epoch-")
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .select("event_type", "value")
+        .writeStream.format(SINK_NAME)
+        .option("path", dest)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="tfs-pyds-epoch-ck-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    back = spark.read.schema("event_type string, value double").json(
+        os.path.join(dest, "epoch-*.json")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

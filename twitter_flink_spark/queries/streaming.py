@@ -426,3 +426,45 @@ def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mv.snapshot().select(
         "user_id", "cnt", F.round("val", 2).alias("val")
     )
+
+
+@register(
+    "streaming_statestore_introspect",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY event_type
+""",
+)
+def streaming_statestore_introspect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Operational introspection of streaming state: run a grouped count to
+    completion, then read the checkpoint's STATE STORE as a DataFrame
+    (`spark.read.format("statestore")`) — the ops surface for debugging
+    stateful queries (what keys are held? how big is state?) without
+    touching the running query. The state contents of a completed grouped
+    count must equal the batch aggregate — which is exactly what the
+    oracle checks. The reference's equivalent state (`String[] topN`,
+    `TopNHashtags.java:303`) is invisible and lost on restart; here it is
+    a queryable, checkpointed table."""
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="tfs-ssread-ck-")
+    src = stream_table(spark, sf_dir, "events")
+    agg = src.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = spark.read.format("statestore").load(ckpt)
+    # the state VALUE schema uses the physical aggregate name (count(1)),
+    # not the query alias — project it back to the oracle's column name
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("long").alias("cnt"),
+    )
