@@ -294,3 +294,31 @@ def test_runtime_bloom_filter_injects(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_cdc_latest_uses_window_group_limit(spark):
+    """rn=1 over (key) must prune per-partition before the sort completes."""
+    plan = plan_of(spark, "cdc_latest_per_key")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_frequent_pairs_avoids_vocab_rank_window(spark):
+    """The frequent-token set must come from a distributed top-k heap
+    (TakeOrderedAndProject), not a single-partition rank window over the
+    vocabulary, and the set must broadcast into the pair fan-out. Pair
+    generation is array-based: no self-join, no cartesian, no Window at
+    all."""
+    plan = plan_of(spark, "frequent_token_pairs")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window [" not in plan, plan
+
+
+def test_pareto_frontier_sequential_only_on_levels(spark):
+    """The frontier's only sequential piece is the running max over
+    distinct price LEVELS (one small single-partition exchange); the row
+    table itself joins broadcast, never sorts globally."""
+    plan = plan_of(spark, "pareto_frontier_parts")
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan

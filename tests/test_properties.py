@@ -185,3 +185,68 @@ def test_incremental_mv_matches_bruteforce(spark, batches, replay_mask):
     assert got == {
         k: (c, round(s, 6)) for k, (c, s) in expected.items()
     }, (batches, replay_mask)
+
+
+# --- pareto frontier -------------------------------------------------------
+
+_points = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)),  # (cost, gain) TIES likely
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(**_SETTINGS)
+@given(points=_points)
+def test_pareto_frontier_matches_bruteforce(spark, points):
+    """Level-aggregate + running-max frontier == brute-force dominance
+    filter (exists strictly-cheaper with >= gain), under heavy cost/gain
+    ties that a fixture with near-unique prices never exercises."""
+    from twitter_flink_spark.queries.analytics import pareto_frontier
+
+    df = spark.createDataFrame(
+        [(i, c, g) for i, (c, g) in enumerate(points)],
+        "id long, cost long, gain long",
+    )
+    got = sorted(r.id for r in pareto_frontier(df, "cost", "gain").collect())
+    expected = sorted(
+        i
+        for i, (c, g) in enumerate(points)
+        if not any(c2 < c and g2 >= g for (c2, g2) in points)
+    )
+    assert got == expected, points
+
+
+# --- gaps-and-islands streaks ----------------------------------------------
+
+_user_days = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 15)),  # (user, day offset)
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=_user_days)
+def test_longest_streak_matches_bruteforce(spark, rows):
+    from datetime import date, timedelta
+
+    from twitter_flink_spark.queries.analytics import longest_daily_streaks
+
+    base = date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(u, base + timedelta(days=d)) for u, d in rows], "u long, d date"
+    )
+    got = {
+        r.u: r.longest_streak
+        for r in longest_daily_streaks(df, "u", "d").collect()
+    }
+    expected = {}
+    for u in {u for u, _ in rows}:
+        days = sorted({d for uu, d in rows if uu == u})
+        best = run = 1
+        for prev, cur in zip(days, days[1:]):
+            run = run + 1 if cur == prev + 1 else 1
+            best = max(best, run)
+        expected[u] = best
+    assert got == expected, rows

@@ -164,29 +164,63 @@ def frequent_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token co-occurrence (market-basket pairs) with Apriori-style
     pruning: only the {TOP} globally most document-frequent tokens enter
     the pair fan-out, so per-doc pair expansion is bounded by C({TOP},2)
-    instead of C(tokens_per_doc,2) — the difference between a bounded
-    equi-self-join and a quadratic blow-up at corpus scale. The frequent
-    set is broadcast (tiny by construction); the self-join shuffles on
-    doc_id only."""
+    instead of C(tokens_per_doc,2). Plan choices that matter at corpus
+    scale: the frequent set comes from `orderBy().limit()` —
+    TakeOrderedAndProject, a distributed heap, NOT a single-partition
+    rank window over the vocabulary — and pair generation is a per-doc
+    ARRAY expansion (sorted set + higher-order `transform`/`slice`),
+    which reads the token table once and generates pairs JVM-side,
+    instead of a self-join that would scan and shuffle the whole
+    token-exploded table twice."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).distinct()
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
-    rn_w = Window.orderBy(F.col("df_docs").desc(), F.col("token").asc())
     top = (
-        counts.withColumn("rn", F.row_number().over(rn_w))
-        .where(F.col("rn") <= _TOP_TOKENS)
+        counts.orderBy(F.col("df_docs").desc(), F.col("token").asc())
+        .limit(_TOP_TOKENS)
         .select("token")
     )
-    ftok = tok.join(F.broadcast(top), "token")
-    a = ftok.select(F.col("doc_id"), F.col("token").alias("t1"))
-    b = ftok.select(F.col("doc_id"), F.col("token").alias("t2"))
+    per_doc = (
+        tok.join(F.broadcast(top), "token")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("token")).alias("toks"))
+    )
+    pairs = per_doc.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(toks, (x, i) -> "
+                "transform(slice(toks, i + 2, size(toks)), "
+                "y -> struct(x AS t1, y AS t2))))"
+            )
+        ).alias("p")
+    ).select("p.t1", "p.t2")
+    return pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def pareto_frontier(
+    df: DataFrame, cost_col: str, gain_col: str
+) -> DataFrame:
+    """Rows not dominated by any row with strictly lower ``cost_col`` and
+    at-least-equal ``gain_col``. The frontier test collapses to
+    `gain > max(gain) over all strictly cheaper cost levels`: aggregate to
+    distinct cost levels (orders of magnitude below row count), one
+    running max over that tiny level table, broadcast it back —
+    O(n) + O(levels) instead of an O(n^2) all-pairs anti-join. The only
+    sequential piece is the window over distinct LEVELS, never rows."""
+    levels = df.groupBy(cost_col).agg(F.max(gain_col).alias("level_max"))
+    w = Window.orderBy(cost_col).rowsBetween(Window.unboundedPreceding, -1)
+    running = levels.select(
+        cost_col, F.max("level_max").over(w).alias("__cheaper_max")
+    )
     return (
-        a.join(b, ["doc_id"])
-        .where(F.col("t1") < F.col("t2"))
-        .groupBy("t1", "t2")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+        df.join(F.broadcast(running), cost_col)
+        .where(
+            F.col("__cheaper_max").isNull()
+            | (F.col(gain_col) > F.col("__cheaper_max"))
+        )
+        .drop("__cheaper_max")
     )
 
 
@@ -203,29 +237,12 @@ WHERE NOT EXISTS (
 )
 def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto frontier (skyline): parts not dominated by any strictly
-    cheaper part of at least equal size. NOT an all-pairs anti-join — the
-    frontier test collapses to `p_size > max(p_size) over all strictly
-    cheaper price levels`: aggregate to distinct price levels (1000 here;
-    orders of magnitude below row count by construction), one running max
-    over that tiny level table, broadcast it back. O(n) + O(levels) vs the
-    oracle's O(n^2) NOT EXISTS."""
+    cheaper part of at least equal size (see ``pareto_frontier``;
+    property-tested against a brute-force dominance filter in
+    tests/test_properties.py)."""
     part = load_table(spark, sf_dir, "part")
-    levels = part.groupBy("p_retailprice").agg(
-        F.max("p_size").alias("level_max")
-    )
-    w = Window.orderBy("p_retailprice").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    running = levels.select(
-        "p_retailprice", F.max("level_max").over(w).alias("cheaper_max")
-    )
-    return (
-        part.join(F.broadcast(running), "p_retailprice")
-        .where(
-            F.col("cheaper_max").isNull()
-            | (F.col("p_size") > F.col("cheaper_max"))
-        )
-        .select("p_partkey", "p_retailprice", "p_size")
+    return pareto_frontier(part, "p_retailprice", "p_size").select(
+        "p_partkey", "p_retailprice", "p_size"
     )
 
 
@@ -288,21 +305,30 @@ FROM streaks GROUP BY user_id
 """,
 )
 def user_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gaps-and-islands: longest run of CONSECUTIVE active days per user.
-    `day - row_number()` is constant within a consecutive run, so one
-    window + two aggregations replace any iterative/self-join formulation.
-    Everything partitions by user_id — a single shuffle key end to end."""
+    """Gaps-and-islands: longest run of CONSECUTIVE active days per user
+    (see ``longest_daily_streaks``; property-tested against a brute-force
+    scan in tests/test_properties.py)."""
     ev = load_table(spark, sf_dir, "events")
-    days = ev.select(
-        "user_id", F.col("ts").cast("date").alias("d")
-    ).distinct()
-    w = Window.partitionBy("user_id").orderBy("d")
-    keyed = days.withColumn(
-        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d"))
+    return longest_daily_streaks(days, user_col="user_id", date_col="d")
+
+
+def longest_daily_streaks(
+    days: DataFrame, user_col: str, date_col: str
+) -> DataFrame:
+    """Longest run of consecutive calendar days per user. `day -
+    row_number()` is constant within a consecutive run, so one window +
+    two aggregations replace any iterative/self-join formulation.
+    Everything partitions by the user key — a single shuffle key end to
+    end. Input need not be deduplicated; distinct is applied here."""
+    uniq = days.select(user_col, date_col).distinct()
+    w = Window.partitionBy(user_col).orderBy(date_col)
+    keyed = uniq.withColumn(
+        "__grp", F.date_sub(F.col(date_col), F.row_number().over(w))
     )
     return (
-        keyed.groupBy("user_id", "grp")
-        .agg(F.count(F.lit(1)).alias("streak"))
-        .groupBy("user_id")
-        .agg(F.max("streak").alias("longest_streak"))
+        keyed.groupBy(user_col, "__grp")
+        .agg(F.count(F.lit(1)).alias("__streak"))
+        .groupBy(user_col)
+        .agg(F.max("__streak").alias("longest_streak"))
     )
