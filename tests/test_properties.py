@@ -250,3 +250,71 @@ def test_longest_streak_matches_bruteforce(spark, rows):
             best = max(best, run)
         expected[u] = best
     assert got == expected, rows
+
+
+# --- funnel stage semantics ------------------------------------------------
+
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),                      # user
+        st.sampled_from(["view", "click", "purchase", "error"]),
+        st.integers(0, 30),                     # ts seconds
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(**_SETTINGS)
+@given(events=_events)
+def test_funnel_matches_bruteforce(spark, events, tmp_path_factory):
+    """Staged-join funnel == per-user brute-force scan: a stage counts a
+    user iff an event of its type exists STRICTLY after the user's
+    previous qualifying stage time. Sweeps orderings the fixture never
+    hits (clicks before any view, purchase-only users, equal timestamps
+    — strict > excludes ties)."""
+    import os
+
+    from twitter_flink_spark.queries.analytics import funnel_conversion_steps
+
+    sf_dir = str(tmp_path_factory.mktemp("funnel"))
+    df = spark.createDataFrame(
+        [
+            (i, u, typ, ts, float(i))
+            for i, (u, typ, ts) in enumerate(events)
+        ],
+        "event_id long, user_id long, event_type string, tsec long, value double",
+    ).select(
+        "event_id",
+        F.timestamp_seconds("tsec").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    )
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "events.parquet"))
+    got = {
+        r.stage: r.n_users
+        for r in funnel_conversion_steps(spark, sf_dir).collect()
+    }
+
+    def brute():
+        users = {u for u, _, _ in events}
+        n_v = n_c = n_p = 0
+        for u in users:
+            mine = [(ts, typ) for uu, typ, ts in events if uu == u]
+            views = [ts for ts, typ in mine if typ == "view"]
+            if not views:
+                continue
+            n_v += 1
+            t1 = min(views)
+            clicks = [ts for ts, typ in mine if typ == "click" and ts > t1]
+            if not clicks:
+                continue
+            n_c += 1
+            t2 = min(clicks)
+            if any(typ == "purchase" and ts > t2 for ts, typ in mine):
+                n_p += 1
+        return {"view": n_v, "click": n_c, "purchase": n_p}
+
+    assert got == brute(), events
