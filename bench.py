@@ -46,6 +46,12 @@ def main() -> None:
 
     for df in load_tables(spark, sf_dir).values():
         df.write.format("noop").mode("overwrite").save()
+    # ...and the Python UDF workers: the daemon fork pool spins up on first
+    # use (~3 s measured), which would otherwise be charged entirely to the
+    # alphabetically-first pandas-UDF query instead of the session.
+    spark.range(64).repartition(64).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     queries = entrymod.queries()
     timings: dict[str, float] = {}
