@@ -83,3 +83,61 @@ def test_abort_publishes_nothing(tmp_path):
     w.abort([m], batchId=0)
     assert _read_all(dest, "epoch-*") == []
     assert os.listdir(os.path.join(dest, "_staging")) == []
+
+
+def test_source_to_sink_kill_restart_exactly_once(spark):
+    """Full Python-connector pipeline under failure: the custom stream
+    SOURCE feeds the custom epoch SINK, the query is killed mid-replay and
+    restarted from the same checkpoint. Published rows must be exactly the
+    source id range — the source's WAL cursor restore prevents re-reads,
+    and the sink's per-epoch marker turns the replayed in-flight epoch
+    into a no-op (the two halves of exactly-once, composed). Timing
+    tolerance: the kill may land anywhere, including after completion —
+    the invariant must hold in every case."""
+    import time
+
+    from twitter_flink_spark.sources.pyds import (
+        SOURCE_NAME,
+        register_datasource,
+    )
+
+    register_datasource(spark)
+    register_sink(spark)
+    dest = tempfile.mkdtemp(prefix="tfs-e2e-sink-")
+    ckpt = tempfile.mkdtemp(prefix="tfs-e2e-ck-")
+    n = 400
+
+    def start():
+        return (
+            spark.readStream.format(SOURCE_NAME)
+            .option("rows", n)
+            .option("rowsPerBatch", 80)
+            .option("numPartitions", 2)
+            .load()
+            .select("status_id")
+            .writeStream.format(SINK_NAME)
+            .option("path", dest)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    q = start()
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        if len(_read_all(dest, "epoch-*")) >= 100:
+            break
+        time.sleep(0.2)
+    q.stop()  # kill mid-replay (usually)
+    q2 = start()
+    deadline = time.monotonic() + 120
+    rows: list[dict] = []
+    while time.monotonic() < deadline:
+        rows = _read_all(dest, "epoch-*")
+        if len(rows) >= n:
+            break
+        time.sleep(0.5)
+    q2.stop()
+    ids = [r["status_id"] for r in rows]
+    assert len(ids) == n, f"expected {n} rows, got {len(ids)}"
+    assert set(ids) == set(range(n))  # no dupes (len check), no gaps
