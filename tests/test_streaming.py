@@ -414,3 +414,41 @@ def test_incremental_mv_bucket_pruned_merge(spark):
     assert mv2._last_batch_id == 1 and mv2._buckets == mv._buckets
     mv2.merge_batch(b1, 1)  # replay across restart: still a no-op
     assert mv2._buckets == mv._buckets
+
+
+def test_incremental_mv_crash_before_manifest_commit(spark):
+    """A crash AFTER bucket files are staged/renamed but BEFORE the
+    manifest commit must be invisible: the manifest is the only commit
+    point, so a restarted instance resumes from the last committed state,
+    re-merges the in-flight batch, and orphan version dirs are never
+    read."""
+    import os
+    import shutil
+
+    from twitter_flink_spark.streaming.pipeline import IncrementalMV
+
+    mv = IncrementalMV(spark, key_col="user_id", n_buckets=4)
+    b0 = spark.createDataFrame(
+        [(i, 1.0) for i in range(20)], "user_id long, value double"
+    )
+    mv.merge_batch(b0, 0)
+    manifest = open(mv._manifest_path()).read()
+
+    # simulate batch 1 crashing mid-write: orphan NEW version dirs exist
+    # (some buckets "renamed" already), but the manifest was never updated
+    for b, v in list(mv._buckets.items()):
+        orphan = mv._bucket_dir(b, v + 1)
+        os.makedirs(orphan, exist_ok=True)
+        shutil.copy(
+            os.path.join(
+                mv._bucket_dir(b, v), os.listdir(mv._bucket_dir(b, v))[0]
+            ),
+            os.path.join(orphan, "part-orphan.parquet"),
+        )
+
+    mv2 = IncrementalMV(spark, key_col="user_id", n_buckets=4, root=mv._root)
+    assert open(mv2._manifest_path()).read() == manifest  # committed state
+    assert mv2._buckets == mv._buckets  # orphans not adopted
+    mv2.merge_batch(b0, 1)  # the batch replays after restart
+    got = {r.user_id: (r.cnt, r.val) for r in mv2.snapshot().collect()}
+    assert got == {i: (2, 2.0) for i in range(20)}  # merged exactly once

@@ -511,6 +511,10 @@ class IncrementalMV:
                 superseded.append(self._bucket_dir(b, self._buckets[b]))
             dst = self._bucket_dir(b, new_v)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
+            # a crashed earlier attempt may have left an orphan dir at the
+            # next version slot; the manifest never referenced it, so it is
+            # dead weight — clear it before publishing the new files
+            shutil.rmtree(dst, ignore_errors=True)
             os.rename(src_dir, dst)
             self._buckets[b] = new_v
         self._last_batch_id = batch_id
