@@ -141,3 +141,24 @@ def test_source_to_sink_kill_restart_exactly_once(spark):
     ids = [r["status_id"] for r in rows]
     assert len(ids) == n, f"expected {n} rows, got {len(ids)}"
     assert set(ids) == set(range(n))  # no dupes (len check), no gaps
+
+
+def test_batch_writer_job_failure_publishes_nothing(spark):
+    """A task failure mid-job must leave the destination unpublished: no
+    .json files, no _SUCCESS manifest — the driver never reaches commit()
+    and abort() discards whatever tasks had staged."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    register_sink(spark)
+    dest = tempfile.mkdtemp(prefix="tfs-sink-abort-")
+    df = spark.range(10).select(
+        "id", F.expr("assert_true(id < 5, 'boom')").alias("chk")
+    )
+    with pytest.raises(Exception, match="boom"):
+        df.write.format(SINK_NAME).mode("overwrite").option(
+            "path", dest
+        ).save()
+    published = [f for f in os.listdir(dest) if f.endswith(".json")]
+    assert published == []
+    assert not os.path.exists(os.path.join(dest, "_SUCCESS"))
