@@ -35,3 +35,28 @@ def test_funnel_stages_monotone(spark):
     assert set(rows) == {"view", "click", "purchase"}
     assert rows["view"] >= rows["click"] >= rows["purchase"] >= 0
     assert rows["view"] > 0
+
+
+def test_pareto_frontier_empty_and_single(spark):
+    from twitter_flink_spark.queries.analytics import pareto_frontier
+
+    empty = spark.createDataFrame([], "id long, cost long, gain long")
+    assert pareto_frontier(empty, "cost", "gain").count() == 0
+    one = spark.createDataFrame([(1, 5, 5)], "id long, cost long, gain long")
+    assert pareto_frontier(one, "cost", "gain").count() == 1
+
+
+def test_streaks_empty_and_duplicate_days(spark):
+    from datetime import date
+
+    from twitter_flink_spark.queries.analytics import longest_daily_streaks
+
+    empty = spark.createDataFrame([], "u long, d date")
+    assert longest_daily_streaks(empty, "u", "d").count() == 0
+    # duplicate (user, day) rows must not inflate a streak
+    dup = spark.createDataFrame(
+        [(1, date(2024, 1, 1))] * 3 + [(1, date(2024, 1, 2))],
+        "u long, d date",
+    )
+    rows = longest_daily_streaks(dup, "u", "d").collect()
+    assert [(r.u, r.longest_streak) for r in rows] == [(1, 2)]
