@@ -462,9 +462,13 @@ def streaming_statestore_introspect(
     )
     q.awaitTermination(300)
     state = spark.read.format("statestore").load(ckpt)
-    # the state VALUE schema uses the physical aggregate name (count(1)),
-    # not the query alias — project it back to the oracle's column name
+    # the state VALUE schema uses the engine's physical aggregate-buffer
+    # field name (e.g. `count`), not the query alias, and that name is an
+    # implementation detail — resolve it from the returned schema (the
+    # buffer of a single count aggregate has exactly one field)
+    value_fields = state.schema["value"].dataType.names
+    assert len(value_fields) == 1, value_fields
     return state.select(
         F.col("key.event_type").alias("event_type"),
-        F.col("value.count").cast("long").alias("cnt"),
+        F.col(f"value.{value_fields[0]}").cast("long").alias("cnt"),
     )
