@@ -60,3 +60,20 @@ def test_streaks_empty_and_duplicate_days(spark):
     )
     rows = longest_daily_streaks(dup, "u", "d").collect()
     assert [(r.u, r.longest_streak) for r in rows] == [(1, 2)]
+
+
+def test_pareto_frontier_null_cost_rows_pass_through(spark):
+    """NOT-EXISTS dominance semantics for null costs: `y.cost < NULL` is
+    never true, so a null-cost row is neither dominated nor dominates —
+    it must survive unchanged instead of being dropped by the level
+    join's equi-key."""
+    from twitter_flink_spark.queries.analytics import pareto_frontier
+
+    df = spark.createDataFrame(
+        [(1, 1, 10), (2, 2, 5), (3, None, 99), (4, 2, 11)],
+        "id long, cost long, gain long",
+    )
+    got = {r.id for r in pareto_frontier(df, "cost", "gain").collect()}
+    # id=2 dominated by id=1 (cheaper, gain 10 >= 5); id=3 null cost kept;
+    # id=4 gain 11 > cheaper max 10 so kept
+    assert got == {1, 3, 4}

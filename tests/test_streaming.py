@@ -452,3 +452,49 @@ def test_incremental_mv_crash_before_manifest_commit(spark):
     mv2.merge_batch(b0, 1)  # the batch replays after restart
     got = {r.user_id: (r.cnt, r.val) for r in mv2.snapshot().collect()}
     assert got == {i: (2, 2.0) for i in range(20)}  # merged exactly once
+
+
+def test_incremental_mv_rejects_mismatched_bucketing(spark):
+    """Resuming an MV root with a different n_buckets (or key_col) must be
+    refused: prior rows would sit in buckets the new bucketing never
+    reads, and the snapshot would accumulate duplicate keys."""
+    import pytest
+
+    from twitter_flink_spark.streaming.pipeline import IncrementalMV
+
+    mv = IncrementalMV(spark, key_col="user_id", n_buckets=4)
+    b0 = spark.createDataFrame(
+        [(i, 1.0) for i in range(8)], "user_id long, value double"
+    )
+    mv.merge_batch(b0, 0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        IncrementalMV(spark, key_col="user_id", n_buckets=8, root=mv._root)
+    with pytest.raises(ValueError, match="key_col"):
+        IncrementalMV(spark, key_col="event_id", n_buckets=4, root=mv._root)
+    # matching parameters still resume fine
+    mv2 = IncrementalMV(spark, key_col="user_id", n_buckets=4, root=mv._root)
+    assert mv2._buckets == mv._buckets
+
+
+def test_await_or_raise_times_out_loudly(spark, tmp_path):
+    """awaitTermination returning False (query still running) must raise,
+    not let the caller read a partial sink."""
+    import pytest
+
+    from twitter_flink_spark.streaming.pipeline import await_or_raise
+
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "1")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        with pytest.raises(TimeoutError, match="still running"):
+            await_or_raise(q, 1)
+        assert not q.isActive  # await_or_raise stopped it
+    finally:
+        if q.isActive:
+            q.stop()

@@ -208,19 +208,27 @@ def pareto_frontier(
     distinct cost levels (orders of magnitude below row count), one
     running max over that tiny level table, broadcast it back —
     O(n) + O(levels) instead of an O(n^2) all-pairs anti-join. The only
-    sequential piece is the window over distinct LEVELS, never rows."""
-    levels = df.groupBy(cost_col).agg(F.max(gain_col).alias("level_max"))
+    sequential piece is the window over distinct LEVELS, never rows.
+
+    Null-cost rows follow the NOT-EXISTS dominance semantics: `cost <
+    NULL` is never true, so a null-cost row is neither dominated nor
+    dominates — it passes through unchanged, bypassing the level join
+    (whose equi-key would otherwise drop it)."""
+    nullcost = df.where(F.col(cost_col).isNull())
+    nonnull = df.where(F.col(cost_col).isNotNull())
+    levels = nonnull.groupBy(cost_col).agg(F.max(gain_col).alias("level_max"))
     w = Window.orderBy(cost_col).rowsBetween(Window.unboundedPreceding, -1)
     running = levels.select(
         cost_col, F.max("level_max").over(w).alias("__cheaper_max")
     )
     return (
-        df.join(F.broadcast(running), cost_col)
+        nonnull.join(F.broadcast(running), cost_col)
         .where(
             F.col("__cheaper_max").isNull()
             | (F.col(gain_col) > F.col("__cheaper_max"))
         )
         .drop("__cheaper_max")
+        .unionByName(nullcost)
     )
 
 

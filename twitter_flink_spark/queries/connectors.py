@@ -117,6 +117,22 @@ def streaming_pyds_tag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, output_mode="complete")
 
 
+def _scratch_dir(label: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf) scratch dir, cleared on entry — repeated
+    driver rounds reuse one path instead of leaking a mkdtemp per run."""
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        label + "-" + sf_dir.strip("/").replace("/", "-"),
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def _require_local(spark: SparkSession) -> None:
     master = spark.sparkContext.master
     if not master.startswith("local"):
@@ -143,14 +159,16 @@ def pyds_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back and verified row-for-row against the source table, proving the
     bytes survived the task-stage → driver-commit → publish cycle."""
     import os
-    import tempfile
 
     from twitter_flink_spark.sources.pyds_sink import SINK_NAME, register_sink
     from twitter_flink_spark.sources.tables import load_table
 
     _require_local(spark)
     register_sink(spark)
-    dest = tempfile.mkdtemp(prefix="tfs-pyds-sink-")
+    # deterministic dir, wiped per invocation — a fresh mkdtemp per run
+    # accumulates across repeated driver rounds (same reuse pattern as
+    # _ensure_split_events)
+    dest = _scratch_dir("tfs-pyds-sink", sf_dir)
     (
         load_table(spark, sf_dir, "events")
         .where(F.col("event_type") == "purchase")
@@ -160,7 +178,10 @@ def pyds_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("path", dest)
         .save()
     )
-    assert os.path.exists(os.path.join(dest, "_SUCCESS"))
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        # not an assert: the manifest check is the point of the query and
+        # must survive python -O
+        raise RuntimeError(f"pyds sink commit left no _SUCCESS in {dest}")
     return spark.read.schema("event_id long, user_id long, value double").json(
         os.path.join(dest, "part-*.json")
     )
@@ -186,16 +207,18 @@ def streaming_pyds_writer_roundtrip(
     exactly-once under the at-least-once delivery contract). The read-back
     aggregate must equal the one-shot batch aggregate over the source."""
     import os
-    import tempfile
 
     from twitter_flink_spark.queries.streaming import _ensure_split_events
     from twitter_flink_spark.sources.pyds_sink import SINK_NAME, register_sink
+    from twitter_flink_spark.streaming.pipeline import await_or_raise
 
     _require_local(spark)
     register_sink(spark)
     staged = _ensure_split_events(spark, sf_dir)
     schema = spark.read.parquet(staged).schema
-    dest = tempfile.mkdtemp(prefix="tfs-pyds-epoch-")
+    # dest and checkpoint are cleared TOGETHER: a retained checkpoint over a
+    # cleared dest would replay nothing and read back an empty sink
+    dest = _scratch_dir("tfs-pyds-epoch", sf_dir)
     q = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -204,12 +227,12 @@ def streaming_pyds_writer_roundtrip(
         .writeStream.format(SINK_NAME)
         .option("path", dest)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="tfs-pyds-epoch-ck-")
+            "checkpointLocation", _scratch_dir("tfs-pyds-epoch-ck", sf_dir)
         )
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     back = spark.read.schema("event_type string, value double").json(
         os.path.join(dest, "epoch-*.json")
     )

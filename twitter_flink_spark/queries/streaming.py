@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from twitter_flink_spark.registry import register
 from twitter_flink_spark.streaming.pipeline import (
     TopNFeedback,
+    await_or_raise,
     run_to_memory,
     windowed_stream_counts,
 )
@@ -422,7 +423,7 @@ def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return mv.snapshot().select(
         "user_id", "cnt", F.round("val", 2).alias("val")
     )
@@ -460,7 +461,7 @@ def streaming_statestore_introspect(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     state = spark.read.format("statestore").load(ckpt)
     # the state VALUE schema uses the engine's physical aggregate-buffer
     # field name (e.g. `count`), not the query alias, and that name is an

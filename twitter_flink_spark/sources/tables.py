@@ -95,7 +95,14 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     several partitions at read time), so the worst case is a redundant
     shuffle on a few-huge-files layout, never a missing one. A non-file
     input (memory relation, stream) reports no files and is left alone —
-    its partitioning came from the session, not a file layout."""
+    its partitioning came from the session, not a file layout.
+
+    Caller contract for NON-FILE inputs: because the file heuristic cannot
+    see their partitioning (and this helper deliberately avoids an
+    `df.rdd` probe, which would force plan translation), an in-memory
+    corpus that lives in one partition stays in one partition — callers
+    feeding e.g. ``topk_neighbors`` a memory relation must pre-partition
+    (`df.repartition(n, key)`) themselves."""
     n = df.sparkSession.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()

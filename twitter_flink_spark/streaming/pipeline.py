@@ -39,6 +39,21 @@ from pyspark.sql import functions as F
 from twitter_flink_spark.streaming.sources import stream_table
 
 
+def await_or_raise(q, timeout_s: int) -> None:
+    """``awaitTermination`` with the timeout made loud.
+
+    ``awaitTermination(timeout)`` returns False when the query is STILL
+    RUNNING — callers that ignore it read back partial sink output as if
+    the query had finished, a wrong-but-plausible result. Stop the query
+    and raise instead.
+    """
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} still running after {timeout_s}s"
+        )
+
+
 def windowed_stream_counts(
     src: DataFrame,
     ts_col: str = "ts",
@@ -97,7 +112,7 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "append",
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination(timeout_s)
+    await_or_raise(q, timeout_s)
     return spark.table(name)
 
 
@@ -320,7 +335,7 @@ class TopNFeedback:
             q = writer.start()
         finally:
             self.spark.conf.set("spark.sql.shuffle.partitions", prev)
-        q.awaitTermination(timeout_s)
+        await_or_raise(q, timeout_s)
 
     # -- filter side (reference O10-O12) --
 
@@ -345,7 +360,7 @@ class TopNFeedback:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        await_or_raise(q, timeout_s)
         import os
 
         if os.path.isdir(self._out_dir):
@@ -405,6 +420,16 @@ class IncrementalMV:
             # the state the reference loses on restart, kept durable here
             with open(self._manifest_path()) as fh:
                 m = json.load(fh)
+            # the bucketing function is part of the on-disk layout: resuming
+            # with a different n_buckets (or key) would route keys to buckets
+            # the merge never reads, silently accumulating duplicate keys
+            for attr in ("n_buckets", "key_col"):
+                if attr in m and m[attr] != getattr(self, attr):
+                    raise ValueError(
+                        f"IncrementalMV manifest at {self._root} was written "
+                        f"with {attr}={m[attr]!r}; resuming with "
+                        f"{getattr(self, attr)!r} would mis-bucket keys"
+                    )
             self._last_batch_id = m["last_batch_id"]
             self._buckets = {int(b): v for b, v in m["buckets"].items()}
 
@@ -429,6 +454,8 @@ class IncrementalMV:
                 {
                     "last_batch_id": self._last_batch_id,
                     "buckets": {str(b): v for b, v in self._buckets.items()},
+                    "n_buckets": self.n_buckets,
+                    "key_col": self.key_col,
                 },
                 fh,
             )
