@@ -322,3 +322,14 @@ def test_pareto_frontier_sequential_only_on_levels(spark):
     plan = plan_of(spark, "pareto_frontier_parts")
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_doc_lsh_candidates_equi_join_on_band(spark):
+    """The all-pairs doc-similarity join must generate candidates via an
+    EQUI self-join on (band, band_sig) — no all-pairs/cartesian stage may
+    exist anywhere in the plan, and the doc_a < doc_b predicate must ride
+    on the hash join, not a nested loop."""
+    plan = plan_of(spark, "doc_neardup_lsh_tfidf")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
+                     r".*band", plan), "band join is not an equi join"

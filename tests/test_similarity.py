@@ -44,3 +44,58 @@ def test_ivf_path_skips_the_guard(spark):
         corpus, queries, k=1, cell_col="cell", max_broadcast_queries=10
     )
     assert out.count() > 0
+
+
+def test_doc_lsh_finds_exact_duplicates(spark):
+    """Two identical documents have identical tf-idf vectors, hence
+    identical centered sign signatures — they MUST collide in every band
+    and verify at cosine 1.0 (integer dot == both norms)."""
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators.similarity import (
+        doc_signature_profile,
+        tfidf_fixed_point_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window batch stream table"),
+            (2, "spark window batch stream table"),
+            (3, "row filter order vector data data"),
+            (4, "completely different tokens here entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    w = tfidf_fixed_point_weights(docs)
+    prof = doc_signature_profile(w, 32, 4)
+    banded = prof.select("doc_id", F.posexplode("sigs").alias("band", "band_sig"))
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    cands = (
+        a.join(b, on=["band", "band_sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .collect()
+    )
+    hits = {(r.doc_a, r.doc_b): r.n_bands for r in cands}
+    assert hits.get((1, 2)) == 4  # identical docs collide in all 4 bands
+    prof12 = {
+        r.doc_id: r
+        for r in prof.where(F.col("doc_id").isin(1, 2)).collect()
+    }
+    assert prof12[1].sigs == prof12[2].sigs
+    assert prof12[1].nn == prof12[2].nn
+
+
+def test_doc_signature_profile_rejects_over_32_planes(spark):
+    import pytest
+
+    from twitter_flink_spark.operators.similarity import (
+        doc_signature_profile,
+        tfidf_fixed_point_weights,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="md5 digit budget"):
+        doc_signature_profile(tfidf_fixed_point_weights(docs), 64, 4)

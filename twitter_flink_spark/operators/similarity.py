@@ -174,3 +174,138 @@ def lsh_sign_bands(
     return vectors.select(
         F.col(id_col), F.posexplode(sigs).alias("band", "band_sig")
     )
+
+
+# ---------------------------------------------------------------------------
+# All-pairs document similarity: centered-hyperplane LSH over tf-idf vectors
+
+
+def tfidf_fixed_point_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 10000,
+) -> DataFrame:
+    """Fixed-point tf-idf term weights per document:
+    (id, term, w, n_docs) with ``w = round(tf * ln(n_docs/df) * scale)``
+    as a BIGINT.
+
+    Integer weights are the portability backbone of the LSH pipeline built
+    on top: every downstream sum (sign-bit margins, dot products, norms)
+    is exact integer arithmetic, so Spark and a SQL oracle agree
+    bit-for-bit regardless of partitioning or accumulation order — the
+    one place floats enter (ln, and the final cosine division) is a
+    correctly-rounded scalar op on identical inputs. Two aggregations,
+    both shuffling on `term` or `(id, term)`; document frequency is an
+    agg over the tf output, not a distinct over raw tokens."""
+    tok = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.countDistinct(id_col).alias("n_docs"))
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                * scale,
+                0,
+            )
+            .cast("long")
+            .alias("w"),
+            "n_docs",
+        )
+    )
+
+
+def _plane_sign(p: int, hash_col: str = "__h") -> Column:
+    """±1 hyperplane component for (term, plane p): hex digit p of ONE
+    md5(term) (computed once per row in a projection, shared by all
+    planes), digit <= '7' (8 of 16) → +1 else −1 — a balanced Rademacher
+    component the SQL oracle re-derives identically. One hash per term
+    instead of one per (term, plane): 32x fewer md5s and far smaller
+    generated code, at identical statistical quality (md5 digits are
+    independent uniform bits). Caps planes at 32 (md5 is 32 hex digits)."""
+    return (
+        F.when(F.substring(F.col(hash_col), p + 1, 1) <= "7", F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+    )
+
+
+def doc_signature_profile(
+    weights: DataFrame,
+    n_planes: int,
+    bands: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document LSH profile in ONE aggregation of the weight table:
+    (id, sigs array<string>, m map<term,w>, nn) — band signatures of the
+    MEAN-CENTERED tf-idf vector, plus the sparse weight map and squared
+    norm the verify stage needs.
+
+    Raw tf/tf-idf vectors are non-negative, so every pairwise angle is
+    acute and sign-bit LSH barely discriminates; centering (subtracting
+    the per-term corpus mean) spreads directions over the full sphere.
+    Centering never materializes dense vectors: the centered margin
+    factors into ``n_docs * S_p(doc) - C_p`` where ``S_p(doc) = Σ w·s_p``
+    over the doc's own terms (sparse) and ``C_p = Σ_terms totw·s_p`` is
+    one corpus constant per plane (a broadcast 1-row table). All integer
+    arithmetic — exact under any partitioning, and exactly mirrored by
+    the SQL oracle.
+
+    Fusing signature sums, the weight map, and the norm into one groupBy
+    means the weight table is shuffled by id ONCE; banding and
+    verification both read this per-doc profile (corpus-row-count sized,
+    tiny next to the term-level table)."""
+    if n_planes > 32:
+        raise ValueError("n_planes > 32 exceeds the md5 digit budget")
+    r = n_planes // bands
+    hashed = weights.withColumn("__h", F.md5(F.col("term")))
+    docagg = hashed.groupBy(F.col(id_col), F.col("n_docs")).agg(
+        *[
+            F.sum(F.col("w") * _plane_sign(p)).alias(f"s{p}")
+            for p in range(n_planes)
+        ],
+        F.map_from_entries(F.collect_list(F.struct("term", "w"))).alias("m"),
+        F.sum(F.col("w") * F.col("w")).alias("nn"),
+    )
+    termtot = (
+        weights.groupBy("term")
+        .agg(F.sum("w").alias("tw"))
+        .withColumn("__h", F.md5(F.col("term")))
+    )
+    consts = termtot.agg(
+        *[F.sum(F.col("tw") * _plane_sign(p)).alias(f"c{p}") for p in range(n_planes)]
+    )
+    joined = docagg.join(F.broadcast(consts))
+    bits = [
+        F.when(
+            F.col("n_docs") * F.col(f"s{p}") - F.col(f"c{p}") >= 0, "1"
+        ).otherwise("0")
+        for p in range(n_planes)
+    ]
+    sigs = F.array(*[F.concat(*bits[b * r : (b + 1) * r]) for b in range(bands)])
+    return joined.select(F.col(id_col), sigs.alias("sigs"), "m", "nn")
+
+
+def centered_sign_bands(
+    weights: DataFrame,
+    n_planes: int,
+    bands: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, band_sig) LSH signatures of mean-centered tf-idf vectors
+    (see ``doc_signature_profile``). Bit agreement prob is
+    ``1 - θ_centered/π``; a band of r bits collides at that to the r-th
+    power — bands trade recall for candidate count exactly like MinHash
+    banding (operators/dedup.py:62)."""
+    prof = doc_signature_profile(weights, n_planes, bands, id_col=id_col)
+    return prof.select(
+        F.col(id_col), F.posexplode("sigs").alias("band", "band_sig")
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from twitter_flink_spark.operators.similarity import (
     dot,
@@ -368,4 +369,181 @@ def int8_quantized_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score_raw", 6).alias("score"),
             "rank",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# All-pairs document near-dup: centered-hyperplane LSH over tf-idf vectors
+
+#: 32 planes in 4 bands of 8 bits; fixed-point tf-idf scale 1e4; keep
+#: pairs with exact tf-idf cosine >= 0.9. Same literals in Spark + oracle.
+_DOC_LSH_PLANES = 32
+_DOC_LSH_BANDS = 4
+_DOC_LSH_SCALE = 10000
+_DOC_LSH_THRESHOLD = 0.9
+
+
+def _doc_lsh_oracle(
+    planes: int = _DOC_LSH_PLANES,
+    bands: int = _DOC_LSH_BANDS,
+    scale: int = _DOC_LSH_SCALE,
+    thresh: float = _DOC_LSH_THRESHOLD,
+) -> str:
+    r = planes // bands
+    sgn = (
+        "(CASE WHEN substr(md5(term), {pos}, 1) <= '7' "
+        "THEN 1 ELSE -1 END)"
+    )
+    s_exprs = ",\n         ".join(
+        f"sum(w * {sgn.format(pos=p + 1)}) AS s{p}" for p in range(planes)
+    )
+    c_exprs = ",\n         ".join(
+        f"CAST(sum(tw * {sgn.format(pos=p + 1)}) AS BIGINT) AS c{p}"
+        for p in range(planes)
+    )
+    b_exprs = ",\n         ".join(
+        f"(CASE WHEN n_docs * s{p} - c{p} >= 0 THEN '1' ELSE '0' END) AS b{p}"
+        for p in range(planes)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {c} AS band_sig FROM bits".format(
+            b=b, c=" || ".join(f"b{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * {scale},
+                    0) AS BIGINT) AS w,
+         n.n_docs
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+termtot AS (SELECT term, sum(w) AS tw FROM w GROUP BY term),
+cc AS (SELECT {c_exprs}
+  FROM termtot),
+sums AS (
+  SELECT doc_id, any_value(n_docs) AS n_docs,
+         {s_exprs}
+  FROM w GROUP BY doc_id),
+bits AS (
+  SELECT doc_id,
+         {b_exprs}
+  FROM sums CROSS JOIN cc),
+banded AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b USING (band, band_sig)
+  WHERE a.doc_id < b.doc_id
+),
+norm AS (SELECT doc_id, sum(w * w) AS nn FROM w GROUP BY doc_id),
+dots AS (
+  SELECT c.doc_a, c.doc_b, sum(wa.w * wb.w) AS dot
+  FROM cand c
+  JOIN w wa ON wa.doc_id = c.doc_a
+  JOIN w wb ON wb.doc_id = c.doc_b AND wb.term = wa.term
+  GROUP BY 1, 2
+)
+SELECT d.doc_a, d.doc_b,
+       round(d.dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) AS cosine
+FROM dots d JOIN norm na ON na.doc_id = d.doc_a
+            JOIN norm nb ON nb.doc_id = d.doc_b
+WHERE d.dot / (sqrt(na.nn) * sqrt(nb.nn)) >= {thresh}
+"""
+
+
+@register("doc_neardup_lsh_tfidf", oracle=_doc_lsh_oracle())
+def doc_neardup_lsh_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs document near-dup via LSH banding over tf-idf vectors —
+    corpus-vs-corpus similarity with NO query side, the doc-level analog
+    of `embedding_cosine_neardup` and the missing piece between it and
+    MinHash (`operators/dedup.py`): MinHash catches shingle-set overlap,
+    this catches cosine-of-weights similarity (docs that share weighted
+    vocabulary without sharing exact n-grams).
+
+    Pipeline: fixed-point tf-idf weights → centered-hyperplane sign
+    signatures (`operators/similarity.py::centered_sign_bands`) → equi
+    self-join on (band, band_sig) for candidates → exact integer-dot
+    cosine verify on candidates only. At 100 TB: no all-pairs stage
+    exists; the self-join shuffles on band hash (AQE splits skewed
+    buckets), verification joins only candidate pairs against the weight
+    table, and every sum is an exact integer so results are partition-
+    order independent. Recall at a given cosine is the banding collision
+    probability — tunable via bands, like every LSH; the oracle
+    recomputes identical signatures so the check is exact for the
+    implementation."""
+    from twitter_flink_spark.operators.similarity import (
+        doc_signature_profile,
+        tfidf_fixed_point_weights,
+    )
+    from twitter_flink_spark.sources.tables import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the term-level weight table feeds the per-doc profile agg and the
+    # term-total constants — persist instead of re-deriving the
+    # tokenize+tf+df pipeline per consumer
+    w = tfidf_fixed_point_weights(
+        spread(docs, "doc_id"), scale=_DOC_LSH_SCALE
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE per-doc aggregation carries signatures + weight map + norm;
+    # banding posexplodes it, verification joins it — the term-level table
+    # is shuffled by doc exactly once
+    prof = doc_signature_profile(
+        w, _DOC_LSH_PLANES, _DOC_LSH_BANDS
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = prof.select(
+        "doc_id", F.posexplode("sigs").alias("band", "band_sig")
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    cands = (
+        a.join(b, on=["band", "band_sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verify on the PRE-GROUPED profile (term->w map + norm per doc):
+    # two equi-joins of the candidate pairs against a doc-count-sized
+    # side, then a JVM-side map-intersection dot — instead of re-exploding
+    # candidates to (pair x term) rows and re-aggregating (the exploded
+    # join shuffles |cand| x terms rows). Integer adds are
+    # order-independent, so map-key iteration order (which follows
+    # partition-dependent collect_list order) cannot change the dot.
+    return (
+        cands.join(
+            prof.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("m").alias("ma"),
+                F.col("nn").alias("na"),
+            ),
+            on="doc_a",
+        )
+        .join(
+            prof.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("m").alias("mb"),
+                F.col("nn").alias("nb"),
+            ),
+            on="doc_b",
+        )
+        .withColumn(
+            "dot",
+            F.expr(
+                "aggregate(map_keys(ma), 0L, (acc, k) -> "
+                "acc + ifnull(element_at(ma, k) * try_element_at(mb, k), 0L))"
+            ),
+        )
+        .withColumn("__cos", F.col("dot") / (F.sqrt("na") * F.sqrt("nb")))
+        .where(F.col("__cos") >= _DOC_LSH_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("__cos", 6).alias("cosine"))
     )
