@@ -55,3 +55,47 @@ def test_star_equals_label_propagation_on_multi_component(spark):
     b = _labels(connected_components_star(pairs))
     assert a == b
     assert {c for _, c in b} == {0, 10, 100, 201}
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    """pagerank() must equal a plain-Python power iteration with the same
+    per-node formula, init, rounding and iteration count."""
+    from twitter_flink_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    # reference computation (same decimal-rounded contributions)
+    from collections import defaultdict
+    from decimal import Decimal
+
+    out = defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    nodes = sorted({n for e in edges for n in e})
+    pr = {n: 1.0 for n in nodes}
+    for _ in range(3):
+        recv = defaultdict(Decimal)
+        for s, ds in out.items():
+            c = Decimal(str(round(pr[s] / len(ds), 8)))
+            for d in ds:
+                recv[d] += c
+        pr = {n: (1.0 - 0.85) + 0.85 * float(recv[n]) for n in nodes}
+
+    got = {r.node: r.pr for r in pagerank(df, iters=3).collect()}
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert abs(got[n] - pr[n]) < 1e-12, (n, got[n], pr[n])
+
+
+def test_pagerank_star_center_dominates(spark):
+    """Bidirectional star: the hub must outrank every leaf, and leaves
+    must tie exactly (symmetry — also a determinism check)."""
+    from twitter_flink_spark.operators.graph import pagerank
+
+    leaves = [f"l{i}" for i in range(6)]
+    edges = [("hub", l) for l in leaves] + [(l, "hub") for l in leaves]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.pr for r in pagerank(df, iters=4).collect()}
+    assert all(got["hub"] > got[l] for l in leaves)
+    assert len({got[l] for l in leaves}) == 1

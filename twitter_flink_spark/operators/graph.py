@@ -212,3 +212,73 @@ def connected_components_star(
             F.coalesce("label", "node").alias("cluster_id"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list:
+    ``pr_{k+1}(v) = (1-d) + d * Σ_{u→v} pr_k(u)/outdeg(u)`` (per-node
+    form; dangling nodes keep receiving but contribute nothing). Returns
+    (node, pr) after ``iters`` rounds from ``pr_0 = 1``.
+
+    Fixed iteration count (not convergence-tested) keeps the result a
+    pure function of the input — reproducible and oracle-expressible as
+    unrolled SQL. Same iterative-DataFrame discipline as
+    `connected_components`: one self-contained shuffle join per round,
+    `localCheckpoint` to truncate lineage, previous round's blocks freed.
+
+    Cross-engine determinism: each in-neighbor contribution is rounded to
+    8 decimals and accumulated as DECIMAL — exact and order-independent —
+    then one double multiply/add per node; float summation order can
+    never change a rank."""
+    sc = edges.sparkSession.sparkContext
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    before = _persistent_rdd_ids(sc)
+    e = e.distinct().localCheckpoint()
+    e_ids = _persistent_rdd_ids(sc) - before
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # edges pre-joined with out-degree once — the loop reuses it per round
+    esrc = e.join(outdeg, "src").localCheckpoint()
+    pr = nodes.select("node", F.lit(1.0).alias("pr"))
+    pr_ids: set[int] = set()
+    for _ in range(iters):
+        contribs = (
+            esrc.join(pr, esrc.src == pr.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("pr") / F.col("od"), 8)
+                .cast("decimal(28,8)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        before = _persistent_rdd_ids(sc)
+        new_pr = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+        new_ids = _persistent_rdd_ids(sc) - before
+        _unpersist_ids(sc, pr_ids)
+        pr, pr_ids = new_pr, new_ids
+    _unpersist_ids(sc, e_ids)
+    return pr

@@ -340,3 +340,238 @@ def longest_daily_streaks(
         .groupBy(user_col)
         .agg(F.max("__streak").alias("longest_streak"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution
+
+#: inverse-linear time decay: weight = 1 / (1 + hours between touch and
+#: purchase). Rational in exact integers, so both engines compute the
+#: identical double (unlike pow()-based decays, which cross libm).
+_ATTR_DECAY_SECS = 3600
+
+
+@register(
+    "attribution_multi_touch",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, ts, value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+  FROM events WHERE event_type IN ('purchase', 'click', 'view')
+),
+tagged AS (
+  SELECT *,
+    first_value(CASE WHEN kind = 1 THEN event_id END IGNORE NULLS) OVER w
+      AS p_id,
+    first_value(CASE WHEN kind = 1 THEN ts END IGNORE NULLS) OVER w AS p_ts,
+    first_value(CASE WHEN kind = 1 THEN value END IGNORE NULLS) OVER w
+      AS p_value
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+touches AS (
+  SELECT event_type AS channel, event_id, p_id, p_value,
+         1.0 / (1 + (CAST(floor(epoch(p_ts)) AS BIGINT)
+                     - CAST(floor(epoch(ts)) AS BIGINT)) // {_ATTR_DECAY_SECS})
+           AS w
+  FROM tagged WHERE kind = 0 AND p_id IS NOT NULL
+),
+per_purchase AS (
+  SELECT channel, event_id, p_id, p_value,
+         CAST(round(w, 6) AS DECIMAL(18,6)) AS wdec,
+         count(*) OVER (PARTITION BY p_id) AS n_touches,
+         sum(CAST(round(w, 6) AS DECIMAL(18,6))) OVER (PARTITION BY p_id)
+           AS sw
+  FROM touches
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       round(sum(CAST(round(p_value / n_touches, 6) AS DECIMAL(18,6))), 2)
+         AS linear_credit,
+       round(sum(CAST(round(
+         p_value * (CAST(wdec AS DOUBLE) / CAST(sw AS DOUBLE)), 6)
+         AS DECIMAL(18,6))), 2) AS decay_credit
+FROM per_purchase
+GROUP BY channel
+""",
+)
+def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution, linear + time-decay: every click/view
+    attributes to the SAME USER's next purchase; a purchase's value is
+    split equally across its touches (linear) and proportionally to
+    ``1/(1 + hours-before-purchase)`` (time decay). Extends the as-of
+    last-touch join (`asof_join_purchase_attribution`) to the full touch
+    set.
+
+    Scale shape: touches meet their next purchase via ONE union + one
+    window (`first_value ignore nulls` over the forward frame) per user —
+    never a (touch x purchase) range join; the per-purchase normalization
+    is a windowed sum over the touch set. Cross-engine determinism: decay
+    weights are rationals of exact integers; every channel-level money sum
+    accumulates ROUNDED DECIMALS (order-independent), so partitioning
+    cannot change the hash."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.where(
+        F.col("event_type").isin("purchase", "click", "view")
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("kind"),
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    p_col = lambda c: F.first(  # noqa: E731
+        F.when(F.col("kind") == 1, F.col(c)), ignorenulls=True
+    ).over(fwd)
+    tagged = ev.select(
+        "*",
+        p_col("event_id").alias("p_id"),
+        p_col("ts").alias("p_ts"),
+        p_col("value").alias("p_value"),
+    )
+    touches = tagged.where(
+        (F.col("kind") == 0) & F.col("p_id").isNotNull()
+    ).select(
+        F.col("event_type").alias("channel"),
+        "event_id",
+        "p_id",
+        "p_value",
+        (
+            F.lit(1.0)
+            / (
+                1
+                + F.floor(
+                    (F.unix_timestamp("p_ts") - F.unix_timestamp("ts"))
+                    / _ATTR_DECAY_SECS
+                )
+            )
+        ).alias("w"),
+    )
+    pw = Window.partitionBy("p_id")
+    per_purchase = touches.select(
+        "channel",
+        "p_id",
+        "p_value",
+        F.round("w", 6).cast("decimal(18,6)").alias("wdec"),
+        F.count(F.lit(1)).over(pw).alias("n_touches"),
+        F.sum(F.round("w", 6).cast("decimal(18,6)")).over(pw).alias("sw"),
+    )
+    return per_purchase.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(
+            F.sum(
+                F.round(F.col("p_value") / F.col("n_touches"), 6).cast(
+                    "decimal(18,6)"
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("linear_credit"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("p_value")
+                    * (
+                        F.col("wdec").cast("double")
+                        / F.col("sw").cast("double")
+                    ),
+                    6,
+                ).cast("decimal(18,6)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("decay_credit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    # literals mirror the Spark operator bit-for-bit: base is computed as
+    # (1 - 0.85) IN DOUBLE (= 0.15000000000000002), never the decimal 0.15
+    d = "CAST(0.85 AS DOUBLE)"
+    base = "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
+    ctes = [
+        """edges0 AS (
+  SELECT DISTINCT 'c:' || o.o_custkey AS src, 's:' || l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT src, dst FROM edges0
+  UNION
+  SELECT dst AS src, src AS dst FROM edges0
+),
+outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+pr0 AS (SELECT node, CAST(1 AS DOUBLE) AS pr FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""pr{k} AS (
+  SELECT n.node,
+         {base} + {d} * coalesce(CAST(s.s AS DOUBLE), CAST(0 AS DOUBLE)) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           sum(CAST(round(p.pr / o.od, 8) AS DECIMAL(28,8))) AS s
+    FROM edges e
+    JOIN outdeg o ON o.src = e.src
+    JOIN pr{k - 1} p ON p.node = e.src
+    GROUP BY 1
+  ) s ON s.node = n.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, round(pr, 6) AS pagerank FROM pr{iters}"
+    )
+
+
+@register("pagerank_cust_supplier", oracle=_pagerank_oracle())
+def pagerank_cust_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, d=0.85) over the bipartite
+    customer↔supplier trade graph derived from orders x lineitem — the
+    iterative-scoring workload (influence/centrality over a derived edge
+    table) on the `operators/graph.py` iteration scaffolding:
+    localCheckpoint per round truncates lineage, each round is one
+    edges⋈ranks shuffle join + an exact decimal contribution sum. Edges
+    run BOTH directions so rank actually propagates across rounds
+    (one-directional bipartite edges would freeze after round 2). The
+    oracle unrolls the identical three iterations as plain CTEs — no
+    recursive-SQL dependence."""
+    from twitter_flink_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    bidir = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(bidir, iters=3, damping=0.85)
+    return pr.select("node", F.round("pr", 6).alias("pagerank"))

@@ -970,3 +970,117 @@ def filter_by_length_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
         .select("doc_id", "n_chars", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+
+#: query terms (one rare + two common, so idf actually differentiates) and
+#: the standard Robertson parameters; identical literals in Spark + oracle.
+_BM25_TERMS = ("dup", "vector", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    vals = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+),
+t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+q(term) AS (VALUES {vals}),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * ((tf.tf * ({_BM25_K1} + 1)) /
+              (tf.tf + {_BM25_K1} * ((1 - {_BM25_B}) + {_BM25_B}
+                 * (dl.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))),
+           6) AS DECIMAL(18,6)) AS contrib
+  FROM tf
+  JOIN q USING (term)
+  JOIN dl USING (doc_id)
+  JOIN dfreq d USING (term)
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT doc_id, sum(contrib) AS sdec,
+         CAST(count(*) AS BIGINT) AS n_matched
+  FROM contrib GROUP BY 1
+)
+SELECT doc_id, n_matched, round(CAST(sdec AS DOUBLE), 4) AS score,
+       CAST(row_number() OVER (ORDER BY sdec DESC, doc_id) AS INTEGER) AS rank
+FROM scores
+ORDER BY rank
+LIMIT 10
+"""
+
+
+@register("bm25_topk_docs", oracle=_bm25_oracle())
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a broadcast query-term set — the canonical
+    retrieval scorer the tf-idf stack composes into (idf here is the
+    Robertson ``ln(1 + (N - df + .5)/(df + .5))`` form; length
+    normalization via ``dl/avgdl`` with k1=1.2, b=0.75).
+
+    Scale/portability design: the query side is a tiny broadcast table, so
+    term statistics join against the tf table without shuffling it beyond
+    the tf aggregation itself; per-(doc, term) contributions are rounded
+    then summed as DECIMAL — an exact, order-independent accumulation, so
+    ranking on the decimal sum cannot be flipped by float summation order
+    across partitionings (ties broken by doc_id). Top-10 is
+    sort-limit (TakeOrderedAndProject), never a global rank over all
+    docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        spread(docs, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    q = spark.createDataFrame([(term,) for term in _BM25_TERMS], "term string")
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(_BM25_K1 + 1)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (F.lit(1 - _BM25_B) + F.lit(_BM25_B) * (F.col("dl") / avgdl))
+    )
+    contrib = (
+        tf.join(F.broadcast(q), on="term")
+        .join(dl, on="doc_id")
+        .join(F.broadcast(dfreq.join(F.broadcast(q), on="term")), on="term")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * tf_part, 6).cast("decimal(18,6)").alias("contrib"),
+        )
+    )
+    scores = contrib.groupBy("doc_id").agg(
+        F.sum("contrib").alias("sdec"), F.count(F.lit(1)).alias("n_matched")
+    )
+    top = scores.orderBy(F.col("sdec").desc(), F.col("doc_id")).limit(10)
+    w = Window.orderBy(F.col("sdec").desc(), F.col("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "doc_id",
+            "n_matched",
+            F.round(F.col("sdec").cast("double"), 4).alias("score"),
+            "rank",
+        )
+        .orderBy("rank")
+    )
