@@ -22,3 +22,34 @@ def test_properties_then_cli_merge(tmp_path):
     merged = resolve(["--properties", str(props), "--N", "7"])
     assert merged.windowSize == 120  # from file
     assert merged.N == 7  # CLI wins
+
+
+def test_locations_and_followings_parse(tmp_path):
+    """Endpoint parity with TwitterFilterEndpoint.java:46-66: locations
+    (bounding boxes) and followings (user ids) resolve from properties and
+    CLI like every other key."""
+    props = tmp_path / "pipeline.properties"
+    props.write_text(
+        "locations = -122.75,36.8,-121.75,37.8;-74.0,40.0,-73.0,41.0\n"
+        "followings = 123,456\n"
+    )
+    cfg = from_properties(str(props))
+    assert cfg.location_boxes == [
+        (-122.75, 36.8, -121.75, 37.8),
+        (-74.0, 40.0, -73.0, 41.0),
+    ]
+    assert cfg.following_ids == [123, 456]
+
+    merged = resolve(["--properties", str(props), "--followings", "789"])
+    assert merged.following_ids == [789]  # CLI wins
+    assert merged.location_boxes[0] == (-122.75, 36.8, -121.75, 37.8)
+
+    bad = PipelineConfig(locations="1,2,3")
+    try:
+        bad.location_boxes
+        raise AssertionError("3-coordinate box must be rejected")
+    except ValueError:
+        pass
+
+    assert PipelineConfig().location_boxes == []
+    assert PipelineConfig().following_ids == []

@@ -333,3 +333,25 @@ def test_doc_lsh_candidates_equi_join_on_band(spark):
     assert "CartesianProduct" not in plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
                      r".*band", plan), "band join is not an equi join"
+
+
+def test_weighted_sample_uses_window_group_limit(spark):
+    """A-ES per-stratum top-k must run as WindowGroupLimit (per-partition
+    heap before the stratum shuffle), not a full sort of all keys."""
+    plan = plan_of(spark, "weighted_sample_aes")
+    assert "WindowGroupLimit" in plan
+
+
+def test_quantile_bucket_join_no_range_cross_product(spark):
+    """The banding join must be an equi BroadcastHashJoin on band_id; the
+    only nested-loop joins allowed are the 1-row boundary attaches — no
+    range-conditioned cross-product of fact x bands may exist."""
+    plan = plan_of(spark, "quantile_bucket_join_lineitem")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "band_id" in plan
+    # nested-loop joins may exist only to attach the broadcast 1-row
+    # boundary aggregate; none may range-compare against the band
+    # dimension's lo/hi columns (that would be the theta-join we rewrote)
+    for seg in plan.split("BroadcastNestedLoopJoin")[1:]:
+        cond_line = seg.splitlines()[0]
+        assert not re.search(r"(lo|hi)#\d+", cond_line), cond_line

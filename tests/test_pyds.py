@@ -179,3 +179,56 @@ def test_stream_restart_resumes_exactly(spark):
     # exactly-once across the kill: full range, no duplicates, no skips
     assert len(ids) == N, f"expected {N} rows, got {len(ids)}"
     assert set(ids) == set(range(N))
+
+
+def test_track_term_contains_pushed_into_reader():
+    """contains(text, term) — the track-term filter shape — is absorbed by
+    the connector like the reference pushes track terms server-side
+    (`TwitterFilterEndpoint.java:34-36,61-64`); other predicates hand
+    back."""
+    from pyspark.sql.datasource import StringContains
+
+    reader = SyntheticStatusBatchReader({"rows": "64", "numPartitions": "2"})
+    leftover = list(
+        reader.pushFilters(
+            [
+                StringContains(("text",), "tag3"),
+                EqualTo(("lang",), "en"),
+                GreaterThan(("status_id",), 10),
+            ]
+        )
+    )
+    assert reader.track_terms == ["tag3"]
+    assert reader.lang_filter == "en"
+    assert leftover == [GreaterThan(("status_id",), 10)]
+    produced = [
+        row for part in reader.partitions() for row in reader.read(part)
+    ]
+    expected = [
+        status_row(i)
+        for i in range(64)
+        if "tag3" in status_row(i)[1] and status_row(i)[3] == "en"
+    ]
+    assert produced == expected and produced
+
+
+def test_track_term_pushdown_end_to_end(spark):
+    """The contains predicate must vanish from the optimized plan (absorbed
+    at the source) and the result must equal post-hoc filtering."""
+    register_datasource(spark)
+    df = (
+        spark.read.format(SOURCE_NAME)
+        .option("rows", "64")
+        .load()
+        .where(F.col("text").contains("tag3"))
+    )
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    residual = [
+        ln
+        for ln in optimized.splitlines()
+        if "Filter" in ln and "contains" in ln.lower()
+    ]
+    assert residual == [], optimized
+    assert df.count() == sum(
+        1 for i in range(64) if "tag3" in status_row(i)[1]
+    )

@@ -30,6 +30,12 @@ class PipelineConfig:
     # source-side filters (TwitterFilterEndpoint.java:46-66)
     track: str = ""  # comma-separated track terms
     language: str = ""  # comma-separated language codes
+    # semicolon-separated bounding boxes "swLon,swLat,neLon,neLat;..."
+    # (TwitterFilterEndpoint.java:38-40,57-60 endpoint.locations)
+    locations: str = ""
+    # comma-separated user ids (TwitterFilterEndpoint.java:42-44,52-55
+    # endpoint.followings)
+    followings: str = ""
     # sink (TopNHashtags.properties:30-31)
     redisHost: str = ""
     redisPort: int = 6379
@@ -52,6 +58,25 @@ class PipelineConfig:
     @property
     def languages(self) -> list[str]:
         return [t.strip() for t in self.language.split(",") if t.strip()]
+
+    @property
+    def location_boxes(self) -> list[tuple[float, float, float, float]]:
+        """Bounding boxes as (swLon, swLat, neLon, neLat) tuples."""
+        boxes = []
+        for box in self.locations.split(";"):
+            if not box.strip():
+                continue
+            parts = [float(c) for c in box.split(",")]
+            if len(parts) != 4:
+                raise ValueError(
+                    f"location box needs 4 coordinates, got {box!r}"
+                )
+            boxes.append(tuple(parts))
+        return boxes
+
+    @property
+    def following_ids(self) -> list[int]:
+        return [int(t) for t in self.followings.split(",") if t.strip()]
 
 
 def from_properties(path: str) -> PipelineConfig:

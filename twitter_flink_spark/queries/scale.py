@@ -241,3 +241,182 @@ def range_sorted_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (Efraimidis–Spirakis A-ES)
+
+_AES_K = 10  #: sample size per stratum
+_AES_HEX_DIGITS = 8  #: md5 digits feeding the uniform (32 bits)
+
+
+def _aes_oracle() -> str:
+    # hex -> BIGINT without conv(): positional digit sum (strpos over the
+    # hex alphabet), generated once — DuckDB has no base-conversion fn
+    digit_terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1) "
+        f"* {16 ** (_AES_HEX_DIGITS - 1 - j)}"
+        for j in range(_AES_HEX_DIGITS)
+    )
+    denom = float(16**_AES_HEX_DIGITS)
+    return f"""
+WITH h AS (
+  SELECT lang, doc_id, n_chars, md5('aes:' || doc_id) AS hx
+  FROM documents WHERE n_chars > 0
+),
+v AS (
+  SELECT lang, doc_id, n_chars, {digit_terms} AS v
+  FROM h
+),
+keyed AS (
+  SELECT lang, doc_id, n_chars,
+         round(-ln((v + 0.5) / {denom}) / n_chars, 10) AS es_key
+  FROM v
+)
+SELECT lang, doc_id, n_chars, es_key, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY lang ORDER BY es_key, doc_id) AS INTEGER) AS rank
+  FROM keyed
+)
+WHERE rank <= {_AES_K}
+"""
+
+
+@register("weighted_sample_aes", oracle=_aes_oracle())
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, stratified per lang:
+    Efraimidis–Spirakis A-ES — each row gets key ``-ln(u)/w`` (u a
+    deterministic md5-seeded uniform, w = n_chars) and the k smallest
+    keys per stratum are the sample, with inclusion probability
+    proportional to weight. ONE pass over the data + a per-stratum top-k
+    (WindowGroupLimit heap before the shuffle) — no global sort, no
+    rejection loop, no second scan; this is how a 100 TB corpus draws a
+    weighted subsample. md5-seeding makes the draw reproducible AND
+    SQL-expressible: the oracle re-derives identical uniforms (Spark
+    converts hex via ``conv``; the oracle sums hex digits positionally),
+    and ranking uses the ROUNDED key so a 1-ulp ``ln`` difference across
+    engines cannot flip an order."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    hexv = F.substring(
+        F.md5(F.concat(F.lit("aes:"), F.col("doc_id").cast("string"))),
+        1,
+        _AES_HEX_DIGITS,
+    )
+    v = F.conv(hexv, 16, 10).cast("long")
+    u = (v + F.lit(0.5)) / F.lit(float(16**_AES_HEX_DIGITS))
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.round(-F.log(u) / F.col("n_chars"), 10).alias("es_key"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("es_key").asc(), F.col("doc_id").asc()
+    )
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _AES_K)
+        .select("lang", "doc_id", "n_chars", "es_key", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile-bucket equi-join (the scalable theta-range-join alternative)
+
+
+@register(
+    "quantile_bucket_join_lineitem",
+    oracle="""
+WITH levels AS (
+  SELECT l_quantity AS v, count(*) AS c FROM lineitem GROUP BY 1
+),
+n AS (SELECT count(*) AS n FROM lineitem),
+cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc
+  FROM levels
+),
+bnd AS (
+  SELECT
+    min(CASE WHEN cc >= ceil(0.25 * n.n) THEN v END) AS b1,
+    min(CASE WHEN cc >= ceil(0.50 * n.n) THEN v END) AS b2,
+    min(CASE WHEN cc >= ceil(0.75 * n.n) THEN v END) AS b3
+  FROM cum CROSS JOIN n
+),
+bands AS (
+  SELECT 1 AS band_id, CAST(NULL AS DOUBLE) AS lo, b1 AS hi FROM bnd
+  UNION ALL SELECT 2, b1, b2 FROM bnd
+  UNION ALL SELECT 3, b2, b3 FROM bnd
+  UNION ALL SELECT 4, b3, CAST(NULL AS DOUBLE) FROM bnd
+),
+fact AS (
+  SELECT l.l_extendedprice,
+         1 + CAST(l.l_quantity >= bnd.b1 AS INT)
+           + CAST(l.l_quantity >= bnd.b2 AS INT)
+           + CAST(l.l_quantity >= bnd.b3 AS INT) AS band_id
+  FROM lineitem l CROSS JOIN bnd
+)
+SELECT b.band_id, b.lo, b.hi,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(f.l_extendedprice), 2) AS revenue
+FROM fact f JOIN bands b USING (band_id)
+GROUP BY 1, 2, 3
+""",
+)
+def quantile_bucket_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-range join (`fact.value BETWEEN band.lo AND band.hi`) rewritten
+    as a quantile-bucket EQUI-join — the scale-path for histogram/banding
+    joins that would otherwise plan a BroadcastNestedLoopJoin cross-product
+    of fact x bands.
+
+    Three pieces, none of which touches a range join: (1) exact DISCRETE
+    quartile boundaries of l_quantity via the aggregate-to-levels trick —
+    distinct-value counts plus ONE running sum over the tiny level table
+    (same sequential-only-on-levels discipline as `pareto_frontier`), no
+    percentile interpolation (whose float formula differs per engine) and
+    no global row sort; (2) every fact row computes its band_id from the
+    broadcast 1-row boundary aggregate (three comparisons — O(bands) per
+    row, a residual expression on the scan); (3) the band DIMENSION
+    attaches by BroadcastHashJoin on band_id. Band edges are half-open
+    ([lo, hi)): a value equal to a boundary belongs to the upper band in
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    )
+    levels = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = li.agg(F.count(F.lit(1)).alias("n"))
+    wlev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = levels.select("v", F.sum("c").over(wlev).alias("cc"))
+    bmark = lambda q: F.min(  # noqa: E731
+        F.when(F.col("cc") >= F.ceil(q * F.col("n")), F.col("v"))
+    )
+    bnd = cum.join(F.broadcast(n)).agg(
+        bmark(F.lit(0.25)).alias("b1"),
+        bmark(F.lit(0.50)).alias("b2"),
+        bmark(F.lit(0.75)).alias("b3"),
+    )
+    bands = bnd.selectExpr(
+        "stack(4,"
+        " 1, CAST(NULL AS DOUBLE), b1,"
+        " 2, b1, b2,"
+        " 3, b2, b3,"
+        " 4, b3, CAST(NULL AS DOUBLE)) AS (band_id, lo, hi)"
+    )
+    fact = li.crossJoin(F.broadcast(bnd)).select(
+        "l_extendedprice",
+        (
+            F.lit(1)
+            + (F.col("l_quantity") >= F.col("b1")).cast("int")
+            + (F.col("l_quantity") >= F.col("b2")).cast("int")
+            + (F.col("l_quantity") >= F.col("b3")).cast("int")
+        ).alias("band_id"),
+    )
+    return (
+        fact.join(F.broadcast(bands), on="band_id")
+        .groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )

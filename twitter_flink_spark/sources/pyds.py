@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    StringContains,
 )
 
 SOURCE_NAME = "synthetic_statuses"
@@ -94,16 +95,22 @@ class SyntheticStatusBatchReader(DataSourceReader):
         self.n_rows = int(options.get("rows", 10000))
         self.n_parts = max(1, int(options.get("numPartitions", 8)))
         self.lang_filter: str | None = None
+        self.track_terms: list[str] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Source-side predicate pushdown — the connector-level analog of the
-        reference pushing language filters into Twitter's servers
-        (`TwitterFilterEndpoint.java:46-66`). ``lang = <lit>`` is absorbed
-        (rows are skipped at generation, before they ever reach Spark);
-        everything else is returned for Spark to evaluate post-scan."""
+        reference pushing language AND track-term filters into Twitter's
+        servers (`TwitterFilterEndpoint.java:46-66`). ``lang = <lit>`` and
+        ``contains(text, <lit>)`` (the track-term shape) are absorbed —
+        rows are skipped at generation, before they ever reach Spark;
+        everything else is returned for Spark to evaluate post-scan.
+        Absorbed filters keep Spark's conjunction semantics: every pushed
+        predicate must hold."""
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("lang",):
                 self.lang_filter = f.value
+            elif isinstance(f, StringContains) and f.attribute == ("text",):
+                self.track_terms.append(f.value)
             else:
                 yield f
 
@@ -118,6 +125,8 @@ class SyntheticStatusBatchReader(DataSourceReader):
         for i in range(partition.start, partition.end):
             row = status_row(i)
             if self.lang_filter is not None and row[3] != self.lang_filter:
+                continue
+            if any(term not in row[1] for term in self.track_terms):
                 continue
             yield row
 
