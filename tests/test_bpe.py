@@ -1,0 +1,74 @@
+"""BPE merge-learning operator vs a pure-Python reference implementation
+of the classic algorithm (count all adjacent pairs weighted by word
+frequency; take most frequent with lexicographic tie-break; apply greedy
+leftmost-nonoverlapping; repeat)."""
+
+from __future__ import annotations
+
+
+def _reference_bpe(word_weights: dict[str, int], n_merges: int):
+    """Sequential reference: returns [(step, a, b, merged, cnt)]."""
+    tables = {w: [c for c in w] for w in word_weights}
+    out = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in tables.items():
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + word_weights[w]
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        out.append((step, best[0], best[1], best[0] + best[1], counts[best]))
+        a, b = best
+        for w, syms in tables.items():
+            merged = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            tables[w] = merged
+    return out
+
+
+def test_bpe_learn_matches_reference(spark):
+    from twitter_flink_spark.operators.bpe import bpe_learn
+
+    weights = {
+        "lower": 5,
+        "lowest": 2,
+        "newer": 6,
+        "wider": 3,
+        "new": 2,
+        "aaaa": 4,  # run: exercises greedy non-overlap parity
+    }
+    words = spark.createDataFrame(
+        list(weights.items()), "word string, weight long"
+    )
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.cnt)
+        for r in bpe_learn(words, 5).orderBy("step").collect()
+    ]
+    assert got == _reference_bpe(weights, 5)
+
+
+def test_bpe_greedy_run_semantics(spark):
+    """'aaaa' with merge (a,a) must become [aa, aa] — the sequential
+    leftmost scan — not [aa, a, a] (one merge) or [aa, aa] overlapping
+    artifacts; verified via the learned second round which counts pairs
+    over the POST-merge table."""
+    from twitter_flink_spark.operators.bpe import (
+        apply_merge,
+        char_symbol_table,
+    )
+
+    words = spark.createDataFrame([("aaaaa", 1)], "word string, weight long")
+    t = char_symbol_table(words)
+    best = spark.createDataFrame([("a", "a")], "a string, b string")
+    after = apply_merge(t, best).orderBy("rn").collect()
+    assert [r.sym for r in after] == ["aa", "aa", "a"]
+    assert [r.rn for r in after] == [1, 2, 3]

@@ -420,3 +420,118 @@ def quantile_bucket_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture resampling (training-data source/language mixing)
+
+#: target language shares for the resampled corpus (sum to 1); one entry
+#: per corpus lang — identical literals in Spark and the oracle.
+_MIX_SHARES: dict[str, float] = {
+    "en": 0.3,
+    "de": 0.2,
+    "es": 0.2,
+    "fr": 0.15,
+    "zh": 0.15,
+}
+
+
+def _mixture_oracle() -> str:
+    digit_terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1) "
+        f"* {16 ** (_AES_HEX_DIGITS - 1 - j)}"
+        for j in range(_AES_HEX_DIGITS)
+    )
+    denom = float(16**_AES_HEX_DIGITS)
+    share_rows = ", ".join(f"('{k}', {v})" for k, v in _MIX_SHARES.items())
+    return f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+shares(lang, share) AS (VALUES {share_rows}),
+tcap AS (
+  SELECT min(c.n / CAST(s.share AS DOUBLE)) AS t
+  FROM counts c JOIN shares s USING (lang)
+),
+rates AS (
+  SELECT c.lang, c.n, (CAST(s.share AS DOUBLE) * t.t) / c.n AS rate
+  FROM counts c JOIN shares s USING (lang) CROSS JOIN tcap t
+),
+u AS (
+  SELECT lang, doc_id,
+         ({digit_terms} + 0.5) / {denom} AS u
+  FROM (SELECT lang, doc_id, md5('mix:' || doc_id) AS hx FROM documents)
+),
+kept AS (
+  SELECT u.lang, u.doc_id
+  FROM u JOIN rates r USING (lang)
+  WHERE u.u < r.rate
+)
+SELECT r.lang, CAST(r.n AS BIGINT) AS n_before, round(r.rate, 6) AS rate,
+       CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(k.doc_id), 0) AS BIGINT) AS kept_id_sum
+FROM rates r LEFT JOIN kept k USING (lang)
+GROUP BY 1, 2, 3
+"""
+
+
+@register("mixture_resample_by_lang", oracle=_mixture_oracle())
+def mixture_resample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture rebalancing — downsample each language to hit a
+    target mixture (the data-mixing step of LLM training-set assembly).
+    The achievable corpus size is capped by the most underrepresented
+    class (T = min n_l/share_l); each class keeps rate share_l*T/n_l via
+    a DETERMINISTIC md5-seeded Bernoulli, so the draw is reproducible
+    across runs/partitions and oracle-checkable (same hex-uniform recipe
+    as `weighted_sample_aes`).
+
+    Scale shape: per-class counts are a tiny broadcast aggregate; the keep
+    decision is a per-row expression on the scan (one pass, no shuffle of
+    the corpus); at 100 TB this is a map-side filter whose selectivity IS
+    the mixture spec."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    shares = spark.createDataFrame(
+        list(_MIX_SHARES.items()), "lang string, share double"
+    )
+    tcap = (
+        counts.join(F.broadcast(shares), "lang")
+        .agg(F.min(F.col("n") / F.col("share")).alias("t"))
+    )
+    rates = (
+        counts.join(F.broadcast(shares), "lang")
+        .crossJoin(F.broadcast(tcap))
+        .select(
+            "lang",
+            "n",
+            ((F.col("share") * F.col("t")) / F.col("n")).alias("rate"),
+        )
+    )
+    hexv = F.substring(
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+        1,
+        _AES_HEX_DIGITS,
+    )
+    u = (F.conv(hexv, 16, 10).cast("long") + F.lit(0.5)) / F.lit(
+        float(16**_AES_HEX_DIGITS)
+    )
+    kept = (
+        docs.select("lang", "doc_id", u.alias("u"))
+        .join(F.broadcast(rates.select("lang", "rate")), "lang")
+        .where(F.col("u") < F.col("rate"))
+    )
+    return (
+        rates.join(
+            kept.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.sum("doc_id").alias("kept_id_sum"),
+            ),
+            "lang",
+            "left",
+        )
+        .select(
+            "lang",
+            F.col("n").alias("n_before"),
+            F.round("rate", 6).alias("rate"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_id_sum", F.lit(0)).alias("kept_id_sum"),
+        )
+    )

@@ -129,3 +129,28 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("est_cnt") >= F.col("n") * _CMS_THRESHOLD_PCT)
         .select("event_type", "est_cnt")
     )
+
+
+@register("hll_shard_union_rollup")
+def hll_shard_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count via Apache DataSketches HLL: build
+    one sketch PER SHARD (here event_id mod 8 stands in for the physical
+    partition), then `hll_union_agg` merges shard sketches into the
+    per-type estimate — the build-once/roll-up-anywhere pattern that makes
+    100 TB distinct counts cheap: per-shard sketches are computed in one
+    pass and any later rollup (per type, per day, global) merges
+    kilobyte-sized sketches instead of rescanning rows. Union-of-shards
+    equals the single-pass sketch EXACTLY (pinned in
+    tests/test_sketches.py, along with the error bound vs the exact
+    count); the estimate itself is engine-specific, so the driver applies
+    its rows-only check like the other sketch queries."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "shard", F.pmod(F.col("event_id"), F.lit(8))
+    )
+    shard_sk = ev.groupBy("event_type", "shard").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return shard_sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+    )

@@ -1084,3 +1084,94 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE merge learning (full loop; bpe_top_pairs is one step of it)
+
+_BPE_MERGES = 3
+
+
+def _bpe_merges_oracle(k: int = _BPE_MERGES) -> str:
+    parts = [
+        """words AS (
+  SELECT tok AS word, count(*) AS weight
+  FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY 1
+),
+t1 AS (
+  SELECT word, weight, CAST(i AS BIGINT) AS rn, substr(word, i, 1) AS sym
+  FROM words CROSS JOIN unnest(range(1, length(word) + 1)) AS u(i)
+)"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f"""p{r} AS (
+  SELECT word, weight, rn, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY rn) AS nxt
+  FROM t{r}
+),
+best{r} AS (
+  SELECT a, b, cnt FROM (
+    SELECT sym AS a, nxt AS b, CAST(sum(weight) AS BIGINT) AS cnt
+    FROM p{r} WHERE nxt IS NOT NULL GROUP BY 1, 2
+  ) ORDER BY cnt DESC, a, b LIMIT 1
+)"""
+        )
+        if r < k:
+            parts.append(
+                f"""m{r} AS (
+  SELECT p.word, p.weight, p.rn, p.sym, p.nxt,
+         CASE WHEN p.sym = b.a AND p.nxt = b.b THEN 1 ELSE 0 END AS mt
+  FROM p{r} p CROSS JOIN best{r} b
+),
+g{r} AS (
+  SELECT *, CASE WHEN mt = 1 THEN rn - row_number() OVER (
+      PARTITION BY word, mt ORDER BY rn) END AS grp
+  FROM m{r}
+),
+mg{r} AS (
+  SELECT *, CASE WHEN mt = 1
+                  AND (rn - min(rn) OVER (PARTITION BY word, grp)) % 2 = 0
+                 THEN 1 ELSE 0 END AS mg
+  FROM g{r}
+),
+t{r + 1} AS (
+  SELECT word, weight,
+         row_number() OVER (PARTITION BY word ORDER BY rn) AS rn,
+         CASE WHEN mg = 1 THEN sym || nxt ELSE sym END AS sym
+  FROM (
+    SELECT *, lag(mg) OVER (PARTITION BY word ORDER BY rn) AS prev_mg
+    FROM mg{r}
+  )
+  WHERE coalesce(prev_mg, 0) = 0
+)"""
+            )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r} AS step, a AS left_sym, b AS right_sym, "
+        f"a || b AS merged, cnt FROM best{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+@register("bpe_learn_merges", oracle=_bpe_merges_oracle())
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE tokenizer-training loop (3 merge rounds) over the
+    corpus word-frequency table — `bpe_top_pairs` is one pair-count step;
+    this learns actual merge RULES, applying each one greedily
+    (leftmost-nonoverlapping, via the gaps-and-islands parity trick in
+    `operators/bpe.py`) before counting the next round. The oracle unrolls
+    the identical three rounds as window-function CTEs; a pure-Python BPE
+    reference pins the operator in tests/test_bpe.py."""
+    from twitter_flink_spark.operators.bpe import bpe_learn
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        spread(docs, "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    return bpe_learn(words, _BPE_MERGES)
