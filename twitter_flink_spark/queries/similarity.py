@@ -547,3 +547,74 @@ def doc_neardup_lsh_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__cos") >= _DOC_LSH_THRESHOLD)
         .select("doc_a", "doc_b", F.round("__cos", 6).alias("cosine"))
     )
+
+
+@register(
+    "hard_negative_mining",
+    oracle="""
+SELECT query_id, negative_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS negative_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 6) AS cosine,
+         CAST(row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                            c.embedding::DOUBLE[]) DESC,
+                     c.vec_id ASC) AS INTEGER) AS rank
+  FROM embeddings q
+  JOIN embeddings c ON c.vec_id <> q.vec_id AND c.label <> q.label
+  WHERE q.vec_id < 5
+)
+WHERE rank <= 5
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the most
+    similar vectors of a DIFFERENT label — the highest-loss negatives a
+    contrastive batch wants. Same broadcast-anchors/streamed-corpus shape
+    as `cosine_topk_bruteforce` (guarded against non-broadcastable anchor
+    sets), with the label-mismatch predicate riding the join; per-anchor
+    top-k via WindowGroupLimit. At 100 TB the corpus never shuffles —
+    anchors broadcast, every task mines its partition, k rows per anchor
+    survive."""
+    from twitter_flink_spark.operators.similarity import dot
+    from twitter_flink_spark.sources.tables import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("__qlabel"),
+        F.col("embedding").alias("__qv"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("__qn"),
+    )
+    corpus = spread(emb, "vec_id").select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("__clabel"),
+        F.col("embedding").alias("__cv"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("__cn"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(anchors), F.col("__clabel") != F.col("__qlabel")
+        )
+        .where(F.col("negative_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "negative_id",
+            (dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")))
+            .alias("__cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "negative_id",
+            F.round("__cos", 6).alias("cosine"),
+            "rank",
+        )
+    )

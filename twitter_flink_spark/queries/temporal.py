@@ -469,3 +469,114 @@ def asof_join_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("long")
         .alias("click_age_seconds"),
     )
+
+
+@register(
+    "session_funnel_steps",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sessions AS (
+  SELECT user_id, event_type, ts,
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+              OVER (PARTITION BY user_id, session_id) AS t1
+  FROM sessions
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY user_id, session_id) AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+              OVER (PARTITION BY user_id, session_id) AS t3
+  FROM s2
+),
+per_session AS (
+  SELECT user_id, session_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+  FROM s3 GROUP BY 1, 2
+)
+SELECT 'view' AS stage, 1 AS stage_ord,
+       CAST(count(t1) AS BIGINT) AS n_sessions FROM per_session
+UNION ALL
+SELECT 'click', 2, CAST(count(t2) AS BIGINT) FROM per_session
+UNION ALL
+SELECT 'purchase', 3, CAST(count(t3) AS BIGINT) FROM per_session
+""",
+)
+def session_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel WITHIN sessions: a session (30-min gap, same
+    sessionization as `sessionize_events`) counts toward 'click' only if a
+    click follows the session's first view, and toward 'purchase' only if
+    a purchase follows that qualifying click — `funnel_conversion_steps`
+    semantics scoped to the session instead of the whole user history.
+
+    One shuffle on user_id: the session id, all three stage timestamps,
+    and the per-session rollup are window/aggregate passes over the same
+    partitioning (Catalyst reuses the exchange; the stage-N window reads
+    the stage-N-1 column, so the ordered dependency costs no extra
+    shuffle)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = (
+        F.unix_micros("ts") / 1e6 - F.unix_micros(F.lag("ts").over(w)) / 1e6
+    )
+    sessions = e.withColumn(
+        "session_id",
+        F.sum(
+            F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    sw = Window.partitionBy("user_id", "session_id")
+    s1 = sessions.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(sw)
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(sw),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(sw),
+    )
+    per_session = s3.groupBy("user_id", "session_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+
+    def stage(col: str, name: str, ord_: int) -> DataFrame:
+        return per_session.agg(
+            F.lit(name).alias("stage"),
+            F.lit(ord_).alias("stage_ord"),
+            F.count(col).alias("n_sessions"),
+        )
+
+    return (
+        stage("t1", "view", 1)
+        .unionAll(stage("t2", "click", 2))
+        .unionAll(stage("t3", "purchase", 3))
+    )
