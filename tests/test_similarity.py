@@ -99,3 +99,36 @@ def test_doc_signature_profile_rejects_over_32_planes(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="md5 digit budget"):
         doc_signature_profile(tfidf_fixed_point_weights(docs), 64, 4)
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    """Two well-separated groups: after 2 rounds, each surviving centroid
+    sits at its group's mean and sizes are exact."""
+    from twitter_flink_spark.operators.clustering import kmeans_fit
+
+    rows = [
+        (0, [0.0, 0.0]), (2, [1.0, 1.0]), (4, [0.5, 0.5]),   # group A
+        (1, [10.0, 10.0]), (3, [11.0, 11.0]), (5, [10.5, 10.5]),  # group B
+    ]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = {r.cid: (r.cent, r.n_vecs) for r in kmeans_fit(v, k=2, iters=2).collect()}
+    assert set(cents) == {0, 1}
+    a, an = cents[0]
+    b, bn = cents[1]
+    assert an == 3 and bn == 3
+    assert all(abs(x - 0.5) < 1e-6 for x in a)
+    assert all(abs(x - 10.5) < 1e-6 for x in b)
+
+
+def test_kmeans_drops_emptied_cluster(spark):
+    """A seed that captures no members after reassignment must vanish
+    rather than divide by zero or linger as a stale centroid."""
+    from twitter_flink_spark.operators.clustering import kmeans_fit
+
+    # seeds are ids 0 and 1; every point is closest to the id-0 seed's
+    # trajectory after round 1 (all points near origin, id 1 included)
+    rows = [(0, [0.0, 0.0]), (1, [0.2, 0.2]), (2, [0.1, 0.1]), (3, [0.05, 0.0])]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.cid: r.n_vecs for r in kmeans_fit(v, k=2, iters=3).collect()}
+    assert sum(out.values()) == 4  # every point assigned somewhere
+    assert all(n > 0 for n in out.values())  # no empty clusters persist

@@ -1,0 +1,135 @@
+"""K-means (Lloyd) clustering over embedding columns — the IVF codebook /
+coarse-quantizer build step of a vector index (`cosine_topk_ivf_label`
+scores within a cell; this operator is how the cells get built).
+
+Fixed-iteration, deterministic, oracle-expressible:
+
+- seeds are the k lowest vector ids (a pure function of the data — no RNG);
+- assignment: squared L2 via the dot-product identity
+  ``|x|^2 - 2<x,c> + |c|^2`` — every dot is the same left-to-right
+  accumulation DuckDB's list_dot_product uses, so distances are
+  bit-identical across engines, and the argmin tie-breaks on cluster id;
+- update: per-dimension component sums accumulate ROUNDED DECIMALS
+  (exact, partition-order independent), divided once by the cluster size;
+- a cluster that loses all members simply drops out (deterministic on
+  both sides) rather than being re-seeded.
+
+Scale shape per iteration: centroids are a k-row broadcast; assignment is
+a map-side cross of each vector against k centroids (no shuffle of the
+corpus); the update is one shuffle keyed by (cluster, dim). The iteration
+scaffolding (localCheckpoint + block freeing) is shared with
+`operators/graph.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from twitter_flink_spark.operators.graph import (
+    _persistent_rdd_ids,
+    _unpersist_ids,
+)
+from twitter_flink_spark.operators.similarity import dot
+
+#: decimal scale for centroid component accumulation
+_COMP_SCALE = 7
+
+
+def assign_clusters(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> DataFrame:
+    """(id, cid): nearest centroid per vector, ties to the lower cid."""
+    d = (
+        vectors.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "dist",
+            dot(F.col(vec_col), F.col(vec_col))
+            - 2 * dot(F.col(vec_col), F.col("cent"))
+            + dot(F.col("cent"), F.col("cent")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(), F.col("cid").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, "cid")
+    )
+
+
+def update_centroids(
+    vectors: DataFrame,
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> DataFrame:
+    """(cid, cent, n_vecs): decimal-exact per-dimension means."""
+    comp = (
+        assigned.join(vectors, id_col)
+        .select(
+            "cid",
+            F.posexplode(F.col(vec_col)).alias("pos0", "val"),
+        )
+        .select(
+            "cid",
+            (F.col("pos0") + 1).alias("dim"),
+            F.round("val", _COMP_SCALE)
+            .cast(f"decimal(28,{_COMP_SCALE})")
+            .alias("val"),
+        )
+    )
+    dims = comp.groupBy("cid", "dim").agg(
+        F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        dims.select(
+            "cid",
+            "n",
+            F.struct("dim", (F.col("s").cast("double") / F.col("n")).alias("c")).alias(
+                "dc"
+            ),
+        )
+        .groupBy("cid")
+        .agg(
+            F.expr("transform(sort_array(collect_list(dc)), s -> s.c)").alias(
+                "cent"
+            ),
+            F.max("n").alias("n_vecs"),
+        )
+    )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iters`` Lloyd rounds from the k lowest-id seeds; returns
+    (cid, cent array<double>, n_vecs) for the surviving clusters."""
+    sc = vectors.sparkSession.sparkContext
+    v = vectors.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("e")
+    )
+    before = _persistent_rdd_ids(sc)
+    v = v.localCheckpoint()
+    v_ids = _persistent_rdd_ids(sc) - before
+    cents = v.where(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"),
+        F.col("e").alias("cent"),
+        F.lit(1).cast("long").alias("n_vecs"),
+    )
+    cent_ids: set[int] = set()
+    for _ in range(iters):
+        assigned = assign_clusters(v, cents.select("cid", "cent"))
+        before = _persistent_rdd_ids(sc)
+        new_cents = update_centroids(v, assigned).localCheckpoint()
+        new_ids = _persistent_rdd_ids(sc) - before
+        _unpersist_ids(sc, cent_ids)
+        cents, cent_ids = new_cents, new_ids
+    _unpersist_ids(sc, v_ids)
+    return cents

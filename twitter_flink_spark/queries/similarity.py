@@ -618,3 +618,83 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means codebook build
+
+_KM_K = 4
+_KM_ITERS = 2
+_KM_DIM = 64
+
+
+def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    parts = [
+        f"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+c0 AS (SELECT vec_id AS cid, e AS cent FROM v WHERE vec_id < {k})"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"""d{r} AS (
+  SELECT v.vec_id, c.cid,
+         list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c.cent)
+           + list_dot_product(c.cent, c.cent) AS dist
+  FROM v CROSS JOIN c{r - 1} c
+),
+a{r} AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d{r}
+  ) WHERE rn = 1
+),
+m{r} AS (
+  SELECT a.cid, CAST(t.i AS BIGINT) AS dim,
+         sum(CAST(round(v.e[t.i], 7) AS DECIMAL(28,7))) AS s,
+         count(*) AS n
+  FROM a{r} a JOIN v ON v.vec_id = a.vec_id
+  CROSS JOIN unnest(range(1, {_KM_DIM + 1})) AS t(i)
+  GROUP BY 1, 2
+),
+c{r} AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cent,
+         max(n) AS n_vecs
+  FROM m{r} GROUP BY cid
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT cid AS cluster_id, CAST(t.i AS BIGINT) AS dim,
+       round(cent[t.i], 6) + 0.0 AS centroid,
+       CAST(n_vecs AS BIGINT) AS n_vecs
+FROM c{iters} CROSS JOIN unnest(range(1, {_KM_DIM + 1})) AS t(i)
+"""
+    )
+
+
+@register("kmeans_embedding_codebook", oracle=_kmeans_oracle())
+def kmeans_embedding_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd, 2 fixed rounds, k=4) over the embeddings — the IVF
+    codebook / coarse-quantizer build that `cosine_topk_ivf_label` scores
+    against (`operators/clustering.py`). Deterministic end to end: lowest-k
+    seed vectors, left-to-right dot-product distances with cid tie-break,
+    decimal-exact centroid component sums — so the unrolled-CTE oracle
+    matches bit-for-bit. Per round the corpus never shuffles for
+    assignment (k-row centroid broadcast, map-side argmin); only the
+    (cluster, dim) component aggregate exchanges data."""
+    from twitter_flink_spark.operators.clustering import kmeans_fit
+    from twitter_flink_spark.sources.tables import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(spread(emb, "vec_id"), k=_KM_K, iters=_KM_ITERS)
+    return cents.select(
+        F.col("cid").alias("cluster_id"),
+        "n_vecs",
+        F.posexplode("cent").alias("pos0", "c"),
+    ).select(
+        "cluster_id",
+        (F.col("pos0") + 1).cast("long").alias("dim"),
+        (F.round("c", 6) + F.lit(0.0)).alias("centroid"),
+        "n_vecs",
+    )
