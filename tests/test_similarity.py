@@ -132,3 +132,56 @@ def test_kmeans_drops_emptied_cluster(spark):
     out = {r.cid: r.n_vecs for r in kmeans_fit(v, k=2, iters=3).collect()}
     assert sum(out.values()) == 4  # every point assigned somewhere
     assert all(n > 0 for n in out.values())  # no empty clusters persist
+
+
+def test_multiprobe_probes_cover_hamming_ball(spark):
+    """Each (id, band, sig) row expands to the signature plus every
+    1-bit-flip variant — the Hamming-distance-1 ball, deduplicated."""
+    from twitter_flink_spark.operators.similarity import multiprobe_band_probes
+
+    df = spark.createDataFrame(
+        [(1, 0, "10"), (1, 1, "00")], "vec_id LONG, band INT, band_sig STRING"
+    )
+    rows = multiprobe_band_probes(df, r=2).collect()
+    got = {(r.band, r.band_sig) for r in rows}
+    assert got == {(0, "10"), (0, "00"), (0, "11"), (1, "00"), (1, "10"), (1, "01")}
+
+
+def test_multiprobe_candidates_superset_of_single_probe(spark):
+    """Multi-probe candidate pairs must contain every single-probe pair:
+    probing extra buckets can only ADD recall, never lose a candidate."""
+    import random
+
+    from twitter_flink_spark.operators.similarity import (
+        lsh_sign_bands,
+        multiprobe_band_probes,
+        random_hyperplanes,
+    )
+
+    rng = random.Random(7)
+    vecs = [
+        (i, [round(rng.gauss(0, 1), 3) for _ in range(8)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    planes = random_hyperplanes(n_planes=8, dim=8, seed=3)
+    banded = lsh_sign_bands(emb, planes, bands=4)
+
+    def pairs(q_side):
+        c = banded.selectExpr("vec_id AS neighbor_id", "band", "band_sig")
+        return {
+            (r.query_id, r.neighbor_id)
+            for r in q_side.join(c, on=["band", "band_sig"])
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+            .collect()
+        }
+
+    single = pairs(banded.selectExpr("vec_id AS query_id", "band", "band_sig"))
+    multi = pairs(
+        multiprobe_band_probes(banded, r=2).selectExpr(
+            "vec_id AS query_id", "band", "band_sig"
+        )
+    )
+    assert single <= multi
+    assert len(multi) > len(single)

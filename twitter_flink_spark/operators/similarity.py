@@ -294,6 +294,33 @@ def doc_signature_profile(
     return joined.select(F.col(id_col), sigs.alias("sigs"), "m", "nn")
 
 
+def multiprobe_band_probes(
+    banded: DataFrame,
+    r: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe expansion of ``lsh_sign_bands`` output: each (id, band,
+    band_sig) row fans out to the signature itself PLUS its ``r``
+    Hamming-distance-1 neighbors (one bit of the r-bit band flipped).
+
+    Probing the adjacent buckets buys the recall extra hash tables would
+    — near-misses whose margin on one plane landed just across zero are
+    the likeliest band mismatches (Lv et al., multi-probe LSH) — at the
+    cost of (r+1)x more probe rows on the QUERY side only; the corpus
+    index is untouched, which is the whole point at scale: recall becomes
+    a probe-side knob instead of a rebuild-the-index knob. Pure JVM string
+    expressions, no shuffle until the probe equi-join."""
+    probes = F.expr(
+        f"array_union(array(band_sig), transform(sequence(1, {r}), j -> "
+        "concat(substring(band_sig, 1, j - 1), "
+        "CASE WHEN substring(band_sig, j, 1) = '1' THEN '0' ELSE '1' END, "
+        f"substring(band_sig, j + 1, {r}))))"
+    )
+    return banded.select(
+        F.col(id_col), "band", F.explode(probes).alias("band_sig")
+    )
+
+
 def centered_sign_bands(
     weights: DataFrame,
     n_planes: int,

@@ -126,29 +126,12 @@ WHERE rank <= {k}
 """
 
 
-@register("cosine_topk_lsh_hyperplane", oracle=_lsh_oracle(_LSH_PLANES, _LSH_BANDS))
-def cosine_topk_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: 8 random-hyperplane sign bits banded 4x2; only
-    candidates sharing a band signature with the query are exactly scored.
-    Candidate generation is an equi self-join on (band, sig) — the
-    all-pairs scoring of brute force never happens, which is the point at
-    corpus scale. Recall is the banding collision probability, a tunable;
-    the oracle recomputes identical buckets so the result is exact for the
-    implementation."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    banded = lsh_sign_bands(emb, _LSH_PLANES, _LSH_BANDS)
-    q_side = banded.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "band", "band_sig"
-    )
-    c_side = banded.select(
-        F.col("vec_id").alias("neighbor_id"), "band", "band_sig"
-    )
-    cands = (
-        q_side.join(c_side, on=["band", "band_sig"])
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
+def _exact_topk_from_cands(emb: DataFrame, cands: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine rerank of an LSH candidate set: join (query_id,
+    neighbor_id) pairs back to the vectors (query side broadcast), score,
+    keep the per-query top-k with a deterministic neighbor_id tie-break.
+    Shared by every banded ANN variant — candidates differ, verification
+    doesn't."""
     qv = emb.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("__qv"),
@@ -175,7 +158,7 @@ def cosine_topk_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(win))
-        .where(F.col("rank") <= 5)
+        .where(F.col("rank") <= k)
         .select(
             "query_id",
             "neighbor_id",
@@ -183,6 +166,127 @@ def cosine_topk_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register("cosine_topk_lsh_hyperplane", oracle=_lsh_oracle(_LSH_PLANES, _LSH_BANDS))
+def cosine_topk_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: 8 random-hyperplane sign bits banded 4x2; only
+    candidates sharing a band signature with the query are exactly scored.
+    Candidate generation is an equi self-join on (band, sig) — the
+    all-pairs scoring of brute force never happens, which is the point at
+    corpus scale. Recall is the banding collision probability, a tunable;
+    the oracle recomputes identical buckets so the result is exact for the
+    implementation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    banded = lsh_sign_bands(emb, _LSH_PLANES, _LSH_BANDS)
+    q_side = banded.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "band", "band_sig"
+    )
+    c_side = banded.select(
+        F.col("vec_id").alias("neighbor_id"), "band", "band_sig"
+    )
+    cands = (
+        q_side.join(c_side, on=["band", "band_sig"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    return _exact_topk_from_cands(emb, cands, k=5)
+
+
+def _lsh_multiprobe_oracle(
+    planes: list[list[float]], bands: int, k: int = 5
+) -> str:
+    r = len(planes) // bands
+    bit_exprs = ",\n         ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(c) for c in p)}]::DOUBLE[]) > 0 "
+        f"THEN '1' ELSE '0' END) AS bit{i}"
+        for i, p in enumerate(planes)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT vec_id, {b} AS band, {concat} AS band_sig FROM sig".format(
+            b=b,
+            concat=" || ".join(f"bit{b * r + j}" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding,
+         {bit_exprs}
+  FROM embeddings
+),
+banded AS (
+{band_rows}
+),
+qprobe AS (
+  SELECT vec_id, band, band_sig FROM banded WHERE vec_id < 5
+  UNION
+  SELECT vec_id, band,
+         substr(band_sig, 1, CAST(j AS INT))
+           || (CASE WHEN substr(band_sig, CAST(j + 1 AS INT), 1) = '1'
+               THEN '0' ELSE '1' END)
+           || substr(band_sig, CAST(j + 2 AS INT), {r}) AS band_sig
+  FROM banded CROSS JOIN unnest(range(0, {r})) AS t(j)
+  WHERE vec_id < 5
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM qprobe q JOIN banded b USING (band, band_sig)
+  WHERE b.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      n.embedding::DOUBLE[]), 6) AS cosine,
+         CAST(row_number() OVER (
+            PARTITION BY c.query_id
+            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                            n.embedding::DOUBLE[]) DESC,
+                     c.neighbor_id ASC) AS INTEGER) AS rank
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings n ON n.vec_id = c.neighbor_id
+)
+WHERE rank <= {k}
+"""
+
+
+@register(
+    "cosine_topk_lsh_multiprobe",
+    oracle=_lsh_multiprobe_oracle(_LSH_PLANES, _LSH_BANDS),
+)
+def cosine_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (SURVEY §12 item 1): same 8-plane/4-band index
+    as `cosine_topk_lsh_hyperplane`, but each QUERY band additionally
+    probes its r Hamming-distance-1 neighbor signatures
+    (`operators/similarity.py::multiprobe_band_probes`) — the buckets a
+    near-miss most likely fell into. Recall rises toward brute-force
+    without touching the corpus index: at 100 TB the index build (the
+    expensive, materialized artifact) is unchanged and recall is tuned
+    per-query by probe count. Candidates stay an equi-join on
+    (band, band_sig); only the probe side grows (r+1)x, and it is the
+    small side. Verification reranks candidates exactly
+    (`_exact_topk_from_cands`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from twitter_flink_spark.operators.similarity import multiprobe_band_probes
+
+    banded = lsh_sign_bands(emb, _LSH_PLANES, _LSH_BANDS)
+    r = len(_LSH_PLANES) // _LSH_BANDS
+    q_probe = multiprobe_band_probes(
+        banded.where(F.col("vec_id") < 5), r
+    ).select(F.col("vec_id").alias("query_id"), "band", "band_sig")
+    c_side = banded.select(
+        F.col("vec_id").alias("neighbor_id"), "band", "band_sig"
+    )
+    cands = (
+        q_probe.join(c_side, on=["band", "band_sig"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    return _exact_topk_from_cands(emb, cands, k=5)
 
 
 @register(
