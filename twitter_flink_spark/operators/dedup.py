@@ -180,3 +180,72 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id",
         *[F.when(F.col(f"s{j}") >= 0, "1").otherwise("0") for j in range(16)]
     )
     return sums.select(F.col(id_col), bits.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Portable bloom filter (incremental ingest dedup)
+
+
+def _bloom_pos(i: int, m: int, col: str = "shingle") -> F.Column:
+    """Bit position of hash function ``i``: the first 8 md5 hex digits of
+    ``'bloom{i}:' || value`` as an integer, mod ``m`` — byte-identical in
+    DuckDB via positional digit sums, like every hash in this module."""
+    hexv = F.substring(
+        F.md5(F.concat(F.lit(f"bloom{i}:"), F.col(col))), 1, 8
+    )
+    return (F.conv(hexv, 16, 10).cast("long") % m).alias(f"p{i}")
+
+
+def shingle_bloom_bits(
+    prior_shingles: DataFrame, m: int, k: int
+) -> DataFrame:
+    """The SET bIT positions of a bloom filter over a prior corpus's
+    shingles: one column ``bit_pos``, at most ``min(m, k * n_shingles)``
+    rows.
+
+    This is the artifact an incremental ingest pipeline persists between
+    runs: bounded by ``m`` REGARDLESS of prior-corpus size, so it
+    broadcasts to every executor probing a new batch — the prior corpus
+    itself is never re-read, never joined, never shuffled. Built with one
+    map-side projection over distinct shingles plus a distinct on an
+    integer key. False-positive rate is the textbook
+    ``(1 - e^(-k*n/m))^k``; false negatives are impossible (the membership
+    test below can only over-report, never miss a true duplicate)."""
+    distinct_sh = prior_shingles.select("shingle").distinct()
+    pos = F.explode(
+        F.array(*[_bloom_pos(i, m) for i in range(k)])
+    ).alias("bit_pos")
+    return distinct_sh.select(pos).distinct()
+
+
+def bloom_shingle_hits(
+    inc_shingles: DataFrame,
+    bloom_bits: DataFrame,
+    m: int,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probe (id, shingle) rows against a broadcast bloom bit-set:
+    (id, n_shingles, n_hits) where a shingle HITS iff all ``k`` of its bit
+    positions are set. One broadcast left-join on the integer bit position
+    — the incoming batch streams through, nothing shuffles until the
+    per-doc count."""
+    probe = inc_shingles.select(
+        F.col(id_col),
+        F.col("shingle"),
+        F.explode(F.array(*[_bloom_pos(i, m) for i in range(k)])).alias(
+            "bit_pos"
+        ),
+    )
+    marked = probe.join(
+        F.broadcast(bloom_bits.withColumn("__set", F.lit(1))),
+        on="bit_pos",
+        how="left",
+    )
+    sh_hit = marked.groupBy(id_col, "shingle").agg(
+        (F.count("__set") == k).cast("int").alias("hit")
+    )
+    return sh_hit.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("hit").cast("long").alias("n_hits"),
+    )

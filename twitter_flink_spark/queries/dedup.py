@@ -389,3 +389,119 @@ def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dist <= 3)
         .select("name_a", "name_b", dist.cast("int").alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental dedup (SURVEY §12 item 4)
+
+_BLOOM_M = 131072  #: filter bits (2^17); ~10x the prior shingle count
+_BLOOM_K = 3  #: hash functions; fp/shingle ~ (1 - e^(-kn/m))^k ~ 1e-2
+_BLOOM_NGRAM = 3
+
+
+def _bloom_digit_sum(expr: str) -> str:
+    """hex -> BIGINT via positional digit sums (DuckDB has no conv());
+    same construction as queries/scale.py::_aes_oracle."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {j + 1}, 1)) - 1) "
+        f"* {16 ** (8 - 1 - j)}"
+        for j in range(8)
+    )
+    return f"({terms})"
+
+
+def _bloom_oracle(m: int = _BLOOM_M, k: int = _BLOOM_K,
+                  ngram: int = _BLOOM_NGRAM) -> str:
+    def hash_rows(src: str, cols: str) -> str:
+        return "\n  UNION ALL\n".join(
+            f"  SELECT {cols}substr(md5('bloom{i}:' || shingle), 1, 8) AS hx"
+            f" FROM {src}"
+            for i in range(k)
+        )
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, str_split(text, ' ') AS toks FROM documents
+  WHERE len(str_split(text, ' ')) >= {ngram}
+),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(toks[i:i+{ngram - 1}], ' ') AS shingle
+  FROM tok, unnest(range(1, len(toks) - {ngram - 2})) AS t(i)
+),
+prior_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE length(source) = 4
+),
+ph AS (
+{hash_rows("prior_sh", "")}
+),
+bloom AS (SELECT DISTINCT {_bloom_digit_sum("hx")} % {m} AS bit_pos FROM ph),
+inc_sh AS (SELECT doc_id, shingle FROM sh WHERE length(source) = 5),
+iph AS (
+{hash_rows("inc_sh", "doc_id, shingle, ")}
+),
+ipos AS (
+  SELECT doc_id, shingle, {_bloom_digit_sum("hx")} % {m} AS bit_pos FROM iph
+),
+shhit AS (
+  SELECT i.doc_id, i.shingle, CAST(count(b.bit_pos) = {k} AS INT) AS hit
+  FROM ipos i LEFT JOIN bloom b ON b.bit_pos = i.bit_pos
+  GROUP BY 1, 2
+),
+perdoc AS (
+  SELECT doc_id, count(*) AS n_shingles, CAST(sum(hit) AS BIGINT) AS n_hits
+  FROM shhit GROUP BY 1
+)
+SELECT d.doc_id, d.source, p.n_shingles, p.n_hits,
+       CAST(p.n_hits * 2 >= p.n_shingles AS INT) AS maybe_dup
+FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id
+"""
+
+
+@register("bloom_incremental_dedup", oracle=_bloom_oracle())
+def bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup against a PRIOR corpus via a portable
+    bloom filter (SURVEY §12): sources 'src0'..'src9' are the already-
+    ingested corpus, 'src10'..'src19' the incoming batch. The prior
+    corpus's 3-gram shingles populate a bloom bit-set
+    (`operators/dedup.py::shingle_bloom_bits`, md5 bit positions so the
+    oracle recomputes it exactly); each incoming doc reports how many of
+    its shingles the filter claims to have seen and is flagged maybe_dup
+    at >= 50% hit ratio.
+
+    The 100 TB shape is the point: the ONLY artifact carried between
+    ingest runs is the bit-set — bounded by m (2^17 positions) no matter
+    how big the prior corpus grows — broadcast to every probe task, so
+    re-ingest never rescans or joins prior data. Bloom guarantees no
+    false negatives (a true near-dup's shared shingles ALL hit), and the
+    fp rate is a documented function of (k, n, m); flagged docs go to an
+    exact verify (e.g. `dedup_minhash_lsh`), which is the standard
+    two-tier design."""
+    from twitter_flink_spark.operators.dedup import (
+        bloom_shingle_hits,
+        doc_shingles,
+        shingle_bloom_bits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    prior_sh = doc_shingles(
+        spread(docs.where(F.length("source") == 4), "doc_id"),
+        ngram=_BLOOM_NGRAM,
+    )
+    bloom = shingle_bloom_bits(prior_sh, m=_BLOOM_M, k=_BLOOM_K)
+    inc_sh = doc_shingles(
+        spread(docs.where(F.length("source") == 5), "doc_id"),
+        ngram=_BLOOM_NGRAM,
+    )
+    perdoc = bloom_shingle_hits(inc_sh, bloom, m=_BLOOM_M, k=_BLOOM_K)
+    return perdoc.join(
+        docs.select("doc_id", "source"), on="doc_id"
+    ).select(
+        "doc_id",
+        "source",
+        "n_shingles",
+        "n_hits",
+        (F.col("n_hits") * 2 >= F.col("n_shingles")).cast("int").alias(
+            "maybe_dup"
+        ),
+    )
