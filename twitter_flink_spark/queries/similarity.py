@@ -732,7 +732,10 @@ _KM_ITERS = 2
 _KM_DIM = 64
 
 
-def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+def _kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    """The WITH-body of the unrolled Lloyd iterations, ending at the
+    final centroid table ``c{iters}`` — shared by the codebook oracle and
+    the semantic-dedup oracle (which appends a final assignment)."""
     parts = [
         f"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 c0 AS (SELECT vec_id AS cid, e AS cent FROM v WHERE vec_id < {k})"""
@@ -765,9 +768,13 @@ c{r} AS (
   FROM m{r} GROUP BY cid
 )"""
         )
+    return ",\n".join(parts)
+
+
+def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
     return (
         "WITH "
-        + ",\n".join(parts)
+        + _kmeans_ctes(k, iters)
         + f"""
 SELECT cid AS cluster_id, CAST(t.i AS BIGINT) AS dim,
        round(cent[t.i], 6) + 0.0 AS centroid,
@@ -801,4 +808,105 @@ def kmeans_embedding_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).cast("long").alias("dim"),
         (F.round("c", 6) + F.lit(0.0)).alias("centroid"),
         "n_vecs",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup: codebook assignment as the blocking key
+
+_SEM_THRESH = 0.4
+
+
+def _semantic_dedup_oracle(
+    k: int = _KM_K, iters: int = _KM_ITERS, thresh: float = _SEM_THRESH
+) -> str:
+    return (
+        "WITH "
+        + _kmeans_ctes(k, iters)
+        + f""",
+af AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c.cent)
+             + list_dot_product(c.cent, c.cent) AS dist,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, v.e)
+                        - 2 * list_dot_product(v.e, c.cent)
+                        + list_dot_product(c.cent, c.cent), c.cid) AS rn
+    FROM v CROSS JOIN c{iters} c
+  ) WHERE rn = 1
+)
+SELECT fa.vec_id AS vec_a, fb.vec_id AS vec_b, fa.cid AS cluster_id,
+       round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                    eb.embedding::DOUBLE[]), 6) AS cosine
+FROM af fa JOIN af fb ON fb.cid = fa.cid AND fa.vec_id < fb.vec_id
+JOIN embeddings ea ON ea.vec_id = fa.vec_id
+JOIN embeddings eb ON eb.vec_id = fb.vec_id
+WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                             eb.embedding::DOUBLE[]) >= {thresh}
+"""
+    )
+
+
+@register("semantic_dedup_codebook", oracle=_semantic_dedup_oracle())
+def semantic_dedup_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (the SemDeDup recipe): LEARN the blocking cells with
+    k-means (`operators/clustering.py::kmeans_fit`, same k=4/2-round
+    codebook as `kmeans_embedding_codebook`), assign every vector to its
+    nearest centroid, and emit near-dup pairs (cosine >= 0.4) WITHIN each
+    learned cell — unlike `embedding_cosine_neardup`, which blocks on a
+    pre-existing label, this needs no labels at all.
+
+    Scale: assignment is a k-row centroid broadcast (map-side argmin, the
+    corpus never shuffles for it); the pair space is bounded by the
+    largest learned cell instead of n^2, and the within-cell join is an
+    equi-join on cid that AQE skew-splits if one cell dominates. The
+    oracle unrolls the same Lloyd rounds plus the final assignment, so
+    cells — and therefore pairs — match exactly."""
+    from twitter_flink_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_fit,
+    )
+    from twitter_flink_spark.sources.tables import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = spread(emb, "vec_id")
+    cents = kmeans_fit(corpus, k=_KM_K, iters=_KM_ITERS)
+    assigned = assign_clusters(
+        corpus.select("vec_id", F.col("embedding").cast("array<double>").alias("e")),
+        cents.select("cid", "cent"),
+    )
+    sides = assigned.join(emb, on="vec_id").select(
+        "vec_id",
+        "cid",
+        F.col("embedding").alias("__e"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("__n"),
+    )
+    a = sides.select(
+        F.col("vec_id").alias("vec_a"),
+        "cid",
+        F.col("__e").alias("__ea"),
+        F.col("__n").alias("__na"),
+    )
+    b = sides.select(
+        F.col("vec_id").alias("vec_b"),
+        "cid",
+        F.col("__e").alias("__eb"),
+        F.col("__n").alias("__nb"),
+    )
+    return (
+        a.join(b, on="cid")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "__cos",
+            dot(F.col("__ea"), F.col("__eb")) / (F.col("__na") * F.col("__nb")),
+        )
+        .where(F.col("__cos") >= _SEM_THRESH)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.col("cid").alias("cluster_id"),
+            F.round("__cos", 6).alias("cosine"),
+        )
     )
