@@ -99,3 +99,56 @@ def test_pagerank_star_center_dominates(spark):
     got = {r.node: r.pr for r in pagerank(df, iters=4).collect()}
     assert all(got["hub"] > got[l] for l in leaves)
     assert len({got[l] for l in leaves}) == 1
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 plus a pendant edge: every K4 node sits in C(3,2)=3 triangles,
+    the pendant node in none; total triangles = C(4,3) = 4."""
+    from twitter_flink_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "d"), ("d", "e")],
+        "a STRING, b STRING",
+    )
+    rows = {r.v: (r.degree, r.n_triangles)
+            for r in triangle_counts(edges).collect()}
+    assert rows == {"a": (3, 3), "b": (3, 3), "c": (3, 3), "d": (4, 3)}
+
+
+def test_triangle_counts_triangle_free(spark):
+    from twitter_flink_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],  # 4-cycle
+        "a STRING, b STRING",
+    )
+    assert triangle_counts(edges).count() == 0
+
+
+def test_triangle_counts_exactly_once_random(spark):
+    """Random G(n, p): the oriented count must equal the brute-force
+    count of closed triples."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators.graph import triangle_counts
+
+    rng = random.Random(11)
+    nodes = [f"n{i:02d}" for i in range(14)]
+    edges = [
+        (a, b) for a, b in itertools.combinations(nodes, 2)
+        if rng.random() < 0.35
+    ]
+    eset = set(edges)
+    expected = sum(
+        1 for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    )
+    df = spark.createDataFrame(edges, "a STRING, b STRING")
+    total = (
+        triangle_counts(df).agg(F.sum("n_triangles").alias("s")).collect()[0].s
+    )
+    assert total == 3 * expected

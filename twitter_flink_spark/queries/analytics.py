@@ -173,6 +173,13 @@ def frequent_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of a self-join that would scan and shuffle the whole
     token-exploded table twice."""
     docs = load_table(spark, sf_dir, "documents")
+    return _token_pair_counts(docs)
+
+
+def _token_pair_counts(docs: DataFrame) -> DataFrame:
+    """(t1, t2, n_docs) co-occurrence counts among the `_TOP_TOKENS` most
+    document-frequent tokens (t1 < t2) — the Apriori-pruned pair pipeline
+    of `frequent_token_pairs`, shared with the triangle-count query."""
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).distinct()
@@ -197,6 +204,91 @@ def frequent_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.t1", "p.t2")
     return pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_TRI_MIN_SHARE = 0.55  #: edge iff the pair co-occurs in > this doc share
+
+
+def _triangle_oracle(top: int = _TOP_TOKENS, share: float = _TRI_MIN_SHARE) -> str:
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS token
+  FROM documents
+), top_tok AS (
+  SELECT token FROM (
+    SELECT token,
+           row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rn
+    FROM tok GROUP BY token
+  ) WHERE rn <= {top}
+), ftok AS (
+  SELECT t.doc_id, t.token FROM tok t JOIN top_tok USING (token)
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.token AS t1, b.token AS t2, count(*) AS c
+  FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT t1, t2 FROM pairs CROSS JOIN n WHERE c >= {share} * n.n_docs
+),
+deg AS (
+  SELECT v, count(*) AS d
+  FROM (SELECT t1 AS v FROM e UNION ALL SELECT t2 AS v FROM e)
+  GROUP BY v
+),
+o AS (
+  SELECT CASE WHEN (da.d, e.t1) < (db.d, e.t2) THEN e.t1 ELSE e.t2 END AS src,
+         CASE WHEN (da.d, e.t1) < (db.d, e.t2) THEN e.t2 ELSE e.t1 END AS dst,
+         CASE WHEN (da.d, e.t1) < (db.d, e.t2) THEN db.d ELSE da.d END AS dst_d
+  FROM e JOIN deg da ON da.v = e.t1 JOIN deg db ON db.v = e.t2
+),
+tri AS (
+  SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+  FROM o o1
+  JOIN o o2 ON o2.src = o1.src
+    AND (o1.dst_d, o1.dst) < (o2.dst_d, o2.dst)
+  JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+)
+SELECT m.token, CAST(deg.d AS BIGINT) AS degree,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT u AS token FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+) m JOIN deg ON deg.v = m.token
+GROUP BY 1, 2
+"""
+
+
+@register("triangle_count_token_graph", oracle=_triangle_oracle())
+def triangle_count_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the token co-occurrence graph (edge iff
+    a top-token pair co-occurs in >= 55% of documents) via DEGREE-ORDERED
+    orientation — the MPS/node-iterator++ algorithm every distributed
+    triangle count uses: orient each edge from its (degree, name)-smaller
+    endpoint, enumerate wedges at the smaller endpoint only, close them
+    with one equi-join on the oriented edge list. Orientation bounds the
+    wedge fan-out per node by sqrt(2m) REGARDLESS of raw degree — a
+    celebrity node with 10^6 neighbors generates no wedges unless both
+    neighbors out-rank it — which is what makes the join survive skewed
+    100 TB graphs; each triangle is counted exactly once (u < v < w in
+    orientation order). Every join is an equi-join; the tuple (deg, name)
+    tie-break makes the orientation — and the count — deterministic on
+    both engines."""
+    from twitter_flink_spark.operators.graph import triangle_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs_total"))
+    edges = (
+        _token_pair_counts(docs)
+        .join(F.broadcast(n))
+        .where(F.col("n_docs") >= F.lit(_TRI_MIN_SHARE) * F.col("n_docs_total"))
+        .select("t1", "t2")
+    )
+    return triangle_counts(edges, "t1", "t2").select(
+        F.col("v").alias("token"), "degree", "n_triangles"
+    )
 
 
 def pareto_frontier(
