@@ -535,3 +535,101 @@ def mixture_resample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("kept_id_sum", F.lit(0)).alias("kept_id_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout bucketing — multi-dimensional data clustering
+
+_Z_BITS = 8  #: per-dimension resolution (2^8 cells per axis)
+_Z_BUCKETS = 64  #: target layout buckets (files)
+
+
+def _zorder_oracle(bits: int = _Z_BITS, buckets: int = _Z_BUCKETS) -> str:
+    cells = 1 << bits
+    step = (1 << (2 * bits)) // buckets
+    interleave = " + ".join(
+        f"(((x8 // {1 << i}) % 2) * {1 << (2 * i)})"
+        f" + (((y8 // {1 << i}) % 2) * {1 << (2 * i + 1)})"
+        for i in range(bits)
+    )
+    return f"""
+WITH src AS (
+  SELECT o_custkey AS x,
+         CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS y,
+         o_totalprice
+  FROM orders
+),
+bounds AS (
+  SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax
+  FROM src
+),
+quant AS (
+  SELECT x, y, o_totalprice,
+         ((x - xmin) * {cells}) // (xmax - xmin + 1) AS x8,
+         ((y - ymin) * {cells}) // (ymax - ymin + 1) AS y8
+  FROM src CROSS JOIN bounds
+),
+z AS (
+  SELECT x, y, o_totalprice, ({interleave}) AS zval FROM quant
+)
+SELECT CAST(zval // {step} AS BIGINT) AS bucket_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(x) AS min_cust, max(x) AS max_cust,
+       min(y) AS min_day, max(y) AS max_day,
+       round(sum(o_totalprice), 2) AS total_price
+FROM z GROUP BY 1
+"""
+
+
+@register("zorder_layout_buckets", oracle=_zorder_oracle())
+def zorder_layout_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout bucketing of `orders` on
+    (o_custkey, o_orderdate) — the multi-dimensional clustering a table
+    format's OPTIMIZE ZORDER performs so min/max file statistics prune
+    scans filtered on EITHER dimension. Each row quantizes both
+    dimensions to 8 bits against broadcast global bounds (one 1-row agg —
+    no sort, no sampling), interleaves the bits into a 16-bit Morton
+    code JVM-side, and the code's high bits pick one of 64 layout
+    buckets; the output is each bucket's row count and min/max envelope
+    per dimension — exactly the statistics data skipping would consult.
+    At 100 TB the real write is `repartitionByRange(zval)` + sorted
+    parquet; everything before it is the map-side expression shown here.
+    All-integer arithmetic, so the oracle matches exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = 1 << _Z_BITS
+    step = (1 << (2 * _Z_BITS)) // _Z_BUCKETS
+    src = orders.select(
+        F.col("o_custkey").alias("x"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("y"),
+        "o_totalprice",
+    )
+    bounds = src.agg(
+        F.min("x").alias("xmin"),
+        F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"),
+        F.max("y").alias("ymax"),
+    )
+    quant = src.join(F.broadcast(bounds)).select(
+        "x",
+        "y",
+        "o_totalprice",
+        F.floor((F.col("x") - F.col("xmin")) * cells / (F.col("xmax") - F.col("xmin") + 1)).alias("x8"),
+        F.floor((F.col("y") - F.col("ymin")) * cells / (F.col("ymax") - F.col("ymin") + 1)).alias("y8"),
+    )
+    interleave = " + ".join(
+        f"(((x8 div {1 << i}) % 2) * {1 << (2 * i)})"
+        f" + (((y8 div {1 << i}) % 2) * {1 << (2 * i + 1)})"
+        for i in range(_Z_BITS)
+    )
+    z = quant.withColumn("zval", F.expr(interleave))
+    return (
+        z.groupBy((F.col("zval") / step).cast("long").alias("bucket_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_cust"),
+            F.max("x").alias("max_cust"),
+            F.min("y").alias("min_day"),
+            F.max("y").alias("max_day"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

@@ -1175,3 +1175,197 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("weight"))
     )
     return bpe_learn(words, _BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# Curriculum packing (SURVEY §12 item 3)
+
+_CURR_WIN = 2048
+
+
+@register(
+    "curriculum_pack_difficulty",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_tok
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, source, n_tok, round(n_chars * 1.0 / n_tok, 1) AS diff
+  FROM t WHERE n_tok > 0
+),
+levels AS (SELECT diff AS v, count(*) AS c FROM sc GROUP BY 1),
+n AS (SELECT count(*) AS n FROM sc),
+cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc
+  FROM levels
+),
+bnd AS (
+  SELECT
+    min(CASE WHEN cc >= ceil(0.25 * n.n) THEN v END) AS b1,
+    min(CASE WHEN cc >= ceil(0.50 * n.n) THEN v END) AS b2,
+    min(CASE WHEN cc >= ceil(0.75 * n.n) THEN v END) AS b3
+  FROM cum CROSS JOIN n
+),
+fact AS (
+  SELECT sc.doc_id, sc.source, sc.n_tok,
+         1 + CAST(sc.diff >= bnd.b1 AS INT)
+           + CAST(sc.diff >= bnd.b2 AS INT)
+           + CAST(sc.diff >= bnd.b3 AS INT) AS bucket_id
+  FROM sc CROSS JOIN bnd
+),
+cumtok AS (
+  SELECT bucket_id, source, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY bucket_id, source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM fact
+)
+SELECT bucket_id, source,
+       CAST((cum_tok - n_tok) // {_CURR_WIN} AS BIGINT) AS seq_id,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM cumtok
+GROUP BY 1, 2, 3
+""",
+)
+def curriculum_pack_difficulty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered sequence packing (SURVEY §12): documents are
+    quartile-bucketed by a difficulty proxy (mean chars per token,
+    rounded to 1 decimal) and packed into 2048-token windows WITHIN
+    (difficulty bucket, source shard) — the data layout a curriculum
+    schedule consumes bucket-by-bucket.
+
+    Scale composition, both halves already proven individually: quartile
+    boundaries come from the aggregate-to-levels running sum
+    (`quantile_bucket_join_lineitem`) — the 1-decimal rounding bounds the
+    level table to dozens of rows, so no global row sort ever happens and
+    the boundaries broadcast as one row; bucket assignment is three
+    scan-side comparisons; packing runs per (bucket, source) partition
+    exactly like `pack_sequences_greedy` — the per-shard window is the
+    parallel unit, so adding buckets ADDS parallelism rather than
+    serializing it."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    sc = (
+        spread(docs, "doc_id")
+        .select("doc_id", "source", "n_chars", n_tok.alias("n_tok"))
+        .where(F.col("n_tok") > 0)
+        .withColumn(
+            "diff", F.round(F.col("n_chars") * 1.0 / F.col("n_tok"), 1)
+        )
+    )
+    levels = sc.groupBy(F.col("diff").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = sc.agg(F.count(F.lit(1)).alias("n"))
+    wlev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = levels.select("v", F.sum("c").over(wlev).alias("cc"))
+    bmark = lambda q: F.min(  # noqa: E731
+        F.when(F.col("cc") >= F.ceil(q * F.col("n")), F.col("v"))
+    )
+    bnd = cum.join(F.broadcast(n)).agg(
+        bmark(F.lit(0.25)).alias("b1"),
+        bmark(F.lit(0.50)).alias("b2"),
+        bmark(F.lit(0.75)).alias("b3"),
+    )
+    fact = sc.crossJoin(F.broadcast(bnd)).select(
+        "doc_id",
+        "source",
+        "n_tok",
+        (
+            F.lit(1)
+            + (F.col("diff") >= F.col("b1")).cast("int")
+            + (F.col("diff") >= F.col("b2")).cast("int")
+            + (F.col("diff") >= F.col("b3")).cast("int")
+        ).alias("bucket_id"),
+    )
+    wpack = (
+        Window.partitionBy("bucket_id", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cumtok = fact.withColumn("cum_tok", F.sum("n_tok").over(wpack))
+    return (
+        cumtok.groupBy(
+            "bucket_id",
+            "source",
+            F.floor((F.col("cum_tok") - F.col("n_tok")) / _CURR_WIN)
+            .cast("long")
+            .alias("seq_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build with d-gap postings
+
+_IDX_MIN_DF = 5
+
+
+@register(
+    "inverted_index_dgap",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS term
+  FROM documents
+),
+d AS (
+  SELECT term, doc_id,
+         doc_id - lag(doc_id, 1, 0) OVER (
+           PARTITION BY term ORDER BY doc_id) AS delta
+  FROM tok WHERE term <> ''
+),
+g AS (
+  SELECT term, count(*) AS df, min(doc_id) AS first_doc,
+         list(delta ORDER BY doc_id) AS deltas,
+         CAST(sum(length(bin(delta))) AS BIGINT) AS sum_bits
+  FROM d GROUP BY term
+)
+SELECT term, df, first_doc, deltas, sum_bits FROM g WHERE df >= {_IDX_MIN_DF}
+""",
+)
+def inverted_index_dgap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build with delta-encoded (d-gap) postings — the
+    core retrieval artifact behind `bm25_topk_docs`: per term, the sorted
+    doc_id posting list stored as gaps (first gap from 0), plus the
+    binary-magnitude bit cost the gap encoding would pay — small gaps
+    (clustered doc ids) compress well, which is WHY indexes store gaps.
+
+    Shape at scale: ONE shuffle keyed by term; the gap computation is a
+    lag window inside that same (term, doc_id) partitioning — no second
+    exchange — and the list assembly is the sort_array(collect_list)
+    reduction, safe because per-term postings are bounded by df (terms
+    above a df ceiling would be sharded into skip-list blocks; the
+    df >= {_IDX_MIN_DF} floor here keeps the output the dictionary's
+    head, the same pruning a real dictionary applies to hapaxes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        spread(docs, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    d = tok.withColumn(
+        "delta", F.col("doc_id") - F.lag("doc_id", 1, 0).over(w)
+    )
+    return (
+        d.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.min("doc_id").alias("first_doc"),
+            F.expr(
+                "transform(sort_array(collect_list(struct(doc_id, delta))),"
+                " s -> s.delta)"
+            ).alias("deltas"),
+            F.sum(F.length(F.bin("delta"))).cast("long").alias("sum_bits"),
+        )
+        .where(F.col("df") >= _IDX_MIN_DF)
+    )
