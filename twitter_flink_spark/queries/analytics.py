@@ -667,3 +667,108 @@ def pagerank_cust_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(bidir, iters=3, damping=0.85)
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+@register(
+    "scd2_user_status_intervals",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, ts, value,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_id, event_type, ts, value
+  FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to,
+       round(value, 2) AS value,
+       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL AS INT) AS is_current
+FROM changes
+""",
+)
+def scd2_user_status_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build from an append-only change
+    log: per user, consecutive same-status events compress into one
+    validity interval (gaps-and-islands on event_type), each carrying
+    [valid_from, valid_to) and an is_current flag — the historized
+    dimension a warehouse MERGEs from CDC, and the complement of
+    `cdc_latest_per_key` (which keeps only the current row).
+
+    One shuffle: BOTH window passes (the lag that detects changes and the
+    lead that closes intervals) share the (user_id) partitioning and
+    (ts, event_id) ordering, so Catalyst plans a single exchange + sort
+    and the change filter runs between the two window functions without
+    re-exchanging. At 100 TB this is the canonical one-pass SCD2
+    derivation; the deterministic (ts, event_id) tie-break makes replays
+    idempotent."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .drop("prev_type")
+    )
+    return changes.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.round("value", 2).alias("value"),
+        F.lead("ts").over(w).isNull().cast("int").alias("is_current"),
+    )
+
+
+@register(
+    "join_key_skew_profile",
+    oracle="""
+WITH per_key AS (
+  SELECT l_orderkey, count(*) AS rows_per_key FROM lineitem GROUP BY 1
+)
+SELECT rows_per_key, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(rows_per_key) AS BIGINT) AS n_rows,
+       round(sum(rows_per_key) * 1.0
+             / (SELECT sum(rows_per_key) FROM per_key), 6) AS row_share
+FROM per_key
+GROUP BY rows_per_key
+""",
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: the rows-per-key histogram of
+    lineitem.l_orderkey — the profile that decides a join strategy BEFORE
+    running it (broadcast? salt the top keys? trust AQE's skew split?).
+    Two hash aggregations (key → count, count → frequency): the second
+    input is |distinct keys| and the histogram itself is at most
+    |max multiplicity| rows, so the full profile of a 100 TB fact table
+    is a few hundred rows on the driver. row_share against the broadcast
+    1-row total shows where the mass sits (a head key with share >> 1/p
+    is the salting candidate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("rows_per_key")
+    )
+    total = per_key.agg(F.sum("rows_per_key").alias("__t"))
+    return (
+        per_key.groupBy("rows_per_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("rows_per_key").alias("n_rows"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "rows_per_key",
+            "n_keys",
+            "n_rows",
+            F.round(F.col("n_rows") * 1.0 / F.col("__t"), 6).alias("row_share"),
+        )
+    )

@@ -1369,3 +1369,111 @@ def inverted_index_dgap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("df") >= _IDX_MIN_DF)
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (rolling-hash boundaries)
+
+_CDC_NGRAM = 3  #: rolling-hash context width (tokens)
+#: boundary iff the last md5 hex digit of the context <= this → p = 2/16,
+#: expected chunk length ~8 tokens
+_CDC_BOUND = "1"
+
+
+@register(
+    "cdc_chunk_documents",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, t.i AS pos, toks[t.i] AS token
+  FROM (
+    SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+  ), unnest(range(1, len(toks) + 1)) AS t(i)
+),
+ctx AS (
+  SELECT doc_id, pos, token,
+         CASE WHEN pos >= {_CDC_NGRAM} AND substr(md5(
+                lag(token, 2) OVER w || ' ' || lag(token, 1) OVER w
+                  || ' ' || token), 32, 1) <= '{_CDC_BOUND}'
+              THEN 1 ELSE 0 END AS boundary
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+cid AS (
+  SELECT doc_id, pos, token,
+         coalesce(sum(boundary) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+  FROM ctx
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash
+FROM cid
+GROUP BY doc_id, chunk_id
+""",
+)
+def cdc_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: chunk boundaries fall where the rolling
+    hash of the last {_CDC_NGRAM} tokens lands in a 1/8 target range —
+    so an insertion early in a document only perturbs ONE chunk, and
+    every later chunk re-aligns and re-deduplicates (the FastCDC/rsync
+    property fixed windows like `udtf_chunk_documents` lack; the emitted
+    chunk_hash is exactly what a chunk-level dedup store keys on).
+
+    Execution: one shuffle keyed by doc_id; the boundary lag-window and
+    the chunk-id running sum share the same (doc_id, pos) partitioning
+    and ordering, so Catalyst plans a single exchange+sort for both, and
+    the final chunk aggregate reuses that clustering. Everything is
+    md5-deterministic — the oracle recomputes identical boundaries."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        spread(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.posexplode(F.filter(F.split("text", " "), lambda t: t != "")),
+        )
+        .select("doc_id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("token"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ctx = tok.withColumn(
+        "boundary",
+        (
+            (F.col("pos") >= _CDC_NGRAM)
+            & (
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.lag("token", 2).over(w),
+                            F.lag("token", 1).over(w),
+                            F.col("token"),
+                        )
+                    ),
+                    32,
+                    1,
+                )
+                <= _CDC_BOUND
+            )
+        ).cast("int"),
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cid = ctx.withColumn(
+        "chunk_id", F.coalesce(F.sum("boundary").over(wrun), F.lit(0))
+    )
+    return (
+        cid.groupBy("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(sort_array(collect_list("
+                    "struct(pos, token))), s -> s.token), ' ')"
+                )
+            ).alias("chunk_hash"),
+        )
+    )
