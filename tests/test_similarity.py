@@ -185,3 +185,31 @@ def test_multiprobe_candidates_superset_of_single_probe(spark):
     )
     assert single <= multi
     assert len(multi) > len(single)
+
+
+def test_grouped_kmeans_fits_independent_codebooks(spark):
+    """group_col codebooks must equal separately-fitted per-group runs."""
+    from twitter_flink_spark.operators.clustering import kmeans_fit
+
+    rows = []
+    for i in range(12):
+        # group 0 clusters around 0/10; group 1 around 100/200
+        rows.append((i, 0, [float(i % 2 * 10), 1.0]))
+        rows.append((i, 1, [float(100 + i % 2 * 100), 2.0]))
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, sub INT, e ARRAY<DOUBLE>"
+    )
+    grouped = {
+        (r.sub, r.cid): r.cent
+        for r in kmeans_fit(df, k=2, iters=2, vec_col="e", group_col="sub")
+        .collect()
+    }
+    for sub in (0, 1):
+        solo = {
+            r.cid: r.cent
+            for r in kmeans_fit(
+                df.where(F.col("sub") == sub), k=2, iters=2, vec_col="e"
+            ).collect()
+        }
+        for cid, cent in solo.items():
+            assert grouped[(sub, cid)] == cent

@@ -41,22 +41,32 @@ def assign_clusters(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "e",
+    group_col: str | None = None,
+    keep_dist: bool = False,
 ) -> DataFrame:
-    """(id, cid): nearest centroid per vector, ties to the lower cid."""
-    d = (
-        vectors.crossJoin(F.broadcast(centroids))
-        .withColumn(
-            "dist",
-            dot(F.col(vec_col), F.col(vec_col))
-            - 2 * dot(F.col(vec_col), F.col("cent"))
-            + dot(F.col("cent"), F.col("cent")),
-        )
+    """(id[, group], cid[, dist]): nearest centroid per vector, ties to
+    the lower cid. With ``group_col``, centroids are a PER-GROUP codebook
+    (product-quantization subspaces, per-shard codebooks): candidates
+    join on the group key instead of crossing, still broadcast — the
+    centroid table is k x groups rows."""
+    joined = (
+        vectors.join(F.broadcast(centroids), on=group_col)
+        if group_col
+        else vectors.crossJoin(F.broadcast(centroids))
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(), F.col("cid").asc())
+    d = joined.withColumn(
+        "dist",
+        dot(F.col(vec_col), F.col(vec_col))
+        - 2 * dot(F.col(vec_col), F.col("cent"))
+        + dot(F.col("cent"), F.col("cent")),
+    )
+    keys = [id_col] + ([group_col] if group_col else [])
+    w = Window.partitionBy(*keys).orderBy(F.col("dist").asc(), F.col("cid").asc())
+    out_cols = keys + ["cid"] + (["dist"] if keep_dist else [])
     return (
         d.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select(id_col, "cid")
+        .select(*out_cols)
     )
 
 
@@ -65,15 +75,21 @@ def update_centroids(
     assigned: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "e",
+    group_col: str | None = None,
 ) -> DataFrame:
-    """(cid, cent, n_vecs): decimal-exact per-dimension means."""
+    """([group,] cid, cent, n_vecs): decimal-exact per-dimension means.
+    With ``group_col``, means are computed independently per group in the
+    SAME aggregation pipeline — subspace count never multiplies jobs."""
+    g = [group_col] if group_col else []
     comp = (
-        assigned.join(vectors, id_col)
+        assigned.join(vectors, on=[id_col] + g)
         .select(
+            *g,
             "cid",
             F.posexplode(F.col(vec_col)).alias("pos0", "val"),
         )
         .select(
+            *g,
             "cid",
             (F.col("pos0") + 1).alias("dim"),
             F.round("val", _COMP_SCALE)
@@ -81,18 +97,19 @@ def update_centroids(
             .alias("val"),
         )
     )
-    dims = comp.groupBy("cid", "dim").agg(
+    dims = comp.groupBy(*g, "cid", "dim").agg(
         F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
     )
     return (
         dims.select(
+            *g,
             "cid",
             "n",
             F.struct("dim", (F.col("s").cast("double") / F.col("n")).alias("c")).alias(
                 "dc"
             ),
         )
-        .groupBy("cid")
+        .groupBy(*g, "cid")
         .agg(
             F.expr("transform(sort_array(collect_list(dc)), s -> s.c)").alias(
                 "cent"
@@ -108,26 +125,37 @@ def kmeans_fit(
     iters: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Run ``iters`` Lloyd rounds from the k lowest-id seeds; returns
-    (cid, cent array<double>, n_vecs) for the surviving clusters."""
+    ([group,] cid, cent array<double>, n_vecs) for the surviving
+    clusters. With ``group_col``, fits an INDEPENDENT codebook per group
+    (e.g. one per product-quantization subspace) in the same fixed number
+    of Spark jobs — per-group work rides the same shuffles, so codebook
+    count scales for free."""
     sc = vectors.sparkSession.sparkContext
+    g = [group_col] if group_col else []
     v = vectors.select(
-        id_col, F.col(vec_col).cast("array<double>").alias("e")
+        *g, id_col, F.col(vec_col).cast("array<double>").alias("e")
     )
     before = _persistent_rdd_ids(sc)
     v = v.localCheckpoint()
     v_ids = _persistent_rdd_ids(sc) - before
     cents = v.where(F.col(id_col) < k).select(
+        *g,
         F.col(id_col).alias("cid"),
         F.col("e").alias("cent"),
         F.lit(1).cast("long").alias("n_vecs"),
     )
     cent_ids: set[int] = set()
     for _ in range(iters):
-        assigned = assign_clusters(v, cents.select("cid", "cent"))
+        assigned = assign_clusters(
+            v, cents.select(*g, "cid", "cent"), group_col=group_col
+        )
         before = _persistent_rdd_ids(sc)
-        new_cents = update_centroids(v, assigned).localCheckpoint()
+        new_cents = update_centroids(
+            v, assigned, group_col=group_col
+        ).localCheckpoint()
         new_ids = _persistent_rdd_ids(sc) - before
         _unpersist_ids(sc, cent_ids)
         cents, cent_ids = new_cents, new_ids

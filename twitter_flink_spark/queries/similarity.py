@@ -910,3 +910,130 @@ def semantic_dedup_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("__cos", 6).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization encode
+
+_PQ_SUBS = 4
+_PQ_SUBDIM = _KM_DIM // _PQ_SUBS
+_PQ_K = 4
+_PQ_ITERS = 2
+
+
+def _pq_oracle(
+    subs: int = _PQ_SUBS,
+    subdim: int = _PQ_SUBDIM,
+    k: int = _PQ_K,
+    iters: int = _PQ_ITERS,
+) -> str:
+    parts = [
+        f"""v AS (
+  SELECT vec_id, CAST(s.s AS INT) AS sub,
+         (embedding::DOUBLE[])[CAST(s.s * {subdim} + 1 AS INT):
+                               CAST(s.s * {subdim} + {subdim} AS INT)] AS e
+  FROM embeddings, unnest(range(0, {subs})) AS s(s)
+),
+c0 AS (SELECT sub, vec_id AS cid, e AS cent FROM v WHERE vec_id < {k})"""
+    ]
+    assign = """d{r} AS (
+  SELECT v.vec_id, v.sub, c.cid,
+         list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c.cent)
+           + list_dot_product(c.cent, c.cent) AS dist
+  FROM v JOIN c{prev} c USING (sub)
+),
+a{r} AS (
+  SELECT vec_id, sub, cid, dist FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+    FROM d{r}
+  ) WHERE rn = 1
+)"""
+    for r in range(1, iters + 1):
+        parts.append(
+            assign.format(r=r, prev=r - 1)
+            + f""",
+m{r} AS (
+  SELECT a.sub, a.cid, CAST(t.i AS BIGINT) AS dim,
+         sum(CAST(round(v.e[t.i], 7) AS DECIMAL(28,7))) AS s,
+         count(*) AS n
+  FROM a{r} a JOIN v ON v.vec_id = a.vec_id AND v.sub = a.sub
+  CROSS JOIN unnest(range(1, {subdim + 1})) AS t(i)
+  GROUP BY 1, 2, 3
+),
+c{r} AS (
+  SELECT sub, cid, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cent
+  FROM m{r} GROUP BY 1, 2
+)"""
+        )
+    parts.append(assign.format(r=iters + 1, prev=iters))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT vec_id, list(cid ORDER BY sub) AS codes,
+       round(CAST(sum(CAST(round(dist, 7) AS DECIMAL(28,7))) AS DOUBLE), 6)
+         + 0.0 AS sq_err
+FROM a{iters + 1}
+GROUP BY vec_id
+"""
+    )
+
+
+@register("pq_encode_embeddings", oracle=_pq_oracle())
+def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: the 64-dim embeddings split into 4
+    subspaces of 16 dims; an INDEPENDENT k=4 codebook is Lloyd-fitted per
+    subspace and every vector is encoded as its 4 nearest-sub-centroid
+    ids plus the total squared reconstruction error — the 8-bits-per-
+    subvector compressed representation production ANN indexes store
+    (FAISS IVF-PQ's fine quantizer).
+
+    The distributed shape is the point: all 4 subspace codebooks fit in
+    ONE grouped k-means (`operators/clustering.py::kmeans_fit` with
+    ``group_col="sub"``) — subvectors ride a single exploded table, every
+    Lloyd round is one broadcast-join assignment + one (sub, cid, dim)
+    aggregation regardless of subspace count, so going from 4 to 64
+    subspaces on a 100 TB corpus adds zero jobs. Assignment distances
+    reuse the decimal-exact dot-product identity; the final per-vector
+    error sums ROUNDED DECIMAL sub-distances, so neither partitioning nor
+    engine can flip a value. Codes order by subspace; the oracle unrolls
+    the grouped rounds."""
+    from twitter_flink_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_fit,
+    )
+    from twitter_flink_spark.sources.tables import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    subv = spread(emb, "vec_id").select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_SUBS - 1}), s -> "
+                f"transform(slice(embedding, s * {_PQ_SUBDIM} + 1, "
+                f"{_PQ_SUBDIM}), x -> CAST(x AS DOUBLE)))"
+            )
+        ).alias("sub", "e"),
+    )
+    cents = kmeans_fit(
+        subv, k=_PQ_K, iters=_PQ_ITERS, vec_col="e", group_col="sub"
+    )
+    assigned = assign_clusters(
+        subv,
+        cents.select("sub", "cid", "cent"),
+        group_col="sub",
+        keep_dist=True,
+    )
+    return assigned.groupBy("vec_id").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(sub, cid))), s -> s.cid)"
+        ).alias("codes"),
+        (
+            F.round(
+                F.sum(F.round("dist", 7).cast("decimal(28,7)")).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("sq_err"),
+    )
