@@ -72,3 +72,50 @@ def test_bpe_greedy_run_semantics(spark):
     after = apply_merge(t, best).orderBy("rn").collect()
     assert [r.sym for r in after] == ["aa", "aa", "a"]
     assert [r.rn for r in after] == [1, 2, 3]
+
+
+def _reference_bpe_encode(word_weights: dict[str, int], n_merges: int):
+    """Final segmentation after applying all learned merges."""
+    tables = {w: [c for c in w] for w in word_weights}
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in tables.items():
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + word_weights[w]
+        if not counts:
+            break
+        a, b = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        for w, syms in tables.items():
+            merged = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            tables[w] = merged
+    return tables
+
+
+def test_bpe_encode_matches_reference(spark):
+    from twitter_flink_spark.operators.bpe import bpe_encode
+
+    weights = {
+        "lower": 5,
+        "lowest": 2,
+        "newer": 6,
+        "wider": 3,
+        "new": 2,
+        "aaaa": 4,
+    }
+    words = spark.createDataFrame(
+        list(weights.items()), "word string, weight long"
+    )
+    rows = bpe_encode(words, 4).orderBy("word", "rn").collect()
+    got: dict[str, list[str]] = {}
+    for r in rows:
+        got.setdefault(r.word, []).append(r.sym)
+    assert got == _reference_bpe_encode(weights, 4)

@@ -159,3 +159,31 @@ def bpe_learn(words: DataFrame, n_merges: int) -> DataFrame:
     for m in merges[1:]:
         out = out.unionAll(m)
     return out
+
+
+def bpe_encode(words: DataFrame, n_merges: int) -> DataFrame:
+    """Learn ``n_merges`` merge rules and apply ALL of them — the ENCODE
+    side of the tokenizer: returns the final (word, weight, rn, sym)
+    symbol table, i.e. every vocabulary word segmented by the learned
+    merges. Same per-round structure as ``bpe_learn`` (which stops before
+    applying the last rule because it only reports rules); encoding a
+    NEW corpus with frozen rules is the same loop with ``best`` replaced
+    by each stored rule — the application operator is shared either
+    way."""
+    sc = words.sparkSession.sparkContext
+    before = _persistent_rdd_ids(sc)
+    t = char_symbol_table(words).localCheckpoint()
+    t_ids = _persistent_rdd_ids(sc) - before
+    for _ in range(n_merges):
+        best = (
+            pair_stats(t)
+            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        before = _persistent_rdd_ids(sc)
+        new_t = apply_merge(t, best).localCheckpoint()
+        new_ids = _persistent_rdd_ids(sc) - before
+        _unpersist_ids(sc, t_ids)
+        t, t_ids = new_t, new_ids
+    return t

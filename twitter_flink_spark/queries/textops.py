@@ -1092,7 +1092,10 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 3
 
 
-def _bpe_merges_oracle(k: int = _BPE_MERGES) -> str:
+def _bpe_ctes(k: int, apply_last: bool = False) -> list[str]:
+    """Unrolled BPE-round CTEs ending at ``best{k}`` (and ``t{k + 1}``,
+    the fully-merged symbol table, when ``apply_last``) — shared by the
+    merge-learning oracle and the corpus-encoding oracle."""
     parts = [
         """words AS (
   SELECT tok AS word, count(*) AS weight
@@ -1118,7 +1121,7 @@ best{r} AS (
   ) ORDER BY cnt DESC, a, b LIMIT 1
 )"""
         )
-        if r < k:
+        if r < k or apply_last:
             parts.append(
                 f"""m{r} AS (
   SELECT p.word, p.weight, p.rn, p.sym, p.nxt,
@@ -1147,12 +1150,30 @@ t{r + 1} AS (
   WHERE coalesce(prev_mg, 0) = 0
 )"""
             )
+    return parts
+
+
+def _bpe_merges_oracle(k: int = _BPE_MERGES) -> str:
     sel = "\nUNION ALL\n".join(
         f"SELECT {r} AS step, a AS left_sym, b AS right_sym, "
         f"a || b AS merged, cnt FROM best{r}"
         for r in range(1, k + 1)
     )
-    return "WITH " + ",\n".join(parts) + "\n" + sel
+    return "WITH " + ",\n".join(_bpe_ctes(k)) + "\n" + sel
+
+
+def _bpe_encode_oracle(k: int = _BPE_MERGES) -> str:
+    return (
+        "WITH "
+        + ",\n".join(_bpe_ctes(k, apply_last=True))
+        + f"""
+SELECT word, CAST(weight AS BIGINT) AS weight,
+       CAST(count(*) AS BIGINT) AS n_subtokens,
+       list(sym ORDER BY rn) AS subtokens
+FROM t{k + 1}
+GROUP BY word, weight
+"""
+    )
 
 
 @register("bpe_learn_merges", oracle=_bpe_merges_oracle())
@@ -1476,4 +1497,35 @@ def cdc_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("chunk_hash"),
         )
+    )
+
+
+@register("bpe_encode_vocab", oracle=_bpe_encode_oracle())
+def bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE: segment every vocabulary word with the merges
+    `bpe_learn_merges` learns (3 rounds, same corpus) — the apply side of
+    the tokenizer, turning words into subtoken sequences
+    (`operators/bpe.py::bpe_encode`). Encoding stays on the
+    vocabulary-sized word-frequency table, NOT the corpus: a 100 TB
+    corpus re-tokenizes by equi-joining its words against this encoded
+    vocabulary (zipf-bounded rows), never re-running the merge machinery
+    per document. Greedy leftmost-nonoverlapping application is the same
+    gaps-and-islands parity pass as learning; the oracle unrolls all
+    three learn+apply rounds and reassembles subtokens in rn order."""
+    from twitter_flink_spark.operators.bpe import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        spread(docs, "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    t = bpe_encode(words, _BPE_MERGES)
+    return t.groupBy("word", "weight").agg(
+        F.count(F.lit(1)).alias("n_subtokens"),
+        F.expr(
+            "transform(sort_array(collect_list(struct(rn, sym))), s -> s.sym)"
+        ).alias("subtokens"),
     )
