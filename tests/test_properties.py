@@ -318,3 +318,35 @@ def test_funnel_matches_bruteforce(spark, events, tmp_path_factory):
         return {"view": n_v, "click": n_c, "purchase": n_p}
 
     assert got == brute(), events
+
+
+# --- null-routed left join --------------------------------------------------
+
+_nullable_fact = st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(0, 4)), st.integers(0, 999)),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(**_SETTINGS)
+@given(fact=_nullable_fact, dim=_dim_rows)
+def test_null_routed_join_matches_plain_left_join(spark, fact, dim):
+    """Routing null keys around the exchange must be invisible in the
+    result — identical rows to the plain left join, nulls extended."""
+    from twitter_flink_spark.operators.joins import null_routed_left_join
+
+    fdf = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(fact)] or [],
+        "fid long, fk long, fval long",
+    )
+    ddf = spark.createDataFrame(dim or [], "fk long, attr long")
+    got = sorted(
+        (r.fid, r.fk, r.fval, r.attr)
+        for r in null_routed_left_join(fdf, ddf, "fk").collect()
+    )
+    expected = sorted(
+        (r.fid, r.fk, r.fval, r.attr)
+        for r in fdf.join(ddf, "fk", "left").collect()
+    )
+    assert got == expected

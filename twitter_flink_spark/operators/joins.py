@@ -112,3 +112,39 @@ def salted_equi_join(
         how,
     )
     return joined.drop("__salt_l", "__salt_r")
+
+
+def null_routed_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Left equi-join that routes NULL-key left rows AROUND the shuffle.
+
+    A null join key can never match, but Spark still hashes it: every
+    null-key row lands in the pmod(hash(null)) partition, so a fact table
+    where 30% of rows are unattributed (anonymous users, unparsed ids)
+    concentrates 30% of the shuffle on one reducer — the classic
+    null-skew failure AQE's skew split only patches after the fact. The
+    fix is algebraic, not adaptive: null-key rows provably join to
+    nothing, so they bypass the join entirely (a scan-side filter, no
+    exchange) and re-enter via union with the right side's columns
+    null-extended — exactly what the left join would have produced.
+
+    Result is column-for-column identical to
+    ``left.join(right, key, "left")``; only the exchange's row
+    distribution changes."""
+    if how not in ("left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"null_routed_left_join only supports left joins, got {how!r}"
+        )
+    matched = left.where(F.col(key).isNotNull()).join(right, key, "left")
+    right_only = [c for c in matched.columns if c not in left.columns]
+    # typed nulls: an untyped VOID literal would fail the union resolve
+    rtypes = {f.name: f.dataType for f in matched.schema.fields}
+    passthrough = left.where(F.col(key).isNull()).select(
+        "*", *[F.lit(None).cast(rtypes[c]).alias(c) for c in right_only]
+    )
+    # join(key) moves the key to the front; align by name, not position
+    return matched.unionByName(passthrough.select(matched.columns))

@@ -560,3 +560,88 @@ def streaming_mv_serve_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     await_or_raise(q2, 300)
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "streaming_left_outer_interval_join",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
+  WHERE event_type = 'purchase' AND value > 150
+),
+c AS (
+  SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
+  WHERE event_type = 'click'
+),
+maxts AS (
+  SELECT least((SELECT max(p_ts) FROM p), (SELECT max(c_ts) FROM c))
+           - INTERVAL 1 SECOND AS wm
+)
+SELECT p.purchase_id, c.click_id, p.user_id,
+       CAST(floor(epoch(p.p_ts)) - floor(epoch(c.c_ts)) AS BIGINT)
+         AS gap_seconds
+FROM p JOIN c
+  ON c.user_id = p.user_id
+ AND c.c_ts >= p.p_ts - INTERVAL 86400 SECOND AND c.c_ts <= p.p_ts
+UNION ALL
+SELECT p.purchase_id, CAST(NULL AS BIGINT), p.user_id, CAST(NULL AS BIGINT)
+FROM p CROSS JOIN maxts
+WHERE NOT EXISTS (
+  SELECT 1 FROM c
+  WHERE c.user_id = p.user_id
+    AND c.c_ts >= p.p_ts - INTERVAL 86400 SECOND AND c.c_ts <= p.p_ts
+) AND p.p_ts <= maxts.wm
+""",
+)
+def streaming_left_outer_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every high-value purchase
+    joined to the user's preceding-24h clicks, and purchases with NO such
+    click emitted null-extended — but only once the watermark proves no
+    matching click can still arrive (evicting the row from join state).
+    That timing is the entire difficulty of outer stream joins: emit
+    early and a late click makes the null row wrong; never emit and
+    state grows forever. Drained to completion, the emitted set is the
+    batch left join restricted on the null side to watermark-closed
+    purchases — and the operative watermark is the GLOBAL one, the MIN
+    over both input streams' (max event time - delay): a purchase that
+    is itself the purchase stream's frontier is held forever even if
+    clicks run far ahead (measured — the sf0.01 frontier row pins it).
+    Same measured-contract discipline as this module's append-mode
+    aggregates, applied to join-state eviction."""
+    p = (
+        stream_table(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 second")
+    )
+    c = (
+        stream_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 second")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 86400 SECONDS"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+        .cast("long")
+        .alias("gap_seconds"),
+    )
+    return run_to_memory(joined, output_mode="append")
