@@ -350,3 +350,44 @@ def test_null_routed_join_matches_plain_left_join(spark, fact, dim):
         for r in fdf.join(ddf, "fk", "left").collect()
     )
     assert got == expected
+
+
+# --- prefix-filtering set-similarity join -----------------------------------
+
+_doc_texts = st.lists(
+    st.lists(
+        st.sampled_from("ant bee cat dog elk fox gnu hen ibis jay".split()),
+        min_size=1,
+        max_size=6,
+    ).map(lambda ws: " ".join(ws)),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(**_SETTINGS)
+@given(texts=_doc_texts, thresh=st.sampled_from([0.3, 0.5, 0.8]))
+def test_prefix_filter_join_is_lossless(spark, texts, thresh):
+    """Prefix filtering must return EXACTLY the brute-force pair set —
+    the lossless-candidate-generation guarantee. ngram=1 makes the
+    shingle sets plain token sets, keeping the reference trivial."""
+    from twitter_flink_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filter_jaccard_pairs(docs, thresh, ngram=1).collect()
+    }
+    sets = {i: set(t.split()) for i, t in enumerate(texts)}
+    expected = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= thresh:
+                    expected[(a, b)] = round(j, 6)
+    assert got == expected

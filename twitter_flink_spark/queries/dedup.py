@@ -505,3 +505,50 @@ def bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "maybe_dup"
         ),
     )
+
+
+_PPJ_THRESHOLD = 0.5
+
+
+@register(
+    "prefix_filter_jaccard_join",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+  WHERE len(str_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM tok, unnest(range(1, len(toks) - 1)) AS t(i)
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+  FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.ni * 1.0 / (za.sz + zb.sz - i.ni), 6) AS jaccard
+FROM inter i JOIN sz za ON za.doc_id = i.doc_a
+             JOIN sz zb ON zb.doc_id = i.doc_b
+WHERE i.ni * 1.0 / (za.sz + zb.sz - i.ni) >= {_PPJ_THRESHOLD}
+""",
+)
+def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs shingle-set similarity join (3-gram Jaccard >=
+    0.5) via prefix filtering
+    (`operators/dedup.py::prefix_filter_jaccard_pairs`) — the
+    recall-lossless complement to `dedup_minhash_lsh` at identical
+    semantics: banding trades recall for candidates, prefix filtering
+    provably loses nothing (a qualifying pair must share a rarest-first
+    prefix shingle), so the ORACLE IS THE NAIVE ALL-PAIRS JOIN — the
+    correctness gate certifies the optimization semantics-preserving
+    rather than recomputing the same candidate set on both engines."""
+    from twitter_flink_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        spread(docs, "doc_id"), threshold=_PPJ_THRESHOLD
+    )
