@@ -784,6 +784,30 @@ FROM c{iters} CROSS JOIN unnest(range(1, {_KM_DIM + 1})) AS t(i)
     )
 
 
+#: session-scoped fitted-codebook caches keyed by (app id, sf_dir). A
+#: codebook is the PERSISTED artifact of an index build — the queries
+#: composing it (codebook dump, semantic dedup, PQ encode, IVF-PQ
+#: search) must share one fit per session instead of re-paying the Lloyd
+#: rounds each; kmeans_fit's final localCheckpoint keeps the blocks
+#: alive for every consumer.
+_KM_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PQ_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _coarse_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cid, cent, n_vecs) — the k=4 / 2-round coarse codebook."""
+    from twitter_flink_spark.operators.clustering import kmeans_fit
+    from twitter_flink_spark.sources.tables import spread
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _KM_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _KM_CACHE[key] = kmeans_fit(
+            spread(emb, "vec_id"), k=_KM_K, iters=_KM_ITERS
+        )
+    return _KM_CACHE[key]
+
+
 @register("kmeans_embedding_codebook", oracle=_kmeans_oracle())
 def kmeans_embedding_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means (Lloyd, 2 fixed rounds, k=4) over the embeddings — the IVF
@@ -794,11 +818,7 @@ def kmeans_embedding_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches bit-for-bit. Per round the corpus never shuffles for
     assignment (k-row centroid broadcast, map-side argmin); only the
     (cluster, dim) component aggregate exchanges data."""
-    from twitter_flink_spark.operators.clustering import kmeans_fit
-    from twitter_flink_spark.sources.tables import spread
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(spread(emb, "vec_id"), k=_KM_K, iters=_KM_ITERS)
+    cents = _coarse_centroids(spark, sf_dir)
     return cents.select(
         F.col("cid").alias("cluster_id"),
         "n_vecs",
@@ -864,15 +884,12 @@ def semantic_dedup_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on cid that AQE skew-splits if one cell dominates. The
     oracle unrolls the same Lloyd rounds plus the final assignment, so
     cells — and therefore pairs — match exactly."""
-    from twitter_flink_spark.operators.clustering import (
-        assign_clusters,
-        kmeans_fit,
-    )
+    from twitter_flink_spark.operators.clustering import assign_clusters
     from twitter_flink_spark.sources.tables import spread
 
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = spread(emb, "vec_id")
-    cents = kmeans_fit(corpus, k=_KM_K, iters=_KM_ITERS)
+    cents = _coarse_centroids(spark, sf_dir)
     assigned = assign_clusters(
         corpus.select("vec_id", F.col("embedding").cast("array<double>").alias("e")),
         cents.select("cid", "cent"),
@@ -921,55 +938,71 @@ _PQ_K = 4
 _PQ_ITERS = 2
 
 
+def _pq_ctes(
+    subs: int = _PQ_SUBS,
+    subdim: int = _PQ_SUBDIM,
+    k: int = _PQ_K,
+    iters: int = _PQ_ITERS,
+    p: str = "",
+) -> list[str]:
+    """Unrolled grouped-Lloyd CTEs for the per-subspace PQ codebooks,
+    ending with the final assignment ``{p}a{iters + 1}`` (the corpus
+    codes, dist kept). ``p`` prefixes every CTE name so the chain can
+    coexist with the coarse-quantizer chain in one oracle."""
+    parts = [
+        f"""{p}v AS (
+  SELECT vec_id, CAST(s.s AS INT) AS sub,
+         (embedding::DOUBLE[])[CAST(s.s * {subdim} + 1 AS INT):
+                               CAST(s.s * {subdim} + {subdim} AS INT)] AS e
+  FROM embeddings, unnest(range(0, {subs})) AS s(s)
+),
+{p}c0 AS (SELECT sub, vec_id AS cid, e AS cent FROM {p}v WHERE vec_id < {k})"""
+    ]
+    assign = (
+        """{p}d{r} AS (
+  SELECT v.vec_id, v.sub, c.cid,
+         list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c.cent)
+           + list_dot_product(c.cent, c.cent) AS dist
+  FROM {p}v v JOIN {p}c{prev} c USING (sub)
+),
+{p}a{r} AS (
+  SELECT vec_id, sub, cid, dist FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+    FROM {p}d{r}
+  ) WHERE rn = 1
+)"""
+    )
+    for r in range(1, iters + 1):
+        parts.append(
+            assign.format(r=r, prev=r - 1, p=p)
+            + f""",
+{p}m{r} AS (
+  SELECT a.sub, a.cid, CAST(t.i AS BIGINT) AS dim,
+         sum(CAST(round(v.e[t.i], 7) AS DECIMAL(28,7))) AS s,
+         count(*) AS n
+  FROM {p}a{r} a JOIN {p}v v ON v.vec_id = a.vec_id AND v.sub = a.sub
+  CROSS JOIN unnest(range(1, {subdim + 1})) AS t(i)
+  GROUP BY 1, 2, 3
+),
+{p}c{r} AS (
+  SELECT sub, cid, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cent
+  FROM {p}m{r} GROUP BY 1, 2
+)"""
+        )
+    parts.append(assign.format(r=iters + 1, prev=iters, p=p))
+    return parts
+
+
 def _pq_oracle(
     subs: int = _PQ_SUBS,
     subdim: int = _PQ_SUBDIM,
     k: int = _PQ_K,
     iters: int = _PQ_ITERS,
 ) -> str:
-    parts = [
-        f"""v AS (
-  SELECT vec_id, CAST(s.s AS INT) AS sub,
-         (embedding::DOUBLE[])[CAST(s.s * {subdim} + 1 AS INT):
-                               CAST(s.s * {subdim} + {subdim} AS INT)] AS e
-  FROM embeddings, unnest(range(0, {subs})) AS s(s)
-),
-c0 AS (SELECT sub, vec_id AS cid, e AS cent FROM v WHERE vec_id < {k})"""
-    ]
-    assign = """d{r} AS (
-  SELECT v.vec_id, v.sub, c.cid,
-         list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c.cent)
-           + list_dot_product(c.cent, c.cent) AS dist
-  FROM v JOIN c{prev} c USING (sub)
-),
-a{r} AS (
-  SELECT vec_id, sub, cid, dist FROM (
-    SELECT *, row_number() OVER (
-      PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
-    FROM d{r}
-  ) WHERE rn = 1
-)"""
-    for r in range(1, iters + 1):
-        parts.append(
-            assign.format(r=r, prev=r - 1)
-            + f""",
-m{r} AS (
-  SELECT a.sub, a.cid, CAST(t.i AS BIGINT) AS dim,
-         sum(CAST(round(v.e[t.i], 7) AS DECIMAL(28,7))) AS s,
-         count(*) AS n
-  FROM a{r} a JOIN v ON v.vec_id = a.vec_id AND v.sub = a.sub
-  CROSS JOIN unnest(range(1, {subdim + 1})) AS t(i)
-  GROUP BY 1, 2, 3
-),
-c{r} AS (
-  SELECT sub, cid, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cent
-  FROM m{r} GROUP BY 1, 2
-)"""
-        )
-    parts.append(assign.format(r=iters + 1, prev=iters))
     return (
         "WITH "
-        + ",\n".join(parts)
+        + ",\n".join(_pq_ctes(subs, subdim, k, iters))
         + f"""
 SELECT vec_id, list(cid ORDER BY sub) AS codes,
        round(CAST(sum(CAST(round(dist, 7) AS DECIMAL(28,7))) AS DOUBLE), 6)
@@ -978,6 +1011,39 @@ FROM a{iters + 1}
 GROUP BY vec_id
 """
     )
+
+
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sub, e) — the corpus exploded into per-subspace slices."""
+    from twitter_flink_spark.sources.tables import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return spread(emb, "vec_id").select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_SUBS - 1}), s -> "
+                f"transform(slice(embedding, s * {_PQ_SUBDIM} + 1, "
+                f"{_PQ_SUBDIM}), x -> CAST(x AS DOUBLE)))"
+            )
+        ).alias("sub", "e"),
+    )
+
+
+def _pq_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sub, cid, cent, n_vecs) — per-subspace PQ codebooks (cached)."""
+    from twitter_flink_spark.operators.clustering import kmeans_fit
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_CACHE:
+        _PQ_CACHE[key] = kmeans_fit(
+            _pq_subvectors(spark, sf_dir),
+            k=_PQ_K,
+            iters=_PQ_ITERS,
+            vec_col="e",
+            group_col="sub",
+        )
+    return _PQ_CACHE[key]
 
 
 @register("pq_encode_embeddings", oracle=_pq_oracle())
@@ -999,26 +1065,10 @@ def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     error sums ROUNDED DECIMAL sub-distances, so neither partitioning nor
     engine can flip a value. Codes order by subspace; the oracle unrolls
     the grouped rounds."""
-    from twitter_flink_spark.operators.clustering import (
-        assign_clusters,
-        kmeans_fit,
-    )
-    from twitter_flink_spark.sources.tables import spread
+    from twitter_flink_spark.operators.clustering import assign_clusters
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    subv = spread(emb, "vec_id").select(
-        "vec_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {_PQ_SUBS - 1}), s -> "
-                f"transform(slice(embedding, s * {_PQ_SUBDIM} + 1, "
-                f"{_PQ_SUBDIM}), x -> CAST(x AS DOUBLE)))"
-            )
-        ).alias("sub", "e"),
-    )
-    cents = kmeans_fit(
-        subv, k=_PQ_K, iters=_PQ_ITERS, vec_col="e", group_col="sub"
-    )
+    subv = _pq_subvectors(spark, sf_dir)
+    cents = _pq_centroids(spark, sf_dir)
     assigned = assign_clusters(
         subv,
         cents.select("sub", "cid", "cent"),
@@ -1036,4 +1086,148 @@ def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + F.lit(0.0)
         ).alias("sq_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ ANN search (coarse cells + ADC over PQ codes)
+
+
+def _ivfpq_oracle(k_top: int = 5) -> str:
+    return (
+        "WITH "
+        + _kmeans_ctes(_KM_K, _KM_ITERS)
+        + f""",
+af AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, v.e)
+                        - 2 * list_dot_product(v.e, c.cent)
+                        + list_dot_product(c.cent, c.cent), c.cid) AS rn
+    FROM v CROSS JOIN c{_KM_ITERS} c
+  ) WHERE rn = 1
+),
+"""
+        + ",\n".join(_pq_ctes(p="p"))
+        + f""",
+codes AS (SELECT vec_id, sub, cid FROM pa{_PQ_ITERS + 1}),
+lut AS (
+  SELECT v.vec_id AS query_id, v.sub, c.cid,
+         CAST(round(list_dot_product(v.e, v.e)
+                      - 2 * list_dot_product(v.e, c.cent)
+                      + list_dot_product(c.cent, c.cent), 7)
+              AS DECIMAL(28,7)) AS d
+  FROM pv v JOIN pc{_PQ_ITERS} c USING (sub)
+  WHERE v.vec_id < 5
+),
+cand AS (
+  SELECT qa.vec_id AS query_id, na.vec_id AS neighbor_id
+  FROM af qa JOIN af na ON na.cid = qa.cid
+  WHERE qa.vec_id < 5 AND na.vec_id <> qa.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, sum(l.d) AS adc
+  FROM cand c
+  JOIN codes pc ON pc.vec_id = c.neighbor_id
+  JOIN lut l ON l.query_id = c.query_id AND l.sub = pc.sub
+            AND l.cid = pc.cid
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id,
+       round(CAST(adc AS DOUBLE), 6) + 0.0 AS adc, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY adc, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k_top}
+"""
+    )
+
+
+@register("ivf_pq_ann_topk", oracle=_ivfpq_oracle())
+def ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN search — the FAISS-style composite of this module's
+    index-build pieces, now used to SERVE queries: (1) the coarse k-means
+    codebook routes each query to its nearest cell (nprobe=1), pruning
+    the corpus to cell-mates; (2) within the cell, distances are
+    asymmetric-distance-computation (ADC) estimates — each query
+    precomputes a (sub, code) -> squared-sub-distance lookup table
+    against the PQ codebooks, and a candidate's score is just the sum of
+    4 table lookups selected by its stored codes. No full vector is ever
+    read at scoring time.
+
+    The scale shape is exactly production IVF-PQ: the LUT is
+    queries x subs x k rows (broadcast); candidates are an equi-join on
+    the cell id; scoring joins candidate CODES (4 small ints per vector)
+    against the LUT — the corpus's float vectors are touched only at
+    index-build time. Both codebooks come from the session fit cache
+    (`_coarse_centroids` / `_pq_centroids`), mirroring the persisted-
+    index reality. ADC sums are rounded decimals, so ranking is exact
+    and engine-independent; the oracle unrolls both codebook chains
+    (prefix-disambiguated) plus the LUT join."""
+    from twitter_flink_spark.operators.clustering import assign_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ve = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    coarse = assign_clusters(
+        ve, _coarse_centroids(spark, sf_dir).select("cid", "cent")
+    )
+    subv = _pq_subvectors(spark, sf_dir)
+    pq_cents = _pq_centroids(spark, sf_dir).select("sub", "cid", "cent")
+    codes = assign_clusters(subv, pq_cents, group_col="sub")
+    lut = (
+        subv.where(F.col("vec_id") < 5)
+        .join(F.broadcast(pq_cents), on="sub")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "sub",
+            "cid",
+            F.round(
+                dot(F.col("e"), F.col("e"))
+                - 2 * dot(F.col("e"), F.col("cent"))
+                + dot(F.col("cent"), F.col("cent")),
+                7,
+            )
+            .cast("decimal(28,7)")
+            .alias("d"),
+        )
+    )
+    qcell = coarse.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "cid"
+    )
+    cands = (
+        qcell.join(
+            coarse.select(F.col("vec_id").alias("neighbor_id"), "cid"),
+            on="cid",
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    scored = (
+        cands.join(
+            codes.select(F.col("vec_id").alias("neighbor_id"), "sub", "cid"),
+            on="neighbor_id",
+        )
+        .join(F.broadcast(lut), on=["query_id", "sub", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc_dec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dec").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round(F.col("adc_dec").cast("double"), 6) + F.lit(0.0)).alias(
+                "adc"
+            ),
+            "rank",
+        )
     )
