@@ -304,13 +304,24 @@ def prefix_filter_jaccard_pairs(
     )
     prefix = prof.select(
         F.col(id_col),
+        "sz",
         F.explode(F.expr("slice(toks, 1, plen)")).alias("token"),
     )
-    a = prefix.select(F.col(id_col).alias("doc_a"), "token")
-    b = prefix.select(F.col(id_col).alias("doc_b"), "token")
+    a = prefix.select(
+        F.col(id_col).alias("doc_a"), F.col("sz").alias("za"), "token"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("doc_b"), F.col("sz").alias("zb"), "token"
+    )
+    # length filter (also lossless): J >= t forces t*|x| <= |y| <= |x|/t,
+    # pruned on the join output BEFORE the dedup + verify joins
     cands = (
         a.join(b, "token")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("zb") >= F.lit(threshold) * F.col("za"))
+            & (F.col("za") >= F.lit(threshold) * F.col("zb"))
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
