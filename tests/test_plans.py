@@ -355,3 +355,62 @@ def test_quantile_bucket_join_no_range_cross_product(spark):
     for seg in plan.split("BroadcastNestedLoopJoin")[1:]:
         cond_line = seg.splitlines()[0]
         assert not re.search(r"(lo|hi)#\d+", cond_line), cond_line
+
+
+def test_null_routed_join_filters_nulls_before_exchange(spark):
+    """The null-routed enrichment must (a) union two branches and (b)
+    carry an isnotnull filter on the join key into the join branch — the
+    null rows never reach the exchange."""
+    plan = plan_of(spark, "null_routed_enrich_events")
+    assert "Union" in plan
+    # Catalyst rewrites the key-null predicates through the CASE that
+    # derives cust_key and pushes them into the scans — assert the
+    # structural facts: a join branch filtered to non-null keys and a
+    # pass-through branch filtered to null keys, both scan-side
+    assert re.search(r"Filter CASE WHEN .*isnotnull", plan)
+    assert re.search(r"Filter CASE WHEN .*isnull\(", plan)
+    assert "LeftOuter" in plan
+
+
+def test_prefix_filter_join_equi_only(spark):
+    """Candidate generation must be an equi-join on the shingle key; the
+    verify stage equi-joins pair ids — no nested-loop anywhere."""
+    plan = plan_of(spark, "prefix_filter_jaccard_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivfpq_lut_is_broadcast(spark):
+    """ADC scoring must join candidate codes against a BROADCAST lookup
+    table — the corpus side never shuffles for scoring."""
+    plan = plan_of(spark, "ivf_pq_ann_topk")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_is_broadcast(spark):
+    """The bloom bit-set must reach probes as a broadcast — the prior
+    corpus is never joined directly."""
+    plan = plan_of(spark, "bloom_incremental_dedup")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_exchange_for_both_windows(spark):
+    """lag-detect and lead-close share one (user_id) exchange: the plan
+    must contain exactly one hashpartitioning(user_id) exchange."""
+    plan = plan_of(spark, "scd2_user_status_intervals")
+    n_user_exchanges = len(
+        re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    )
+    assert n_user_exchanges == 1, plan
+
+
+def test_cdc_chunking_single_exchange(spark):
+    """Boundary lag-window + chunk-id running sum + chunk aggregate must
+    reuse one doc_id partitioning."""
+    plan = plan_of(spark, "cdc_chunk_documents")
+    n_doc_exchanges = len(
+        re.findall(r"Exchange hashpartitioning\(doc_id", plan)
+    )
+    assert n_doc_exchanges == 1, plan
