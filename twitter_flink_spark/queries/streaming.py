@@ -645,3 +645,84 @@ def streaming_left_outer_interval_join(
         .alias("gap_seconds"),
     )
     return run_to_memory(joined, output_mode="append")
+
+
+@register(
+    "streaming_right_outer_interval_join",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
+  WHERE event_type = 'purchase' AND value > 150
+),
+c AS (
+  SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
+  WHERE event_type = 'click'
+),
+maxts AS (
+  SELECT least((SELECT max(p_ts) FROM p), (SELECT max(c_ts) FROM c))
+           - INTERVAL 1 SECOND AS wm
+)
+SELECT p.purchase_id, c.click_id, c.user_id,
+       CAST(floor(epoch(p.p_ts)) - floor(epoch(c.c_ts)) AS BIGINT)
+         AS gap_seconds
+FROM p JOIN c
+  ON c.user_id = p.user_id
+ AND c.c_ts >= p.p_ts - INTERVAL 86400 SECOND AND c.c_ts <= p.p_ts
+UNION ALL
+SELECT CAST(NULL AS BIGINT), c.click_id, c.user_id, CAST(NULL AS BIGINT)
+FROM c CROSS JOIN maxts
+WHERE NOT EXISTS (
+  SELECT 1 FROM p
+  WHERE p.user_id = c.user_id
+    AND c.c_ts >= p.p_ts - INTERVAL 86400 SECOND AND c.c_ts <= p.p_ts
+) AND c.c_ts <= maxts.wm - INTERVAL 86400 SECOND
+""",
+)
+def streaming_right_outer_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RIGHT outer variant of the interval stream join: clicks that led
+    to no qualifying purchase emit null-extended — and unlike the left
+    side, a click stays matchABLE for the full join range after its own
+    timestamp (a purchase up to 24h later closes it), so its null row
+    waits until the global watermark passes ``c_ts + 86400s``. Measured
+    contract (exact at sf0.001: 180/180 emitted, 25 frontier clicks
+    held): emit iff ``c_ts <= min(max p_ts, max c_ts) - delay - range``.
+    The state-size asymmetry this encodes — outer-side rows are retained
+    for watermark + range, not just watermark — is precisely why
+    production outer stream joins size state by the join range."""
+    p = (
+        stream_table(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 second")
+    )
+    c = (
+        stream_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 second")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 86400 SECONDS"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "rightOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("user_id", "c_user").alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+        .cast("long")
+        .alias("gap_seconds"),
+    )
+    return run_to_memory(joined, output_mode="append")
