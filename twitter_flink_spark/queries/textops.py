@@ -1529,3 +1529,85 @@ def bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sort_array(collect_list(struct(rn, sym))), s -> s.sym)"
         ).alias("subtokens"),
     )
+
+
+@register(
+    "zipf_slope_vocabulary",
+    oracle="""
+WITH freq AS (
+  SELECT tok AS term, count(*) AS f
+  FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY 1
+),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r FROM freq
+),
+pts AS (
+  SELECT CAST(round(ln(CAST(r AS DOUBLE)), 10) AS DECIMAL(28,10)) AS x,
+         CAST(round(ln(CAST(f AS DOUBLE)), 10) AS DECIMAL(28,10)) AS y
+  FROM ranked
+),
+s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round(CAST((n * sxy - sx * sy) AS DOUBLE)
+             / CAST((n * sxx - sx * sx) AS DOUBLE), 6) AS slope,
+       round((CAST(sy AS DOUBLE) - CAST((n * sxy - sx * sy) AS DOUBLE)
+               / CAST((n * sxx - sx * sx) AS DOUBLE)
+               * CAST(sx AS DOUBLE)) / n, 4) AS intercept
+FROM s
+""",
+)
+def zipf_slope_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law diagnostic: OLS slope of log(frequency) against log(rank)
+    over the corpus vocabulary — the one-number corpus-health check
+    (natural text sits near -1; template/boilerplate corpora flatten, and
+    a slope drifting across ingest batches flags a distribution shift).
+    The regression is the CLOSED-FORM normal equation over five
+    aggregates, all JVM-side; every ln() is rounded to 10 decimals and
+    summed as DECIMAL so partitioning/engine cannot move the slope. The
+    only ordered step is the vocabulary rank window — vocabulary-sized
+    (zipf-bounded), not corpus-sized, the same discipline as
+    `inverted_index_dgap`."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        spread(docs, "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.orderBy(F.col("f").desc(), F.col("term"))
+    pts = freq.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 10)
+        .cast("decimal(28,10)")
+        .alias("x"),
+        F.round(F.log(F.col("f").cast("double")), 10)
+        .cast("decimal(28,10)")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        # intercept rounds at 4 decimals: its last double division sits
+        # a full 100x above the cross-engine 1-ulp noise observed at 6
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n"),
+            4,
+        ).alias("intercept"),
+    )
