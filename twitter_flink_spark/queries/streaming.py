@@ -726,3 +726,90 @@ def streaming_right_outer_interval_join(
         .alias("gap_seconds"),
     )
     return run_to_memory(joined, output_mode="append")
+
+
+@register(
+    "streaming_full_outer_interval_join",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
+  WHERE event_type = 'purchase' AND value > 150
+),
+c AS (
+  SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
+  WHERE event_type = 'click'
+),
+maxts AS (
+  SELECT least((SELECT max(p_ts) FROM p), (SELECT max(c_ts) FROM c))
+           - INTERVAL 1 SECOND AS wm
+)
+SELECT p.purchase_id, c.click_id, p.user_id,
+       CAST(floor(epoch(p.p_ts)) - floor(epoch(c.c_ts)) AS BIGINT)
+         AS gap_seconds
+FROM p JOIN c
+  ON c.user_id = p.user_id
+ AND c.c_ts >= p.p_ts - INTERVAL 86400 SECOND AND c.c_ts <= p.p_ts
+UNION ALL
+SELECT p.purchase_id, CAST(NULL AS BIGINT), p.user_id, CAST(NULL AS BIGINT)
+FROM p CROSS JOIN maxts
+WHERE NOT EXISTS (
+  SELECT 1 FROM c
+  WHERE c.user_id = p.user_id
+    AND c.c_ts >= p.p_ts - INTERVAL 86400 SECOND AND c.c_ts <= p.p_ts
+) AND p.p_ts <= maxts.wm
+UNION ALL
+SELECT CAST(NULL AS BIGINT), c.click_id, c.user_id, CAST(NULL AS BIGINT)
+FROM c CROSS JOIN maxts
+WHERE NOT EXISTS (
+  SELECT 1 FROM p
+  WHERE p.user_id = c.user_id
+    AND c.c_ts >= p.p_ts - INTERVAL 86400 SECOND AND c.c_ts <= p.p_ts
+) AND c.c_ts <= maxts.wm - INTERVAL 86400 SECOND
+""",
+)
+def streaming_full_outer_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL outer interval stream join — the union of the two measured
+    contracts: unmatched purchases emit once the global watermark passes
+    their own timestamp (`streaming_left_outer_interval_join`),
+    unmatched clicks once it passes their timestamp PLUS the join range
+    (`streaming_right_outer_interval_join`) — the two sides evict at
+    DIFFERENT horizons because the range condition is asymmetric. The
+    matched rows are the inner join either way. The per-side user_id is
+    coalesced so the null rows stay attributable."""
+    p = (
+        stream_table(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 second")
+    )
+    c = (
+        stream_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 second")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 86400 SECONDS"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("user_id", "c_user").alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+        .cast("long")
+        .alias("gap_seconds"),
+    )
+    return run_to_memory(joined, output_mode="append")
