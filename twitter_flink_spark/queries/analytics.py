@@ -772,3 +772,141 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_rows") * 1.0 / F.col("__t"), 6).alias("row_share"),
         )
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+trans AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT from_type, sum(n) AS t FROM trans GROUP BY 1)
+SELECT tr.from_type, tr.to_type, CAST(tr.n AS BIGINT) AS n_transitions,
+       round(tr.n * 1.0 / tot.t, 6) AS prob
+FROM trans tr JOIN tot USING (from_type)
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the process-mining / user-journey model behind "what
+    happens after a click": P(next | current) with deterministic
+    (ts, event_id) sequencing. One shuffle on user_id for the lead
+    window; the transition aggregate is |types|^2-bounded, and the
+    per-row normalizer attaches by broadcast — at 100 TB the matrix is a
+    handful of rows no matter the corpus. (The same pipeline with a
+    (from, to) -> embedding lookup is how behavioral embeddings get
+    their training pairs.)"""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    tot = trans.groupBy("from_type").agg(F.sum("n_transitions").alias("t"))
+    return (
+        trans.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(F.col("n_transitions") * 1.0 / F.col("t"), 6).alias(
+                "prob"
+            ),
+        )
+    )
+
+
+@register(
+    "merge_upsert_delete_dim",
+    oracle="""
+WITH latest AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+changes AS (
+  SELECT user_id + 100 AS cust_key,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         round(value, 2) AS new_bal
+  FROM latest
+)
+SELECT c.c_custkey AS cust_key, round(c.c_acctbal, 2) AS acctbal,
+       'kept' AS origin
+FROM customer c LEFT JOIN changes ch ON ch.cust_key = c.c_custkey
+WHERE ch.cust_key IS NULL
+UNION ALL
+SELECT c.c_custkey, ch.new_bal, 'updated'
+FROM customer c JOIN changes ch ON ch.cust_key = c.c_custkey
+WHERE ch.op = 'U'
+UNION ALL
+SELECT ch.cust_key, ch.new_bal, 'inserted'
+FROM changes ch LEFT JOIN customer c ON c.c_custkey = ch.cust_key
+WHERE c.c_custkey IS NULL AND ch.op = 'U'
+""",
+)
+def merge_upsert_delete_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO semantics — the declarative form of what
+    `streaming_incremental_mv` does per micro-batch: a compacted change
+    set (latest event per key; 'error' = DELETE, else UPSERT with the
+    new balance) merges into the customer dimension in ONE full-outer
+    join: matched+D drops the row, matched+U updates it, unmatched+U
+    inserts, untouched rows pass through — each tagged with its origin.
+    The key offset (+100) makes the change set straddle the dimension's
+    key range so all four branches fire.
+
+    At 100 TB this is a single co-partitioned shuffle on the merge key
+    (a table format executes MERGE INTO exactly this way, plus
+    file-level pruning the bucketed IncrementalMV already demonstrates);
+    the one-pass full-outer formulation reads both inputs once, where
+    the oracle's three-branch UNION reads them thrice."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    changes = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            (F.col("user_id") + 100).alias("cust_key"),
+            F.when(F.col("event_type") == "error", "D")
+            .otherwise("U")
+            .alias("op"),
+            F.round("value", 2).alias("new_bal"),
+        )
+    )
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_key"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    merged = base.join(changes, on="cust_key", how="full_outer")
+    return (
+        merged.where(
+            ~((F.col("op") == "D") & F.col("acctbal").isNotNull())
+            | F.col("op").isNull()
+        )
+        .where(~(F.col("acctbal").isNull() & (F.col("op") == "D")))
+        .select(
+            "cust_key",
+            F.when(F.col("op") == "U", F.col("new_bal"))
+            .otherwise(F.col("acctbal"))
+            .alias("acctbal"),
+            F.when(F.col("op").isNull(), "kept")
+            .when(F.col("acctbal").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("origin"),
+        )
+    )
