@@ -152,3 +152,32 @@ def test_triangle_counts_exactly_once_random(spark):
         triangle_counts(df).agg(F.sum("n_triangles").alias("s")).collect()[0].s
     )
     assert total == 3 * expected
+
+
+def test_k_core_peel_known_graph(spark):
+    """K4 with a pendant path: the 2-core (enough rounds) is exactly the
+    K4 — the path peels away over successive rounds (e peels only after
+    d does)."""
+    from twitter_flink_spark.operators.graph import k_core_peel
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "d"), ("d", "e"), ("e", "f")],
+        "a STRING, b STRING",
+    )
+    out = {r.v: r.degree for r in k_core_peel(edges, k=2, rounds=3).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_k_core_peel_is_monotone(spark):
+    """More rounds can only shrink the survivor set."""
+    from twitter_flink_spark.operators.graph import k_core_peel
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+        "a STRING, b STRING",
+    )
+    one = {r.v for r in k_core_peel(edges, k=2, rounds=1).collect()}
+    two = {r.v for r in k_core_peel(edges, k=2, rounds=2).collect()}
+    assert two <= one
+    assert two == {"a", "b", "c"}

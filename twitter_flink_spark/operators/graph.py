@@ -339,3 +339,54 @@ def triangle_counts(
         .join(deg, "v")
         .select("v", F.col("d").alias("degree"), "n_triangles")
     )
+
+
+def k_core_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """K-core peeling: repeatedly drop nodes of degree < k (with their
+    edges) for ``rounds`` fixed iterations; returns (v, degree) for the
+    surviving subgraph — the standard dense-substructure extractor
+    (spam/bot rings, community nuclei) and the batch-parallel form of
+    the classic sequential peel. Fixed rounds keep the result
+    deterministic and oracle-unrollable; with enough rounds it IS the
+    k-core (peeling is monotone — each round only removes, so it
+    converges).
+
+    Per round: one degree aggregation + two semi-joins of the edge list
+    against the survivor set — the edge set only shrinks, so per-round
+    cost falls; ``localCheckpoint`` truncates lineage exactly like the
+    other iterative operators in this module."""
+    sc = edges.sparkSession.sparkContext
+    before = _persistent_rdd_ids(sc)
+    e = edges.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).localCheckpoint()
+    e_ids = _persistent_rdd_ids(sc) - before
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("v")
+        before = _persistent_rdd_ids(sc)
+        new_e = (
+            e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .localCheckpoint()
+        )
+        new_ids = _persistent_rdd_ids(sc) - before
+        _unpersist_ids(sc, e_ids)
+        e, e_ids = new_e, new_ids
+    return (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )

@@ -910,3 +910,87 @@ def merge_upsert_delete_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("origin"),
         )
     )
+
+
+_KCORE_SHARE = 0.635
+_KCORE_K = 12
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle(
+    top: int = _TOP_TOKENS,
+    share: float = _KCORE_SHARE,
+    k: int = _KCORE_K,
+    rounds: int = _KCORE_ROUNDS,
+) -> str:
+    parts = [
+        f"""tok AS (
+  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS token
+  FROM documents
+), top_tok AS (
+  SELECT token FROM (
+    SELECT token,
+           row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rn
+    FROM tok GROUP BY token
+  ) WHERE rn <= {top}
+), ftok AS (
+  SELECT t.doc_id, t.token FROM tok t JOIN top_tok USING (token)
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.token AS t1, b.token AS t2, count(*) AS c
+  FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2
+),
+e0 AS MATERIALIZED (
+  SELECT t1, t2 FROM pairs CROSS JOIN n WHERE c >= {share} * n.n_docs
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT v, count(*) AS d
+  FROM (SELECT t1 AS v FROM e{r - 1} UNION ALL SELECT t2 AS v FROM e{r - 1})
+  GROUP BY v
+),
+k{r} AS (SELECT v FROM d{r} WHERE d >= {k}),
+e{r} AS MATERIALIZED (
+  SELECT e.t1, e.t2 FROM e{r - 1} e
+  JOIN k{r} ka ON ka.v = e.t1 JOIN k{r} kb ON kb.v = e.t2
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT v AS token, CAST(count(*) AS BIGINT) AS degree
+FROM (SELECT t1 AS v FROM e{rounds} UNION ALL SELECT t2 AS v FROM e{rounds})
+GROUP BY v
+"""
+    )
+
+
+@register("kcore_token_graph", oracle=_kcore_oracle())
+def kcore_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core extraction (k={k}, 4 peel rounds) on the token
+    co-occurrence graph at a threshold that leaves an IRREGULAR degree
+    distribution (unlike the triangle query's denser cut) — the
+    dense-nucleus extractor of graph mining, here finding the boilerplate
+    token clique that survives when peripheral co-occurrences peel away
+    (`operators/graph.py::k_core_peel`). Each round is one degree
+    aggregate + two left-semi joins on a shrinking edge list; fixed
+    rounds make the result deterministic and the oracle an unrolled CTE
+    chain.""".format(k=_KCORE_K)
+    from twitter_flink_spark.operators.graph import k_core_peel
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs_total"))
+    edges = (
+        _token_pair_counts(docs)
+        .join(F.broadcast(n))
+        .where(F.col("n_docs") >= F.lit(_KCORE_SHARE) * F.col("n_docs_total"))
+        .select("t1", "t2")
+    )
+    return k_core_peel(
+        edges, k=_KCORE_K, rounds=_KCORE_ROUNDS, a_col="t1", b_col="t2"
+    ).select(F.col("v").alias("token"), "degree")
