@@ -248,3 +248,64 @@ def xml_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.o_orderstatus").alias("o_orderstatus"),
         F.round("x.o_totalprice", 2).alias("totalprice"),
     )
+
+
+@register(
+    "schema_evolution_merged_read",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_v1_rows,
+       round(sum(coalesce(quality, 0.0)), 4) AS total_quality
+FROM (
+  SELECT lang, CAST(NULL AS DOUBLE) AS quality
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT lang, round(n_chars * 1.0 / 1000, 4) AS quality
+  FROM documents WHERE doc_id % 2 = 1
+)
+GROUP BY lang
+""",
+)
+def schema_evolution_merged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the storage layer: a dataset written in two
+    generations — v1 files (doc_id, lang) and v2 files that ADDED a
+    `quality` column — read back as ONE table with
+    ``mergeSchema=true``, v1 rows null-filled for the new column. This
+    is the unavoidable reality of a 100 TB corpus accreted over months:
+    columns arrive mid-stream, and the engine must union schemas at scan
+    time without rewriting petabytes of old files. Footer-level schema
+    merge is per-file metadata work; the data path still prunes columns
+    and pushes filters per generation. Scratch layout is deterministic
+    per sf and rewritten per invocation."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "tfs-schemaevo-" + sf_dir.strip("/").replace("/", "-"),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    v1 = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    v2 = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "lang",
+        F.round(F.col("n_chars") * 1.0 / 1000, 4).alias("quality"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(root, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(root, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "gen=1"), os.path.join(root, "gen=2")
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("quality").isNull().cast("int")).cast("long").alias(
+            "n_v1_rows"
+        ),
+        F.round(F.sum(F.coalesce("quality", F.lit(0.0))), 4).alias(
+            "total_quality"
+        ),
+    )

@@ -580,3 +580,94 @@ def session_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage("t2", "click", 2))
         .unionAll(stage("t3", "purchase", 3))
     )
+
+
+@register(
+    "winsorize_event_values",
+    oracle="""
+WITH levels AS (
+  SELECT event_type, value AS v, count(*) AS c FROM events GROUP BY 1, 2
+),
+n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+cum AS (
+  SELECT event_type, v,
+         sum(c) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cc
+  FROM levels
+),
+bnd AS (
+  SELECT cum.event_type,
+         min(CASE WHEN cc >= ceil(0.05 * n.n) THEN v END) AS lo,
+         min(CASE WHEN cc >= ceil(0.95 * n.n) THEN v END) AS hi
+  FROM cum JOIN n USING (event_type)
+  GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN e.value < b.lo OR e.value > b.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       round(b.lo, 2) AS lo, round(b.hi, 2) AS hi,
+       round(sum(least(greatest(e.value, b.lo), b.hi)), 2)
+         AS winsorized_sum
+FROM events e JOIN bnd b USING (event_type)
+GROUP BY e.event_type, b.lo, b.hi
+""",
+)
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped winsorization — clip each event's value to its type's
+    exact discrete [p05, p95] — the outlier-capping step of feature
+    cleaning, with the quantiles computed SCALE-correctly: per-type
+    value LEVELS (distinct values + counts, orders of magnitude smaller
+    than rows) take one running-sum window partitioned BY TYPE, so the
+    only ordered state is per-(type, level) — the same
+    aggregate-to-levels discipline as `quantile_bucket_join_lineitem`,
+    here grouped. Bounds broadcast back; clipping is a scan-side
+    least/greatest expression."""
+    ev = load_table(spark, sf_dir, "events")
+    levels = ev.groupBy("event_type", F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    wlev = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = levels.select(
+        "event_type", "v", F.sum("c").over(wlev).alias("cc")
+    )
+    bnd = (
+        cum.join(n, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(F.col("cc") >= F.ceil(0.05 * F.col("n")), F.col("v"))
+            ).alias("lo"),
+            F.min(
+                F.when(F.col("cc") >= F.ceil(0.95 * F.col("n")), F.col("v"))
+            ).alias("hi"),
+        )
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(bnd), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+                .cast("int")
+            )
+            .cast("long")
+            .alias("n_clipped"),
+            F.round(F.sum(clipped), 2).alias("winsorized_sum"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_clipped",
+            F.round("lo", 2).alias("lo"),
+            F.round("hi", 2).alias("hi"),
+            "winsorized_sum",
+        )
+    )
