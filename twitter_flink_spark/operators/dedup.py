@@ -301,6 +301,10 @@ def prefix_filter_jaccard_pairs(
                 "int"
             ),
         )
+        # three consumers (prefix explode + both verify sides) — persist
+        # instead of re-running tokenize+df+sort per consumer, the same
+        # profile-reuse discipline as minhash_near_dup_pairs above
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prefix = prof.select(
         F.col(id_col),
