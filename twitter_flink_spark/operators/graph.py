@@ -303,7 +303,12 @@ def triangle_counts(
 
     ``edges`` must hold each undirected edge once (a < b by any
     convention, no self-loops)."""
-    e = edges.select(F.col(a_col).alias("t1"), F.col(b_col).alias("t2"))
+    # the edge list feeds degree (twice), orientation, and the close
+    # join — persist so an expensive upstream derivation (e.g. the token
+    # pair pipeline) runs once, not once per consumer
+    e = edges.select(
+        F.col(a_col).alias("t1"), F.col(b_col).alias("t2")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     deg = (
         e.select(F.col("t1").alias("v"))
         .unionAll(e.select(F.col("t2").alias("v")))
@@ -314,11 +319,12 @@ def triangle_counts(
         deg.select(F.col("v").alias("t1"), F.col("d").alias("d1")), "t1"
     ).join(deg.select(F.col("v").alias("t2"), F.col("d").alias("d2")), "t2")
     fwd = F.struct(F.col("d1"), F.col("t1")) < F.struct(F.col("d2"), F.col("t2"))
+    # oriented edges feed both wedge sides and the close join (3 reads)
     o = keyed.select(
         F.when(fwd, F.col("t1")).otherwise(F.col("t2")).alias("src"),
         F.when(fwd, F.col("t2")).otherwise(F.col("t1")).alias("dst"),
         F.when(fwd, F.col("d2")).otherwise(F.col("d1")).alias("dst_d"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     o1 = o.select("src", F.col("dst").alias("v"), F.col("dst_d").alias("vd"))
     o2 = o.select("src", F.col("dst").alias("w"), F.col("dst_d").alias("wd"))
     wedges = o1.join(o2, on="src").where(

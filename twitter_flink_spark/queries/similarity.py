@@ -894,12 +894,14 @@ def semantic_dedup_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.select("vec_id", F.col("embedding").cast("array<double>").alias("e")),
         cents.select("cid", "cent"),
     )
+    # both sides of the within-cell self-join read this — persist so
+    # the assignment pipeline (broadcast argmin + window) runs once
     sides = assigned.join(emb, on="vec_id").select(
         "vec_id",
         "cid",
         F.col("embedding").alias("__e"),
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("__n"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = sides.select(
         F.col("vec_id").alias("vec_a"),
         "cid",
@@ -1173,9 +1175,10 @@ def ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ve = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
+    # the cell assignment feeds the query side and the candidate side
     coarse = assign_clusters(
         ve, _coarse_centroids(spark, sf_dir).select("cid", "cent")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     subv = _pq_subvectors(spark, sf_dir)
     pq_cents = _pq_centroids(spark, sf_dir).select("sub", "cid", "cent")
     codes = assign_clusters(subv, pq_cents, group_col="sub")
