@@ -787,11 +787,13 @@ FROM c{iters} CROSS JOIN unnest(range(1, {_KM_DIM + 1})) AS t(i)
 #: session-scoped fitted-codebook caches keyed by (app id, sf_dir). A
 #: codebook is the PERSISTED artifact of an index build — the queries
 #: composing it (codebook dump, semantic dedup, PQ encode, IVF-PQ
-#: search) must share one fit per session instead of re-paying the Lloyd
-#: rounds each; kmeans_fit's final localCheckpoint keeps the blocks
-#: alive for every consumer.
-_KM_CACHE: dict[tuple[str, str], DataFrame] = {}
-_PQ_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: search) share one fit per session instead of re-paying the Lloyd
+#: rounds each. The cache holds COLLECTED rows (k x dim doubles — a
+#: codebook is driver-sized by definition), not DataFrames: cached
+#: DataFrames would dangle when a harness sweeps persisted/checkpointed
+#: blocks between queries (bench.py does exactly that).
+_KM_CACHE: dict[tuple[str, str], list] = {}
+_PQ_CACHE: dict[tuple[str, str], list] = {}
 
 
 def _coarse_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -802,10 +804,14 @@ def _coarse_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _KM_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
-        _KM_CACHE[key] = kmeans_fit(
-            spread(emb, "vec_id"), k=_KM_K, iters=_KM_ITERS
-        )
-    return _KM_CACHE[key]
+        cents = kmeans_fit(spread(emb, "vec_id"), k=_KM_K, iters=_KM_ITERS)
+        _KM_CACHE[key] = [
+            (r.cid, [float(x) for x in r.cent], r.n_vecs)
+            for r in cents.collect()
+        ]
+    return spark.createDataFrame(
+        _KM_CACHE[key], "cid long, cent array<double>, n_vecs long"
+    )
 
 
 @register("kmeans_embedding_codebook", oracle=_kmeans_oracle())
@@ -1033,19 +1039,26 @@ def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(sub, cid, cent, n_vecs) — per-subspace PQ codebooks (cached)."""
+    """(sub, cid, cent, n_vecs) — per-subspace PQ codebooks (cached as
+    collected rows, same rationale as ``_KM_CACHE``)."""
     from twitter_flink_spark.operators.clustering import kmeans_fit
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PQ_CACHE:
-        _PQ_CACHE[key] = kmeans_fit(
+        cents = kmeans_fit(
             _pq_subvectors(spark, sf_dir),
             k=_PQ_K,
             iters=_PQ_ITERS,
             vec_col="e",
             group_col="sub",
         )
-    return _PQ_CACHE[key]
+        _PQ_CACHE[key] = [
+            (r.sub, r.cid, [float(x) for x in r.cent], r.n_vecs)
+            for r in cents.collect()
+        ]
+    return spark.createDataFrame(
+        _PQ_CACHE[key], "sub int, cid long, cent array<double>, n_vecs long"
+    )
 
 
 @register("pq_encode_embeddings", oracle=_pq_oracle())
