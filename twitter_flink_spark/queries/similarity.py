@@ -1108,22 +1108,25 @@ def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF-PQ ANN search (coarse cells + ADC over PQ codes)
 
 
-def _ivfpq_oracle(k_top: int = 5) -> str:
+_IVFPQ_NPROBE = 2
+
+
+def _ivfpq_oracle(k_top: int = 5, nprobe: int = _IVFPQ_NPROBE) -> str:
     return (
         "WITH "
         + _kmeans_ctes(_KM_K, _KM_ITERS)
         + f""",
-af AS (
-  SELECT vec_id, cid FROM (
-    SELECT v.vec_id, c.cid,
-           row_number() OVER (
-             PARTITION BY v.vec_id
-             ORDER BY list_dot_product(v.e, v.e)
-                        - 2 * list_dot_product(v.e, c.cent)
-                        + list_dot_product(c.cent, c.cent), c.cid) AS rn
-    FROM v CROSS JOIN c{_KM_ITERS} c
-  ) WHERE rn = 1
+cd AS MATERIALIZED (
+  SELECT v.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_dot_product(v.e, v.e)
+                      - 2 * list_dot_product(v.e, c.cent)
+                      + list_dot_product(c.cent, c.cent), c.cid) AS rn
+  FROM v CROSS JOIN c{_KM_ITERS} c
 ),
+af AS (SELECT vec_id, cid FROM cd WHERE rn = 1),
+qf AS (SELECT vec_id, cid FROM cd WHERE rn <= {nprobe} AND vec_id < 5),
 """
         + ",\n".join(_pq_ctes(p="p"))
         + f""",
@@ -1138,9 +1141,9 @@ lut AS (
   WHERE v.vec_id < 5
 ),
 cand AS (
-  SELECT qa.vec_id AS query_id, na.vec_id AS neighbor_id
-  FROM af qa JOIN af na ON na.cid = qa.cid
-  WHERE qa.vec_id < 5 AND na.vec_id <> qa.vec_id
+  SELECT DISTINCT qa.vec_id AS query_id, na.vec_id AS neighbor_id
+  FROM qf qa JOIN af na ON na.cid = qa.cid
+  WHERE na.vec_id <> qa.vec_id
 ),
 scored AS (
   SELECT c.query_id, c.neighbor_id, sum(l.d) AS adc
@@ -1165,8 +1168,11 @@ FROM (
 def ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN search — the FAISS-style composite of this module's
     index-build pieces, now used to SERVE queries: (1) the coarse k-means
-    codebook routes each query to its nearest cell (nprobe=1), pruning
-    the corpus to cell-mates; (2) within the cell, distances are
+    codebook routes each query to its nprobe=2 NEAREST CELLS — probing
+    the runner-up cell recovers the neighbors that straddle a cell
+    boundary, the standard IVF recall knob, and costs only more
+    query-side rows (the corpus index is untouched, exactly like
+    multi-probe LSH); (2) within the probed cells, distances are
     asymmetric-distance-computation (ADC) estimates — each query
     precomputes a (sub, code) -> squared-sub-distance lookup table
     against the PQ codebooks, and a candidate's score is just the sum of
@@ -1212,9 +1218,11 @@ def ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d"),
         )
     )
-    qcell = coarse.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "cid"
-    )
+    qcell = assign_clusters(
+        ve.where(F.col("vec_id") < 5),
+        _coarse_centroids(spark, sf_dir).select("cid", "cent"),
+        top_n=_IVFPQ_NPROBE,
+    ).select(F.col("vec_id").alias("query_id"), "cid")
     cands = (
         qcell.join(
             coarse.select(F.col("vec_id").alias("neighbor_id"), "cid"),
@@ -1222,6 +1230,7 @@ def ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
+        .distinct()
     )
     scored = (
         cands.join(
