@@ -952,17 +952,21 @@ def _pq_ctes(
     k: int = _PQ_K,
     iters: int = _PQ_ITERS,
     p: str = "",
+    src_sql: str = "embeddings",
+    vec_sql: str = "embedding::DOUBLE[]",
 ) -> list[str]:
     """Unrolled grouped-Lloyd CTEs for the per-subspace PQ codebooks,
     ending with the final assignment ``{p}a{iters + 1}`` (the corpus
     codes, dist kept). ``p`` prefixes every CTE name so the chain can
-    coexist with the coarse-quantizer chain in one oracle."""
+    coexist with the coarse-quantizer chain in one oracle;
+    ``src_sql``/``vec_sql`` select the vector source (raw embeddings, or
+    a residual CTE)."""
     parts = [
         f"""{p}v AS (
   SELECT vec_id, CAST(s.s AS INT) AS sub,
-         (embedding::DOUBLE[])[CAST(s.s * {subdim} + 1 AS INT):
-                               CAST(s.s * {subdim} + {subdim} AS INT)] AS e
-  FROM embeddings, unnest(range(0, {subs})) AS s(s)
+         ({vec_sql})[CAST(s.s * {subdim} + 1 AS INT):
+                     CAST(s.s * {subdim} + {subdim} AS INT)] AS e
+  FROM {src_sql}, unnest(range(0, {subs})) AS s(s)
 ),
 {p}c0 AS (SELECT sub, vec_id AS cid, e AS cent FROM {p}v WHERE vec_id < {k})"""
     ]
@@ -1013,11 +1017,25 @@ def _pq_oracle(
         + ",\n".join(_pq_ctes(subs, subdim, k, iters))
         + f"""
 SELECT vec_id, list(cid ORDER BY sub) AS codes,
-       round(CAST(sum(CAST(round(dist, 7) AS DECIMAL(28,7))) AS DOUBLE), 6)
-         + 0.0 AS sq_err
+       CAST(sum(CAST(round(dist, 7) AS DECIMAL(28,7))) AS DOUBLE) + 0.0
+         AS sq_err
 FROM a{iters + 1}
 GROUP BY vec_id
 """
+    )
+
+
+def _subvector_split(vectors: DataFrame, vec_col: str) -> DataFrame:
+    """(vec_id, sub, e) — per-subspace slices of any vector column."""
+    return vectors.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_SUBS - 1}), s -> "
+                f"transform(slice({vec_col}, s * {_PQ_SUBDIM} + 1, "
+                f"{_PQ_SUBDIM}), x -> CAST(x AS DOUBLE)))"
+            )
+        ).alias("sub", "e"),
     )
 
 
@@ -1026,16 +1044,7 @@ def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from twitter_flink_spark.sources.tables import spread
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return spread(emb, "vec_id").select(
-        "vec_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {_PQ_SUBS - 1}), s -> "
-                f"transform(slice(embedding, s * {_PQ_SUBDIM} + 1, "
-                f"{_PQ_SUBDIM}), x -> CAST(x AS DOUBLE)))"
-            )
-        ).alias("sub", "e"),
-    )
+    return _subvector_split(spread(emb, "vec_id"), "embedding")
 
 
 def _pq_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1094,11 +1103,12 @@ def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "transform(sort_array(collect_list(struct(sub, cid))), s -> s.cid)"
         ).alias("codes"),
+        # the exact decimal sum CAST to double (correctly-rounded, hence
+        # engine-identical) — a final round(6) would sit on half-up vs
+        # half-even disagreements at ...5 boundaries
         (
-            F.round(
-                F.sum(F.round("dist", 7).cast("decimal(28,7)")).cast("double"),
-                6,
-            )
+            F.sum(F.round("dist", 7).cast("decimal(28,7)"))
+            .cast("double")
             + F.lit(0.0)
         ).alias("sq_err"),
     )
@@ -1154,7 +1164,7 @@ scored AS (
   GROUP BY 1, 2
 )
 SELECT query_id, neighbor_id,
-       round(CAST(adc AS DOUBLE), 6) + 0.0 AS adc, rank
+       CAST(adc AS DOUBLE) + 0.0 AS adc, rank
 FROM (
   SELECT *, CAST(row_number() OVER (
     PARTITION BY query_id ORDER BY adc, neighbor_id) AS INTEGER) AS rank
@@ -1250,9 +1260,125 @@ def ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (F.round(F.col("adc_dec").cast("double"), 6) + F.lit(0.0)).alias(
-                "adc"
-            ),
+            (F.col("adc_dec").cast("double") + F.lit(0.0)).alias("adc"),
             "rank",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residual PQ encode (IVF-PQ's by_residual fine quantizer)
+
+
+def _pq_residual_oracle() -> str:
+    return (
+        "WITH "
+        + _kmeans_ctes(_KM_K, _KM_ITERS)
+        + f""",
+cd AS MATERIALIZED (
+  SELECT v.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_dot_product(v.e, v.e)
+                      - 2 * list_dot_product(v.e, c.cent)
+                      + list_dot_product(c.cent, c.cent), c.cid) AS rn
+  FROM v CROSS JOIN c{_KM_ITERS} c
+),
+af AS (SELECT vec_id, cid FROM cd WHERE rn = 1),
+resid AS MATERIALIZED (
+  SELECT v.vec_id, a.cid,
+         list_transform(range(1, {_KM_DIM + 1}),
+                        i -> floor((v.e[i] - c.cent[i]) * 10000000.0)
+                             / 10000000.0) AS r
+  FROM v JOIN af a ON a.vec_id = v.vec_id
+  JOIN c{_KM_ITERS} c ON c.cid = a.cid
+),
+"""
+        + ",\n".join(_pq_ctes(p="r", src_sql="resid", vec_sql="r"))
+        + f"""
+SELECT a.vec_id, af.cid AS cell_id,
+       list(a.cid ORDER BY a.sub) AS codes,
+       CAST(sum(CAST(round(a.dist, 7) AS DECIMAL(28,7))) AS DOUBLE) + 0.0
+         AS sq_err
+FROM ra{_PQ_ITERS + 1} a JOIN af ON af.vec_id = a.vec_id
+GROUP BY a.vec_id, af.cid
+"""
+    )
+
+
+@register("pq_encode_residual", oracle=_pq_residual_oracle())
+def pq_encode_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL product quantization — FAISS IVF-PQ's default
+    (``by_residual``): each vector is first assigned to its coarse cell,
+    and PQ codebooks are fitted on — and codes assigned to — the
+    RESIDUAL ``v - cell_centroid`` rather than the raw vector. Residuals
+    concentrate near the origin with most inter-cell variance removed,
+    so the same PQ bit budget buys materially lower quantization error —
+    which is WHY production indexes encode residuals. Output: cell id +
+    per-subspace residual codes + decimal-exact squared reconstruction
+    error per vector.
+
+    Composition of proven pieces: the cached coarse codebook
+    (`_coarse_centroids`), a zip_with residual projection (exact double
+    subtraction, identical in the oracle's list_transform), and the same
+    grouped-Lloyd fit/assign as `pq_encode_embeddings` — one exploded
+    subvector table regardless of subspace count, corpus never shuffling
+    for assignment. The oracle chains coarse rounds, final assignment,
+    residual projection, and the prefixed residual-PQ rounds."""
+    from twitter_flink_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_fit,
+    )
+    from twitter_flink_spark.sources.tables import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ve = spread(emb, "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    coarse_cents = _coarse_centroids(spark, sf_dir).select("cid", "cent")
+    assigned = assign_clusters(ve, coarse_cents)
+    resid = (
+        assigned.join(F.broadcast(coarse_cents), "cid")
+        .join(ve, "vec_id")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cell_id"),
+            # floor-quantize residuals onto the exact 1e-7 grid: raw
+            # residual doubles have arbitrary decimal tails, and the PQ
+            # chain's per-component round(x, 7) then sits on half-way
+            # boundaries where Spark (exact-decimal HALF_UP) and DuckDB
+            # (float-multiply rounding) systematically disagree; floor of
+            # a correctly-rounded multiply is bit-deterministic in both
+            F.expr(
+                "transform(zip_with(e, cent, (a, b) -> a - b), "
+                "x -> floor(x * 10000000.0) / 10000000.0)"
+            ).alias("r"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rsub = _subvector_split(resid, "r")
+    rcents = kmeans_fit(
+        rsub, k=_PQ_K, iters=_PQ_ITERS, vec_col="e", group_col="sub"
+    )
+    rassigned = assign_clusters(
+        rsub, rcents.select("sub", "cid", "cent"),
+        group_col="sub", keep_dist=True,
+    )
+    return (
+        rassigned.groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(sub, cid))),"
+                " s -> s.cid)"
+            ).alias("codes"),
+            # exact decimal sum cast to double — no final round(6), which
+            # would sit on half-up vs half-even boundary disagreements
+            (
+                F.sum(F.round("dist", 7).cast("decimal(28,7)"))
+                .cast("double")
+                + F.lit(0.0)
+            ).alias("sq_err"),
+        )
+        .join(resid.select("vec_id", "cell_id"), "vec_id")
+        .select("vec_id", "cell_id", "codes", "sq_err")
     )
