@@ -902,3 +902,90 @@ def streaming_join_state_introspect(
         F.col("value.user_id").alias("user_id"),
         F.col("value.p_ts").alias("p_ts"),
     )
+
+
+@register(
+    "streaming_join_state_introspect_right",
+    oracle="""
+WITH p AS (
+  SELECT ts AS p_ts FROM events
+  WHERE event_type = 'purchase' AND value > 150
+),
+c AS (
+  SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
+  WHERE event_type = 'click'
+),
+maxts AS (
+  SELECT least((SELECT max(p_ts) FROM p), (SELECT max(c_ts) FROM c))
+           - INTERVAL 1 SECOND AS wm
+)
+SELECT c.click_id, c.user_id, c.c_ts
+FROM c CROSS JOIN maxts
+WHERE c.c_ts > maxts.wm - INTERVAL 86400 SECOND
+""",
+)
+def streaming_join_state_introspect_right(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RIGHT-side mirror of `streaming_join_state_introspect`: after the
+    interval join drains, the right-side state store must hold every
+    click still matchABLE by a future purchase — c_ts > watermark MINUS
+    the join range, the range-shifted horizon that also governs the
+    right-outer null emission. Reading it back quantifies the state-size
+    asymmetry directly: the right side retains a full join-range window
+    of rows while the left retains only its frontier — the number an
+    operator sizing state stores for an interval join actually needs."""
+    import os
+    import shutil
+    import tempfile
+
+    ckpt = os.path.join(
+        tempfile.gettempdir(),
+        "tfs-joinstate-r-" + sf_dir.strip("/").replace("/", "-"),
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    p = (
+        stream_table(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 second")
+    )
+    c = (
+        stream_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 second")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 86400 SECONDS"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    )
+    q = (
+        joined.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 300)
+    st = (
+        spark.read.format("statestore")
+        .option("path", ckpt)
+        .option("joinSide", "right")
+        .load()
+    )
+    return st.select(
+        F.col("value.click_id").alias("click_id"),
+        F.col("value.c_user").alias("user_id"),
+        F.col("value.c_ts").alias("c_ts"),
+    )
