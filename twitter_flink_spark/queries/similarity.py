@@ -1306,6 +1306,61 @@ GROUP BY a.vec_id, af.cid
     )
 
 
+#: residual-PQ codebook cache (collected rows, like _PQ_CACHE).
+_RPQ_CACHE: dict[tuple[str, str], list] = {}
+
+#: the floor-quantized residual projection, shared between the Spark
+#: pipelines and the oracles (1e-7 exact grid — see pq_encode_residual)
+_RESID_QUANT_SQL = "x -> floor(x * 10000000.0) / 10000000.0"
+
+
+def _residual_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell_id, r): each vector's floor-quantized residual
+    against its coarse cell centroid."""
+    from twitter_flink_spark.operators.clustering import assign_clusters
+    from twitter_flink_spark.sources.tables import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ve = spread(emb, "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    coarse_cents = _coarse_centroids(spark, sf_dir).select("cid", "cent")
+    assigned = assign_clusters(ve, coarse_cents)
+    return (
+        assigned.join(F.broadcast(coarse_cents), "cid")
+        .join(ve, "vec_id")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cell_id"),
+            F.expr(
+                "transform(zip_with(e, cent, (a, b) -> a - b), "
+                + _RESID_QUANT_SQL
+                + ")"
+            ).alias("r"),
+        )
+    )
+
+
+def _residual_pq_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sub, cid, cent) — per-subspace RESIDUAL codebooks (cached as
+    collected rows, same rationale as ``_KM_CACHE``)."""
+    from twitter_flink_spark.operators.clustering import kmeans_fit
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _RPQ_CACHE:
+        rsub = _subvector_split(_residual_vectors(spark, sf_dir), "r")
+        cents = kmeans_fit(
+            rsub, k=_PQ_K, iters=_PQ_ITERS, vec_col="e", group_col="sub"
+        )
+        _RPQ_CACHE[key] = [
+            (r.sub, r.cid, [float(x) for x in r.cent])
+            for r in cents.collect()
+        ]
+    return spark.createDataFrame(
+        _RPQ_CACHE[key], "sub int, cid long, cent array<double>"
+    )
+
+
 @register("pq_encode_residual", oracle=_pq_residual_oracle())
 def pq_encode_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESIDUAL product quantization — FAISS IVF-PQ's default
@@ -1324,42 +1379,20 @@ def pq_encode_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped-Lloyd fit/assign as `pq_encode_embeddings` — one exploded
     subvector table regardless of subspace count, corpus never shuffling
     for assignment. The oracle chains coarse rounds, final assignment,
-    residual projection, and the prefixed residual-PQ rounds."""
-    from twitter_flink_spark.operators.clustering import (
-        assign_clusters,
-        kmeans_fit,
-    )
-    from twitter_flink_spark.sources.tables import spread
+    residual projection, and the prefixed residual-PQ rounds. (The
+    floor quantization onto the exact 1e-7 grid exists because raw
+    residual doubles have arbitrary decimal tails, and the PQ chain's
+    per-component round(x, 7) would sit on half-way boundaries where
+    Spark's exact-decimal HALF_UP and DuckDB's float-multiply rounding
+    systematically disagree; floor of a correctly-rounded multiply is
+    bit-deterministic in both.)"""
+    from twitter_flink_spark.operators.clustering import assign_clusters
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    ve = spread(emb, "vec_id").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    coarse_cents = _coarse_centroids(spark, sf_dir).select("cid", "cent")
-    assigned = assign_clusters(ve, coarse_cents)
-    resid = (
-        assigned.join(F.broadcast(coarse_cents), "cid")
-        .join(ve, "vec_id")
-        .select(
-            "vec_id",
-            F.col("cid").alias("cell_id"),
-            # floor-quantize residuals onto the exact 1e-7 grid: raw
-            # residual doubles have arbitrary decimal tails, and the PQ
-            # chain's per-component round(x, 7) then sits on half-way
-            # boundaries where Spark (exact-decimal HALF_UP) and DuckDB
-            # (float-multiply rounding) systematically disagree; floor of
-            # a correctly-rounded multiply is bit-deterministic in both
-            F.expr(
-                "transform(zip_with(e, cent, (a, b) -> a - b), "
-                "x -> floor(x * 10000000.0) / 10000000.0)"
-            ).alias("r"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    resid = _residual_vectors(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     rsub = _subvector_split(resid, "r")
-    rcents = kmeans_fit(
-        rsub, k=_PQ_K, iters=_PQ_ITERS, vec_col="e", group_col="sub"
-    )
+    rcents = _residual_pq_centroids(spark, sf_dir)
     rassigned = assign_clusters(
         rsub, rcents.select("sub", "cid", "cent"),
         group_col="sub", keep_dist=True,
@@ -1381,4 +1414,203 @@ def pq_encode_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(resid.select("vec_id", "cell_id"), "vec_id")
         .select("vec_id", "cell_id", "codes", "sq_err")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residual-ADC IVF-PQ serving (FAISS by_residual search)
+
+
+def _ivfpq_residual_oracle(
+    k_top: int = 5, nprobe: int = _IVFPQ_NPROBE
+) -> str:
+    return (
+        "WITH "
+        + _kmeans_ctes(_KM_K, _KM_ITERS)
+        + f""",
+cd AS MATERIALIZED (
+  SELECT v.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_dot_product(v.e, v.e)
+                      - 2 * list_dot_product(v.e, c.cent)
+                      + list_dot_product(c.cent, c.cent), c.cid) AS rn
+  FROM v CROSS JOIN c{_KM_ITERS} c
+),
+af AS (SELECT vec_id, cid FROM cd WHERE rn = 1),
+qf AS (SELECT vec_id, cid FROM cd WHERE rn <= {nprobe} AND vec_id < 5),
+resid AS MATERIALIZED (
+  SELECT v.vec_id, a.cid,
+         list_transform(range(1, {_KM_DIM + 1}),
+                        i -> floor((v.e[i] - c.cent[i]) * 10000000.0)
+                             / 10000000.0) AS r
+  FROM v JOIN af a ON a.vec_id = v.vec_id
+  JOIN c{_KM_ITERS} c ON c.cid = a.cid
+),
+"""
+        + ",\n".join(_pq_ctes(p="r", src_sql="resid", vec_sql="r"))
+        + f""",
+codes AS (SELECT vec_id, sub, cid FROM ra{_PQ_ITERS + 1}),
+qres AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, q.cid AS cell,
+         list_transform(range(1, {_KM_DIM + 1}),
+                        i -> floor((v.e[i] - c.cent[i]) * 10000000.0)
+                             / 10000000.0) AS rq
+  FROM qf q JOIN v ON v.vec_id = q.vec_id
+  JOIN c{_KM_ITERS} c ON c.cid = q.cid
+),
+qsub AS (
+  SELECT query_id, cell, CAST(s.s AS INT) AS sub,
+         (rq)[CAST(s.s * {_PQ_SUBDIM} + 1 AS INT):
+              CAST(s.s * {_PQ_SUBDIM} + {_PQ_SUBDIM} AS INT)] AS e
+  FROM qres, unnest(range(0, {_PQ_SUBS})) AS s(s)
+),
+lut AS (
+  SELECT q.query_id, q.cell, q.sub, c.cid,
+         CAST(round(list_dot_product(q.e, q.e)
+                      - 2 * list_dot_product(q.e, c.cent)
+                      + list_dot_product(c.cent, c.cent), 7)
+              AS DECIMAL(28,7)) AS d
+  FROM qsub q JOIN rc{_PQ_ITERS} c USING (sub)
+),
+cand AS (
+  SELECT qf.vec_id AS query_id, qf.cid AS cell, af.vec_id AS neighbor_id
+  FROM qf JOIN af ON af.cid = qf.cid
+  WHERE af.vec_id <> qf.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, sum(l.d) AS adc
+  FROM cand c
+  JOIN codes pc ON pc.vec_id = c.neighbor_id
+  JOIN lut l ON l.query_id = c.query_id AND l.cell = c.cell
+            AND l.sub = pc.sub AND l.cid = pc.cid
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id,
+       CAST(adc AS DOUBLE) + 0.0 AS adc, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY adc, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k_top}
+"""
+    )
+
+
+@register("ivf_pq_residual_ann_topk", oracle=_ivfpq_residual_oracle())
+def ivf_pq_residual_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-ADC IVF-PQ serving — the search-side complement of
+    `pq_encode_residual` and the full FAISS ``by_residual`` pipeline
+    (vs `ivf_pq_ann_topk`'s raw-vector ADC): because stored codes encode
+    residuals, each query builds a SEPARATE lookup table per probed cell
+    — ``q - cell_centroid`` quantized like the corpus residuals, scored
+    against the residual codebooks — and a candidate in cell X scores
+    with the query's X-relative table. LUT size is still driver-trivial:
+    queries x nprobe x subs x k rows, broadcast; candidates remain an
+    equi-join on the cell id, each corpus vector scored from its 4
+    stored small-int codes. The cell-relative tables are exactly why
+    FAISS precomputes per-list tables at query time — and why residual
+    ADC estimates are tighter: both sides of the distance live in the
+    same cell-centered frame."""
+    from twitter_flink_spark.operators.clustering import assign_clusters
+    from twitter_flink_spark.sources.tables import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ve = spread(emb, "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    coarse_cents = _coarse_centroids(spark, sf_dir).select("cid", "cent")
+    corpus_cells = assign_clusters(ve, coarse_cents).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    rcents = _residual_pq_centroids(spark, sf_dir)
+    codes = assign_clusters(
+        _subvector_split(_residual_vectors(spark, sf_dir), "r"),
+        rcents.select("sub", "cid", "cent"),
+        group_col="sub",
+    )
+    qprobe = assign_clusters(
+        ve.where(F.col("vec_id") < 5), coarse_cents, top_n=_IVFPQ_NPROBE
+    ).select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+    qres = (
+        qprobe.join(
+            F.broadcast(
+                coarse_cents.select(
+                    F.col("cid").alias("cell"), F.col("cent")
+                )
+            ),
+            "cell",
+        )
+        .join(
+            ve.where(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("query_id"), "e"
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "cell",
+            F.expr(
+                "transform(zip_with(e, cent, (a, b) -> a - b), "
+                + _RESID_QUANT_SQL
+                + ")"
+            ).alias("rq"),
+        )
+    )
+    qsub = qres.select(
+        "query_id",
+        "cell",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_SUBS - 1}), s -> "
+                f"slice(rq, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}))"
+            )
+        ).alias("sub", "e"),
+    )
+    lut = qsub.join(F.broadcast(rcents), on="sub").select(
+        "query_id",
+        "cell",
+        "sub",
+        "cid",
+        F.round(
+            dot(F.col("e"), F.col("e"))
+            - 2 * dot(F.col("e"), F.col("cent"))
+            + dot(F.col("cent"), F.col("cent")),
+            7,
+        )
+        .cast("decimal(28,7)")
+        .alias("d"),
+    )
+    cands = (
+        qprobe.join(
+            corpus_cells.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("cid").alias("cell"),
+            ),
+            on="cell",
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "cell", "neighbor_id")
+    )
+    scored = (
+        cands.join(
+            codes.select(F.col("vec_id").alias("neighbor_id"), "sub", "cid"),
+            on="neighbor_id",
+        )
+        .join(F.broadcast(lut), on=["query_id", "cell", "sub", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc_dec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dec").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("adc_dec").cast("double") + F.lit(0.0)).alias("adc"),
+            "rank",
+        )
     )
