@@ -391,3 +391,125 @@ def test_prefix_filter_join_is_lossless(spark, texts, thresh):
                 if j >= thresh:
                     expected[(a, b)] = round(j, 6)
     assert got == expected
+
+
+# --- content-defined chunking: insertion locality ---------------------------
+
+_cdc_words = st.lists(
+    st.sampled_from("ant bee cat dog elk fox gnu hen ibis jay kit lark".split()),
+    min_size=12,
+    max_size=40,
+)
+
+
+@settings(**_SETTINGS)
+@given(words=_cdc_words, ins_pos=st.integers(0, 5),
+       ins_word=st.sampled_from(["newt", "orca"]))
+def test_cdc_chunking_insertion_is_local(spark, words, ins_pos, ins_word):
+    """The FastCDC property the operator claims: boundaries depend on
+    token CONTENT (rolling window), not absolute position — so inserting
+    a token near the front must leave every chunk that starts after the
+    perturbed region content-identical (its hash reappears)."""
+    from twitter_flink_spark.queries.textops import cdc_chunk_documents
+
+    def chunk_hashes(text):
+        # run the registered pipeline against a single-doc table by
+        # monkey-loading via a temp view is heavy; replicate with the
+        # same SQL the oracle uses, through Spark SQL for fidelity
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        df.createOrReplaceTempView("one_doc")
+        out = spark.sql("""
+            WITH tok AS (
+              SELECT doc_id, pos + 1 AS pos, col AS token
+              FROM (SELECT doc_id,
+                           posexplode(filter(split(text, ' '), x -> x != ''))
+                    FROM one_doc)
+            ),
+            ctx AS (
+              SELECT doc_id, pos, token,
+                     CAST(pos >= 3 AND substring(md5(concat_ws(' ',
+                          lag(token, 2) OVER w, lag(token, 1) OVER w,
+                          token)), 32, 1) <= '1' AS INT) AS boundary
+              FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            cid AS (
+              SELECT *, coalesce(sum(boundary) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS chunk_id
+              FROM ctx
+            )
+            SELECT chunk_id, md5(array_join(transform(sort_array(
+                     collect_list(struct(pos, token))), s -> s.token), ' '))
+                     AS h,
+                   min(pos) AS first_pos
+            FROM cid GROUP BY chunk_id
+        """).collect()
+        return sorted((r.chunk_id, r.h, r.first_pos) for r in out)
+
+    base = chunk_hashes(" ".join(words))
+    mutated_words = words[:ins_pos] + [ins_word] + words[ins_pos:]
+    mut = chunk_hashes(" ".join(mutated_words))
+    # chunks of the ORIGINAL that start beyond the perturbed window
+    # (insertion index + rolling width) must reappear in the mutation
+    safe = {h for _, h, fp in base if fp > ins_pos + 3}
+    mut_hashes = {h for _, h, _ in mut}
+    assert safe <= mut_hashes
+
+
+# --- z-order interleave bijectivity -----------------------------------------
+
+def test_zorder_interleave_is_bijective(spark):
+    """The Morton interleave must be injective over the 8-bit grid (no
+    two (x8, y8) pairs share a zval) and confine each coordinate to its
+    bit positions (recoverable by de-interleave)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(32 * 32).select(
+        (F.col("id") % 32).alias("x8"), (F.col("id") / 32).cast("long").alias("y8")
+    )
+    interleave = " + ".join(
+        f"(((x8 div {1 << i}) % 2) * {1 << (2 * i)})"
+        f" + (((y8 div {1 << i}) % 2) * {1 << (2 * i + 1)})"
+        for i in range(8)
+    )
+    rows = df.withColumn("z", F.expr(interleave)).collect()
+    zs = {r.z for r in rows}
+    assert len(zs) == 32 * 32
+    for r in rows:
+        x = sum(((r.z >> (2 * i)) & 1) << i for i in range(8))
+        y = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (x, y) == (r.x8, r.y8)
+
+
+# --- transition matrix is row-stochastic ------------------------------------
+
+def test_transition_matrix_rows_sum_to_one(spark):
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.queries.analytics import event_transition_matrix
+
+    out = event_transition_matrix(spark, "/root/testdata/sf0.001")
+    sums = (
+        out.groupBy("from_type").agg(F.sum("prob").alias("s")).collect()
+    )
+    assert sums and all(abs(r.s - 1.0) < 1e-4 for r in sums)
+
+
+# --- SCD2 intervals partition each user's timeline --------------------------
+
+def test_scd2_intervals_partition_timeline(spark):
+    from twitter_flink_spark.queries.analytics import (
+        scd2_user_status_intervals,
+    )
+
+    rows = scd2_user_status_intervals(spark, "/root/testdata/sf0.001").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in ivs if r.is_current == 1) == 1
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from  # adjacent, no gaps/overlap
+        assert ivs[-1].valid_to is None
