@@ -104,3 +104,212 @@ def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift & distribution monitoring
+
+_PSI_SPLIT_TS = "2024-01-16"  #: reference window < split <= comparison window
+
+
+@register(
+    "psi_value_drift",
+    oracle=f"""
+WITH src AS (
+  SELECT value AS v,
+         CAST(ts >= TIMESTAMP '{_PSI_SPLIT_TS}' AS INT) AS half
+  FROM events
+),
+levels AS (SELECT v, count(*) AS c FROM src GROUP BY 1),
+n AS (SELECT count(*) AS n FROM src),
+cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc
+  FROM levels
+),
+bnd AS MATERIALIZED (
+  SELECT CAST(t.i AS INT) AS q,
+         min(CASE WHEN cum.cc >= ceil(t.i / 10.0 * n.n) THEN cum.v END) AS hi
+  FROM cum CROSS JOIN n CROSS JOIN unnest(range(1, 10)) AS t(i)
+  GROUP BY 1
+),
+binned AS (
+  SELECT s.half,
+         1 + (SELECT count(*) FROM bnd WHERE s.v >= bnd.hi) AS bin_id
+  FROM src s
+),
+counts AS (
+  SELECT bin_id,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_ref,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_cmp
+  FROM binned GROUP BY 1
+),
+tot AS (
+  SELECT sum(n_ref) AS tr, sum(n_cmp) AS tc, count(*) AS nb FROM counts
+)
+SELECT c.bin_id,
+       CAST(c.n_ref AS BIGINT) AS n_ref, CAST(c.n_cmp AS BIGINT) AS n_cmp,
+       round((c.n_ref + 1.0) / (t.tr + t.nb), 6) AS p_ref,
+       round((c.n_cmp + 1.0) / (t.tc + t.nb), 6) AS p_cmp,
+       round(((c.n_ref + 1.0) / (t.tr + t.nb)
+               - (c.n_cmp + 1.0) / (t.tc + t.nb))
+             * ln(((c.n_ref + 1.0) / (t.tr + t.nb))
+                  / ((c.n_cmp + 1.0) / (t.tc + t.nb))), 8) AS psi_term
+FROM counts c CROSS JOIN tot t
+""",
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: the event `value`
+    distribution BEFORE vs FROM the mid-month split, binned by exact
+    deciles of the combined distribution (aggregate-to-levels bounds —
+    no row sort), each bin contributing ``(p - q) ln(p/q)`` with
+    Laplace-smoothed shares. PSI is THE production drift gate between
+    corpus snapshots (sum the terms; > 0.2 conventionally blocks a
+    promotion) — here emitted per bin so the drifting bins are visible,
+    not just the scalar. Decile bounds and the per-row bin assignment
+    are broadcast expressions; the whole monitor is two aggregations
+    over the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        F.col("value").alias("v"),
+        (F.col("ts") >= F.lit(_PSI_SPLIT_TS).cast("timestamp"))
+        .cast("int")
+        .alias("half"),
+    )
+    levels = src.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    n = src.agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    wlev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = levels.select("v", F.sum("c").over(wlev).alias("cc"))
+    bnd = cum.join(F.broadcast(n)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cc") >= F.ceil(F.lit(i / 10.0) * F.col("n")),
+                    F.col("v"),
+                )
+            ).alias(f"h{i}")
+            for i in range(1, 10)
+        ]
+    )
+    bin_id = F.lit(1)
+    for i in range(1, 10):
+        bin_id = bin_id + (F.col("v") >= F.col(f"h{i}")).cast("int")
+    binned = src.crossJoin(F.broadcast(bnd)).select(
+        "half", bin_id.alias("bin_id")
+    )
+    counts = binned.groupBy("bin_id").agg(
+        F.sum((F.col("half") == 0).cast("int")).alias("n_ref"),
+        F.sum((F.col("half") == 1).cast("int")).alias("n_cmp"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("tr"),
+        F.sum("n_cmp").alias("tc"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    p_ref = (F.col("n_ref") + 1.0) / (F.col("tr") + F.col("nb"))
+    p_cmp = (F.col("n_cmp") + 1.0) / (F.col("tc") + F.col("nb"))
+    return counts.join(F.broadcast(tot)).select(
+        "bin_id",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cmp").cast("long").alias("n_cmp"),
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cmp, 6).alias("p_cmp"),
+        F.round((p_ref - p_cmp) * F.log(p_ref / p_cmp), 8).alias("psi_term"),
+    )
+
+
+@register(
+    "chi2_lang_source_independence",
+    oracle="""
+WITH obs AS (
+  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+),
+rowt AS (SELECT lang, sum(o) AS rt FROM obs GROUP BY 1),
+colt AS (SELECT source, sum(o) AS ct FROM obs GROUP BY 1),
+n AS (SELECT sum(o) AS n FROM obs)
+SELECT obs.lang, obs.source, CAST(obs.o AS BIGINT) AS observed,
+       round(rowt.rt * colt.ct * 1.0 / n.n, 6) AS expected,
+       round(pow(obs.o - rowt.rt * colt.ct * 1.0 / n.n, 2)
+             / (rowt.rt * colt.ct * 1.0 / n.n), 8) AS chi2_term
+FROM obs JOIN rowt USING (lang) JOIN colt USING (source) CROSS JOIN n
+""",
+)
+def chi2_lang_source_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chi-square independence audit of the lang x source contingency
+    table — the sampling-bias check of corpus assembly (is a source
+    over-contributing a language relative to the corpus mix?). Observed
+    cells are one group-by; expected cells come from broadcast row/col
+    marginals; each cell emits its (o-e)^2/e contribution so the biased
+    cells are visible, not just the statistic. Cells only exist where
+    observed > 0 (same sparsity both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rowt = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
+    colt = obs.groupBy("source").agg(F.sum("o").alias("ct"))
+    n = obs.agg(F.sum("o").alias("n"))
+    e = F.col("rt") * F.col("ct") * 1.0 / F.col("n")
+    return (
+        obs.join(F.broadcast(rowt), "lang")
+        .join(F.broadcast(colt), "source")
+        .join(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            F.col("o").cast("long").alias("observed"),
+            F.round(e, 6).alias("expected"),
+            F.round(F.pow(F.col("o") - e, 2) / e, 8).alias("chi2_term"),
+        )
+    )
+
+
+@register(
+    "entropy_tokens_by_source",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(str_split(text, ' ')) AS token FROM documents
+),
+tc AS (
+  SELECT source, token, count(*) AS c FROM tok WHERE token <> '' GROUP BY 1, 2
+),
+st AS (SELECT source, sum(c) AS n FROM tc GROUP BY 1),
+terms AS (
+  SELECT tc.source,
+         CAST(round(-(tc.c * 1.0 / st.n) * ln(tc.c * 1.0 / st.n), 10)
+              AS DECIMAL(28,10)) AS term
+  FROM tc JOIN st USING (source)
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+       CAST(sum(t.term) AS DOUBLE) + 0.0 AS entropy_nats
+FROM terms t
+GROUP BY t.source
+""",
+)
+def entropy_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the token distribution per source — the
+    lexical-diversity monitor of corpus assembly (a source whose entropy
+    collapses is emitting boilerplate; entropy near log(vocab) is
+    healthy). Per-source token counts are one shuffle; each token's
+    ``-p ln p`` term is rounded to 10 decimals and summed as DECIMAL so
+    the entropy is partition-order independent, emitted as the exact
+    decimal sum cast to double (no final re-round — half-way boundary
+    discipline as the PQ error sums)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    tc = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    st = tc.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") * 1.0 / F.col("n")
+    terms = tc.join(F.broadcast(st), "source").select(
+        "source",
+        F.round(-p * F.log(p), 10).cast("decimal(28,10)").alias("term"),
+    )
+    return terms.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        (F.sum("term").cast("double") + F.lit(0.0)).alias("entropy_nats"),
+    )
