@@ -815,43 +815,23 @@ def streaming_full_outer_interval_join(
     return run_to_memory(joined, output_mode="append")
 
 
-@register(
-    "streaming_join_state_introspect",
-    oracle="""
-WITH p AS (
-  SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
-  WHERE event_type = 'purchase' AND value > 150
-),
-c AS (
-  SELECT ts AS c_ts FROM events WHERE event_type = 'click'
-),
-maxts AS (
-  SELECT least((SELECT max(p_ts) FROM p), (SELECT max(c_ts) FROM c))
-           - INTERVAL 1 SECOND AS wm
-)
-SELECT p.purchase_id, p.user_id, p.p_ts
-FROM p CROSS JOIN maxts
-WHERE p.p_ts > maxts.wm
-""",
-)
-def streaming_join_state_introspect(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Operational introspection of STREAM-JOIN state: run the left-outer
-    interval join to completion, then read its checkpoint's left-side
-    join state as a DataFrame (`statestore` source, ``joinSide=left``).
-    What must remain is precisely the eviction contract's complement —
-    purchases the global watermark has NOT passed (p_ts > min-of-both-
-    streams watermark), i.e. the frontier rows whose outer emission the
-    left-outer query is still withholding. The oracle derives that set
-    in SQL, turning the watermark/eviction claims of the outer-join
-    queries into a directly inspected, checkpoint-backed fact — the ops
-    answer to "why hasn't this row emitted, and how big is join state"
-    without touching the running query."""
+#: (app id, sf_dir) whose shared join checkpoint has been drained —
+#: both state-introspection queries read the SAME completed join, so the
+#: drain runs once per session, not once per side.
+_JOIN_CKPT_DRAINED: dict[tuple[str, str], str] = {}
+
+
+def _drained_join_ckpt(spark: SparkSession, sf_dir: str) -> str:
+    """Run the left-outer interval join to completion once per session
+    and return its checkpoint path; both join-state introspection
+    queries read their side from this one drained checkpoint."""
     import os
     import shutil
     import tempfile
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _JOIN_CKPT_DRAINED:
+        return _JOIN_CKPT_DRAINED[key]
     ckpt = os.path.join(
         tempfile.gettempdir(),
         "tfs-joinstate-" + sf_dir.strip("/").replace("/", "-"),
@@ -891,6 +871,47 @@ def streaming_join_state_introspect(
         .start()
     )
     await_or_raise(q, 300)
+    _JOIN_CKPT_DRAINED[key] = ckpt
+    return ckpt
+
+
+
+@register(
+    "streaming_join_state_introspect",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
+  WHERE event_type = 'purchase' AND value > 150
+),
+c AS (
+  SELECT ts AS c_ts FROM events WHERE event_type = 'click'
+),
+maxts AS (
+  SELECT least((SELECT max(p_ts) FROM p), (SELECT max(c_ts) FROM c))
+           - INTERVAL 1 SECOND AS wm
+)
+SELECT p.purchase_id, p.user_id, p.p_ts
+FROM p CROSS JOIN maxts
+WHERE p.p_ts > maxts.wm
+""",
+)
+def streaming_join_state_introspect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Operational introspection of STREAM-JOIN state: run the left-outer
+    interval join to completion (`_drained_join_ckpt` — shared with the
+    right-side read, one drain per session), then read the checkpoint's
+    left-side join state as a DataFrame (`statestore` source,
+    ``joinSide=left``). What must remain is precisely the eviction
+    contract's complement — purchases the global watermark has NOT
+    passed (p_ts > min-of-both-streams watermark), i.e. the frontier
+    rows whose outer emission the left-outer query is still withholding.
+    The oracle derives that set in SQL, turning the watermark/eviction
+    claims of the outer-join queries into a directly inspected,
+    checkpoint-backed fact — the ops answer to "why hasn't this row
+    emitted, and how big is join state" without touching the running
+    query."""
+    ckpt = _drained_join_ckpt(spark, sf_dir)
     st = (
         spark.read.format("statestore")
         .option("path", ckpt)
@@ -934,50 +955,11 @@ def streaming_join_state_introspect_right(
     right-outer null emission. Reading it back quantifies the state-size
     asymmetry directly: the right side retains a full join-range window
     of rows while the left retains only its frontier — the number an
-    operator sizing state stores for an interval join actually needs."""
-    import os
-    import shutil
-    import tempfile
-
-    ckpt = os.path.join(
-        tempfile.gettempdir(),
-        "tfs-joinstate-r-" + sf_dir.strip("/").replace("/", "-"),
-    )
-    shutil.rmtree(ckpt, ignore_errors=True)
-    p = (
-        stream_table(spark, sf_dir, "events")
-        .where((F.col("event_type") == "purchase") & (F.col("value") > 150))
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 second")
-    )
-    c = (
-        stream_table(spark, sf_dir, "events")
-        .where(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "1 second")
-    )
-    joined = p.join(
-        c,
-        (F.col("user_id") == F.col("c_user"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 86400 SECONDS"))
-        & (F.col("c_ts") <= F.col("p_ts")),
-        "leftOuter",
-    )
-    q = (
-        joined.writeStream.format("noop")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, 300)
+    operator sizing state stores for an interval join actually needs.
+    Reads the SAME drained checkpoint as the left-side query — the join
+    runs once per session (`_drained_join_ckpt`), the reads are
+    metadata-cheap."""
+    ckpt = _drained_join_ckpt(spark, sf_dir)
     st = (
         spark.read.format("statestore")
         .option("path", ckpt)
