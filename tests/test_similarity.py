@@ -229,3 +229,17 @@ def test_codebook_cache_isolated_by_sf(spark):
           _coarse_centroids(spark, "/root/testdata/sf0.001").collect()}
     assert a == a2  # cache hit reproduces the fit bit-for-bit
     assert a != b or len(a) == len(b)  # distinct sf entries exist independently
+
+
+def test_doc_multiprobe_pairs_superset_of_single_probe(spark):
+    """Multi-probe candidates include every exact-signature collision, so
+    the verified pair set can only GROW."""
+    from twitter_flink_spark.queries.similarity import (
+        doc_neardup_lsh_multiprobe,
+        doc_neardup_lsh_tfidf,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    single = {(r.doc_a, r.doc_b) for r in doc_neardup_lsh_tfidf(spark, sf).collect()}
+    multi = {(r.doc_a, r.doc_b) for r in doc_neardup_lsh_multiprobe(spark, sf).collect()}
+    assert single <= multi

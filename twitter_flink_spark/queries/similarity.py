@@ -492,6 +492,7 @@ def _doc_lsh_oracle(
     bands: int = _DOC_LSH_BANDS,
     scale: int = _DOC_LSH_SCALE,
     thresh: float = _DOC_LSH_THRESHOLD,
+    multiprobe: bool = False,
 ) -> str:
     r = planes // bands
     sgn = (
@@ -515,6 +516,29 @@ def _doc_lsh_oracle(
         )
         for b in range(bands)
     )
+    if multiprobe:
+        cand_block = f"""probes AS (
+  SELECT doc_id, band, band_sig FROM banded
+  UNION
+  SELECT doc_id, band,
+         substr(band_sig, 1, CAST(j AS INT))
+           || (CASE WHEN substr(band_sig, CAST(j + 1 AS INT), 1) = '1'
+               THEN '0' ELSE '1' END)
+           || substr(band_sig, CAST(j + 2 AS INT), {r}) AS band_sig
+  FROM banded CROSS JOIN unnest(range(0, {r})) AS t(j)
+),
+cand AS (
+  SELECT DISTINCT least(p.doc_id, b.doc_id) AS doc_a,
+                  greatest(p.doc_id, b.doc_id) AS doc_b
+  FROM probes p JOIN banded b USING (band, band_sig)
+  WHERE p.doc_id <> b.doc_id
+),"""
+    else:
+        cand_block = """cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b USING (band, band_sig)
+  WHERE a.doc_id < b.doc_id
+),"""
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
@@ -545,11 +569,7 @@ bits AS (
 banded AS (
 {band_rows}
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b USING (band, band_sig)
-  WHERE a.doc_id < b.doc_id
-),
+{cand_block}
 norm AS (SELECT doc_id, sum(w * w) AS nn FROM w GROUP BY doc_id),
 dots AS (
   SELECT c.doc_a, c.doc_b, sum(wa.w * wb.w) AS dot
@@ -1613,4 +1633,81 @@ def ivf_pq_residual_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("adc_dec").cast("double") + F.lit(0.0)).alias("adc"),
             "rank",
         )
+    )
+
+
+@register(
+    "doc_neardup_lsh_multiprobe",
+    oracle=_doc_lsh_oracle(multiprobe=True),
+)
+def doc_neardup_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe variant of `doc_neardup_lsh_tfidf` — the last §12
+    composition: one side of the band self-join additionally probes its
+    Hamming-distance-1 band signatures
+    (`operators/similarity.py::multiprobe_band_probes`, reused unchanged
+    from the embedding family — the operator never knew what a band sig
+    means). Because distance-1 collision is symmetric, probing ONE side
+    with unordered pair dedup recovers every pair whose signatures differ
+    by a single bit in some band — the near-threshold misses banding
+    loses — at (r+1)x probe rows on that side only; the index side and
+    the verify stage are untouched. Same exact map-intersection cosine
+    verify, same threshold: extra candidates only ADD verified pairs."""
+    from twitter_flink_spark.operators.similarity import (
+        doc_signature_profile,
+        multiprobe_band_probes,
+        tfidf_fixed_point_weights,
+    )
+    from twitter_flink_spark.sources.tables import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = tfidf_fixed_point_weights(
+        spread(docs, "doc_id"), scale=_DOC_LSH_SCALE
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    prof = doc_signature_profile(
+        w, _DOC_LSH_PLANES, _DOC_LSH_BANDS
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = prof.select(
+        "doc_id", F.posexplode("sigs").alias("band", "band_sig")
+    )
+    r = _DOC_LSH_PLANES // _DOC_LSH_BANDS
+    probes = multiprobe_band_probes(banded, r, id_col="doc_id").select(
+        F.col("doc_id").alias("p_id"), "band", "band_sig"
+    )
+    index = banded.select(F.col("doc_id").alias("i_id"), "band", "band_sig")
+    cands = (
+        probes.join(index, on=["band", "band_sig"])
+        .where(F.col("p_id") != F.col("i_id"))
+        .select(
+            F.least("p_id", "i_id").alias("doc_a"),
+            F.greatest("p_id", "i_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.join(
+            prof.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("m").alias("ma"),
+                F.col("nn").alias("na"),
+            ),
+            on="doc_a",
+        )
+        .join(
+            prof.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("m").alias("mb"),
+                F.col("nn").alias("nb"),
+            ),
+            on="doc_b",
+        )
+        .withColumn(
+            "dot",
+            F.expr(
+                "aggregate(map_keys(ma), 0L, (acc, k) -> "
+                "acc + ifnull(element_at(ma, k) * try_element_at(mb, k), 0L))"
+            ),
+        )
+        .withColumn("__cos", F.col("dot") / (F.sqrt("na") * F.sqrt("nb")))
+        .where(F.col("__cos") >= _DOC_LSH_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("__cos", 6).alias("cosine"))
     )
