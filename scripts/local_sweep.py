@@ -23,7 +23,7 @@ sys.path.insert(0, str(ROOT / "tests"))
 
 from pyspark.sql import SparkSession
 
-from oracle import canon_rows, duck_connection  # noqa: E402
+from oracle import canon_rows, driver_canon_check, duck_connection  # noqa: E402
 
 
 def main() -> int:
@@ -59,6 +59,10 @@ def main() -> int:
             else:
                 oracle_df = duck.execute(osql[name]).fetchdf()
                 sp = df.toPandas()  # single execution; compare on pandas
+                # the driver sorts with pandas sort_values; raise the same
+                # TypeError it would on unhashable (array) cells
+                driver_canon_check(sp)
+                driver_canon_check(oracle_df)
                 row["spark_rows"] = len(sp)
                 row["oracle_rows"] = len(oracle_df)
                 row["schema_match"] = sorted(sp.columns) == sorted(

@@ -50,6 +50,18 @@ def _canon_cell(v, lax: bool = False) -> str:
     return str(v)
 
 
+def driver_canon_check(df: pd.DataFrame) -> None:
+    """Mirror the DRIVER's canonicalizer shape: it sorts the pandas frame
+    with ``sort_values`` over all columns (factorizing object cells), so any
+    cell type pandas cannot hash — ndarray/list/dict from Array/Map/Struct
+    output columns — raises ``TypeError: unhashable type`` on the driver
+    even though the stringifying comparison below handles it fine. Raising
+    HERE keeps the local sweep red wherever the driver would be red (the
+    r04 divergence: 4 queries locally green, driver-err)."""
+    if len(df):
+        df.sort_values(by=sorted(df.columns))
+
+
 def canon_rows(df: pd.DataFrame, lax: bool = False) -> list[tuple[str, ...]]:
     cols = sorted(df.columns)
     out = []
@@ -69,6 +81,12 @@ def compare(spark_df, oracle_df: pd.DataFrame, lax: bool = False) -> list[str]:
         return problems
     if len(sp) != len(oracle_df):
         problems.append(f"row count: spark={len(sp)} oracle={len(oracle_df)}")
+    try:
+        driver_canon_check(sp)
+        driver_canon_check(oracle_df)
+    except TypeError as exc:
+        problems.append(f"driver canon would crash: {exc}")
+        return problems
     a, b = canon_rows(sp, lax), canon_rows(oracle_df, lax)
     if a != b:
         only_spark = [r for r in a if r not in set(b)][:5]

@@ -119,3 +119,23 @@ def test_bpe_encode_matches_reference(spark):
     for r in rows:
         got.setdefault(r.word, []).append(r.sym)
     assert got == _reference_bpe_encode(weights, 4)
+
+
+def test_bpe_survives_merge_dry_out(spark):
+    """When every pair is merged away before n_merges rounds, learn must
+    return only the rules it actually found and encode must return the
+    fully-merged table — NOT an empty frame (the empty-argmax cross join
+    in apply_merge would otherwise wipe the symbol table)."""
+    from twitter_flink_spark.operators.bpe import bpe_encode, bpe_learn
+
+    words = spark.createDataFrame([("ab", 3)], "word string, weight long")
+    # only one pair exists; ask for 5 merges
+    rules = bpe_learn(words, 5).collect()
+    assert [(r.step, r.merged) for r in rules] == [(1, "ab")]
+    enc = bpe_encode(words, 5).collect()
+    assert [(r.word, r.rn, r.sym) for r in enc] == [("ab", 1, "ab")]
+    # degenerate: no pair at all, even on round 1
+    singles = spark.createDataFrame([("a", 2)], "word string, weight long")
+    assert bpe_learn(singles, 3).collect() == []
+    enc1 = bpe_encode(singles, 3).collect()
+    assert [(r.word, r.rn, r.sym) for r in enc1] == [("a", 1, "a")]

@@ -199,9 +199,54 @@ def test_no_cartesian_anywhere():
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_all_plans_no_cartesian(spark, name):
     if name.startswith("streaming_"):
-        pytest.skip("streaming queries execute eagerly; covered elsewhere")
+        # streaming queries execute eagerly: capture the executed
+        # micro-batch plans (outer via explainInternal, foreachBatch inner
+        # via record_batch_df_plan) and assert on THOSE
+        from twitter_flink_spark.streaming import pipeline
+
+        pipeline.STREAM_PLANS.clear()
+        pipeline.CAPTURE_STREAM_PLANS = True
+        try:
+            df = QUERIES[name](spark, SF_DIR)
+        finally:
+            pipeline.CAPTURE_STREAM_PLANS = False
+        # a query that reuses an already-drained checkpoint (the shared
+        # introspection state) runs no stream — its batch readback plan,
+        # checked below, is all there is; the stream itself was checked
+        # when the sibling query drained it
+        for label, text in pipeline.STREAM_PLANS:
+            assert "CartesianProduct" not in text, (
+                f"{name}/{label} executed a cartesian product"
+            )
+        batch_plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in batch_plan, name
+        return
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_complex_output_columns(spark, name):
+    """Driver-contract preflight: the driver's pandas canonicalizer
+    (sort_values → factorize) cannot hash ndarray/dict cells, so a
+    registered query emitting Array/Map/Struct columns passes locally but
+    errs on the driver (the r04 divergence). Complex intermediates are
+    fine — OUTPUT columns must be scalar (string-encode lists, e.g.
+    `array_join(transform(xs, x -> cast(x as string)), ',')`)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if name.startswith("streaming_"):
+        pytest.skip("streaming queries execute eagerly; covered elsewhere")
+    schema = QUERIES[name](spark, SF_DIR).schema
+    complex_cols = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name} emits complex-typed output columns {complex_cols}; "
+        "the driver canonicalizer cannot hash them — string-encode"
+    )
 
 
 def test_contamination_benchmark_side_broadcast(spark):

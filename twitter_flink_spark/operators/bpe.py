@@ -139,6 +139,10 @@ def bpe_learn(words: DataFrame, n_merges: int) -> DataFrame:
             .limit(1)
             .localCheckpoint()
         )
+        # pair stats ran dry (every word fully merged): stop — an empty
+        # `best` cross-joined in apply_merge would wipe the symbol table
+        if not best.take(1):
+            break
         merges.append(
             best.select(
                 F.lit(step).alias("step"),
@@ -155,6 +159,18 @@ def bpe_learn(words: DataFrame, n_merges: int) -> DataFrame:
         new_ids = _persistent_rdd_ids(sc) - before
         _unpersist_ids(sc, t_ids)
         t, t_ids = new_t, new_ids
+    if not merges:  # no pair anywhere (all 1-char words)
+        return (
+            pair_stats(t)
+            .select(
+                F.lit(0).alias("step"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.concat("a", "b").alias("merged"),
+                F.col("cnt"),
+            )
+            .limit(0)
+        )
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)
@@ -181,6 +197,10 @@ def bpe_encode(words: DataFrame, n_merges: int) -> DataFrame:
             .limit(1)
             .localCheckpoint()
         )
+        # pair stats ran dry: the table is fully merged — stop rather
+        # than cross-join an empty `best` (which would empty the table)
+        if not best.take(1):
+            break
         before = _persistent_rdd_ids(sc)
         new_t = apply_merge(t, best).localCheckpoint()
         new_ids = _persistent_rdd_ids(sc) - before

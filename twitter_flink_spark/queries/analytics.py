@@ -206,10 +206,17 @@ def _token_pair_counts(docs: DataFrame) -> DataFrame:
     return pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
-_TRI_MIN_SHARE = 0.55  #: edge iff the pair co-occurs in > this doc share
+#: edge iff the pair co-occurs in >= 55/100 of documents. Kept as an
+#: integer PERCENT so the threshold compares in exact integer arithmetic
+#: on both engines (`n_docs * 100 >= 55 * total`) — a double `0.55 *
+#: total` (Spark) vs DECIMAL (DuckDB) can disagree when a pair sits
+#: exactly on the boundary and total is a multiple of 20
+_TRI_MIN_SHARE_PCT = 55
 
 
-def _triangle_oracle(top: int = _TOP_TOKENS, share: float = _TRI_MIN_SHARE) -> str:
+def _triangle_oracle(
+    top: int = _TOP_TOKENS, share_pct: int = _TRI_MIN_SHARE_PCT
+) -> str:
     return f"""
 WITH tok AS (
   SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS token
@@ -230,7 +237,7 @@ pairs AS (
   GROUP BY 1, 2
 ),
 e AS (
-  SELECT t1, t2 FROM pairs CROSS JOIN n WHERE c >= {share} * n.n_docs
+  SELECT t1, t2 FROM pairs CROSS JOIN n WHERE c * 100 >= {share_pct} * n.n_docs
 ),
 deg AS (
   SELECT v, count(*) AS d
@@ -283,7 +290,10 @@ def triangle_count_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         _token_pair_counts(docs)
         .join(F.broadcast(n))
-        .where(F.col("n_docs") >= F.lit(_TRI_MIN_SHARE) * F.col("n_docs_total"))
+        .where(
+            F.col("n_docs") * 100
+            >= F.lit(_TRI_MIN_SHARE_PCT) * F.col("n_docs_total")
+        )
         .select("t1", "t2")
     )
     return triangle_counts(edges, "t1", "t2").select(
@@ -912,14 +922,17 @@ def merge_upsert_delete_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KCORE_SHARE = 0.635
+#: edge iff the pair co-occurs in >= 635/1000 of documents — integer
+#: PERMILLE so the comparison is exact integer arithmetic on both engines
+#: (same boundary rationale as `_TRI_MIN_SHARE_PCT`)
+_KCORE_SHARE_PERMILLE = 635
 _KCORE_K = 12
 _KCORE_ROUNDS = 4
 
 
 def _kcore_oracle(
     top: int = _TOP_TOKENS,
-    share: float = _KCORE_SHARE,
+    share_pm: int = _KCORE_SHARE_PERMILLE,
     k: int = _KCORE_K,
     rounds: int = _KCORE_ROUNDS,
 ) -> str:
@@ -943,7 +956,7 @@ pairs AS (
   GROUP BY 1, 2
 ),
 e0 AS MATERIALIZED (
-  SELECT t1, t2 FROM pairs CROSS JOIN n WHERE c >= {share} * n.n_docs
+  SELECT t1, t2 FROM pairs CROSS JOIN n WHERE c * 1000 >= {share_pm} * n.n_docs
 )"""
     ]
     for r in range(1, rounds + 1):
@@ -972,7 +985,7 @@ GROUP BY v
 
 @register("kcore_token_graph", oracle=_kcore_oracle())
 def kcore_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-core extraction (k={k}, 4 peel rounds) on the token
+    """K-core extraction (k=12, 4 peel rounds) on the token
     co-occurrence graph at a threshold that leaves an IRREGULAR degree
     distribution (unlike the triangle query's denser cut) — the
     dense-nucleus extractor of graph mining, here finding the boilerplate
@@ -980,7 +993,7 @@ def kcore_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/graph.py::k_core_peel`). Each round is one degree
     aggregate + two left-semi joins on a shrinking edge list; fixed
     rounds make the result deterministic and the oracle an unrolled CTE
-    chain.""".format(k=_KCORE_K)
+    chain."""
     from twitter_flink_spark.operators.graph import k_core_peel
 
     docs = load_table(spark, sf_dir, "documents")
@@ -988,7 +1001,10 @@ def kcore_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         _token_pair_counts(docs)
         .join(F.broadcast(n))
-        .where(F.col("n_docs") >= F.lit(_KCORE_SHARE) * F.col("n_docs_total"))
+        .where(
+            F.col("n_docs") * 1000
+            >= F.lit(_KCORE_SHARE_PERMILLE) * F.col("n_docs_total")
+        )
         .select("t1", "t2")
     )
     return k_core_peel(

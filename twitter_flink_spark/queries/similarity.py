@@ -1036,7 +1036,8 @@ def _pq_oracle(
         "WITH "
         + ",\n".join(_pq_ctes(subs, subdim, k, iters))
         + f"""
-SELECT vec_id, list(cid ORDER BY sub) AS codes,
+SELECT vec_id,
+       string_agg(CAST(cid AS VARCHAR), ',' ORDER BY sub) AS codes,
        CAST(sum(CAST(round(dist, 7) AS DECIMAL(28,7))) AS DOUBLE) + 0.0
          AS sq_err
 FROM a{iters + 1}
@@ -1120,8 +1121,12 @@ def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep_dist=True,
     )
     return assigned.groupBy("vec_id").agg(
+        # codes as a canonical comma-joined STRING, not array<long>: the
+        # driver's pandas canonicalizer cannot hash ndarray cells
+        # (r04 err), and string encoding is lossless for ordered int codes
         F.expr(
-            "transform(sort_array(collect_list(struct(sub, cid))), s -> s.cid)"
+            "array_join(transform(sort_array(collect_list(struct(sub, cid))),"
+            " s -> cast(s.cid as string)), ',')"
         ).alias("codes"),
         # the exact decimal sum CAST to double (correctly-rounded, hence
         # engine-identical) — a final round(6) would sit on half-up vs
@@ -1317,7 +1322,7 @@ resid AS MATERIALIZED (
         + ",\n".join(_pq_ctes(p="r", src_sql="resid", vec_sql="r"))
         + f"""
 SELECT a.vec_id, af.cid AS cell_id,
-       list(a.cid ORDER BY a.sub) AS codes,
+       string_agg(CAST(a.cid AS VARCHAR), ',' ORDER BY a.sub) AS codes,
        CAST(sum(CAST(round(a.dist, 7) AS DECIMAL(28,7))) AS DOUBLE) + 0.0
          AS sq_err
 FROM ra{_PQ_ITERS + 1} a JOIN af ON af.vec_id = a.vec_id
@@ -1420,9 +1425,10 @@ def pq_encode_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rassigned.groupBy("vec_id")
         .agg(
+            # comma-joined string codes (driver canon can't hash arrays)
             F.expr(
-                "transform(sort_array(collect_list(struct(sub, cid))),"
-                " s -> s.cid)"
+                "array_join(transform(sort_array(collect_list("
+                "struct(sub, cid))), s -> cast(s.cid as string)), ',')"
             ).alias("codes"),
             # exact decimal sum cast to double — no final round(6), which
             # would sit on half-up vs half-even boundary disagreements

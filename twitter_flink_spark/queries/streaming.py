@@ -502,9 +502,12 @@ def streaming_mv_serve_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     after phase 1's final commit, the same isolation a table-format
     snapshot read gives). At scale the snapshot join stays a broadcast
     (or a bucket-co-located join for a huge dimension — the MV is
-    already hash-bucketed by the join key, so co-location is free);
-    per-batch output appends are idempotent under replay via the
-    checkpointed batch ids. Scratch dirs are deterministic per sf and
+    already hash-bucketed by the join key, so co-location is free).
+    foreachBatch is at-least-once, so the serve side writes each batch to
+    a batch_id-keyed directory with OVERWRITE — a batch replayed after a
+    crash-before-commit rewrites its own directory instead of appending
+    duplicates (the same batch-id keying IncrementalMV uses on the
+    maintain side). Scratch dirs are deterministic per sf and
     wiped per invocation — no tempdir accumulation across driver
     rounds."""
     import os
@@ -541,12 +544,18 @@ def streaming_mv_serve_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(base, "out")
 
     def enrich(batch_df, batch_id: int) -> None:
-        (
+        from twitter_flink_spark.streaming.pipeline import record_batch_df_plan
+
+        # batch_id-keyed dir + overwrite = idempotent under replay
+        # (foreachBatch is at-least-once; append would duplicate rows)
+        enriched = (
             batch_df.where(F.col("event_type") == "purchase")
             .join(F.broadcast(snap), "user_id")
             .select("event_id", "user_id", "user_events", "user_value")
-            .write.mode("append")
-            .parquet(out_dir)
+        )
+        record_batch_df_plan(f"mv-serve-b{batch_id}", enriched)
+        enriched.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b{batch_id:05d}")
         )
 
     q2 = (
@@ -559,7 +568,9 @@ def streaming_mv_serve_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     await_or_raise(q2, 300)
-    return spark.read.parquet(out_dir)
+    return (
+        spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+    )
 
 
 @register(

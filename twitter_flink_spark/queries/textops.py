@@ -1169,7 +1169,7 @@ def _bpe_encode_oracle(k: int = _BPE_MERGES) -> str:
         + f"""
 SELECT word, CAST(weight AS BIGINT) AS weight,
        CAST(count(*) AS BIGINT) AS n_subtokens,
-       list(sym ORDER BY rn) AS subtokens
+       string_agg(sym, ' ' ORDER BY rn) AS subtokens
 FROM t{k + 1}
 GROUP BY word, weight
 """
@@ -1345,7 +1345,7 @@ d AS (
 ),
 g AS (
   SELECT term, count(*) AS df, min(doc_id) AS first_doc,
-         list(delta ORDER BY doc_id) AS deltas,
+         string_agg(CAST(delta AS VARCHAR), ',' ORDER BY doc_id) AS deltas,
          CAST(sum(length(bin(delta))) AS BIGINT) AS sum_bits
   FROM d GROUP BY term
 )
@@ -1382,9 +1382,11 @@ def inverted_index_dgap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("df"),
             F.min("doc_id").alias("first_doc"),
+            # gap list as a canonical comma-joined STRING (driver's pandas
+            # canonicalizer cannot hash ndarray cells — r04 err)
             F.expr(
-                "transform(sort_array(collect_list(struct(doc_id, delta))),"
-                " s -> s.delta)"
+                "array_join(transform(sort_array(collect_list("
+                "struct(doc_id, delta))), s -> cast(s.delta as string)), ',')"
             ).alias("deltas"),
             F.sum(F.length(F.bin("delta"))).cast("long").alias("sum_bits"),
         )
@@ -1525,8 +1527,12 @@ def bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = bpe_encode(words, _BPE_MERGES)
     return t.groupBy("word", "weight").agg(
         F.count(F.lit(1)).alias("n_subtokens"),
+        # space-joined string, not array<string>: driver canon can't hash
+        # ndarray cells (r04 err); BPE symbols never contain spaces (the
+        # vocabulary is split ON spaces), so the join is lossless
         F.expr(
-            "transform(sort_array(collect_list(struct(rn, sym))), s -> s.sym)"
+            "array_join(transform(sort_array(collect_list(struct(rn, sym))),"
+            " s -> s.sym), ' ')"
         ).alias("subtokens"),
     )
 

@@ -39,6 +39,29 @@ from pyspark.sql import functions as F
 from twitter_flink_spark.streaming.sources import stream_table
 
 
+#: When True, ``await_or_raise`` and the foreachBatch helpers record
+#: executed plans into ``STREAM_PLANS`` so plan-shape tests can assert on
+#: streaming micro-batch plans (which otherwise execute eagerly and leave
+#: nothing to inspect). Off by default — zero overhead outside tests.
+CAPTURE_STREAM_PLANS = False
+STREAM_PLANS: list[tuple[str, str]] = []
+
+
+def record_stream_plan(label: str, plan_text: str) -> None:
+    if CAPTURE_STREAM_PLANS:
+        STREAM_PLANS.append((label, plan_text))
+
+
+def record_batch_df_plan(label: str, df: DataFrame) -> None:
+    """Capture the executed-plan string of a foreachBatch inner DataFrame
+    (the part of a streaming topology the outer streaming plan does not
+    show — snapshot joins, leaderboard merges)."""
+    if CAPTURE_STREAM_PLANS:
+        STREAM_PLANS.append(
+            (label, df._jdf.queryExecution().executedPlan().toString())
+        )
+
+
 def await_or_raise(q, timeout_s: int) -> None:
     """``awaitTermination`` with the timeout made loud.
 
@@ -52,6 +75,13 @@ def await_or_raise(q, timeout_s: int) -> None:
         raise TimeoutError(
             f"streaming query {q.name or q.id} still running after {timeout_s}s"
         )
+    if CAPTURE_STREAM_PLANS:
+        try:
+            record_stream_plan(
+                q.name or str(q.id), q._jsq.explainInternal(True)
+            )
+        except Exception:  # no batch ever executed — nothing to record
+            pass
 
 
 def windowed_stream_counts(
@@ -250,6 +280,7 @@ class TopNFeedback:
     # -- leaderboard side (reference O6-O9 + O13) --
 
     def _update_leaderboard(self, batch_df: DataFrame, batch_id: int) -> None:
+        record_batch_df_plan(f"leaderboard-b{batch_id}", batch_df)
         if self._log_dir:
             # write-ahead: log before mutating the mirror, so a crash between
             # the two replays the batch (at-least-once) and _restore dedups
@@ -348,6 +379,7 @@ class TopNFeedback:
         if not snap:  # cold start: null topN => nothing passes (`:330-333`)
             return
         matched = batch_df.where(F.col(self.key_col).isin(*snap))
+        record_batch_df_plan(f"filter-b{batch_id}", matched)
         matched.select("event_id", self.key_col, "user_id").write.mode(
             "append"
         ).parquet(self._out_dir)
@@ -516,6 +548,7 @@ class IncrementalMV:
             )
         else:
             merged = partial
+        record_batch_df_plan(f"mv-merge-b{batch_id}", merged)
         # one job writes every touched bucket into a staging dir; the
         # hive-style bucket=<b> subdirs then slot in as new versions.
         # Repartition BY BUCKET first: each bucket then lands in exactly
