@@ -279,8 +279,14 @@ def prefix_filter_jaccard_pairs(
     shingle table, and the rarest-first order makes prefix elements the
     LOW document-frequency ones — candidate lists per key stay short, the
     exact opposite of joining on boilerplate shingles); candidates
-    shuffle on the shingle key; verification joins each candidate pair
-    against per-doc shingle-set profiles, never re-exploding."""
+    shuffle on the shingle key; the PPJoin positional filter then prunes
+    matches whose in-prefix positions cap the achievable overlap below
+    the J >= t floor (772 -> 27 candidate pairs at sf0.01/t=0.5, vs 25
+    true pairs — see PLANS.md) before the verification joins, which probe
+    each surviving pair against per-doc shingle-set profiles, never
+    re-exploding. Losslessness of prefix+length+positional together is
+    property-swept against brute force in
+    tests/test_properties.py::test_prefix_filter_join_is_lossless."""
     tok = doc_shingles(
         docs, id_col=id_col, text_col=text_col, ngram=ngram
     ).select(F.col(id_col), F.col("shingle").alias("token"))
@@ -309,22 +315,50 @@ def prefix_filter_jaccard_pairs(
     prefix = prof.select(
         F.col(id_col),
         "sz",
-        F.explode(F.expr("slice(toks, 1, plen)")).alias("token"),
+        F.posexplode(F.expr("slice(toks, 1, plen)")).alias("pos", "token"),
     )
     a = prefix.select(
-        F.col(id_col).alias("doc_a"), F.col("sz").alias("za"), "token"
+        F.col(id_col).alias("doc_a"),
+        F.col("sz").alias("za"),
+        F.col("pos").alias("pa"),
+        "token",
     )
     b = prefix.select(
-        F.col(id_col).alias("doc_b"), F.col("sz").alias("zb"), "token"
+        F.col(id_col).alias("doc_b"),
+        F.col("sz").alias("zb"),
+        F.col("pos").alias("pb"),
+        "token",
     )
-    # length filter (also lossless): J >= t forces t*|x| <= |y| <= |x|/t,
-    # pruned on the join output BEFORE the dedup + verify joins
+    # length filter (lossless): J >= t forces t*|x| <= |y| <= |x|/t.
+    # positional filter (PPJoin, also lossless): a prefix match at
+    # 0-based positions (pa, pb) bounds the overlap by
+    #   1 + min(|x| - pa - 1, |y| - pb - 1)
+    # (this match plus whatever remains AFTER it in the shared
+    # rarest-first order), which must reach the J >= t overlap floor
+    # ceil(t/(1+t) * (|x|+|y|)). Valid for the pair's FIRST common
+    # prefix element (nothing common precedes it); later matches may
+    # over-survive, which only costs verification work, never recall.
+    # The 1e-9 slack makes the float ceil round DOWN at exact-rational
+    # boundaries — under-pruning is safe, over-pruning would lose pairs.
+    # Both filters prune the join output BEFORE the dedup+verify joins.
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("za") + F.col("zb"))
+        - F.lit(1e-9)
+    )
     cands = (
         a.join(b, "token")
         .where(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.col("zb") >= F.lit(threshold) * F.col("za"))
             & (F.col("za") >= F.lit(threshold) * F.col("zb"))
+            & (
+                1
+                + F.least(
+                    F.col("za") - F.col("pa") - 1,
+                    F.col("zb") - F.col("pb") - 1,
+                )
+                >= min_overlap
+            )
         )
         .select("doc_a", "doc_b")
         .distinct()

@@ -1717,3 +1717,80 @@ def doc_neardup_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__cos") >= _DOC_LSH_THRESHOLD)
         .select("doc_a", "doc_b", F.round("__cos", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall diagnostics (VERDICT r4 item 8): recall@k of the approximate
+# indexes against the brute-force baseline, as oracle-checked queries —
+# both sides are exact deterministic pipelines on the fixture, so recall
+# itself is deterministic and hash-matchable.
+
+
+def _ann_recall_oracle(approx_name: str, k: int = 5) -> str:
+    """Compose the recall SQL from the two registered oracles (the brute
+    baseline and the approximate index), each as a subquery — the oracle
+    certifies recall over the SAME result sets the per-query rows pin."""
+    from twitter_flink_spark.registry import ORACLES
+
+    return f"""
+SELECT b.query_id,
+       CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(i.neighbor_id) AS DOUBLE) / {k} + 0.0 AS recall_at_k
+FROM ( {ORACLES["cosine_topk_bruteforce"]} ) b
+LEFT JOIN ( {ORACLES[approx_name]} ) i
+  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+"""
+
+
+def _ann_recall(
+    spark: SparkSession, sf_dir: str, approx_df: DataFrame, k: int = 5
+) -> DataFrame:
+    brute = cosine_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = approx_df.select("query_id", "neighbor_id").withColumn(
+        "hit", F.lit(1)
+    )
+    return (
+        brute.join(
+            F.broadcast(approx), ["query_id", "neighbor_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            (F.count("hit").cast("double") / k + F.lit(0.0)).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+@register(
+    "ann_recall_ivfpq", oracle=_ann_recall_oracle("ivf_pq_ann_topk")
+)
+def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of `ivf_pq_ann_topk` (nprobe=2 coarse cells + ADC over PQ
+    codes) vs `cosine_topk_bruteforce`, per query vector — the accuracy
+    half of the ANN speed/accuracy trade pinned as data: k-row join of
+    two already-certified result sets, so the only new cost is reading
+    both (and the session fit cache makes the IVF-PQ side free after its
+    first consumer). At 100 TB this is the recall regression monitor you
+    run on a sampled query set after every index rebuild."""
+    return _ann_recall(spark, sf_dir, ivf_pq_ann_topk(spark, sf_dir))
+
+
+@register(
+    "ann_recall_lsh_multiprobe",
+    oracle=_ann_recall_oracle("cosine_topk_lsh_multiprobe"),
+)
+def ann_recall_lsh_multiprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """recall@5 of `cosine_topk_lsh_multiprobe` (8-plane/4-band sign LSH
+    with Hamming-1 probe expansion) vs `cosine_topk_bruteforce` — the
+    measured form of the multiprobe claim (probing buys recall without
+    touching the index). Same k-row join shape as `ann_recall_ivfpq`."""
+    return _ann_recall(
+        spark, sf_dir, cosine_topk_lsh_multiprobe(spark, sf_dir)
+    )
