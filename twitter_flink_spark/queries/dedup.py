@@ -552,3 +552,121 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(
         spread(docs, "doc_id"), threshold=_PPJ_THRESHOLD
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level duplication (duplicated n-gram span coverage)
+
+_SPAN_N = 5  #: span gram width (tokens)
+
+
+@register(
+    "duplicate_ngram_span_fraction",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, t.i AS pos,
+         array_to_string(toks[t.i:t.i + {_SPAN_N - 1}], ' ') AS gram,
+         len(toks) AS n_tok
+  FROM tok, unnest(range(1, len(toks) - {_SPAN_N - 2})) AS t(i)
+),
+dup AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+  ) WHERE nd >= 2
+),
+ds AS (SELECT g.doc_id, g.pos, g.n_tok FROM g JOIN dup USING (gram)),
+cov AS (
+  SELECT doc_id, n_tok, pos,
+         least({_SPAN_N},
+               coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                        pos + {_SPAN_N}) - pos) AS cov
+  FROM ds
+),
+per AS (
+  SELECT doc_id, count(*) AS n_dup_grams, sum(cov) AS covered
+  FROM cov GROUP BY doc_id
+),
+alln AS (SELECT doc_id, len(toks) AS n_tok FROM tok WHERE len(toks) >= {_SPAN_N})
+SELECT a.doc_id, CAST(a.n_tok AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(coalesce(p.covered, 0) AS BIGINT) AS covered_tokens,
+       round(coalesce(p.covered, 0) * 1.0 / a.n_tok, 6) AS dup_fraction
+FROM alln a LEFT JOIN per p USING (doc_id)
+""",
+)
+def duplicate_ngram_span_fraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Substring-level duplication profile — per document, the fraction
+    of its token positions covered by a 5-gram that also occurs in at
+    least one OTHER document: the span-coverage metric behind
+    substring-dedup of LLM training corpora (removing long repeated
+    spans rather than whole near-dup documents; suffix-array pipelines
+    compute the same cross-document repeated-span mass). Output:
+    (doc_id, n_tokens, n_dup_grams, covered_tokens, dup_fraction).
+
+    Spark-first shape, two bounded shuffles: (1) gram-keyed — a partial
+    count-distinct marks grams seen in >= 2 docs (at 100 TB you'd key on
+    xxhash64(gram) so the exchange carries 8-byte keys; the fixture
+    joins the gram string so the oracle is byte-identical), the doc's
+    gram rows semi-join the duplicated set; (2) doc-keyed — overlapping
+    fixed-width spans [pos, pos+4] merge into their interval union
+    with ONE lead() window (sorted starts: each span contributes
+    min(5, next_start - start) covered tokens), never materializing
+    per-position rows. Coverage is exact integer arithmetic; the single
+    final division is correctly rounded on both engines."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread(docs, "doc_id").select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"),
+    )
+    g = tok.select(
+        "doc_id",
+        F.size("toks").alias("n_tok"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(toks) - {_SPAN_N - 1},"
+                f" 0)), i -> array_join(slice(toks, i, {_SPAN_N}), ' '))"
+            )
+        ).alias("pos0", "gram"),
+    ).select(
+        "doc_id", "n_tok", (F.col("pos0") + 1).alias("pos"), "gram"
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    ds = g.join(dup, "gram").select("doc_id", "n_tok", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = ds.withColumn(
+        "cov",
+        F.least(
+            F.lit(_SPAN_N),
+            F.coalesce(F.lead("pos").over(w), F.col("pos") + _SPAN_N)
+            - F.col("pos"),
+        ),
+    )
+    per = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_grams"),
+        F.sum("cov").alias("covered"),
+    )
+    alln = tok.select("doc_id", F.size("toks").alias("n_tok")).where(
+        F.col("n_tok") >= _SPAN_N
+    )
+    return alln.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.coalesce("covered", F.lit(0)).cast("long").alias("covered_tokens"),
+        F.round(
+            F.coalesce("covered", F.lit(0)) * 1.0 / F.col("n_tok"), 6
+        ).alias("dup_fraction"),
+    )
