@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from twitter_flink_spark.operators.similarity import (
+    cosine,
     dot,
     lsh_sign_bands,
     random_hyperplanes,
@@ -1793,4 +1794,325 @@ def ann_recall_lsh_multiprobe(
     touching the index). Same k-row join shape as `ann_recall_ivfpq`."""
     return _ann_recall(
         spark, sf_dir, cosine_topk_lsh_multiprobe(spark, sf_dir)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8 SQ) encode — the lighter sibling of PQ
+
+_SQ_LEVELS = 255  #: 8-bit code range 0..255
+
+
+@register(
+    "sq8_encode_embeddings",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+d AS (
+  SELECT vec_id, t.i AS dim, e[t.i] AS val
+  FROM v, unnest(range(1, {_KM_DIM} + 1)) AS t(i)
+),
+b AS (
+  SELECT dim, min(val) AS mn, max(val) AS mx FROM d GROUP BY dim
+),
+enc AS (
+  SELECT d.vec_id, d.dim,
+         CAST(CASE WHEN b.mx = b.mn THEN 0 ELSE
+           least({_SQ_LEVELS}, greatest(0,
+             floor((d.val - b.mn) * {_SQ_LEVELS}.0 / (b.mx - b.mn))
+           )) END AS BIGINT) AS code,
+         b.mn, b.mx
+  FROM d JOIN b USING (dim)
+),
+err AS (
+  SELECT vec_id, dim, code,
+         CAST(round(diff * diff, 9) AS DECIMAL(28,9)) AS e2
+  FROM (
+    SELECT enc.vec_id, enc.dim, enc.code,
+           d.val - (enc.mn + enc.code * (enc.mx - enc.mn) / {_SQ_LEVELS}.0)
+             AS diff
+    FROM enc JOIN d USING (vec_id, dim)
+  )
+)
+SELECT vec_id,
+       string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim) AS codes,
+       CAST(sum(e2) AS DOUBLE) + 0.0 AS sq_err
+FROM err
+GROUP BY vec_id
+""",
+)
+def sq8_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization (SQ8) encode: each of the 64 dimensions gets an
+    independent affine int8 code `floor((v - min_d) * 255 / (max_d -
+    min_d))` clamped to [0, 255] — FAISS's ScalarQuantizer / the
+    compressed vector storage lighter than PQ (no codebook training, 1
+    byte/dim, dequantization is one fused multiply-add at scan time).
+    Output per vector: the 64 comma-joined codes plus the decimal-exact
+    squared reconstruction error, same contract as `pq_encode_embeddings`.
+
+    Scale shape: ONE 64-row bounds aggregate (partial min/max combine —
+    the shuffle carries 64 rows per task regardless of corpus size)
+    broadcast back into a map-side encode pass; the corpus never
+    shuffles. Determinism: both engines evaluate the identical IEEE
+    double expression chain, `floor` of which is bit-stable; per-dim
+    squared errors round onto the 1e-9 grid as decimals, so the error
+    sum is partition-order independent."""
+    from twitter_flink_spark.sources.tables import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    d = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        ).alias("dim0", "val"),
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "val")
+    b = d.groupBy("dim").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+    enc = d.join(F.broadcast(b), "dim").select(
+        "vec_id",
+        "dim",
+        "val",
+        "mn",
+        "mx",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(_SQ_LEVELS),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("val") - F.col("mn"))
+                        * float(_SQ_LEVELS)
+                        / (F.col("mx") - F.col("mn"))
+                    ),
+                ),
+            )
+        )
+        .cast("long")
+        .alias("code"),
+    )
+    err = enc.withColumn(
+        "diff",
+        F.col("val")
+        - (
+            F.col("mn")
+            + F.col("code") * (F.col("mx") - F.col("mn")) / float(_SQ_LEVELS)
+        ),
+    ).withColumn(
+        "e2",
+        F.round(F.col("diff") * F.col("diff"), 9).cast("decimal(28,9)"),
+    )
+    return err.groupBy("vec_id").agg(
+        F.expr(
+            "array_join(transform(sort_array(collect_list(struct(dim, code))),"
+            " s -> cast(s.code as string)), ',')"
+        ).alias("codes"),
+        (F.sum("e2").cast("double") + F.lit(0.0)).alias("sq_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR-diversified top-k (greedy maximal marginal relevance rerank)
+
+_MMR_LAMBDA = 0.7
+_MMR_CAND = 10  #: ANN candidate pool size per query
+_MMR_K = 3  #: diversified picks per query (greedy rounds, unrolled)
+
+
+def _mmr_oracle(
+    lam: float = _MMR_LAMBDA, n_cand: int = _MMR_CAND, k: int = _MMR_K
+) -> str:
+    one_m = round(1.0 - lam, 10)
+    parts = [
+        f"""cand AS MATERIALIZED (
+  SELECT query_id, neighbor_id, cosine FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]), 6) AS cosine,
+           row_number() OVER (
+              PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                              c.embedding::DOUBLE[]) DESC,
+                       c.vec_id ASC) AS rank
+    FROM embeddings q
+    JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 5
+  ) WHERE rank <= {n_cand}
+),
+pc AS MATERIALIZED (
+  SELECT a.query_id, a.neighbor_id AS a, b.neighbor_id AS b,
+         round(list_cosine_similarity(va.embedding::DOUBLE[],
+                                      vb.embedding::DOUBLE[]), 6) AS sim
+  FROM cand a
+  JOIN cand b ON b.query_id = a.query_id AND b.neighbor_id <> a.neighbor_id
+  JOIN embeddings va ON va.vec_id = a.neighbor_id
+  JOIN embeddings vb ON vb.vec_id = b.neighbor_id
+),
+sel1 AS MATERIALIZED (
+  SELECT query_id, neighbor_id,
+         floor({lam} * cosine * 1000000.0) / 1000000.0 AS mmr_score,
+         1 AS mmr_rank
+  FROM cand QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) = 1
+)"""
+    ]
+    for r in range(2, k + 1):
+        prev_sel = " UNION ALL ".join(
+            f"SELECT query_id, neighbor_id FROM sel{i}" for i in range(1, r)
+        )
+        parts.append(
+            f"""sel{r} AS MATERIALIZED (
+  SELECT query_id, neighbor_id, mmr_score, {r} AS mmr_rank FROM (
+    SELECT c.query_id, c.neighbor_id,
+           floor(({lam} * c.cosine - {one_m} * ms.maxsim) * 1000000.0)
+             / 1000000.0 AS mmr_score,
+           row_number() OVER (
+             PARTITION BY c.query_id
+             ORDER BY {lam} * c.cosine - {one_m} * ms.maxsim DESC,
+                      c.neighbor_id ASC) AS rn
+    FROM cand c
+    JOIN (
+      SELECT p.query_id, p.a, max(p.sim) AS maxsim
+      FROM pc p JOIN ({prev_sel}) s
+        ON s.query_id = p.query_id AND s.neighbor_id = p.b
+      GROUP BY p.query_id, p.a
+    ) ms ON ms.query_id = c.query_id AND ms.a = c.neighbor_id
+    WHERE NOT EXISTS (
+      SELECT 1 FROM ({prev_sel}) s
+      WHERE s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id
+    )
+  ) WHERE rn = 1
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT query_id, CAST(mmr_rank AS INTEGER) AS mmr_rank, "
+        f"neighbor_id, mmr_score FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+@register("mmr_diversified_topk", oracle=_mmr_oracle())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance rerank: from each query's brute-force
+    top-10 candidate pool, greedily pick 3 results maximizing
+    `0.7 * rel(q, d) - 0.3 * max_{s in selected} sim(d, s)` — the
+    diversified-retrieval operator (dedupe near-identical hits at serve
+    time; as a training-data op, diversity-aware selection of contrastive
+    examples). Each greedy round is a DataFrame round over the CANDIDATE
+    table only: one anti-join (drop selected), one max-aggregate of
+    candidate-to-selected pairwise sims, one WindowGroupLimit argmax —
+    the corpus is touched once (candidate generation + one equi-join to
+    fetch candidate vectors for the ~k^2-per-query pairwise sims); at
+    100 TB the rerank cost is O(queries x pool^2), independent of corpus
+    size. Relevance and pairwise sims round to 6 decimals BEFORE scoring,
+    so the greedy argmax is cross-engine deterministic (ties break by
+    neighbor_id); the EMITTED score floor-quantizes onto the 1e-6 grid
+    rather than round()-ing, because `0.7 * cosine` lands exactly on
+    half-way points where Spark (HALF_UP) and DuckDB disagree — floor of
+    an identically-computed double is bit-stable. The oracle unrolls the
+    same 3 rounds."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    cand = topk_neighbors(emb, queries, k=_MMR_CAND).select(
+        "query_id", "neighbor_id", "cosine"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    va = emb.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("__va")
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("__vb")
+    )
+    ca = cand.select("query_id", F.col("neighbor_id").alias("a"))
+    cb = cand.select("query_id", F.col("neighbor_id").alias("b"))
+    pairs = (
+        ca.join(cb, "query_id")
+        .where(F.col("a") != F.col("b"))
+        .join(va, "a")
+        .join(vb, "b")
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("sim"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    lam, one_m = _MMR_LAMBDA, round(1.0 - _MMR_LAMBDA, 10)
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    selected = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).alias("mmr_rank"),
+            "neighbor_id",
+            (
+                F.floor(F.lit(lam) * F.col("cosine") * 1e6) / 1e6
+            ).alias("mmr_score"),
+        )
+    )
+    out = [selected]
+    for r in range(2, _MMR_K + 1):
+        sel_ids = out[0].select("query_id", "neighbor_id")
+        for prev in out[1:]:
+            sel_ids = sel_ids.unionAll(
+                prev.select("query_id", "neighbor_id")
+            )
+        maxsim = (
+            pairs.join(
+                sel_ids.withColumnRenamed("neighbor_id", "b"),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", "a")
+            .agg(F.max("sim").alias("maxsim"))
+            .select(
+                F.col("query_id").alias("__mq"),
+                F.col("a").alias("__ma"),
+                "maxsim",
+            )
+        )
+        remaining = cand.join(
+            sel_ids, ["query_id", "neighbor_id"], "left_anti"
+        )
+        scored = remaining.join(
+            maxsim,
+            (F.col("query_id") == F.col("__mq"))
+            & (F.col("neighbor_id") == F.col("__ma")),
+        ).select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.lit(lam) * F.col("cosine")
+                - F.lit(one_m) * F.col("maxsim")
+            ).alias("raw_score"),
+        )
+        wr = Window.partitionBy("query_id").orderBy(
+            F.col("raw_score").desc(), F.col("neighbor_id").asc()
+        )
+        pick = (
+            scored.withColumn("rn", F.row_number().over(wr))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(r).alias("mmr_rank"),
+                "neighbor_id",
+                (F.floor(F.col("raw_score") * 1e6) / 1e6).alias(
+                    "mmr_score"
+                ),
+            )
+        )
+        out.append(pick)
+    result = out[0]
+    for p in out[1:]:
+        result = result.unionAll(p)
+    return result.select(
+        "query_id",
+        F.col("mmr_rank").cast("int").alias("mmr_rank"),
+        "neighbor_id",
+        "mmr_score",
     )
