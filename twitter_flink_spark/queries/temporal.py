@@ -671,3 +671,149 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winsorized_sum",
         )
     )
+
+
+@register(
+    "cohort_retention_matrix",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+coh AS (
+  SELECT user_id, min(d) AS cohort_day FROM act GROUP BY user_id
+),
+sz AS (
+  SELECT cohort_day, count(*) AS cohort_size FROM coh GROUP BY cohort_day
+),
+ret AS (
+  SELECT c.cohort_day,
+         CAST(date_diff('day', c.cohort_day, a.d) AS INTEGER) AS day_offset,
+         count(DISTINCT a.user_id) AS n_active
+  FROM act a JOIN coh c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort_day, r.day_offset,
+       CAST(r.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       floor(r.n_active * 1000000.0 / s.cohort_size) / 1000000.0
+         AS retention
+FROM ret r JOIN sz s USING (cohort_day)
+""",
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by their FIRST active
+    day; for each (cohort, day-offset) cell, the distinct users still
+    active that day and the retained fraction — the standard
+    product-analytics triangle (daily grain because the fixture spans one
+    month; the monthly query is the same plan with date_trunc).
+
+    Shape: one (user, day) distinct pass, a user-keyed min-aggregate for
+    cohort assignment, ONE user-keyed join back (at 100 TB both sides are
+    already reduced to user grain — the join never touches raw events),
+    then a (cohort, offset)-keyed count-distinct whose key space is
+    bounded by days^2/2, not data size. The retained fraction
+    floor-quantizes onto the 1e-6 grid (exact integer multiply + one
+    correctly-rounded division — round() would sit on half-way points
+    where the engines disagree)."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    coh = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    sz = coh.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    ret = (
+        act.join(coh, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("d", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return ret.join(F.broadcast(sz), "cohort_day").select(
+        # string form: pandas renders date vs DuckDB's min-of-DATE (a
+        # datetime64) differently, so both engines emit 'yyyy-MM-dd'
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        (
+            F.floor(F.col("n_active") * 1000000.0 / F.col("cohort_size"))
+            / 1e6
+        ).alias("retention"),
+    )
+
+
+@register(
+    "time_weighted_value_per_user",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS t_ms,
+         CAST(floor(value * 100) AS BIGINT) AS v100
+  FROM events
+),
+iv AS (
+  SELECT user_id, v100,
+         lead(t_ms) OVER (PARTITION BY user_id ORDER BY t_ms, v100) - t_ms
+           AS dur_ms
+  FROM e
+),
+agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_intervals,
+         CAST(sum(dur_ms) AS BIGINT) AS total_dur_ms,
+         CAST(sum(v100 * dur_ms) AS BIGINT) AS weighted
+  FROM iv WHERE dur_ms IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_intervals, total_dur_ms, weighted,
+       floor(weighted / (total_dur_ms * 100.0) * 1000000.0) / 1000000.0
+         AS twa_value
+FROM agg WHERE total_dur_ms > 0
+""",
+)
+def time_weighted_value_per_user(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-weighted average value per user over the irregular event
+    series — each event's value 'holds' until the user's next event
+    (step-function integral / total observed time), the correct mean for
+    unevenly sampled metrics where the arithmetic mean over-weights
+    bursts. One user-keyed window (lead) computes interval durations in
+    the same exchange as the final aggregate.
+
+    Determinism: timestamps reduce to epoch MILLISECONDS (identical
+    truncation both engines) and values to floor(value*100) — the
+    weighted sum is then exact int64 arithmetic (max |v100*dur| * rows
+    per user stays far below 2^63), partition-order independent; the
+    single final division is a correctly-rounded double, floor-quantized
+    onto the 1e-6 grid. Ties on t_ms order by v100 so duplicate-time
+    events pair deterministically (their interval is 0 ms either way)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.unix_millis("ts").alias("t_ms"),
+        F.floor(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_ms", "v100")
+    iv = e.withColumn(
+        "dur_ms", F.lead("t_ms").over(w) - F.col("t_ms")
+    ).where(F.col("dur_ms").isNotNull())
+    agg = iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur_ms").cast("long").alias("total_dur_ms"),
+        F.sum(F.col("v100") * F.col("dur_ms")).cast("long").alias("weighted"),
+    )
+    return agg.where(F.col("total_dur_ms") > 0).select(
+        "user_id",
+        "n_intervals",
+        "total_dur_ms",
+        "weighted",
+        (
+            F.floor(
+                F.col("weighted")
+                / (F.col("total_dur_ms") * 100.0)
+                * 1000000.0
+            )
+            / 1e6
+        ).alias("twa_value"),
+    )
