@@ -313,3 +313,77 @@ def entropy_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct_tokens"),
         (F.sum("term").cast("double") + F.lit(0.0)).alias("entropy_nats"),
     )
+
+
+@register(
+    "cusum_value_excursion",
+    oracle="""
+WITH mu AS (
+  SELECT CAST(floor(avg(value) * 10000) AS BIGINT) AS mu4 FROM events
+),
+dev AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value * 10000) AS BIGINT) - mu.mu4 AS d4
+  FROM events, mu
+),
+cs AS (
+  SELECT event_type,
+         sum(d4) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS s4
+  FROM dev
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(s4) AS BIGINT) AS max_cusum4,
+       CAST(min(s4) AS BIGINT) AS min_cusum4,
+       CAST(max(s4) - min(s4) AS BIGINT) AS excursion4
+FROM cs
+GROUP BY event_type
+""",
+)
+def cusum_value_excursion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point monitor per event type: the running cumulative
+    sum of deviations from the GLOBAL mean, tracked to its max/min —
+    a large excursion (max minus min of the walk) localizes a sustained
+    level shift that distribution-level monitors (psi_value_drift /
+    chi2 / entropy) smear out, because CUSUM is sequential in event
+    time. Complements the existing drift suite as the
+    time-ordered member.
+
+    Determinism: the mean reduces to floor(avg*1e4) and each value to
+    floor(value*1e4) — the walk is then exact int64 arithmetic (the
+    partial-sum window is ordered by (ts, event_id), so every prefix is
+    reproducible), and max/min/excursion are integers; no float
+    comparison anywhere. Shape: one 1-row broadcast (the mean), one
+    event_type-keyed exchange shared by the window and the final
+    aggregate — the same single-shuffle discipline as the other
+    monitors. State at 100 TB: the window is per-type sequential by
+    design (CUSUM is inherently a prefix scan); a wide deployment runs
+    it per (type, day) partition to bound the scan length."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    mu = ev.agg(
+        F.floor(F.avg("value") * 10000).cast("long").alias("mu4")
+    )
+    dev = ev.join(F.broadcast(mu)).select(
+        "event_type",
+        "ts",
+        "event_id",
+        (
+            F.floor(F.col("value") * 10000).cast("long") - F.col("mu4")
+        ).alias("d4"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = dev.withColumn("s4", F.sum("d4").over(w))
+    return cs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("s4").cast("long").alias("max_cusum4"),
+        F.min("s4").cast("long").alias("min_cusum4"),
+        (F.max("s4") - F.min("s4")).cast("long").alias("excursion4"),
+    )
