@@ -459,3 +459,43 @@ def test_cdc_chunking_single_exchange(spark):
         re.findall(r"Exchange hashpartitioning\(doc_id", plan)
     )
     assert n_doc_exchanges == 1, plan
+
+
+def test_twa_single_user_exchange(spark):
+    """The interval window (lead) and the final aggregate must share ONE
+    user_id exchange."""
+    plan = plan_of(spark, "time_weighted_value_per_user")
+    n = len(re.findall(r"Exchange hashpartitioning\(user_id", plan))
+    assert n == 1, plan
+
+
+def test_cusum_single_type_exchange_and_broadcast_mean(spark):
+    """CUSUM: one event_type exchange shared by the prefix window and the
+    final aggregate; the global mean attaches as a broadcast 1-row side
+    (nested-loop over one row is the accepted scalar-attach shape)."""
+    plan = plan_of(spark, "cusum_value_excursion")
+    n = len(re.findall(r"Exchange hashpartitioning\(event_type", plan))
+    assert n == 1, plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cohort_retention_no_joins(spark):
+    """Cohort assignment must ride a user window (no user-keyed join) and
+    the denominator must come from the cells table's own offset-0 rows
+    (no sz-branch join): the plan contains NO join operator at all."""
+    plan = plan_of(spark, "cohort_retention_matrix")
+    assert "Join" not in plan, plan
+
+
+def test_sq8_bounds_broadcast_corpus_never_shuffles_for_encode(spark):
+    """The 64-row per-dimension bounds must reach the encode pass as a
+    broadcast — the exploded corpus joins them without an exchange on its
+    own side."""
+    plan = plan_of(spark, "sq8_encode_embeddings")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only hashpartitioning exchanges: the deliberate spread(), the
+    # 64-row dim agg, and the final per-vector reduce
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n <= 3, plan

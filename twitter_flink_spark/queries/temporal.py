@@ -707,29 +707,33 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     product-analytics triangle (daily grain because the fixture spans one
     month; the monthly query is the same plan with date_trunc).
 
-    Shape: one (user, day) distinct pass, a user-keyed min-aggregate for
-    cohort assignment, ONE user-keyed join back (at 100 TB both sides are
-    already reduced to user grain — the join never touches raw events),
-    then a (cohort, offset)-keyed count-distinct whose key space is
-    bounded by days^2/2, not data size. The retained fraction
-    floor-quantizes onto the 1e-6 grid (exact integer multiply + one
-    correctly-rounded division — round() would sit on half-way points
-    where the engines disagree)."""
+    Shape — NO user-keyed join at all: cohort assignment is
+    `min(d) over (partition by user_id)` riding the same exchange as the
+    (user, day) distinct, the matrix is one (cohort, offset)-keyed
+    count-distinct whose key space is bounded by days^2/2 (not data
+    size), and the denominator is the matrix's own offset-0 cell (every
+    user is active on their cohort day) pulled across each cohort's rows
+    by a window over the TINY cells table — three exchanges total, two of
+    them over reduced data. The retained fraction floor-quantizes onto
+    the 1e-6 grid (exact integer multiply + one correctly-rounded
+    division — round() would sit on half-way points where the engines
+    disagree)."""
     ev = load_table(spark, sf_dir, "events")
     act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
-    coh = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
-    sz = coh.groupBy("cohort_day").agg(
-        F.count(F.lit(1)).alias("cohort_size")
+    wu = Window.partitionBy("user_id")
+    coh = act.withColumn("cohort_day", F.min("d").over(wu))
+    ret = coh.groupBy(
+        "cohort_day",
+        F.datediff("d", "cohort_day").cast("int").alias("day_offset"),
+    ).agg(F.count_distinct("user_id").alias("n_active"))
+    wc = Window.partitionBy("cohort_day")
+    sized = ret.withColumn(
+        "cohort_size",
+        F.max(
+            F.when(F.col("day_offset") == 0, F.col("n_active"))
+        ).over(wc),
     )
-    ret = (
-        act.join(coh, "user_id")
-        .groupBy(
-            "cohort_day",
-            F.datediff("d", "cohort_day").cast("int").alias("day_offset"),
-        )
-        .agg(F.count_distinct("user_id").alias("n_active"))
-    )
-    return ret.join(F.broadcast(sz), "cohort_day").select(
+    return sized.select(
         # string form: pandas renders date vs DuckDB's min-of-DATE (a
         # datetime64) differently, so both engines emit 'yyyy-MM-dd'
         F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
