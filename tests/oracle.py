@@ -84,7 +84,10 @@ def compare(spark_df, oracle_df: pd.DataFrame, lax: bool = False) -> list[str]:
     try:
         driver_canon_check(sp)
         driver_canon_check(oracle_df)
-    except TypeError as exc:
+    except (TypeError, ValueError) as exc:
+        # TypeError: unhashable ndarray in the multi-column lexsort path;
+        # ValueError: ambiguous ndarray truth value in the single-column
+        # nargsort path — both mean the driver's sort_values would crash
         problems.append(f"driver canon would crash: {exc}")
         return problems
     a, b = canon_rows(sp, lax), canon_rows(oracle_df, lax)

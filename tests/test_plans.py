@@ -220,6 +220,19 @@ def test_all_plans_no_cartesian(spark, name):
             )
         batch_plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in batch_plan, name
+        # streaming output-schema preflight (the batch no_complex test
+        # skips streaming; this is the only place they already ran):
+        # complex output columns crash the driver's canonicalizer
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        assert not complex_cols, (
+            f"{name} emits complex-typed output columns {complex_cols}"
+        )
         return
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
@@ -236,7 +249,11 @@ def test_no_complex_output_columns(spark, name):
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     if name.startswith("streaming_"):
-        pytest.skip("streaming queries execute eagerly; covered elsewhere")
+        pytest.skip(
+            "streaming queries execute eagerly; their output schemas are "
+            "checked inside test_all_plans_no_cartesian, which already "
+            "runs them"
+        )
     schema = QUERIES[name](spark, SF_DIR).schema
     complex_cols = [
         f.name

@@ -251,22 +251,15 @@ def test_cohort_retention_matches_reference(spark):
 def test_cusum_matches_reference(spark):
     """The integer random walk per event type must match a sequential
     replay from the same floor(x*1e4) reductions."""
-    from pyspark.sql import functions as F
-
     from twitter_flink_spark.queries.quality import cusum_value_excursion
     from twitter_flink_spark.sources.tables import load_table
 
     ev = load_table(spark, SF_DIR, "events")
     rows = ev.select("event_type", "ts", "event_id", "value").collect()
-    mu4 = math.floor(
-        (sum(r.value for r in rows) / len(rows)) * 10000
-    )
-    # NB: Spark's floor(avg*1e4) of the double avg — replicate exactly
-    mu4_spark = ev.agg(
-        F.floor(F.avg("value") * 10000).cast("long")
-    ).collect()[0][0]
-    assert mu4 in (mu4_spark, mu4_spark + 1, mu4_spark - 1)
-    mu4 = mu4_spark  # double summation order may differ; use the engine's
+    # the query's exact integer mean: floor(sum(floor(v*1e4)) / n) —
+    # reproducible in pure Python with no float-summation caveat
+    sum4 = sum(math.floor(r.value * 10000) for r in rows)
+    mu4 = sum4 // len(rows)
     walks: dict[str, list[int]] = {}
     for r in sorted(rows, key=lambda r: (r.event_type, r.ts, r.event_id)):
         w = walks.setdefault(r.event_type, [0])
@@ -325,3 +318,25 @@ def test_duplicate_span_coverage_matches_reference(spark):
         for r in duplicate_ngram_span_fraction(spark, SF_DIR).collect()
     }
     assert got == expected
+
+
+# --- driver-canon guard plumbing -------------------------------------------
+
+
+def test_driver_canon_guard_catches_single_column_arrays(spark):
+    """A 1-column array frame takes pandas' nargsort path (ValueError),
+    not the multi-column lexsort path (TypeError) — compare() must report
+    both as 'driver canon would crash', never propagate."""
+    import numpy as np
+    import pandas as pd
+
+    from tests.oracle import compare
+
+    df = spark.createDataFrame(
+        [([1, 2],), ([3, 4],)], "xs array<int>"
+    )
+    oracle_df = pd.DataFrame(
+        {"xs": [np.array([1, 2]), np.array([3, 4])]}
+    )
+    problems = compare(df, oracle_df)
+    assert problems and "driver canon would crash" in problems[0]

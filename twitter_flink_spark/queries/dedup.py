@@ -594,7 +594,8 @@ alln AS (SELECT doc_id, len(toks) AS n_tok FROM tok WHERE len(toks) >= {_SPAN_N}
 SELECT a.doc_id, CAST(a.n_tok AS BIGINT) AS n_tokens,
        CAST(coalesce(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
        CAST(coalesce(p.covered, 0) AS BIGINT) AS covered_tokens,
-       round(coalesce(p.covered, 0) * 1.0 / a.n_tok, 6) AS dup_fraction
+       floor(coalesce(p.covered, 0) * 1000000.0 / a.n_tok) / 1000000.0
+         AS dup_fraction
 FROM alln a LEFT JOIN per p USING (doc_id)
 """,
 )
@@ -629,10 +630,15 @@ def duplicate_ngram_span_fraction(
     g = tok.select(
         "doc_id",
         F.size("toks").alias("n_tok"),
+        # CASE guard: Spark's sequence(1, 0) auto-steps DOWN to [1, 0]
+        # (and slice start 0 then throws) — short docs must yield an
+        # EMPTY gram list, matching the oracle's empty range()
         F.posexplode(
             F.expr(
-                f"transform(sequence(1, greatest(size(toks) - {_SPAN_N - 1},"
-                f" 0)), i -> array_join(slice(toks, i, {_SPAN_N}), ' '))"
+                f"CASE WHEN size(toks) >= {_SPAN_N} THEN "
+                f"transform(sequence(1, size(toks) - {_SPAN_N - 1}),"
+                f" i -> array_join(slice(toks, i, {_SPAN_N}), ' ')) "
+                f"ELSE array() END"
             )
         ).alias("pos0", "gram"),
     ).select(
@@ -666,7 +672,12 @@ def duplicate_ngram_span_fraction(
         F.col("n_tok").cast("long").alias("n_tokens"),
         F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
         F.coalesce("covered", F.lit(0)).cast("long").alias("covered_tokens"),
-        F.round(
-            F.coalesce("covered", F.lit(0)) * 1.0 / F.col("n_tok"), 6
+        # floor-quantize, not round: the last compared step on a double
+        # must not sit on HALF_UP vs scaled-round boundaries
+        (
+            F.floor(
+                F.coalesce("covered", F.lit(0)) * 1000000.0 / F.col("n_tok")
+            )
+            / 1e6
         ).alias("dup_fraction"),
     )

@@ -319,7 +319,9 @@ def entropy_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cusum_value_excursion",
     oracle="""
 WITH mu AS (
-  SELECT CAST(floor(avg(value) * 10000) AS BIGINT) AS mu4 FROM events
+  SELECT CAST(floor(sum(CAST(floor(value * 10000) AS BIGINT)) * 1.0
+              / count(*)) AS BIGINT) AS mu4
+  FROM events
 ),
 dev AS (
   SELECT event_type, ts, event_id,
@@ -351,11 +353,15 @@ def cusum_value_excursion(spark: SparkSession, sf_dir: str) -> DataFrame:
     time. Complements the existing drift suite as the
     time-ordered member.
 
-    Determinism: the mean reduces to floor(avg*1e4) and each value to
-    floor(value*1e4) — the walk is then exact int64 arithmetic (the
-    partial-sum window is ordered by (ts, event_id), so every prefix is
-    reproducible), and max/min/excursion are integers; no float
-    comparison anywhere. Shape: one 1-row broadcast (the mean), one
+    Determinism: each value reduces to floor(value*1e4) FIRST and the
+    mean is the floored quotient of the exact int64 sum of those
+    quantized values — never floor(avg*1e4) of a float average, whose
+    low bits depend on partial-sum order and can flip the floor at
+    integer boundaries (the quotient's double division is exact here:
+    the sum stays far below 2^53). The walk is then exact int64
+    arithmetic (the partial-sum window is ordered by (ts, event_id), so
+    every prefix is reproducible), and max/min/excursion are integers;
+    no float comparison anywhere. Shape: one 1-row broadcast (the mean), one
     event_type-keyed exchange shared by the window and the final
     aggregate — the same single-shuffle discipline as the other
     monitors. State at 100 TB: the window is per-type sequential by
@@ -365,7 +371,13 @@ def cusum_value_excursion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     mu = ev.agg(
-        F.floor(F.avg("value") * 10000).cast("long").alias("mu4")
+        F.floor(
+            F.sum(F.floor(F.col("value") * 10000).cast("long"))
+            * 1.0
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("mu4")
     )
     dev = ev.join(F.broadcast(mu)).select(
         "event_type",
