@@ -692,3 +692,103 @@ def null_routed_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("c_nationkey").alias("n_nations"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+_COMPACT_SMALL_FILES = 16  #: staged fragment count per partition
+
+
+@register(
+    "compact_small_files",
+    oracle=f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST({_COMPACT_SMALL_FILES} AS INTEGER) AS files_before,
+       1 AS files_after,
+       TRUE AS rows_preserved
+FROM events
+GROUP BY event_type
+""",
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the OPTIMIZE / bin-packing maintenance job
+    every streaming-ingested lakehouse table needs: a partitioned table is
+    staged with 16 fragment files per partition (what per-trigger
+    micro-batch appends produce), then rewritten one-partition-per-task so
+    each partition lands in a single right-sized file; the query emits the
+    before/after file counts it OBSERVED plus a row-preservation flag, so
+    the oracle certifies both the accounting and that compaction lost
+    nothing.
+
+    At 100 TB this is the scheduled job that keeps scan task counts sane:
+    reading 10^6 kilobyte files costs more in scheduling + footer reads
+    than the data itself; the rewrite shuffles each partition ONCE
+    (repartition on the partition column → one task per partition writes
+    one file; a size-targeted variant repartitions by (partition,
+    row_number div target_rows) to cap file size). File-count columns
+    come from the FileSystem listing, not assumptions — a staging change
+    that fragments differently flips the row and the driver sees it."""
+    import glob as _glob
+    import os
+
+    from twitter_flink_spark.sources.files import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    base = scratch_dir("compact")
+    staged = os.path.join(base, "staged")
+    compacted = os.path.join(base, "compacted")
+    # stage: the fragmented state a file-per-trigger ingest leaves behind.
+    # Hash on event_id (not round-robin): every task gets a uniform slice
+    # of every event_type, so each partition dir fragments into exactly
+    # _COMPACT_SMALL_FILES files, deterministically.
+    (
+        ev.repartition(_COMPACT_SMALL_FILES, "event_id")
+        .write.partitionBy("event_type")
+        .mode("overwrite")
+        .parquet(staged)
+    )
+    # compact: one task per partition value -> one file per partition
+    back = spark.read.parquet(staged)
+    (
+        back.repartition("event_type")
+        .write.partitionBy("event_type")
+        .mode("overwrite")
+        .parquet(compacted)
+    )
+
+    def _files_per_part(root: str) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for d in _glob.glob(os.path.join(root, "event_type=*")):
+            out[d.rsplit("=", 1)[1]] = len(
+                [f for f in os.listdir(d) if f.endswith(".parquet")]
+            )
+        return out
+
+    before, after = _files_per_part(staged), _files_per_part(compacted)
+    stats = spark.createDataFrame(
+        [
+            (et, before.get(et, 0), after.get(et, 0))
+            for et in sorted(before)
+        ],
+        "event_type string, files_before int, files_after int",
+    )
+    counts_in = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    counts_out = (
+        spark.read.parquet(compacted)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows_out"))
+    )
+    return (
+        counts_in.join(counts_out, "event_type")
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "files_before",
+            "files_after",
+            (F.col("n_rows") == F.col("n_rows_out")).alias(
+                "rows_preserved"
+            ),
+        )
+    )
