@@ -516,3 +516,11 @@ def test_sq8_bounds_broadcast_corpus_never_shuffles_for_encode(spark):
     # 64-row dim agg, and the final per-vector reduce
     n = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n <= 3, plan
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    """The partitioned fact scan must carry a runtime dynamicpruning
+    subquery in its partition filters — the dimension's surviving keys
+    prune fact partition DIRECTORIES at execution time."""
+    plan = plan_of(spark, "dpp_partitioned_fact_join")
+    assert "dynamicpruning" in plan, plan

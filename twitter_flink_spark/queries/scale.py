@@ -792,3 +792,73 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_TYPE_PART_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ensure_type_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """events written partitionBy(event_type), once per (app, sf)."""
+    import os
+
+    from twitter_flink_spark.sources.files import scratch_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TYPE_PART_CACHE:
+        dest = scratch_dir("dpp-events")
+        load_table(spark, sf_dir, "events").write.partitionBy(
+            "event_type"
+        ).mode("overwrite").parquet(dest)
+        _TYPE_PART_CACHE[key] = dest
+    return _TYPE_PART_CACHE[key]
+
+
+_DPP_TIERS = [
+    ("purchase", "high"),
+    ("signup", "high"),
+    ("click", "low"),
+    ("view", "low"),
+    ("error", "low"),
+]
+
+
+@register(
+    "dpp_partitioned_fact_join",
+    oracle="""
+WITH dim(event_type, tier) AS (
+  VALUES ('purchase', 'high'), ('signup', 'high'),
+         ('click', 'low'), ('view', 'low'), ('error', 'low')
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 2) AS total_value
+FROM events e JOIN dim d ON d.event_type = e.event_type
+WHERE d.tier = 'high'
+GROUP BY e.event_type
+""",
+)
+def dpp_partitioned_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is PARTITIONED by
+    event_type on disk and joined against a tiny tier dimension filtered
+    to tier='high' — Catalyst injects the dim's surviving keys as a
+    runtime `dynamicpruning` subquery into the fact scan's
+    PartitionFilters, so only the matching partition DIRECTORIES are
+    read (pinned in tests/test_plans.py::test_dpp_prunes_fact_partitions).
+    This is THE optimization that makes star joins against a 100 TB
+    date/tenant-partitioned fact affordable: the filter lives on the
+    dimension, but the fact scan skips whole partitions at run time —
+    no manual predicate copying, no full scan. The dim broadcast is
+    reused for both the pruning subquery and the join itself."""
+    fact = spark.read.parquet(
+        _ensure_type_partitioned_events(spark, sf_dir)
+    )
+    dim = spark.createDataFrame(_DPP_TIERS, "event_type string, tier string")
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .where(F.col("tier") == "high")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
