@@ -393,6 +393,38 @@ def test_prefix_filter_join_is_lossless(spark, texts, thresh):
     assert got == expected
 
 
+@settings(**_SETTINGS)
+@given(texts=_doc_texts, thresh=st.sampled_from([0.3, 0.5, 0.8]))
+def test_blocked_prefix_filter_join_is_lossless(spark, texts, thresh):
+    """The block_col variant must return EXACTLY the brute-force pair
+    set restricted to same-block pairs — per-block document frequencies
+    keep the rarest-first order (and therefore the positional filter)
+    consistent within every candidate pair."""
+    from twitter_flink_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    rows = [(i, t, f"s{i % 2}") for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, src string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filter_jaccard_pairs(
+            docs, thresh, ngram=1, block_col="src"
+        ).collect()
+    }
+    sets = {i: set(t.split()) for i, t in enumerate(texts)}
+    expected = {}
+    for a in sets:
+        for b in sets:
+            if a < b and a % 2 == b % 2 and sets[a] and sets[b]:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= thresh:
+                    expected[(a, b)] = round(j, 6)
+    assert got == expected
+
+
 # --- content-defined chunking: insertion locality ---------------------------
 
 _cdc_words = st.lists(

@@ -28,11 +28,14 @@ LSH_BANDS = 8  #: bands of r = K/BANDS rows each; catch-prob at J=0.8 ≈ 0.9997
 
 
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                 ngram: int = 3) -> DataFrame:
+                 ngram: int = 3, carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
     Documents with fewer than ``ngram`` tokens produce no shingles (and thus
     never appear in candidate pairs) — mirrored in the oracle.
+    ``carry_cols`` are doc-grain columns copied onto every shingle row
+    (e.g. a blocking key) so callers never need a doc-keyed join to get
+    them back.
     """
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
@@ -44,7 +47,11 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
     return (
         docs.where(n >= ngram)
-        .select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            F.explode(shingles).alias("shingle"),
+        )
     )
 
 
@@ -261,6 +268,7 @@ def prefix_filter_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 3,
+    block_col: str | None = None,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard >= ``threshold`` over word-``ngram``
     SHINGLE sets (the same granularity MinHash uses — raw token sets are
@@ -286,14 +294,28 @@ def prefix_filter_jaccard_pairs(
     each surviving pair against per-doc shingle-set profiles, never
     re-exploding. Losslessness of prefix+length+positional together is
     property-swept against brute force in
-    tests/test_properties.py::test_prefix_filter_join_is_lossless."""
+    tests/test_properties.py::test_prefix_filter_join_is_lossless.
+
+    ``block_col`` restricts pairs to documents sharing that blocking key
+    (SURVEY §13's port of the PPJoin bound to the blocked n-gram Jaccard
+    family): document frequencies — and therefore the rarest-first
+    shingle order every bound depends on — are computed WITHIN each
+    block (a doc belongs to exactly one block, so both members of any
+    candidate pair sort their shingles by the same per-block df and the
+    positional filter stays lossless), and the prefix index joins on
+    (block, shingle), which both shrinks candidate lists and co-keys the
+    shuffle with the blocking strategy."""
+    block = [block_col] if block_col else []
     tok = doc_shingles(
-        docs, id_col=id_col, text_col=text_col, ngram=ngram
-    ).select(F.col(id_col), F.col("shingle").alias("token"))
-    df_counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        docs, id_col=id_col, text_col=text_col, ngram=ngram,
+        carry_cols=tuple(block),
+    ).select(F.col(id_col), *block, F.col("shingle").alias("token"))
+    df_counts = tok.groupBy(*block, "token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
     prof = (
-        tok.join(df_counts, "token")
-        .groupBy(id_col)
+        tok.join(df_counts, [*block, "token"])
+        .groupBy(id_col, *block)
         .agg(
             F.expr(
                 "transform(sort_array(collect_list(struct(df, token))),"
@@ -314,17 +336,20 @@ def prefix_filter_jaccard_pairs(
     )
     prefix = prof.select(
         F.col(id_col),
+        *block,
         "sz",
         F.posexplode(F.expr("slice(toks, 1, plen)")).alias("pos", "token"),
     )
     a = prefix.select(
         F.col(id_col).alias("doc_a"),
+        *block,
         F.col("sz").alias("za"),
         F.col("pos").alias("pa"),
         "token",
     )
     b = prefix.select(
         F.col(id_col).alias("doc_b"),
+        *block,
         F.col("sz").alias("zb"),
         F.col("pos").alias("pb"),
         "token",
@@ -346,7 +371,7 @@ def prefix_filter_jaccard_pairs(
         - F.lit(1e-9)
     )
     cands = (
-        a.join(b, "token")
+        a.join(b, [*block, "token"])
         .where(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.col("zb") >= F.lit(threshold) * F.col("za"))

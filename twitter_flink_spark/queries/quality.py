@@ -399,3 +399,86 @@ def cusum_value_excursion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s4").cast("long").alias("min_cusum4"),
         (F.max("s4") - F.min("s4")).cast("long").alias("excursion4"),
     )
+
+
+@register(
+    "cusum_daily_excursion",
+    oracle="""
+WITH mu AS (
+  SELECT CAST(floor(sum(CAST(floor(value * 10000) AS BIGINT)) * 1.0
+              / count(*)) AS BIGINT) AS mu4
+  FROM events
+),
+dev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+         CAST(floor(value * 10000) AS BIGINT) - mu.mu4 AS d4
+  FROM events, mu
+),
+cs AS (
+  SELECT event_type, day,
+         sum(d4) OVER (PARTITION BY event_type, day ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS s4
+  FROM dev
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(s4) AS BIGINT) AS max_cusum4,
+       CAST(min(s4) AS BIGINT) AS min_cusum4,
+       CAST(max(s4) - min(s4) AS BIGINT) AS excursion4
+FROM cs
+GROUP BY event_type, day
+""",
+)
+def cusum_daily_excursion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) CUSUM excursion — the partitioned form of
+    `cusum_value_excursion` that bounds the inherently sequential prefix
+    scan to one day of one type (SURVEY §13's declared follow-up): a
+    CUSUM walk is a window prefix sum, so the per-type global variant's
+    single partition-long scan becomes the scale bottleneck when one
+    type dominates the corpus; day-partitioning caps every scan at the
+    daily row count and makes the walk embarrassingly parallel across
+    (type, day) cells while still localizing WHICH day a sustained
+    level shift lands on. The deviation baseline stays the GLOBAL mean
+    (same mu4 quantization discipline as the parent monitor — floored
+    quotient of the exact int64 sum) so a day whose values sit above
+    the corpus-wide level shows a positive drift even if that day is
+    internally flat; all walk arithmetic is exact int64 and the window
+    order (ts, event_id) makes every prefix reproducible. Shape: one
+    1-row broadcast (the mean) and ONE (event_type, day)-keyed exchange
+    shared by the window and the final aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    mu = ev.agg(
+        F.floor(
+            F.sum(F.floor(F.col("value") * 10000).cast("long"))
+            * 1.0
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("mu4")
+    )
+    dev = ev.join(F.broadcast(mu)).select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        (
+            F.floor(F.col("value") * 10000).cast("long") - F.col("mu4")
+        ).alias("d4"),
+    )
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = dev.withColumn("s4", F.sum("d4").over(w))
+    return cs.groupBy(
+        "event_type", F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("s4").cast("long").alias("max_cusum4"),
+        F.min("s4").cast("long").alias("min_cusum4"),
+        (F.max("s4") - F.min("s4")).cast("long").alias("excursion4"),
+    )

@@ -982,3 +982,61 @@ def streaming_join_state_introspect_right(
         F.col("value.c_user").alias("user_id"),
         F.col("value.c_ts").alias("c_ts"),
     )
+
+
+from twitter_flink_spark.queries.temporal import (  # noqa: E402
+    COHORT_RETENTION_ORACLE as _CR_ORACLE,
+)
+
+
+# oracle shared with the batch twin `cohort_retention_matrix` — the
+# streaming snapshot must reach the identical matrix
+@register("streaming_cohort_retention_mv", oracle=_CR_ORACLE)
+def streaming_cohort_retention_mv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming cohort retention (SURVEY §13): the event stream replays
+    as four micro-batches; each batch reduces to its DISTINCT
+    (user_id, day) activity pairs (map-side dedup of the heavy
+    duplication) and merges into a bucketed `PresenceMV` snapshot —
+    union+distinct per touched bucket, no stream state at all. The
+    retention matrix then derives from the maintained snapshot with the
+    SAME plan as the batch query (`retention_matrix_from_activity`), and
+    the oracle is the batch oracle verbatim: the incremental-maintenance
+    invariant, for a count-distinct-downstream aggregate that is NOT
+    partial-mergeable at matrix grain (distinct counts don't add across
+    batches; cohort assignment moves when an earlier day for a user
+    arrives late) — which is exactly why the MV maintains the reduced
+    (user, day) grain, bounded by users x days, not the matrix itself."""
+    import tempfile
+
+    from twitter_flink_spark.queries.temporal import (
+        retention_matrix_from_activity,
+    )
+    from twitter_flink_spark.streaming.pipeline import PresenceMV
+
+    staged = _ensure_split_events(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    mv = PresenceMV(
+        spark,
+        key_col="user_id",
+        field_col="d",
+        prepare=lambda b: b.select(
+            "user_id", F.to_date("ts").alias("d")
+        ),
+    )
+    q = (
+        stream.writeStream.foreachBatch(mv.merge_batch)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="tfs-crmv-ckpt-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 300)
+    return retention_matrix_from_activity(mv.snapshot())

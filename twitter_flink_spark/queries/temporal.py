@@ -673,9 +673,10 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "cohort_retention_matrix",
-    oracle="""
+#: shared by the batch query and its streaming-MV twin — the streaming
+#: snapshot must reach the identical matrix (incremental maintenance
+#: invariant), so both register the SAME oracle.
+COHORT_RETENTION_ORACLE = """
 WITH act AS (
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
 ),
@@ -698,28 +699,14 @@ SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort_day, r.day_offset,
        floor(r.n_active * 1000000.0 / s.cohort_size) / 1000000.0
          AS retention
 FROM ret r JOIN sz s USING (cohort_day)
-""",
-)
-def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention matrix: users are cohorted by their FIRST active
-    day; for each (cohort, day-offset) cell, the distinct users still
-    active that day and the retained fraction — the standard
-    product-analytics triangle (daily grain because the fixture spans one
-    month; the monthly query is the same plan with date_trunc).
+"""
 
-    Shape — NO user-keyed join at all: cohort assignment is
-    `min(d) over (partition by user_id)` riding the same exchange as the
-    (user, day) distinct, the matrix is one (cohort, offset)-keyed
-    count-distinct whose key space is bounded by days^2/2 (not data
-    size), and the denominator is the matrix's own offset-0 cell (every
-    user is active on their cohort day) pulled across each cohort's rows
-    by a window over the TINY cells table — three exchanges total, two of
-    them over reduced data. The retained fraction floor-quantizes onto
-    the 1e-6 grid (exact integer multiply + one correctly-rounded
-    division — round() would sit on half-way points where the engines
-    disagree)."""
-    ev = load_table(spark, sf_dir, "events")
-    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+
+def retention_matrix_from_activity(act: DataFrame) -> DataFrame:
+    """(user_id, d) distinct-activity rows → the retention matrix. The
+    join-free plan documented on `cohort_retention_matrix`; factored out
+    so the streaming MV derives ITS matrix from the maintained snapshot
+    with the identical code path."""
     wu = Window.partitionBy("user_id")
     coh = act.withColumn("cohort_day", F.min("d").over(wu))
     ret = coh.groupBy(
@@ -745,6 +732,30 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("retention"),
     )
+
+
+@register("cohort_retention_matrix", oracle=COHORT_RETENTION_ORACLE)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by their FIRST active
+    day; for each (cohort, day-offset) cell, the distinct users still
+    active that day and the retained fraction — the standard
+    product-analytics triangle (daily grain because the fixture spans one
+    month; the monthly query is the same plan with date_trunc).
+
+    Shape — NO user-keyed join at all: cohort assignment is
+    `min(d) over (partition by user_id)` riding the same exchange as the
+    (user, day) distinct, the matrix is one (cohort, offset)-keyed
+    count-distinct whose key space is bounded by days^2/2 (not data
+    size), and the denominator is the matrix's own offset-0 cell (every
+    user is active on their cohort day) pulled across each cohort's rows
+    by a window over the TINY cells table — three exchanges total, two of
+    them over reduced data. The retained fraction floor-quantizes onto
+    the 1e-6 grid (exact integer multiply + one correctly-rounded
+    division — round() would sit on half-way points where the engines
+    disagree)."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return retention_matrix_from_activity(act)
 
 
 @register(

@@ -498,6 +498,38 @@ class IncrementalMV:
 
         return F.pmod(F.hash(self.key_col), F.lit(self.n_buckets))
 
+    # -- aggregate hooks (overridden by MV variants) -------------------------
+    def _partial(self, batch_df):
+        """One micro-batch reduced to its per-key partial aggregates."""
+        from pyspark.sql import functions as F
+
+        return batch_df.groupBy(self.key_col).agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("val")
+        )
+
+    def _merge(self, snap, partial):
+        """Merge a batch's partials into the prior snapshot rows (both
+        arguments carry the key plus this MV's value columns)."""
+        from pyspark.sql import functions as F
+
+        prior = snap.select(
+            self.key_col,
+            F.col("cnt").alias("s_cnt"),
+            F.col("val").alias("s_val"),
+        )
+        return prior.join(partial, self.key_col, "full_outer").select(
+            self.key_col,
+            (
+                F.coalesce("s_cnt", F.lit(0)) + F.coalesce("cnt", F.lit(0))
+            ).alias("cnt"),
+            (
+                F.coalesce("s_val", F.lit(0.0))
+                + F.coalesce("val", F.lit(0.0))
+            ).alias("val"),
+        )
+
+    _EMPTY_VALUE_SCHEMA = "cnt long, val double"
+
     # -- merge -------------------------------------------------------------
     def merge_batch(self, batch_df, batch_id: int) -> None:
         import os
@@ -508,10 +540,8 @@ class IncrementalMV:
         if self._last_batch_id is not None and batch_id <= self._last_batch_id:
             return  # replayed micro-batch (at-least-once) — already merged
 
-        partial = (
-            batch_df.groupBy(self.key_col)
-            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("val"))
-            .withColumn("bucket", self._bucket_expr())
+        partial = self._partial(batch_df).withColumn(
+            "bucket", self._bucket_expr()
         )
         # no persist: the merge job below re-derives the partial agg, which
         # is cheaper than materializing a cache (measured ~10x on a
@@ -526,26 +556,10 @@ class IncrementalMV:
             if b in self._buckets
         ]
         if prior:
-            snap = self.spark.read.parquet(*prior).select(
-                self.key_col,
-                F.col("cnt").alias("s_cnt"),
-                F.col("val").alias("s_val"),
-            )
-            merged = (
-                snap.join(partial, self.key_col, "full_outer")
-                .select(
-                    self.key_col,
-                    (
-                        F.coalesce("s_cnt", F.lit(0))
-                        + F.coalesce("cnt", F.lit(0))
-                    ).alias("cnt"),
-                    (
-                        F.coalesce("s_val", F.lit(0.0))
-                        + F.coalesce("val", F.lit(0.0))
-                    ).alias("val"),
-                )
-                .withColumn("bucket", self._bucket_expr())
-            )
+            snap = self.spark.read.parquet(*prior).drop("bucket")
+            merged = self._merge(
+                snap, partial.drop("bucket")
+            ).withColumn("bucket", self._bucket_expr())
         else:
             merged = partial
         record_batch_df_plan(f"mv-merge-b{batch_id}", merged)
@@ -587,6 +601,46 @@ class IncrementalMV:
     def snapshot(self):
         dirs = [self._bucket_dir(b, v) for b, v in self._buckets.items()]
         if not dirs:
-            schema = self.key_col + " long, cnt long, val double"
+            schema = f"{self.key_col} long, {self._EMPTY_VALUE_SCHEMA}"
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(*dirs)
+
+
+class PresenceMV(IncrementalMV):
+    """Distinct-presence MV: the snapshot is the distinct
+    ``(key, field)`` pair set — each micro-batch reduces to its OWN
+    distinct pairs (map-side combine of the heavy duplication) and the
+    merge is a union+distinct against only the touched buckets. This is
+    the incremental form of any count-distinct-downstream aggregate
+    whose distinct grain is bounded (here users x days, data-size
+    independent): the MV maintains the reduced grain, and consumers
+    derive their matrices from the snapshot without ever replaying the
+    event history. ``prepare`` maps a raw micro-batch to (key, field)
+    rows; it runs inside foreachBatch on the driver, so a plain closure
+    works."""
+
+    def __init__(
+        self,
+        spark,
+        key_col: str,
+        field_col: str,
+        prepare=None,
+        n_buckets: int = 16,
+        root: str | None = None,
+    ):
+        self.field_col = field_col
+        self._prepare = prepare
+        super().__init__(spark, key_col=key_col, n_buckets=n_buckets, root=root)
+
+    _EMPTY_VALUE_SCHEMA = "d date"
+
+    def _partial(self, batch_df):
+        if self._prepare is not None:
+            batch_df = self._prepare(batch_df)
+        return batch_df.select(self.key_col, self.field_col).distinct()
+
+    def _merge(self, snap, partial):
+        cols = [self.key_col, self.field_col]
+        return (
+            snap.select(*cols).unionByName(partial.select(*cols)).distinct()
+        )
