@@ -342,17 +342,23 @@ def test_runtime_bloom_filter_injects(spark):
         saved[k] = spark.conf.get(k)
         spark.conf.set(k, v)
     try:
+        # the registered query (driver runs it vanilla and broadcasts;
+        # under shuffle-join conditions the bloom must inject)
+        j = QUERIES["runtime_bloom_filter_join"](spark, SF_DIR)
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized, optimized
+        # and the ad-hoc orders/lineitem shape from a second fact table
         orders = load_table(spark, SF_DIR, "orders").where(
             F.col("o_orderpriority") == "1-URGENT"
         )
         li = load_table(spark, SF_DIR, "lineitem")
-        j = (
+        j2 = (
             li.join(orders, li.l_orderkey == orders.o_orderkey)
             .groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        optimized = j._jdf.queryExecution().optimizedPlan().toString()
-        assert "bloom_filter_agg" in optimized, optimized
+        optimized2 = j2._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized2, optimized2
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)

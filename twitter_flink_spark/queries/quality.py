@@ -482,3 +482,108 @@ def cusum_daily_excursion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s4").cast("long").alias("min_cusum4"),
         (F.max("s4") - F.min("s4")).cast("long").alias("excursion4"),
     )
+
+
+@register(
+    "cusum_daily_alerts",
+    oracle="""
+WITH mu AS (
+  SELECT CAST(floor(sum(CAST(floor(value * 10000) AS BIGINT)) * 1.0
+              / count(*)) AS BIGINT) AS mu4
+  FROM events
+),
+dev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+         CAST(floor(value * 10000) AS BIGINT) - mu.mu4 AS d4
+  FROM events, mu
+),
+cs AS (
+  SELECT event_type, day,
+         sum(d4) OVER (PARTITION BY event_type, day ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS s4
+  FROM dev
+),
+cells AS (
+  SELECT event_type, day, max(s4) - min(s4) AS excursion4
+  FROM cs GROUP BY event_type, day
+),
+scale AS (
+  SELECT event_type,
+         CAST(floor(sum(excursion4) * 1.0 / count(*)) AS BIGINT)
+           AS mean_exc4
+  FROM cells GROUP BY event_type
+)
+SELECT c.event_type, strftime(c.day, '%Y-%m-%d') AS day,
+       CAST(c.excursion4 AS BIGINT) AS excursion4,
+       s.mean_exc4,
+       CAST(floor(c.excursion4 * 100.0 / s.mean_exc4) AS BIGINT) AS sev_pct
+FROM cells c JOIN scale s USING (event_type)
+WHERE s.mean_exc4 > 0 AND c.excursion4 * 10 >= s.mean_exc4 * 15
+""",
+)
+def cusum_daily_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert rollup over the `cusum_daily_excursion` cells (SURVEY §13's
+    stratified-alerting follow-up): a (type, day) cell alerts when its
+    excursion reaches 1.5x the type's MEAN daily excursion — the
+    self-normalizing form that needs no per-type tuning (a noisy type
+    raises its own bar). The comparison cross-multiplies
+    (excursion*10 >= mean*15) and the mean is the floored integer
+    quotient, so the alert verdict — like every CUSUM number upstream —
+    never touches a float boundary. Shape: the cells table is bounded by
+    types x days (data-size independent), so the per-type scale is an
+    aggregate over a TINY frame and the alert filter is a broadcast
+    join back onto it; the only data-sized work remains the one
+    (type, day)-keyed exchange the walk already paid."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    mu = ev.agg(
+        F.floor(
+            F.sum(F.floor(F.col("value") * 10000).cast("long"))
+            * 1.0
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("mu4")
+    )
+    dev = ev.join(F.broadcast(mu)).select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        (
+            F.floor(F.col("value") * 10000).cast("long") - F.col("mu4")
+        ).alias("d4"),
+    )
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cells = (
+        dev.withColumn("s4", F.sum("d4").over(w))
+        .groupBy("event_type", "day")
+        .agg((F.max("s4") - F.min("s4")).cast("long").alias("excursion4"))
+    )
+    scale = cells.groupBy("event_type").agg(
+        F.floor(F.sum("excursion4") * 1.0 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_exc4")
+    )
+    return (
+        cells.join(F.broadcast(scale), "event_type")
+        .where(
+            (F.col("mean_exc4") > 0)
+            & (F.col("excursion4") * 10 >= F.col("mean_exc4") * 15)
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "excursion4",
+            "mean_exc4",
+            F.floor(F.col("excursion4") * 100.0 / F.col("mean_exc4"))
+            .cast("long")
+            .alias("sev_pct"),
+        )
+    )

@@ -862,3 +862,49 @@ def dpp_partitioned_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter join (Spark's InjectRuntimeFilter surface)
+
+
+@register(
+    "runtime_bloom_filter_join",
+    oracle="""
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand IN ('Brand#12', 'Brand#23')
+GROUP BY p.p_brand
+""",
+)
+def runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-dim fact join shaped for Spark's RUNTIME BLOOM FILTER
+    (`InjectRuntimeFilter`): when the filtered dim exceeds the broadcast
+    threshold but stays under
+    `runtime.bloomFilter.creationSideThreshold` (10 MB default) and the
+    fact scan exceeds `applicationSideScanSizeThreshold` (10 GB), the
+    optimizer plants `might_contain(bloom(p_partkey)) ` INTO THE FACT
+    SCAN's filter — rows of the 100 TB side that cannot join are dropped
+    at the scan, before the shuffle, without any manual semi-join
+    plumbing. At fixture scale the dim broadcasts instead (both are
+    correct plans; the driver run takes the broadcast); the injection
+    itself is pinned in tests/test_plans.py::test_runtime_bloom_filter_
+    injects by scaling the thresholds down and disabling broadcast —
+    the conditions a 100 TB deployment meets with DEFAULTS."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#12", "Brand#23")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+    )

@@ -1040,3 +1040,71 @@ def streaming_cohort_retention_mv(
     )
     await_or_raise(q, 300)
     return retention_matrix_from_activity(mv.snapshot())
+
+
+@register(
+    "streaming_topk_mv",
+    oracle="""
+WITH pairs AS (
+  SELECT event_type, user_id, count(*) AS cnt
+  FROM events GROUP BY event_type, user_id
+),
+ranked AS (
+  SELECT event_type, user_id, CAST(cnt AS BIGINT) AS cnt,
+         CAST(row_number() OVER (
+           PARTITION BY event_type ORDER BY cnt DESC, user_id) AS INTEGER)
+           AS rank
+  FROM pairs
+)
+SELECT event_type, user_id, cnt, rank FROM ranked WHERE rank <= 3
+""",
+)
+def streaming_topk_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained top-k-per-group serving table (SURVEY
+    §13): the stream replays as four micro-batches whose per-(type,
+    user) partial counts coalesce-sum into a `GroupedCountMV` snapshot;
+    the served top-3 users per type derive from the snapshot AT READ
+    TIME. The split matters for correctness: a snapshot pruned to k
+    rows per group could never admit a key that out-grows a kept one in
+    a later batch, so the MV maintains the full (group, member) count
+    grain — bounded by groups x members, not event count — and serving
+    pays one WindowGroupLimit over that reduced table. Rank ties break
+    on user_id, so the served table is deterministic on both engines;
+    oracle = the batch grouped count + rank, the incremental-maintenance
+    invariant."""
+    import tempfile
+
+    from twitter_flink_spark.streaming.pipeline import GroupedCountMV
+
+    staged = _ensure_split_events(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    mv = GroupedCountMV(
+        spark,
+        key_cols=["event_type", "user_id"],
+        key_schema="event_type string, user_id long",
+    )
+    q = (
+        stream.writeStream.foreachBatch(mv.merge_batch)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="tfs-topkmv-ckpt-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 300)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("user_id").asc()
+    )
+    return (
+        mv.snapshot()
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("event_type", "user_id", F.col("cnt").cast("long").alias("cnt"), "rank")
+    )

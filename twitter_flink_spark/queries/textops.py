@@ -1617,3 +1617,410 @@ def zipf_slope_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule filter (rule outcomes as the checkable surface)
+
+_GQ_MIN_TOKENS = 30
+_GQ_MAX_TOKENS = 500
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> ''))
+           AS token
+  FROM documents
+),
+st AS (
+  SELECT doc_id,
+         count(*) AS n_tokens,
+         sum(length(token)) AS sum_len,
+         sum(CASE WHEN token IN {_STOPWORDS} THEN 1 ELSE 0 END) AS n_stop,
+         count(DISTINCT CASE WHEN token IN {_STOPWORDS} THEN token END)
+           AS n_stop_distinct,
+         max(cnt) AS max_cnt
+  FROM (
+    SELECT doc_id, token, count(*) OVER (PARTITION BY doc_id, token) AS cnt
+    FROM t
+  )
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens BETWEEN {_GQ_MIN_TOKENS} AND {_GQ_MAX_TOKENS} AS INTEGER)
+         AS r_wordcount,
+       CAST(sum_len >= 3 * n_tokens AND sum_len <= 10 * n_tokens AS INTEGER)
+         AS r_mean_word_len,
+       CAST(n_stop_distinct >= 2 AND n_stop * 50 >= n_tokens AS INTEGER)
+         AS r_stopwords,
+       CAST(max_cnt * 10 <= n_tokens AS INTEGER) AS r_repetition,
+       CAST(n_tokens BETWEEN {_GQ_MIN_TOKENS} AND {_GQ_MAX_TOKENS}
+            AND sum_len >= 3 * n_tokens AND sum_len <= 10 * n_tokens
+            AND n_stop_distinct >= 2 AND n_stop * 50 >= n_tokens
+            AND max_cnt * 10 <= n_tokens AS INTEGER) AS passes
+FROM st
+""",
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality RULE filter (Rae et al. 2021 §A1.1 shape,
+    thresholds adapted to the synthetic fixture): per document, the
+    boolean outcome of each repetition/length/stopword rule plus the
+    combined pass verdict — the actual decision surface a corpus filter
+    ships, as opposed to `text_quality_scores`' raw feature values.
+    Rules: token count in [30, 500]; mean word length in [3, 10];
+    at least 2 distinct stopwords AND stopword mass >= 2%; no single
+    token above 10% of the document (the repetition gate).
+
+    Every comparison is EXACT integer arithmetic (mean word length as
+    3*n <= sum_len <= 10*n, ratios cross-multiplied) — no float ever
+    reaches a boundary, so the engines cannot disagree on a verdict.
+    One doc-keyed aggregate over the token stream (the per-(doc, token)
+    max rides a window on the same exchange); rule evaluation is
+    map-side on the 1-row-per-doc stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = _gopher_doc_verdicts(docs)
+    return st.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("r_wordcount").cast("int").alias("r_wordcount"),
+        F.col("r_mean_word_len").cast("int").alias("r_mean_word_len"),
+        F.col("r_stopwords").cast("int").alias("r_stopwords"),
+        F.col("r_repetition").cast("int").alias("r_repetition"),
+        F.col("passes").cast("int").alias("passes"),
+    )
+
+
+def _gopher_doc_verdicts(docs: DataFrame) -> DataFrame:
+    """Per-doc Gopher rule stats + boolean verdict columns, carrying the
+    doc-grain (source, lang) keys so report consumers never re-join the
+    documents table."""
+    t = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("token"),
+    )
+    wdt = Window.partitionBy("doc_id", "token")
+    st = (
+        t.withColumn("cnt", F.count(F.lit(1)).over(wdt))
+        .groupBy("doc_id", "source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.length("token")).alias("sum_len"),
+            F.sum(
+                F.col("token").isin(*_STOPWORDS).cast("int")
+            ).alias("n_stop"),
+            F.count_distinct(
+                F.when(F.col("token").isin(*_STOPWORDS), F.col("token"))
+            ).alias("n_stop_distinct"),
+            F.max("cnt").alias("max_cnt"),
+        )
+    )
+    r_wc = F.col("n_tokens").between(_GQ_MIN_TOKENS, _GQ_MAX_TOKENS)
+    r_len = (F.col("sum_len") >= 3 * F.col("n_tokens")) & (
+        F.col("sum_len") <= 10 * F.col("n_tokens")
+    )
+    r_stop = (F.col("n_stop_distinct") >= 2) & (
+        F.col("n_stop") * 50 >= F.col("n_tokens")
+    )
+    r_rep = F.col("max_cnt") * 10 <= F.col("n_tokens")
+    return st.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_tokens",
+        r_wc.alias("r_wordcount"),
+        r_len.alias("r_mean_word_len"),
+        r_stop.alias("r_stopwords"),
+        r_rep.alias("r_repetition"),
+        (r_wc & r_len & r_stop & r_rep).alias("passes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed importance weights (data selection for LMs)
+
+_DSIR_BUCKETS = 64
+_DSIR_HEX = 8
+
+
+def _dsir_oracle() -> str:
+    digit_terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1) "
+        f"* {16 ** (_DSIR_HEX - 1 - j)}"
+        for j in range(_DSIR_HEX)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+),
+b AS (
+  SELECT doc_id, lang,
+         CAST(({digit_terms}) % {_DSIR_BUCKETS} AS BIGINT) AS bucket
+  FROM (SELECT doc_id, lang, substr(md5('dsir:' || token), 1, {_DSIR_HEX})
+          AS hx FROM t)
+),
+tgt AS (
+  SELECT bucket, count(*) AS c FROM b WHERE lang = 'en' GROUP BY bucket
+),
+raw AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+tot AS (
+  SELECT (SELECT count(*) FROM b WHERE lang = 'en') AS nt,
+         (SELECT count(*) FROM b) AS nr
+),
+lr AS (
+  SELECT r.bucket,
+         CAST(round(
+           ln((coalesce(t.c, 0) + 1.0) / (tot.nt + {_DSIR_BUCKETS}))
+           - ln((r.c + 1.0) / (tot.nr + {_DSIR_BUCKETS})), 10)
+           AS DECIMAL(28,10)) AS logratio
+  FROM raw r LEFT JOIN tgt t USING (bucket), tot
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(lr.logratio) AS DOUBLE) + 0.0 AS dsir_logweight
+FROM b JOIN lr USING (bucket)
+GROUP BY b.doc_id
+"""
+
+
+@register("dsir_importance_weights", oracle=_dsir_oracle())
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection weights (Xie et al. 2023): importance
+    weight of each raw document under a TARGET distribution (here the
+    lang='en' slice), estimated on HASHED unigram buckets — per-bucket
+    add-one-smoothed log probability ratio log p_tgt(b) - log p_raw(b),
+    summed over the document's tokens with multiplicity. The bucket
+    model is {_DSIR_BUCKETS} rows regardless of corpus size: fit is two
+    bucket-keyed counts, scoring is a BROADCAST join onto the token
+    stream plus one doc-keyed aggregate — the corpus shuffles once, on
+    doc_id, exactly like every other per-doc scorer here. md5-derived
+    buckets make the hash byte-identical in the oracle (positional hex
+    digit sums); each bucket's log-ratio rounds to 10 decimals and the
+    per-doc sum runs in DECIMAL so it is token-order independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("token"),
+    )
+    hexv = F.substring(
+        F.md5(F.concat(F.lit("dsir:"), F.col("token"))), 1, _DSIR_HEX
+    )
+    b = t.select(
+        "doc_id",
+        "lang",
+        (F.conv(hexv, 16, 10).cast("long") % _DSIR_BUCKETS).alias("bucket"),
+    )
+    raw = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    tgt = (
+        b.where(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    tot = b.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("nt"),
+    )
+    lr = (
+        raw.join(tgt, "bucket", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                    / (F.col("nt") + _DSIR_BUCKETS)
+                )
+                - F.log((F.col("rc") + 1.0) / (F.col("nr") + _DSIR_BUCKETS)),
+                10,
+            )
+            .cast("decimal(28,10)")
+            .alias("logratio"),
+        )
+    )
+    return (
+        b.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("logratio").cast("double") + F.lit(0.0)).alias(
+                "dsir_logweight"
+            ),
+        )
+    )
+
+
+@register(
+    "quality_rule_mixture_report",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, lang,
+         unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+),
+st AS (
+  SELECT doc_id, source, lang,
+         count(*) AS n_tokens,
+         sum(length(token)) AS sum_len,
+         sum(CASE WHEN token IN {_STOPWORDS} THEN 1 ELSE 0 END) AS n_stop,
+         count(DISTINCT CASE WHEN token IN {_STOPWORDS} THEN token END)
+           AS n_stop_distinct,
+         max(cnt) AS max_cnt
+  FROM (
+    SELECT *, count(*) OVER (PARTITION BY doc_id, token) AS cnt
+    FROM t
+  )
+  GROUP BY doc_id, source, lang
+),
+v AS (
+  SELECT source, lang,
+         CAST(n_tokens BETWEEN {_GQ_MIN_TOKENS} AND {_GQ_MAX_TOKENS}
+              AS INTEGER) AS r_wc,
+         CAST(sum_len >= 3 * n_tokens AND sum_len <= 10 * n_tokens
+              AS INTEGER) AS r_len,
+         CAST(n_stop_distinct >= 2 AND n_stop * 50 >= n_tokens AS INTEGER)
+           AS r_stop,
+         CAST(max_cnt * 10 <= n_tokens AS INTEGER) AS r_rep
+  FROM st
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(r_wc) AS BIGINT) AS n_wordcount,
+       CAST(sum(r_len) AS BIGINT) AS n_mean_word_len,
+       CAST(sum(r_stop) AS BIGINT) AS n_stopwords,
+       CAST(sum(r_rep) AS BIGINT) AS n_repetition,
+       CAST(sum(r_wc * r_len * r_stop * r_rep) AS BIGINT) AS n_pass,
+       floor(sum(r_wc * r_len * r_stop * r_rep) * 1000000.0 / count(*))
+         / 1000000.0 AS pass_rate
+FROM v
+GROUP BY source, lang
+""",
+)
+def quality_rule_mixture_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-level quality report: per (source, lang) stratum, how many
+    documents pass each Gopher rule and the combined pass RATE — the
+    table a data-mixture owner actually reads before deciding which
+    source to re-crawl or down-weight (the per-doc verdicts from
+    `gopher_quality_rules` are the row-level form; this is the rollup).
+    Two aggregates: the doc-grain verdicts (one doc-keyed exchange) and
+    a (source, lang) rollup over the verdict rows, whose key space is
+    sources x langs — data-size independent. Pass counts are exact
+    integers; the single rate floor-quantizes onto the 1e-6 grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = _gopher_doc_verdicts(docs)
+    return v.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("r_wordcount").cast("int")).cast("long").alias(
+            "n_wordcount"
+        ),
+        F.sum(F.col("r_mean_word_len").cast("int")).cast("long").alias(
+            "n_mean_word_len"
+        ),
+        F.sum(F.col("r_stopwords").cast("int")).cast("long").alias(
+            "n_stopwords"
+        ),
+        F.sum(F.col("r_repetition").cast("int")).cast("long").alias(
+            "n_repetition"
+        ),
+        F.sum(F.col("passes").cast("int")).cast("long").alias("n_pass"),
+        (
+            F.floor(
+                F.sum(F.col("passes").cast("int"))
+                * 1000000.0
+                / F.count(F.lit(1))
+            )
+            / 1e6
+        ).alias("pass_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR resampling (Gumbel-top-k over the importance logweights)
+
+_DSIR_SAMPLE_K = 25
+_DSIR_GUMBEL_HEX = 8
+
+
+def _dsir_resample_oracle() -> str:
+    digit_terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1) "
+        f"* {16 ** (_DSIR_GUMBEL_HEX - 1 - j)}"
+        for j in range(_DSIR_GUMBEL_HEX)
+    )
+    denom = float(16**_DSIR_GUMBEL_HEX)
+    return f"""
+WITH w AS ({_dsir_oracle()}),
+g AS (
+  SELECT doc_id, dsir_logweight,
+         substr(md5('gum:' || doc_id), 1, {_DSIR_GUMBEL_HEX}) AS hx
+  FROM w
+),
+keyed AS (
+  SELECT doc_id, dsir_logweight,
+         round(dsir_logweight
+               - ln(-ln(({digit_terms} + 0.5) / {denom})), 10) AS gkey
+  FROM g
+)
+SELECT doc_id, dsir_logweight, gkey, rank FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY gkey DESC, doc_id) AS INTEGER)
+    AS rank
+  FROM keyed
+)
+WHERE rank <= {_DSIR_SAMPLE_K}
+"""
+
+
+@register("dsir_resample_gumbel", oracle=_dsir_resample_oracle())
+def dsir_resample_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR resampling step: draw {_DSIR_SAMPLE_K} documents WITHOUT
+    replacement with probability proportional to exp(dsir_logweight),
+    via the Gumbel-top-k trick — key = logweight + Gumbel(0,1) noise
+    (g = -ln(-ln(u))), take the k largest. Working in log space means
+    the importance weight is NEVER exponentiated (exp of a large
+    logweight overflows; Gumbel-top-k is the standard fix and exactly
+    equals weighted sampling without replacement). The Gumbel uniform
+    is md5-seeded per doc, so the draw is reproducible and
+    SQL-expressible — same discipline as `weighted_sample_aes`, and the
+    ranking key rounds to 10 decimals so a 1-ulp ln difference cannot
+    flip an order. Plan: the per-doc weights (one doc-keyed exchange,
+    see `dsir_importance_weights`) plus ONE distributed top-k heap —
+    no global sort."""
+    w = dsir_importance_weights(spark, sf_dir)
+    hexv = F.substring(
+        F.md5(F.concat(F.lit("gum:"), F.col("doc_id").cast("string"))),
+        1,
+        _DSIR_GUMBEL_HEX,
+    )
+    u = (F.conv(hexv, 16, 10).cast("long") + F.lit(0.5)) / F.lit(
+        float(16**_DSIR_GUMBEL_HEX)
+    )
+    keyed = w.select(
+        "doc_id",
+        "dsir_logweight",
+        F.round(
+            F.col("dsir_logweight") - F.log(-F.log(u)), 10
+        ).alias("gkey"),
+    )
+    # distributed top-k heap (TakeOrderedAndProject), NOT a global rank
+    # window — the rank is assigned afterwards over the k-row result
+    top = keyed.orderBy(F.col("gkey").desc(), F.col("doc_id").asc()).limit(
+        _DSIR_SAMPLE_K
+    )
+    wnd = Window.orderBy(F.col("gkey").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id",
+        "dsir_logweight",
+        "gkey",
+        F.row_number().over(wnd).cast("int").alias("rank"),
+    )

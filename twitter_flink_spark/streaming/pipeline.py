@@ -598,11 +598,16 @@ class IncrementalMV:
             shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
 
+    #: overridden where the key is composite or non-long
+    _EMPTY_KEY_SCHEMA: str | None = None
+
     def snapshot(self):
         dirs = [self._bucket_dir(b, v) for b, v in self._buckets.items()]
         if not dirs:
-            schema = f"{self.key_col} long, {self._EMPTY_VALUE_SCHEMA}"
-            return self.spark.createDataFrame([], schema)
+            key_schema = self._EMPTY_KEY_SCHEMA or f"{self.key_col} long"
+            return self.spark.createDataFrame(
+                [], f"{key_schema}, {self._EMPTY_VALUE_SCHEMA}"
+            )
         return self.spark.read.parquet(*dirs)
 
 
@@ -643,4 +648,58 @@ class PresenceMV(IncrementalMV):
         cols = [self.key_col, self.field_col]
         return (
             snap.select(*cols).unionByName(partial.select(*cols)).distinct()
+        )
+
+
+class GroupedCountMV(IncrementalMV):
+    """Additive grouped-count MV over a COMPOSITE key: the snapshot holds
+    one count per (group, member) pair, each micro-batch reduces to its
+    per-pair partial counts, and the merge coalesce-sums — the exactly
+    maintainable grain behind any served top-k-per-group table (pruning
+    the snapshot to k rows per group would NOT be correct: a pruned key
+    can out-grow a kept one in a later batch, so serving derives the
+    top-k at read time from the full pair grain, which is bounded by
+    groups x members, not event count). Buckets hash on the full
+    composite key."""
+
+    def __init__(
+        self,
+        spark,
+        key_cols,
+        key_schema: str | None = None,
+        n_buckets: int = 16,
+        root=None,
+    ):
+        self.key_cols = list(key_cols)
+        self._EMPTY_KEY_SCHEMA = key_schema
+        super().__init__(
+            spark,
+            key_col=",".join(self.key_cols),
+            n_buckets=n_buckets,
+            root=root,
+        )
+
+    _EMPTY_VALUE_SCHEMA = "cnt long"
+
+    def _bucket_expr(self):
+        from pyspark.sql import functions as F
+
+        return F.pmod(F.hash(*self.key_cols), F.lit(self.n_buckets))
+
+    def _partial(self, batch_df):
+        from pyspark.sql import functions as F
+
+        return batch_df.groupBy(*self.key_cols).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+
+    def _merge(self, snap, partial):
+        from pyspark.sql import functions as F
+
+        prior = snap.select(*self.key_cols, F.col("cnt").alias("s_cnt"))
+        return prior.join(partial, self.key_cols, "full_outer").select(
+            *self.key_cols,
+            (
+                F.coalesce("s_cnt", F.lit(0)) + F.coalesce("cnt", F.lit(0))
+            ).alias("cnt"),
         )
