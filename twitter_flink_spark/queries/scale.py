@@ -908,3 +908,81 @@ def runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture weights by sqrt-scaled token share
+
+
+@register(
+    "mixture_weights_sqrt",
+    oracle="""
+WITH t AS (
+  SELECT source, count(*) AS n_tokens
+  FROM (SELECT source,
+               unnest(list_filter(str_split(text, ' '), x -> x <> ''))
+        FROM documents)
+  GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS n FROM t),
+s AS (
+  SELECT source, n_tokens,
+         CAST(round(sqrt(n_tokens * 1.0 / tot.n), 10) AS DECIMAL(28,10))
+           AS sq
+  FROM t, tot
+),
+z AS (SELECT sum(sq) AS zsum FROM s)
+SELECT s.source, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       floor(s.n_tokens * 1000000.0 / tot.n) / 1000000.0 AS token_share,
+       floor(CAST(s.sq AS DOUBLE) * 1000000.0 / CAST(z.zsum AS DOUBLE))
+         / 1000000.0 AS mix_weight
+FROM s, tot, z
+""",
+)
+def mixture_weights_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting by sqrt-scaled token share (the
+    GPT-3/PaLM-style temperature sampling at T=2: weight ∝ share^(1/2),
+    which up-weights small sources without letting any dominate): per
+    source, its raw token share and the normalized sqrt-scaled sampling
+    weight a mixture loader would draw from. One token count per source
+    (map-side combinable), everything after is arithmetic on a
+    sources-sized table. Determinism: sqrt is correctly rounded in both
+    engines, each sqrt rounds to 10 decimals and normalizes against the
+    DECIMAL sum of those rounded values (order-independent), and the
+    two emitted ratios floor-quantize onto the 1e-6 grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.select(
+            "source",
+            F.explode(
+                F.filter(F.split("text", " "), lambda x: x != "")
+            ).alias("token"),
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    tot = t.agg(F.sum("n_tokens").alias("n"))
+    s = t.join(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "n",
+        F.round(F.sqrt(F.col("n_tokens") * 1.0 / F.col("n")), 10)
+        .cast("decimal(28,10)")
+        .alias("sq"),
+    )
+    z = s.agg(F.sum("sq").alias("zsum"))
+    return s.join(F.broadcast(z)).select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (
+            F.floor(F.col("n_tokens") * 1000000.0 / F.col("n")) / 1e6
+        ).alias("token_share"),
+        (
+            F.floor(
+                F.col("sq").cast("double")
+                * 1000000.0
+                / F.col("zsum").cast("double")
+            )
+            / 1e6
+        ).alias("mix_weight"),
+    )

@@ -2024,3 +2024,85 @@ def dsir_resample_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gkey",
         F.row_number().over(wnd).cast("int").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al., SIGMOD'03)
+
+_WIN_W = 4  #: winnowing window: grams per window
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+  WHERE len(str_split(text, ' ')) >= 3 + {_WIN_W} - 1
+),
+g AS (
+  SELECT doc_id, t.i AS pos,
+         md5(array_to_string(toks[t.i:t.i+2], ' ')) AS h,
+         len(toks) - 2 AS n_grams
+  FROM tok, unnest(range(1, len(toks) - 1)) AS t(i)
+),
+wm AS (
+  SELECT doc_id, pos, n_grams,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+           AS fp
+  FROM g
+)
+SELECT doc_id, fp AS fingerprint, CAST(count(*) AS BIGINT) AS n_windows
+FROM wm WHERE pos <= n_grams - {_WIN_W - 1}
+GROUP BY doc_id, fp
+""",
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): slide a window of {_WIN_W}
+    consecutive 3-gram hashes and keep each window's MINIMUM — the
+    selection rule that GUARANTEES at least one fingerprint inside any
+    match of length w+k-1 tokens (the coverage bound mod-p sampling
+    lacks: `doc_fingerprints_modp` can miss arbitrarily long matches,
+    winnowing cannot, which is why MOSS uses it). Selected hashes
+    dedupe per document with the number of windows that chose them —
+    the standard (fingerprint, multiplicity) sketch.
+
+    Shape: the window min is one doc-keyed window frame riding the
+    same exchange as the final (doc, fingerprint) aggregate — position
+    order is per-document, so the inherently sequential part is bounded
+    by document length, never corpus size. md5 gram hashes keep the
+    fingerprint set byte-identical in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 3))),
+    )
+    g = (
+        spread(docs, "doc_id")
+        .where(n >= 3 + _WIN_W - 1)
+        .select(
+            "doc_id",
+            (n - 2).alias("n_grams"),
+            F.posexplode(grams).alias("pos0", "h"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            (F.col("pos0") + 1).alias("pos"),
+            "h",
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    wm = g.withColumn("fp", F.min("h").over(w))
+    return (
+        wm.where(F.col("pos") <= F.col("n_grams") - (_WIN_W - 1))
+        .groupBy("doc_id", F.col("fp").alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("n_windows"))
+    )
