@@ -2116,3 +2116,126 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         "mmr_score",
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap between the ANN index and the brute-force baseline
+
+_RBO_P = "0.9"
+_RBO_K = 5
+
+
+def _rbo_tail_weights() -> dict[int, str]:
+    """C(m) = sum_{d=m..k} (1-p) p^(d-1) / d — an item common to both
+    lists with max rank m contributes C(m) to truncated RBO@k. With
+    p=0.9, k=5 every term is a terminating decimal, so the weights are
+    EXACT 10-dp strings embedded identically in both engines."""
+    from decimal import Decimal
+
+    p = Decimal(_RBO_P)
+    w = {
+        d: (1 - p) * p ** (d - 1) / d for d in range(1, _RBO_K + 1)
+    }
+    out = {}
+    for m in range(1, _RBO_K + 1):
+        c = sum(w[d] for d in range(m, _RBO_K + 1))
+        out[m] = str(c.quantize(Decimal("0.0000000001")))
+    return out
+
+
+def _rbo_max() -> str:
+    from decimal import Decimal
+
+    p = Decimal(_RBO_P)
+    tot = sum(
+        (1 - p) * p ** (d - 1) for d in range(1, _RBO_K + 1)
+    )
+    return str(tot.quantize(Decimal("0.0000000001")))
+
+
+def _ann_rbo_oracle(approx_name: str) -> str:
+    from twitter_flink_spark.registry import ORACLES
+
+    cw = _rbo_tail_weights()
+    case = " ".join(
+        f"WHEN {m} THEN CAST({cw[m]} AS DECIMAL(28,10))"
+        for m in range(1, _RBO_K + 1)
+    )
+    return f"""
+WITH b AS ( {ORACLES["cosine_topk_bruteforce"]} ),
+i AS ( {ORACLES[approx_name]} ),
+common AS (
+  SELECT b.query_id,
+         CASE greatest(b.rank, i.rank) {case} END AS c
+  FROM b JOIN i ON i.query_id = b.query_id
+                AND i.neighbor_id = b.neighbor_id
+),
+per AS (
+  SELECT query_id, count(*) AS n_common, sum(c) AS rbo_dec
+  FROM common GROUP BY query_id
+),
+qs AS (SELECT DISTINCT query_id FROM b)
+SELECT q.query_id,
+       CAST(coalesce(p.n_common, 0) AS BIGINT) AS n_common,
+       CAST(coalesce(p.rbo_dec, 0) AS DOUBLE) + 0.0 AS rbo,
+       floor(CAST(coalesce(p.rbo_dec, 0) AS DOUBLE) * 1000000.0
+             / {_rbo_max()}) / 1000000.0 AS rbo_norm
+FROM qs q LEFT JOIN per p USING (query_id)
+"""
+
+
+@register("ann_rbo_ivfpq", oracle=_ann_rbo_oracle("ivf_pq_ann_topk"))
+def ann_rbo_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al., TOIS 2010) between the
+    IVF-PQ result list and the brute-force baseline, truncated at
+    depth 5 with p=0.9 — the top-weighted complement to
+    `ann_recall_ivfpq`: recall@k treats rank 1 and rank k the same,
+    RBO charges an index extra for getting the TOP of the list wrong
+    (the ranks users actually see). Computed per common pair as the
+    closed-form tail weight C(max(rank_a, rank_b)) = sum_{d>=m} of
+    (1-p)p^(d-1)/d — with p=0.9, k=5 every weight is a terminating
+    decimal embedded as an EXACT 10-dp literal in both engines, and
+    the per-query sum runs in DECIMAL, so a float never decides a
+    hash. Same k-row join shape as the recall diagnostics; rbo_norm
+    rescales by the depth-5 maximum and floor-quantizes."""
+    cw = _rbo_tail_weights()
+    brute = cosine_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank_b")
+    )
+    approx = ivf_pq_ann_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank_i")
+    )
+    m = F.greatest("rank_b", "rank_i")
+    c = F.lit(None).cast("decimal(28,10)")
+    expr = None
+    for mm in range(_RBO_K, 0, -1):
+        lit = F.lit(cw[mm]).cast("decimal(28,10)")
+        expr = (
+            F.when(m == mm, lit)
+            if expr is None
+            else expr.when(m == mm, lit)
+        )
+    common = brute.join(
+        F.broadcast(approx), ["query_id", "neighbor_id"]
+    ).select("query_id", expr.alias("c"))
+    per = common.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum("c").alias("rbo_dec"),
+    )
+    qs = brute.select("query_id").distinct()
+    zero = F.lit("0").cast("decimal(28,10)")
+    return qs.join(F.broadcast(per), "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        (
+            F.coalesce(F.col("rbo_dec"), zero).cast("double") + F.lit(0.0)
+        ).alias("rbo"),
+        (
+            F.floor(
+                F.coalesce(F.col("rbo_dec"), zero).cast("double")
+                * 1000000.0
+                / F.lit(float(_rbo_max()))
+            )
+            / 1e6
+        ).alias("rbo_norm"),
+    )

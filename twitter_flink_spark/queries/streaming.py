@@ -1108,3 +1108,59 @@ def streaming_topk_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("event_type", "user_id", F.col("cnt").cast("long").alias("cnt"), "rank")
     )
+
+
+@register(
+    "streaming_daily_active_mv",
+    oracle="""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+FROM events
+GROUP BY CAST(ts AS DATE)
+""",
+)
+def streaming_daily_active_mv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily-active-users served off the SAME incrementally-maintained
+    distinct-presence snapshot as `streaming_cohort_retention_mv`
+    (SURVEY §13): the event stream replays as four micro-batches, each
+    merging its distinct (user, day) pairs into a `PresenceMV`; DAU is
+    then one count per day over the snapshot — count(*), because the
+    snapshot IS the distinct set, which is the entire point of
+    maintaining the reduced grain (a per-batch count-distinct would
+    not merge; the presence set does). Days-sized output, one exchange
+    over the users x days snapshot."""
+    import tempfile
+
+    from twitter_flink_spark.streaming.pipeline import PresenceMV
+
+    staged = _ensure_split_events(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    mv = PresenceMV(
+        spark,
+        key_col="user_id",
+        field_col="d",
+        prepare=lambda b: b.select(
+            "user_id", F.to_date("ts").alias("d")
+        ),
+    )
+    q = (
+        stream.writeStream.foreachBatch(mv.merge_batch)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="tfs-daumv-ckpt-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 300)
+    return (
+        mv.snapshot()
+        .groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )

@@ -2106,3 +2106,138 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", F.col("fp").alias("fingerprint"))
         .agg(F.count(F.lit(1)).alias("n_windows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed naive-Bayes source attribution (per-source DSIR-style models)
+
+
+def _source_nb_oracle() -> str:
+    digit_terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1) "
+        f"* {16 ** (_DSIR_HEX - 1 - j)}"
+        for j in range(_DSIR_HEX)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+),
+b AS (
+  SELECT doc_id, source,
+         CAST(({digit_terms}) % {_DSIR_BUCKETS} AS BIGINT) AS bucket
+  FROM (SELECT doc_id, source, substr(md5('dsir:' || token), 1, {_DSIR_HEX})
+          AS hx FROM t)
+),
+srcs AS (SELECT DISTINCT source FROM documents),
+buckets AS (SELECT unnest(range({_DSIR_BUCKETS})) AS bucket),
+counts AS (
+  SELECT s.source, bk.bucket, count(b.doc_id) AS c
+  FROM srcs s CROSS JOIN buckets bk
+  LEFT JOIN b ON b.source = s.source AND b.bucket = bk.bucket
+  GROUP BY s.source, bk.bucket
+),
+tots AS (SELECT source, sum(c) AS n FROM counts GROUP BY source),
+model AS (
+  SELECT c.source, c.bucket,
+         CAST(round(ln((c.c + 1.0) / (t.n + {_DSIR_BUCKETS})), 10)
+              AS DECIMAL(28,10)) AS lp
+  FROM counts c JOIN tots t USING (source)
+),
+scored AS (
+  SELECT b.doc_id, m.source AS cand_source, sum(m.lp) AS score
+  FROM b JOIN model m USING (bucket)
+  GROUP BY b.doc_id, m.source
+),
+ranked AS (
+  SELECT doc_id, cand_source, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand_source) AS rn
+  FROM scored
+)
+SELECT r.doc_id, d.source AS true_source, r.cand_source AS best_source,
+       CAST(r.score AS DOUBLE) + 0.0 AS best_score,
+       CAST(r.cand_source = d.source AS INTEGER) AS correct
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+WHERE r.rn = 1
+"""
+
+
+@register("source_likelihood_argmax", oracle=_source_nb_oracle())
+def source_likelihood_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus attribution by hashed naive Bayes: ONE {_DSIR_BUCKETS}-bucket
+    unigram model per source (add-one smoothed, the per-source form of
+    `dsir_importance_weights`' target model), and each document is
+    assigned the source whose model gives its token stream the highest
+    log-likelihood — the standard membership/attribution probe
+    ("which source does this doc look like?", the measured answer to
+    whether sources are even distinguishable; `correct` marks agreement
+    with the true label). Model size is sources x buckets rows —
+    broadcast regardless of corpus size; scoring is one (doc, source)
+    aggregate (20 rows per doc) and an argmax window over that reduced
+    frame. Each bucket log-prob rounds to 10 decimals and scores sum in
+    DECIMAL, so the argmax (ties broken by source name) is exact on
+    both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.col("source").alias("true_source"),
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("token"),
+    )
+    hexv = F.substring(
+        F.md5(F.concat(F.lit("dsir:"), F.col("token"))), 1, _DSIR_HEX
+    )
+    b = t.select(
+        "doc_id",
+        "true_source",
+        (F.conv(hexv, 16, 10).cast("long") % _DSIR_BUCKETS).alias("bucket"),
+    )
+    srcs = docs.select(F.col("source")).distinct()
+    buckets = spark.range(_DSIR_BUCKETS).select(
+        F.col("id").alias("bucket")
+    )
+    grid = srcs.crossJoin(F.broadcast(buckets))
+    obs = b.groupBy(
+        F.col("true_source").alias("source"), "bucket"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    counts = grid.join(obs, ["source", "bucket"], "left").select(
+        "source", "bucket", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    tots = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    model = counts.join(F.broadcast(tots), "source").select(
+        F.col("source").alias("cand_source"),
+        "bucket",
+        F.round(
+            F.log((F.col("c") + 1.0) / (F.col("n") + _DSIR_BUCKETS)), 10
+        )
+        .cast("decimal(28,10)")
+        .alias("lp"),
+    )
+    scored = (
+        b.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id", "cand_source")
+        .agg(F.sum("lp").alias("score"))
+    )
+    wnd = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand_source").asc()
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(wnd))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return best.join(
+        docs.select("doc_id", F.col("source").alias("true_source")),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "true_source",
+        F.col("cand_source").alias("best_source"),
+        (F.col("score").cast("double") + F.lit(0.0)).alias("best_score"),
+        (F.col("cand_source") == F.col("true_source")).cast("int").alias(
+            "correct"
+        ),
+    )
