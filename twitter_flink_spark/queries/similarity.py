@@ -2184,29 +2184,20 @@ FROM qs q LEFT JOIN per p USING (query_id)
 """
 
 
-@register("ann_rbo_ivfpq", oracle=_ann_rbo_oracle("ivf_pq_ann_topk"))
-def ann_rbo_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rank-biased overlap (Webber et al., TOIS 2010) between the
-    IVF-PQ result list and the brute-force baseline, truncated at
-    depth 5 with p=0.9 — the top-weighted complement to
-    `ann_recall_ivfpq`: recall@k treats rank 1 and rank k the same,
-    RBO charges an index extra for getting the TOP of the list wrong
-    (the ranks users actually see). Computed per common pair as the
-    closed-form tail weight C(max(rank_a, rank_b)) = sum_{d>=m} of
-    (1-p)p^(d-1)/d — with p=0.9, k=5 every weight is a terminating
-    decimal embedded as an EXACT 10-dp literal in both engines, and
-    the per-query sum runs in DECIMAL, so a float never decides a
-    hash. Same k-row join shape as the recall diagnostics; rbo_norm
-    rescales by the depth-5 maximum and floor-quantizes."""
+def _ann_rbo(
+    spark: SparkSession, sf_dir: str, approx_df: DataFrame
+) -> DataFrame:
+    """Shared RBO computation: join the two ranked lists, weight each
+    common pair by the closed-form tail weight of its max rank, sum in
+    DECIMAL per query."""
     cw = _rbo_tail_weights()
     brute = cosine_topk_bruteforce(spark, sf_dir).select(
         "query_id", "neighbor_id", F.col("rank").alias("rank_b")
     )
-    approx = ivf_pq_ann_topk(spark, sf_dir).select(
+    approx = approx_df.select(
         "query_id", "neighbor_id", F.col("rank").alias("rank_i")
     )
     m = F.greatest("rank_b", "rank_i")
-    c = F.lit(None).cast("decimal(28,10)")
     expr = None
     for mm in range(_RBO_K, 0, -1):
         lit = F.lit(cw[mm]).cast("decimal(28,10)")
@@ -2238,4 +2229,36 @@ def ann_rbo_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 1e6
         ).alias("rbo_norm"),
+    )
+
+
+@register("ann_rbo_ivfpq", oracle=_ann_rbo_oracle("ivf_pq_ann_topk"))
+def ann_rbo_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al., TOIS 2010) between the
+    IVF-PQ result list and the brute-force baseline, truncated at
+    depth 5 with p=0.9 — the top-weighted complement to
+    `ann_recall_ivfpq`: recall@k treats rank 1 and rank k the same,
+    RBO charges an index extra for getting the TOP of the list wrong
+    (the ranks users actually see). Computed per common pair as the
+    closed-form tail weight C(max(rank_a, rank_b)) = sum_{d>=m} of
+    (1-p)p^(d-1)/d — with p=0.9, k=5 every weight is a terminating
+    decimal embedded as an EXACT 10-dp literal in both engines, and
+    the per-query sum runs in DECIMAL, so a float never decides a
+    hash. Same k-row join shape as the recall diagnostics; rbo_norm
+    rescales by the depth-5 maximum and floor-quantizes."""
+    return _ann_rbo(spark, sf_dir, ivf_pq_ann_topk(spark, sf_dir))
+
+
+@register(
+    "ann_rbo_lsh_multiprobe",
+    oracle=_ann_rbo_oracle("cosine_topk_lsh_multiprobe"),
+)
+def ann_rbo_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-5 RBO of the multiprobe sign-LSH list vs brute force —
+    same closed-form exact-decimal tail weights as `ann_rbo_ivfpq`;
+    together with `ann_recall_lsh_multiprobe` this separates "finds the
+    right set" (recall) from "ranks the head right" (RBO) for the
+    probing index."""
+    return _ann_rbo(
+        spark, sf_dir, cosine_topk_lsh_multiprobe(spark, sf_dir)
     )

@@ -832,3 +832,186 @@ def time_weighted_value_per_user(
             / 1e6
         ).alias("twa_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA over daily counts (alpha = 1/2: exact dyadic arithmetic)
+
+
+@register(
+    "ewma_daily_counts",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, day, c,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS t
+  FROM daily
+),
+agg AS (
+  SELECT event_type, max(t) AS n_days,
+         strftime(max(day), '%Y-%m-%d') AS last_day,
+         sum(CASE WHEN i = 1 THEN c ELSE c * (CAST(1 AS BIGINT) << (i - 2))
+             END) AS num
+  FROM idx GROUP BY event_type
+)
+SELECT event_type, n_days, last_day, CAST(num AS BIGINT) AS ewma_num,
+       CAST(num AS DOUBLE)
+         / CAST(CAST(1 AS BIGINT) << (n_days - 1) AS DOUBLE) AS ewma
+FROM agg
+""",
+)
+def ewma_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA of the per-type daily event count at alpha = 1/2 (the
+    one-line load forecaster: tomorrow ~= ewma of history, recent days
+    dominating), computed EXACTLY: with alpha = 1/2 the recursion
+    s_t = (c_t + s_(t-1))/2 unrolls to a single integer-weighted sum
+    N = c_1 + sum_(i>=2) c_i * 2^(i-2), and s_T = N / 2^(T-1) — one
+    shifted-integer aggregate plus ONE division by a power of two,
+    which only adjusts the double's exponent, so the result is exact on
+    both engines (no running float recursion whose rounding order could
+    differ). Bound: N < 2^63 needs daily counts below 2^(63-T); for
+    long horizons run it over a trailing window (standard practice) —
+    the fixture's 30 days x thousands/day sits far inside. Shape: one
+    (type, day) count, then a type-keyed window + aggregate on the
+    days-sized frame."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wt = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.row_number().over(wt.orderBy("day")).cast("long").alias("i"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("t"),
+    )
+    num = F.sum(
+        F.when(F.col("i") == 1, F.col("c")).otherwise(
+            F.col("c") * F.expr("shiftleft(cast(1 as bigint), cast(i - 2 as int))")
+        )
+    )
+    agg = idx.groupBy("event_type").agg(
+        F.max("t").alias("n_days"),
+        F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_day"),
+        num.alias("num"),
+    )
+    denom = F.expr(
+        "cast(shiftleft(cast(1 as bigint), cast(n_days - 1 as int)) as double)"
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        "last_day",
+        F.col("num").cast("long").alias("ewma_num"),
+        (F.col("num").cast("double") / denom).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily-count autocorrelation (seasonality probe)
+
+_ACF_LAGS = (1, 2, 3)
+
+
+@register(
+    "daily_autocorrelation",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, lag.lag AS lag, d1.c AS x,
+         lead(d1.c, lag.lag) OVER (PARTITION BY event_type, lag.lag
+                                   ORDER BY d1.day) AS y
+  FROM daily d1 CROSS JOIN (SELECT unnest(ARRAY{list(_ACF_LAGS)}) AS lag) lag
+),
+pairs AS (SELECT * FROM lagged WHERE y IS NOT NULL),
+s AS (
+  SELECT event_type, lag,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+         sum(CAST(y AS DECIMAL(38,0))) AS sy,
+         sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+         sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+         sum(CAST(y AS DECIMAL(38,0)) * y) AS syy
+  FROM pairs GROUP BY event_type, lag
+)
+SELECT event_type, CAST(lag AS INTEGER) AS lag, n,
+       floor((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             * 1000000.0) / 1000000.0 AS acf
+FROM s
+WHERE (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+  AND (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+""",
+)
+def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the per-type daily count series at lags 1-3 —
+    the seasonality probe behind load forecasting (a weekly-periodic
+    type shows the hump at its period; white-noise counts hover near
+    zero). Pearson r over (day, day+lag) pairs with every sum carried
+    in DECIMAL(38,0) (exact at any realistic daily count, where int64
+    products would overflow), then ONE closed-form expression of
+    correctly-rounded IEEE ops — identical on both engines — and a
+    1e-6 floor. The lags expand via a 3-row broadcast cross join; the
+    window and aggregate ride one (type, lag)-keyed exchange over the
+    days-sized frame. Degenerate (zero-variance) series drop out by
+    the WHERE guard rather than dividing by zero."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    lags = spark.createDataFrame(
+        [(lag,) for lag in _ACF_LAGS], "lag int"
+    )
+    lagged = daily.crossJoin(F.broadcast(lags))
+    w = Window.partitionBy("event_type", "lag").orderBy("day")
+    pairs = (
+        lagged.select(
+            "event_type",
+            "lag",
+            F.col("c").alias("x"),
+            F.lead("c", 1).over(w).alias("y1"),
+            F.lead("c", 2).over(w).alias("y2"),
+            F.lead("c", 3).over(w).alias("y3"),
+        )
+        .withColumn(
+            "y",
+            F.when(F.col("lag") == 1, F.col("y1"))
+            .when(F.col("lag") == 2, F.col("y2"))
+            .otherwise(F.col("y3")),
+        )
+        .where(F.col("y").isNotNull())
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    varx = F.col("n") * d("sxx") - d("sx") * d("sx")
+    vary = F.col("n") * d("syy") - d("sy") * d("sy")
+    cov = F.col("n") * d("sxy") - d("sx") * d("sy")
+    return (
+        s.where((varx > 0) & (vary > 0))
+        .select(
+            "event_type",
+            F.col("lag").cast("int").alias("lag"),
+            "n",
+            (F.floor(cov / F.sqrt(varx * vary) * 1000000.0) / 1e6).alias(
+                "acf"
+            ),
+        )
+    )

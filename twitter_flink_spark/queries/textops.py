@@ -2241,3 +2241,31 @@ def source_likelihood_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             "correct"
         ),
     )
+
+
+def _source_confusion_oracle() -> str:
+    return f"""
+WITH best AS ( {_source_nb_oracle()} )
+SELECT true_source, best_source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(correct) AS BIGINT) AS n_correct
+FROM best
+GROUP BY true_source, best_source
+"""
+
+
+@register("source_confusion_matrix", oracle=_source_confusion_oracle())
+def source_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix rollup of `source_likelihood_argmax`
+    (true x predicted source counts): the sources^2-bounded table that
+    says WHICH sources the hashed naive-Bayes models mix up — the
+    diagonal is per-source attribution accuracy, off-diagonal mass
+    between two sources means their token distributions collide at the
+    {_DSIR_BUCKETS}-bucket hash resolution. One tiny aggregate over the
+    per-doc argmax rows (n_correct is redundant with the diagonal by
+    construction, kept as the self-check)."""
+    best = source_likelihood_argmax(spark, sf_dir)
+    return best.groupBy("true_source", "best_source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("correct").cast("long").alias("n_correct"),
+    )
