@@ -1015,3 +1015,58 @@ def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Churn flags (recency segmentation)
+
+_CHURN_DAYS = 7
+
+
+@register(
+    "user_churn_flags",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         min(CAST(ts AS DATE)) AS first_day,
+         max(CAST(ts AS DATE)) AS last_day,
+         count(*) AS n_events
+  FROM events GROUP BY user_id
+),
+horizon AS (SELECT max(CAST(ts AS DATE)) AS h FROM events)
+SELECT u.user_id,
+       strftime(u.first_day, '%Y-%m-%d') AS first_day,
+       strftime(u.last_day, '%Y-%m-%d') AS last_day,
+       CAST(u.n_events AS BIGINT) AS n_events,
+       CAST(date_diff('day', u.last_day, horizon.h) AS INTEGER)
+         AS days_inactive,
+       CAST(date_diff('day', u.last_day, horizon.h) >= {_CHURN_DAYS}
+            AS INTEGER) AS churned
+FROM u, horizon
+""",
+)
+def user_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency segmentation: per user, first/last active day, lifetime
+    event count, days inactive at the corpus horizon, and the churn
+    flag (inactive >= {_CHURN_DAYS} days) — the label side of every
+    churn model and the denominator discipline behind retention
+    dashboards (`cohort_retention_matrix` gives the matrix; this gives
+    the per-user state). One user-keyed aggregate plus a 1-row
+    broadcast horizon; day arithmetic is integer dates end to end, so
+    the flag never sits on a float boundary."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("h"))
+    inact = F.datediff(F.col("h"), F.col("last_day"))
+    return u.join(F.broadcast(horizon)).select(
+        "user_id",
+        F.date_format("first_day", "yyyy-MM-dd").alias("first_day"),
+        F.date_format("last_day", "yyyy-MM-dd").alias("last_day"),
+        F.col("n_events").cast("long").alias("n_events"),
+        inact.cast("int").alias("days_inactive"),
+        (inact >= _CHURN_DAYS).cast("int").alias("churned"),
+    )
