@@ -922,3 +922,97 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= _SIMHASH_HAM_MAX)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-level similarity matrix (corpus-vs-corpus token Jaccard)
+
+
+@register(
+    "source_similarity_jaccard",
+    oracle="""
+WITH st AS (
+  SELECT DISTINCT source,
+         unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+),
+sz AS (SELECT source, count(*) AS sz FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS ni
+  FROM st a JOIN st b ON b.token = a.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b,
+       CAST(i.ni AS BIGINT) AS n_shared_tokens,
+       floor(i.ni * 1000000.0 / (za.sz + zb.sz - i.ni)) / 1000000.0
+         AS jaccard
+FROM inter i
+JOIN sz za ON za.source = i.source_a
+JOIN sz zb ON zb.source = i.source_b
+""",
+)
+def source_similarity_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-level similarity matrix: token-set Jaccard between every
+    pair of SOURCES — the collection-vs-collection view of dedup
+    (two sources with high vocabulary Jaccard are candidate mirrors or
+    re-crawls of each other; the doc-level joins then confirm). The
+    document table reduces FIRST to distinct (source, token) — sources
+    x vocab rows, far below corpus size — so the token self-join runs
+    on the reduced grain and the output is sources^2/2 rows. Same
+    blocked-join discipline as the doc-level family; jaccard
+    floor-quantizes onto the 1e-6 grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select(
+            "source",
+            F.explode(
+                F.filter(F.split("text", " "), lambda x: x != "")
+            ).alias("token"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sz = st.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = st.select(F.col("source").alias("source_a"), "token")
+    b = st.select(F.col("source").alias("source_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sz.select(
+                    F.col("source").alias("source_a"),
+                    F.col("sz").alias("sz_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sz.select(
+                    F.col("source").alias("source_b"),
+                    F.col("sz").alias("sz_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("ni").cast("long").alias("n_shared_tokens"),
+            (
+                F.floor(
+                    F.col("ni")
+                    * 1000000.0
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("ni"))
+                )
+                / 1e6
+            ).alias("jaccard"),
+        )
+    )

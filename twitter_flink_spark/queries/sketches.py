@@ -306,3 +306,62 @@ def bitmap_distinct_users_per_type(
         F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_distinct"),
         F.sum("rows_in_bucket").cast("long").alias("n_events"),
     )
+
+
+@register(
+    "bitmap_overlap_purchase_click",
+    oracle="""
+WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchasers,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_clickers,
+       CAST((SELECT count(*) FROM (SELECT * FROM p UNION SELECT * FROM c))
+            AS BIGINT) AS n_union,
+       CAST((SELECT count(*) FROM p) + (SELECT count(*) FROM c)
+            - (SELECT count(*) FROM (SELECT * FROM p UNION SELECT * FROM c))
+            AS BIGINT) AS n_both
+""",
+)
+def bitmap_overlap_purchase_click(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audience-overlap set algebra on the SAME bitmap partials as
+    `bitmap_distinct_users_per_type`: purchasers ∩ clickers computed
+    WITHOUT ever shuffling raw user ids — each cohort reduces to
+    per-bucket bitmaps, `bitmap_or_agg` merges the union, and the
+    intersection falls out by inclusion-exclusion (|A| + |B| - |A∪B|),
+    all exact. This is the segment-overlap question every audience/
+    holdout system answers, and the reason bitmap partials (mergeable,
+    fixed-size) beat count-distinct at scale: set EXPRESSIONS compose
+    from the same persisted per-bucket state, no re-scan of raw events.
+    The oracle recomputes all four counts from plain DISTINCT sets."""
+    ev = load_table(spark, sf_dir, "events")
+    both = ev.where(F.col("event_type").isin("purchase", "click"))
+    per_bucket = (
+        both.selectExpr(
+            "event_type",
+            "bitmap_bucket_number(user_id) AS bucket",
+            "bitmap_bit_position(user_id) AS pos",
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    per_type = per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n")
+    )
+    union_cnt = (
+        per_bucket.groupBy("bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("u"))
+        .agg(F.sum(F.expr("bitmap_count(u)")).alias("n_union"))
+    )
+    wide = per_type.groupBy().pivot(
+        "event_type", ["purchase", "click"]
+    ).agg(F.first("n"))
+    return wide.join(union_cnt).select(
+        F.col("purchase").cast("long").alias("n_purchasers"),
+        F.col("click").cast("long").alias("n_clickers"),
+        F.col("n_union").cast("long").alias("n_union"),
+        (F.col("purchase") + F.col("click") - F.col("n_union"))
+        .cast("long")
+        .alias("n_both"),
+    )
