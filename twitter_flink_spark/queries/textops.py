@@ -1820,32 +1820,26 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.conv(hexv, 16, 10).cast("long") % _DSIR_BUCKETS).alias("bucket"),
     )
-    raw = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
-    tgt = (
-        b.where(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("tc"))
+    # ONE stats pass builds the whole model: per-bucket raw/target counts
+    # in a single {buckets}-row aggregate, totals summed over that tiny
+    # frame rather than re-scanning the corpus (the token stream is read
+    # exactly twice — model fit and scoring — not once per statistic)
+    stats = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("tc"),
     )
-    tot = b.agg(
-        F.count(F.lit(1)).alias("nr"),
-        F.sum((F.col("lang") == "en").cast("long")).alias("nt"),
+    tot = stats.agg(
+        F.sum("rc").alias("nr"), F.sum("tc").alias("nt")
     )
-    lr = (
-        raw.join(tgt, "bucket", "left")
-        .join(F.broadcast(tot))
-        .select(
-            "bucket",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
-                    / (F.col("nt") + _DSIR_BUCKETS)
-                )
-                - F.log((F.col("rc") + 1.0) / (F.col("nr") + _DSIR_BUCKETS)),
-                10,
-            )
-            .cast("decimal(28,10)")
-            .alias("logratio"),
+    lr = stats.join(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("tc") + 1.0) / (F.col("nt") + _DSIR_BUCKETS))
+            - F.log((F.col("rc") + 1.0) / (F.col("nr") + _DSIR_BUCKETS)),
+            10,
         )
+        .cast("decimal(28,10)")
+        .alias("logratio"),
     )
     return (
         b.join(F.broadcast(lr), "bucket")
