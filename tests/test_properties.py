@@ -602,3 +602,42 @@ def test_psi_identical_halves_is_zero(spark):
     )
     total = terms.agg(F.sum("t")).collect()[0][0]
     assert abs(total) < 1e-12
+
+
+@settings(**_SETTINGS)
+@given(texts=_doc_texts)
+def test_simhash_band_pair_index_is_lossless(spark, texts):
+    """The 6-table band-PAIR index must return EXACTLY the brute-force
+    Hamming <= 1 pair set over the 16-bit simhashes (d <= 1 leaves at
+    least one band pair untouched — pigeonhole)."""
+    from twitter_flink_spark.operators.dedup import simhash16
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash16(docs).collect()}
+    import itertools
+
+    expected = {}
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        d = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+        if d <= 1:
+            expected[(a, b)] = d
+    # run the registered query's machinery on a staged single-table dir
+    import os
+    import tempfile
+
+    dest = tempfile.mkdtemp(prefix="tfs-shprop-")
+    docs.selectExpr(
+        "doc_id", "text", "'en' AS lang", "'s' AS source",
+        "length(text) AS n_chars",
+    ).write.mode("overwrite").parquet(
+        os.path.join(dest, "documents.parquet")
+    )
+    from twitter_flink_spark.queries.dedup import simhash_hamming_pairs
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_hamming_pairs(spark, dest).collect()
+    }
+    assert got == expected

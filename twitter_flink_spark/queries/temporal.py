@@ -1070,3 +1070,116 @@ def user_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         inact.cast("int").alias("days_inactive"),
         (inact >= _CHURN_DAYS).cast("int").alias("churned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users (WAU at daily grain)
+
+_ROLL_DAYS = 7
+
+
+@register(
+    "rolling_7day_actives",
+    oracle=f"""
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+days AS (SELECT DISTINCT d FROM act),
+win AS (
+  SELECT dd.d AS window_day, a.user_id
+  FROM act a JOIN days dd
+    ON a.d <= dd.d AND a.d > dd.d - {_ROLL_DAYS}
+)
+SELECT strftime(window_day, '%Y-%m-%d') AS window_day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_7d
+FROM win GROUP BY window_day
+""",
+)
+def rolling_7day_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {_ROLL_DAYS}-day active users per day (the WAU curve at
+    daily grain): each DISTINCT (user, day) activity pair contributes
+    to the {_ROLL_DAYS} window-days it falls inside — a BOUNDED x{_ROLL_DAYS}
+    expansion of the users x days grain (never of raw events), followed
+    by one distinct count per window day. This explode-the-reduced-grain
+    shape is how sliding distinct counts scale: the alternative — a
+    range self-join of raw events — touches data proportional to events
+    x window, this touches users x days x {_ROLL_DAYS}. The oracle joins
+    the same reduced grain against the day list."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    expanded = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.date_add(F.col("d"), _ROLL_DAYS - 1),
+            )
+        ).alias("window_day"),
+    )
+    days = act.select(F.col("d").alias("window_day")).distinct()
+    return (
+        expanded.join(F.broadcast(days), "window_day")
+        .groupBy(
+            F.date_format("window_day", "yyyy-MM-dd").alias("window_day")
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active_7d"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table checksum (anti-entropy / reconciliation)
+
+_CKSUM_MOD = 10**15
+_CKSUM_HEX = 12
+
+
+@register(
+    "table_checksum_events",
+    oracle=f"""
+WITH canon AS (
+  SELECT md5(CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+             || '|' || event_type || '|'
+             || CAST(CAST(floor(value * 10000) AS BIGINT) AS VARCHAR)) AS h
+  FROM events
+),
+v AS (
+  SELECT CAST(({" + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1) * {16 ** (_CKSUM_HEX - 1 - j)}"
+    for j in range(_CKSUM_HEX)
+  )}) AS DECIMAL(38,0)) AS hv
+  FROM canon
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(hv) % {_CKSUM_MOD} AS BIGINT) AS checksum
+FROM v
+""",
+)
+def table_checksum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum of the events table — the
+    anti-entropy primitive behind replica reconciliation and
+    copy-verification (two sides exchange (n_rows, checksum); equal
+    values mean equal multisets of rows with md5 confidence, no sort,
+    no row shipping). Each row canonicalizes to a '|'-joined string
+    (value quantized to 1e-4 exactly as stored), hashes to a 48-bit
+    integer, and the SUM — commutative, so partition- and
+    order-independent by construction — runs in DECIMAL(38,0) and
+    reduces mod 10^15. One map-side-combinable aggregate; at 100 TB
+    this is a single scan with a constant-size result, and per-range
+    checksums (group by a key prefix) localize any mismatch."""
+    ev = load_table(spark, sf_dir, "events")
+    canon = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.floor(F.col("value") * 10000).cast("long").cast("string"),
+        )
+    )
+    hv = F.conv(F.substring(canon, 1, _CKSUM_HEX), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return ev.select(hv.alias("hv")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.sum("hv") % _CKSUM_MOD).cast("long").alias("checksum"),
+    )
