@@ -1183,3 +1183,147 @@ def table_checksum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         (F.sum("hv") % _CKSUM_MOD).cast("long").alias("checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session bounce rate (rollup of the sessionization fixed point)
+
+
+@register(
+    "session_bounce_rate",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sessions AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_id
+  FROM flagged
+),
+per AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       floor(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000.0
+             / count(*)) / 1000000.0 AS bounce_rate
+FROM per GROUP BY user_id
+""",
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate per user: the fraction of 30-min-gap sessions
+    containing exactly one event — the rollup product analytics reads
+    off the `sessionize_events` fixed point (single-event sessions are
+    the bounce definition at event grain). The session build is the
+    same lag → flag → running-sum plan, and BOTH its windows plus the
+    two aggregates ride ONE user_id exchange — the rollup adds no new
+    shuffle. Rate floor-quantizes onto the 1e-6 grid."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = (
+        F.unix_micros("ts") / 1e6
+        - F.unix_micros(F.lag("ts").over(w)) / 1e6
+    )
+    flagged = e.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(wf)
+    )
+    per = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("int"))
+        .cast("long")
+        .alias("n_bounces"),
+        (
+            F.floor(
+                F.sum((F.col("n_events") == 1).cast("int"))
+                * 1000000.0
+                / F.count(F.lit(1))
+            )
+            / 1e6
+        ).alias("bounce_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recency-decayed user value (dyadic half-life)
+
+
+@register(
+    "recency_weighted_value",
+    oracle="""
+WITH horizon AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+e AS (
+  SELECT user_id,
+         CAST(floor(value * 100) AS BIGINT) AS v100,
+         date_diff('day', CAST(ts AS DATE), horizon.h) AS age_days
+  FROM events, horizon
+),
+w AS (
+  SELECT user_id, v100, age_days,
+         v100 * (CAST(1 AS BIGINT) << (30 - least(age_days, 30)))
+           AS contrib
+  FROM e
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(contrib) AS BIGINT) AS decayed_num,
+       CAST(sum(contrib) AS DOUBLE)
+         / CAST(CAST(1 AS BIGINT) << 30 AS DOUBLE) / 100.0
+         AS decayed_value
+FROM w GROUP BY user_id
+""",
+)
+def recency_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed user value with a ONE-DAY half-life: each event
+    contributes value * 2^(-age_days) — the engagement score that
+    halves per idle day (ages past 30 days saturate at the 2^-30
+    floor, below any ranking-relevant contribution). Same dyadic
+    discipline as `ewma_daily_counts`: contributions scale to integers
+    (v100 << (30 - age)), the per-user sum is exact int64 (bounded by
+    rows x v100 x 2^30 — document-checked against the fixture), and
+    the final rescale divides by powers of two plus one decimal shift,
+    so the emitted double is the correctly-rounded image of an exact
+    integer on BOTH engines. One map-side projection + one user-keyed
+    aggregate; the horizon is a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("h"))
+    e = ev.join(F.broadcast(horizon)).select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v100"),
+        F.datediff(F.col("h"), F.to_date("ts")).alias("age_days"),
+    )
+    contrib = F.col("v100") * F.expr(
+        "shiftleft(cast(1 as bigint), cast(30 - least(age_days, 30) as int))"
+    )
+    return (
+        e.select("user_id", contrib.alias("contrib"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("contrib").cast("long").alias("decayed_num"),
+            (
+                F.sum("contrib").cast("double")
+                / F.lit(float(1 << 30))
+                / 100.0
+            ).alias("decayed_value"),
+        )
+    )
