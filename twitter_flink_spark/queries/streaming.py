@@ -1164,3 +1164,58 @@ def streaming_daily_active_mv(
         .groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
     )
+
+
+@register(
+    "streaming_dedup_then_window",
+    oracle="""
+WITH dedup AS (
+  SELECT DISTINCT user_id, event_type, ts FROM events
+),
+bucketed AS (
+  SELECT event_type,
+         to_timestamp(CAST(floor(epoch(ts)/60)*60 AS BIGINT))::TIMESTAMP
+           AS window_start,
+         ts
+  FROM dedup
+),
+counts AS (
+  SELECT window_start,
+         window_start + INTERVAL 60 SECOND AS window_end,
+         event_type, count(*) AS cnt
+  FROM bucketed GROUP BY 1, 2, 3
+),
+maxts AS (SELECT max(ts) AS mx FROM events)
+SELECT c.window_start, c.window_end, c.event_type, c.cnt
+FROM counts c, maxts
+WHERE c.window_end <= maxts.mx - INTERVAL 1 SECOND
+""",
+)
+def streaming_dedup_then_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHAINED stateful streaming operators (the multiple-stateful-ops
+    support Spark gained in 3.5): watermarked `dropDuplicates` feeding
+    a tumbling 60 s windowed count in ONE streaming query, append mode
+    — the dedup-then-aggregate shape every ingestion pipeline wants
+    (at-least-once sources emit duplicates; counting must come after
+    dedup), previously impossible without landing the deduped stream
+    first. Two state stores in one query: dedup keys (watermark-
+    evicted) and window aggregates; both honor the same event-time
+    watermark, and the emission contract remains
+    window_end <= max(ts) - watermark, which the oracle applies to the
+    DISTINCT event set."""
+    src = stream_table(spark, sf_dir, "events")
+    deduped = src.withWatermark("ts", "1 second").dropDuplicates(
+        ["user_id", "event_type", "ts"]
+    )
+    agg = deduped.groupBy(
+        F.window("ts", "60 seconds"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "cnt",
+    )
+    return run_to_memory(out, output_mode="append")
