@@ -1016,3 +1016,91 @@ def source_similarity_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def _leakage_safe_split_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+bidir AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+walk(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM bidir)
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN bidir e ON e.a = w.node
+),
+cl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node),
+assigned AS (
+  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+),
+labeled AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN strpos('0123456789abcdef',
+                substr(md5('lsplit:' || cluster_id), 1, 1)) - 1 < 13
+              THEN 'train' ELSE 'heldout' END AS split
+  FROM assigned
+)
+SELECT l.split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT l.cluster_id) AS BIGINT) AS n_clusters,
+       CAST(sum(CASE WHEN l.cluster_id <> l.doc_id OR l.doc_id IN
+                (SELECT doc_id FROM cl) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_nontrivial_cluster
+FROM labeled l GROUP BY l.split
+"""
+
+
+@register("leakage_safe_split", oracle=_leakage_safe_split_oracle())
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/heldout split: assignment hashes the dedup
+    CLUSTER id, not the document id — every member of a near-dup
+    cluster lands in the SAME split, so a heldout document can never
+    have a near-duplicate in training (the contamination mode a
+    doc-keyed split cannot prevent, and the reason eval suites split by
+    cluster after dedup). Clusters come from the same MinHash-LSH +
+    connected-components fixed point as `dedup_cluster_components`;
+    singleton documents are their own cluster. The ~13/16 hash
+    boundary targets ~80/20; the emitted surface is per-split doc and
+    cluster counts plus how many docs sit in non-trivial clusters (the
+    rows whose placement the cluster keying actually changed)."""
+    from twitter_flink_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5, ngram=3)
+    cl = connected_components(pairs)
+    assigned = docs.select("doc_id").join(cl, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        F.col("cluster_id").isNotNull().alias("in_cluster"),
+    )
+    nibble = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("lsplit:"), F.col("cluster_id").cast("string")
+                    )
+                ),
+                1,
+                1,
+            ),
+        )
+        - 1
+    )
+    labeled = assigned.select(
+        "doc_id",
+        "cluster_id",
+        "in_cluster",
+        F.when(nibble < 13, "train").otherwise("heldout").alias("split"),
+    )
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("cluster_id").cast("long").alias("n_clusters"),
+        F.sum(F.col("in_cluster").cast("int"))
+        .cast("long")
+        .alias("n_in_nontrivial_cluster"),
+    )

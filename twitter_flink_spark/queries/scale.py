@@ -986,3 +986,78 @@ def mixture_weights_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("mix_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact stratified split (deterministic rank allocation)
+
+_SPLIT_TRAIN_PCT = 80
+_SPLIT_VAL_PCT = 10  # remainder = test
+
+
+@register(
+    "stratified_exact_split",
+    oracle=f"""
+WITH keyed AS (
+  SELECT lang, doc_id, md5('split:' || doc_id) AS hk FROM documents
+),
+ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM keyed
+),
+labeled AS (
+  SELECT lang, doc_id,
+         CASE WHEN rn * 100 <= n * {_SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN rn * 100 <= n * {_SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT}
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM ranked
+)
+SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+FROM labeled GROUP BY lang, split
+""",
+)
+def stratified_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split with EXACT per-stratum proportions:
+    documents rank by a seeded md5 key within each lang and the rank
+    boundary (integer cross-multiplied: rn*100 <= n*80) cuts exact
+    80/10/10 — unlike `hash_split_assignment`, which is proportional
+    only in expectation (binomial noise ~sqrt(n) per stratum; at small
+    strata that skews val/test). The md5 order keeps assignment
+    pseudorandom w.r.t. every real attribute while fully reproducible.
+    One lang-keyed window (rank + count ride the same exchange) and a
+    rollup; the emitted check surface is the per-(lang, split) counts
+    the allocation guarantees."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        F.md5(
+            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+        ).alias("hk"),
+    )
+    wl = Window.partitionBy("lang")
+    ranked = keyed.select(
+        "lang",
+        "doc_id",
+        F.row_number().over(wl.orderBy("hk", "doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(wl).alias("n"),
+    )
+    split = (
+        F.when(
+            F.col("rn") * 100 <= F.col("n") * _SPLIT_TRAIN_PCT, "train"
+        )
+        .when(
+            F.col("rn") * 100
+            <= F.col("n") * (_SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT),
+            "val",
+        )
+        .otherwise("test")
+    )
+    return (
+        ranked.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
