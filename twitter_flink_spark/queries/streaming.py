@@ -989,32 +989,24 @@ from twitter_flink_spark.queries.temporal import (  # noqa: E402
 )
 
 
-# oracle shared with the batch twin `cohort_retention_matrix` — the
-# streaming snapshot must reach the identical matrix
-@register("streaming_cohort_retention_mv", oracle=_CR_ORACLE)
-def streaming_cohort_retention_mv(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Streaming cohort retention (SURVEY §13): the event stream replays
-    as four micro-batches; each batch reduces to its DISTINCT
-    (user_id, day) activity pairs (map-side dedup of the heavy
-    duplication) and merges into a bucketed `PresenceMV` snapshot —
-    union+distinct per touched bucket, no stream state at all. The
-    retention matrix then derives from the maintained snapshot with the
-    SAME plan as the batch query (`retention_matrix_from_activity`), and
-    the oracle is the batch oracle verbatim: the incremental-maintenance
-    invariant, for a count-distinct-downstream aggregate that is NOT
-    partial-mergeable at matrix grain (distinct counts don't add across
-    batches; cohort assignment moves when an earlier day for a user
-    arrives late) — which is exactly why the MV maintains the reduced
-    (user, day) grain, bounded by users x days, not the matrix itself."""
+#: (applicationId, sf_dir) -> drained PresenceMV (user, day) snapshot.
+_PRESENCE_MV_DRAINED: dict = {}
+
+
+def _drained_presence_mv(spark: SparkSession, sf_dir: str):
+    """Replay the event stream into a distinct-(user, day) `PresenceMV`
+    ONCE per session and return it; every consumer of the activity
+    snapshot (cohort retention, DAU) serves from this one maintained
+    MV — which is the actual production shape: one incremental
+    pipeline, many readers — the same session-share discipline as
+    `_drained_join_ckpt`."""
     import tempfile
 
-    from twitter_flink_spark.queries.temporal import (
-        retention_matrix_from_activity,
-    )
     from twitter_flink_spark.streaming.pipeline import PresenceMV
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _PRESENCE_MV_DRAINED:
+        return _PRESENCE_MV_DRAINED[key]
     staged = _ensure_split_events(spark, sf_dir)
     schema = spark.read.parquet(staged).schema
     stream = (
@@ -1039,6 +1031,36 @@ def streaming_cohort_retention_mv(
         .start()
     )
     await_or_raise(q, 300)
+    _PRESENCE_MV_DRAINED[key] = mv
+    return mv
+
+
+# oracle shared with the batch twin `cohort_retention_matrix` — the
+# streaming snapshot must reach the identical matrix
+@register("streaming_cohort_retention_mv", oracle=_CR_ORACLE)
+def streaming_cohort_retention_mv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming cohort retention (SURVEY §13): the event stream replays
+    as four micro-batches; each batch reduces to its DISTINCT
+    (user_id, day) activity pairs (map-side dedup of the heavy
+    duplication) and merges into a bucketed `PresenceMV` snapshot —
+    union+distinct per touched bucket, no stream state at all. The
+    retention matrix then derives from the maintained snapshot with the
+    SAME plan as the batch query (`retention_matrix_from_activity`), and
+    the oracle is the batch oracle verbatim: the incremental-maintenance
+    invariant, for a count-distinct-downstream aggregate that is NOT
+    partial-mergeable at matrix grain (distinct counts don't add across
+    batches; cohort assignment moves when an earlier day for a user
+    arrives late) — which is exactly why the MV maintains the reduced
+    (user, day) grain, bounded by users x days, not the matrix itself.
+    The drained MV is session-shared with `streaming_daily_active_mv`
+    (`_drained_presence_mv` — one pipeline, many readers)."""
+    from twitter_flink_spark.queries.temporal import (
+        retention_matrix_from_activity,
+    )
+
+    mv = _drained_presence_mv(spark, sf_dir)
     return retention_matrix_from_activity(mv.snapshot())
 
 
@@ -1130,35 +1152,10 @@ def streaming_daily_active_mv(
     snapshot IS the distinct set, which is the entire point of
     maintaining the reduced grain (a per-batch count-distinct would
     not merge; the presence set does). Days-sized output, one exchange
-    over the users x days snapshot."""
-    import tempfile
-
-    from twitter_flink_spark.streaming.pipeline import PresenceMV
-
-    staged = _ensure_split_events(spark, sf_dir)
-    schema = spark.read.parquet(staged).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staged)
-    )
-    mv = PresenceMV(
-        spark,
-        key_col="user_id",
-        field_col="d",
-        prepare=lambda b: b.select(
-            "user_id", F.to_date("ts").alias("d")
-        ),
-    )
-    q = (
-        stream.writeStream.foreachBatch(mv.merge_batch)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="tfs-daumv-ckpt-")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, 300)
+    over the users x days snapshot. The MV drains once per session
+    (`_drained_presence_mv`, shared with the cohort query) — one
+    incremental pipeline, many readers."""
+    mv = _drained_presence_mv(spark, sf_dir)
     return (
         mv.snapshot()
         .groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
