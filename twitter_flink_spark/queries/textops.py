@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from twitter_flink_spark.registry import register
 from twitter_flink_spark.sources.tables import load_table, spread
@@ -2262,4 +2263,169 @@ def source_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.groupBy("true_source", "best_source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("correct").cast("long").alias("n_correct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM (interpolated, D = 0.75)
+
+
+@register(
+    "kn_bigram_doc_scores",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+  WHERE len(str_split(text, ' ')) >= 2
+),
+doc_bigrams AS (
+  SELECT doc_id, toks[j] AS w1, toks[j + 1] AS w2
+  FROM tok CROSS JOIN unnest(range(1, len(toks))) AS u(j)
+),
+big AS (SELECT w1, w2, count(*) AS c12 FROM doc_bigrams GROUP BY w1, w2),
+ctx AS (SELECT w1, count(*) AS c1 FROM doc_bigrams GROUP BY w1),
+fw AS (SELECT w1, count(*) AS n_fw FROM big GROUP BY w1),
+pc AS (SELECT w2, count(*) AS n_pre FROM big GROUP BY w2),
+types AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM big),
+model AS (
+  SELECT b.w1, b.w2,
+         CAST(round(ln((greatest(b.c12 - 0.75, 0)
+                        + 0.75 * fw.n_fw * (pc.n_pre / types.t))
+                       / ctx.c1), 10) AS DECIMAL(28,10)) AS lp
+  FROM big b
+  JOIN ctx ON ctx.w1 = b.w1
+  JOIN fw ON fw.w1 = b.w1
+  JOIN pc ON pc.w2 = b.w2
+  CROSS JOIN types
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(m.lp) AS DOUBLE) + 0.0 AS kn_logprob
+FROM doc_bigrams d
+JOIN model m ON m.w1 = d.w1 AND m.w2 = d.w2
+GROUP BY d.doc_id
+""",
+)
+def kn_bigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram log-likelihood per document
+    (Kneser & Ney 1995 / Chen & Goodman 1999, absolute discount
+    D = 0.75) — the LM-quality scorer that actually matches how
+    KenLM-style corpus filters weigh text, vs the add-k baseline in
+    `lm_bigram_doc_scores`: mass subtracted from observed bigrams is
+    redistributed via the CONTINUATION probability (how many distinct
+    contexts a word follows), so boilerplate words that appear in one
+    fixed phrase score low despite high frequency. Model terms: bigram
+    counts, context totals, distinct-follow and distinct-precede type
+    counts, total bigram types — five aggregates over the bigram grain
+    that all broadcast (model is vocab^2-bounded, fixture-small; at
+    100 TB the score join shuffles on (w1, w2) like any LM probe).
+    Each bigram's log-prob rounds to 10 decimals and the per-doc sum
+    runs in DECIMAL — token-order independent on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    db = (
+        spread(docs, "doc_id")
+        .where(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1),"
+                    " j -> struct(element_at(split(text, ' '), j) AS w1,"
+                    " element_at(split(text, ' '), j + 1) AS w2))"
+                )
+            ).alias("pos", "bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    big = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = db.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    fw = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n_fw"))
+    pc = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n_pre"))
+    types = big.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    p = (
+        F.greatest(F.col("c12") - 0.75, F.lit(0.0))
+        + 0.75 * F.col("n_fw") * (F.col("n_pre") / F.col("t"))
+    ) / F.col("c1")
+    model = (
+        big.join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(fw), "w1")
+        .join(F.broadcast(pc), "w2")
+        .join(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            F.round(F.log(p), 10).cast("decimal(28,10)").alias("lp"),
+        )
+    )
+    return (
+        db.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("lp").cast("double") + F.lit(0.0)).alias("kn_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing missing mass (unseen-vocabulary estimate per source)
+
+
+@register(
+    "good_turing_missing_mass",
+    oracle="""
+WITH tc AS (
+  SELECT source, token, count(*) AS c
+  FROM (SELECT source,
+               unnest(list_filter(str_split(text, ' '), x -> x <> ''))
+                 AS token
+        FROM documents)
+  GROUP BY source, token
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_singletons,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       floor(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000.0 / sum(c))
+         / 1000000.0 AS missing_mass
+FROM tc GROUP BY source
+""",
+)
+def good_turing_missing_mass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Good-Turing estimate of the UNSEEN-vocabulary probability mass
+    per source (Gale & Sampson 1995: P(next token is novel) ≈ N1/N,
+    the singleton fraction) — the one-number answer to "has this
+    source's vocabulary been exhausted by the crawl?" that guides
+    whether more data from a source adds diversity or repetition. One
+    (source, token) count and a source-grain rollup; all counts exact
+    integers, the single ratio floor-quantized."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "source",
+            F.explode(
+                F.filter(F.split("text", " "), lambda x: x != "")
+            ).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum((F.col("c") == 1).cast("int")).cast("long").alias(
+            "n_singletons"
+        ),
+        F.sum("c").cast("long").alias("n_tokens"),
+        (
+            F.floor(
+                F.sum((F.col("c") == 1).cast("int"))
+                * 1000000.0
+                / F.sum("c")
+            )
+            / 1e6
+        ).alias("missing_mass"),
     )
