@@ -1842,14 +1842,27 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(28,10)")
         .alias("logratio"),
     )
+    # score on the REDUCED (doc, bucket) count grain — at most
+    # {buckets} rows per doc survive the map-side combine, and the
+    # decimal multiply logratio * cnt is exactly the sum over the
+    # doc's token instances
+    dbc = b.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     return (
-        b.join(F.broadcast(lr), "bucket")
+        dbc.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            (F.sum("logratio").cast("double") + F.lit(0.0)).alias(
-                "dsir_logweight"
-            ),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            # (20,10) x (8,0) -> decimal(29,10): stays exact (28,10 x
+            # bigint would exceed precision 38 and silently lose scale)
+            (
+                F.sum(
+                    F.col("logratio").cast("decimal(20,10)")
+                    * F.col("cnt").cast("decimal(8,0)")
+                ).cast("double")
+                + F.lit(0.0)
+            ).alias("dsir_logweight"),
         )
     )
 
@@ -2211,10 +2224,22 @@ def source_likelihood_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(28,10)")
         .alias("lp"),
     )
+    # reduce to (doc, bucket) counts BEFORE the x{sources} model join:
+    # the fan-out multiplies at most {buckets} rows per doc, not the
+    # raw token stream; lp * cnt in exact decimal equals the sum over
+    # token instances
+    dbc = b.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     scored = (
-        b.join(F.broadcast(model), "bucket")
+        dbc.join(F.broadcast(model), "bucket")
         .groupBy("doc_id", "cand_source")
-        .agg(F.sum("lp").alias("score"))
+        .agg(
+            F.sum(
+                F.col("lp").cast("decimal(20,10)")
+                * F.col("cnt").cast("decimal(8,0)")
+            ).alias("score")
+        )
     )
     wnd = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("cand_source").asc()
