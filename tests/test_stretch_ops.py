@@ -244,3 +244,53 @@ def test_winnowing_selects_min_per_window(spark):
     for ws in range(len(grams) - _WIN_W + 1):
         want[min(grams[ws : ws + _WIN_W])] += 1
     assert got == dict(want)
+
+
+# --- Kneser-Ney: reference implementation pin -------------------------------
+
+
+def test_kn_bigram_matches_python_reference(spark):
+    """Interpolated KN (D=0.75) on the sf0.001 corpus: per-doc log sums
+    must match an independent dict-based implementation (rounded per
+    bigram at 10 dp exactly like the query)."""
+    from twitter_flink_spark.queries.textops import kn_bigram_doc_scores
+    from twitter_flink_spark.sources.tables import load_table
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, SF_DIR, "documents").collect()
+        if len(r.text.split(" ")) >= 2
+    }
+    big = Counter()
+    ctx = Counter()
+    for toks in docs.values():
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] += 1
+            ctx[a] += 1
+    fw = Counter()
+    pc = Counter()
+    for a, b in big:
+        fw[a] += 1
+        pc[b] += 1
+    t = float(len(big))
+    lp = {
+        (a, b): round(
+            math.log(
+                (max(c - 0.75, 0.0) + 0.75 * fw[a] * (pc[b] / t)) / ctx[a]
+            ),
+            10,
+        )
+        for (a, b), c in big.items()
+    }
+    expected = {}
+    for did, toks in docs.items():
+        pairs = list(zip(toks, toks[1:]))
+        expected[did] = (
+            len(pairs),
+            round(sum(lp[p] for p in pairs), 6),
+        )
+    got = {
+        r.doc_id: (r.n_bigrams, round(r.kn_logprob, 6))
+        for r in kn_bigram_doc_scores(spark, SF_DIR).collect()
+    }
+    assert got == expected
