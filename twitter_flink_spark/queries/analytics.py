@@ -1010,3 +1010,209 @@ def kcore_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core_peel(
         edges, k=_KCORE_K, rounds=_KCORE_ROUNDS, a_col="t1", b_col="t2"
     ).select(F.col("v").alias("token"), "degree")
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution (3 unrolled power steps, exact rounding)
+
+_MKV_ROUNDS = 3
+
+
+def _markov_stationary_oracle() -> str:
+    # unrolled power iteration: pi_{k+1}(j) = sum_i pi_k(i) P(i, j),
+    # each pi re-rounded to 10 dp so both engines walk identical values
+    steps = []
+    prev = "pi0"
+    for k in range(1, _MKV_ROUNDS + 1):
+        steps.append(f"""
+pi{k} AS (
+  SELECT p.to_type AS state,
+         CAST(round(sum(CAST({prev}.p AS DOUBLE) * CAST(p.prob AS DOUBLE)),
+                    10) AS DECIMAL(28,10)) AS p
+  FROM {prev} JOIN pmat p ON p.from_type = {prev}.state
+  GROUP BY p.to_type
+)""")
+        prev = f"pi{k}"
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+trans AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT from_type, sum(n) AS t FROM trans GROUP BY 1),
+pmat AS (
+  SELECT tr.from_type, tr.to_type,
+         CAST(round(tr.n * 1.0 / tot.t, 10) AS DECIMAL(28,10)) AS prob
+  FROM trans tr JOIN tot USING (from_type)
+),
+states AS (SELECT DISTINCT from_type AS state FROM pmat),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM states),
+pi0 AS (
+  SELECT state, CAST(round(1.0 / ns.n, 10) AS DECIMAL(28,10)) AS p
+  FROM states, ns
+),{",".join(steps)}
+SELECT state AS event_type, CAST(p AS DOUBLE) + 0.0 AS stationary_p
+FROM {prev}
+"""
+
+
+@register("event_markov_stationary", oracle=_markov_stationary_oracle())
+def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate stationary distribution of the event-type Markov
+    chain — {_MKV_ROUNDS} unrolled power-iteration steps from the
+    uniform start over the empirical transition matrix
+    (`event_transition_matrix`'s P, re-derived here at 10 dp): where
+    user behavior settles if the observed dynamics keep running, the
+    summary a capacity planner reads next to the raw frequencies. The
+    matrix and every pi live at TYPES grain (5 rows), so each step is
+    a broadcast join over tiny frames; the only data-sized work is the
+    one user-keyed window building transitions. Determinism: P entries
+    and every intermediate pi round to 10 dp (the same per-round
+    re-rounding discipline as PageRank), so both engines walk
+    identical vectors; no convergence test, a FIXED {_MKV_ROUNDS}
+    steps (power iteration on a 5-state chain is near-converged by
+    then, and fixed trip counts are reproducible)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = trans.groupBy("from_type").agg(F.sum("n").alias("t"))
+    pmat = (
+        trans.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.round(F.col("n") * 1.0 / F.col("t"), 10)
+            .cast("decimal(28,10)")
+            .alias("prob"),
+        )
+        .persist()
+    )
+    states = pmat.select(
+        F.col("from_type").alias("state")
+    ).distinct()
+    ns = states.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    pi = states.join(F.broadcast(ns)).select(
+        "state",
+        F.round(F.lit(1.0) / F.col("n"), 10)
+        .cast("decimal(28,10)")
+        .alias("p"),
+    )
+    for _ in range(_MKV_ROUNDS):
+        pi = (
+            pi.join(
+                F.broadcast(pmat), pi["state"] == pmat["from_type"]
+            )
+            .groupBy(F.col("to_type").alias("state2"))
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("p").cast("double")
+                        * F.col("prob").cast("double")
+                    ),
+                    10,
+                )
+                .cast("decimal(28,10)")
+                .alias("p")
+            )
+            .select(F.col("state2").alias("state"), "p")
+        )
+    return pi.select(
+        F.col("state").alias("event_type"),
+        (F.col("p").cast("double") + F.lit(0.0)).alias("stationary_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weight of evidence (event-type features vs the churn label)
+
+
+@register(
+    "woe_event_type_churn",
+    oracle="""
+WITH u AS (
+  SELECT user_id, max(CAST(ts AS DATE)) AS last_day FROM events
+  GROUP BY user_id
+),
+horizon AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+lbl AS (
+  SELECT u.user_id,
+         CAST(date_diff('day', u.last_day, horizon.h) >= 7 AS INTEGER)
+           AS churned
+  FROM u, horizon
+),
+e AS (
+  SELECT ev.event_type, l.churned FROM events ev
+  JOIN lbl l ON l.user_id = ev.user_id
+),
+per AS (
+  SELECT event_type,
+         sum(churned) AS n_pos,
+         sum(1 - churned) AS n_neg
+  FROM e GROUP BY event_type
+),
+tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM per)
+SELECT p.event_type,
+       CAST(p.n_pos AS BIGINT) AS n_churned_events,
+       CAST(p.n_neg AS BIGINT) AS n_retained_events,
+       round(ln(((p.n_pos + 0.5) / (tot.tp + 0.5))
+                / ((p.n_neg + 0.5) / (tot.tn + 0.5))), 6) AS woe
+FROM per p, tot
+""",
+)
+def woe_event_type_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of evidence of each event type against the churn label
+    (the credit-scoring feature transform: WOE = ln(share of positive
+    events / share of negative events), 0.5-smoothed) — which event
+    types are over-represented among soon-to-churn users' activity.
+    Composes `user_churn_flags`' labeling rule (inactive >= 7 days at
+    the horizon) with an event-grain join: labels live at USER grain
+    (one aggregate), broadcast back onto events, and WOE evaluates on
+    the types-sized rollup. The label join is the only data-sized
+    work; at 100 TB the label table still broadcasts (users << events)
+    or bucket-joins on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day")
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("h"))
+    lbl = u.join(F.broadcast(horizon)).select(
+        "user_id",
+        (F.datediff(F.col("h"), F.col("last_day")) >= 7)
+        .cast("int")
+        .alias("churned"),
+    )
+    e = ev.join(F.broadcast(lbl), "user_id").select(
+        "event_type", "churned"
+    )
+    per = e.groupBy("event_type").agg(
+        F.sum("churned").alias("n_pos"),
+        F.sum(1 - F.col("churned")).alias("n_neg"),
+    )
+    tot = per.agg(
+        F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn")
+    )
+    return per.join(F.broadcast(tot)).select(
+        "event_type",
+        F.col("n_pos").cast("long").alias("n_churned_events"),
+        F.col("n_neg").cast("long").alias("n_retained_events"),
+        F.round(
+            F.log(
+                ((F.col("n_pos") + 0.5) / (F.col("tp") + 0.5))
+                / ((F.col("n_neg") + 0.5) / (F.col("tn") + 0.5))
+            ),
+            6,
+        ).alias("woe"),
+    )
