@@ -1216,3 +1216,103 @@ def woe_event_type_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("woe"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time join (fact @ SCD2 validity interval)
+
+
+@register(
+    "pit_join_purchases_status",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, ts,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_id, event_type, ts
+  FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+),
+iv AS (
+  SELECT user_id, event_type AS status, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM changes
+),
+p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+       iv.status, iv.valid_from AS status_since
+FROM p JOIN iv ON iv.user_id = p.user_id
+              AND p.ts >= iv.valid_from
+              AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)
+""",
+)
+def pit_join_purchases_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point-in-time join: every purchase annotated with the SCD2
+    status interval (`scd2_user_status_intervals`' dimension) that was
+    VALID AT the purchase timestamp — the temporal-warehouse pattern
+    behind "price as of order date" / feature-store PIT correctness
+    (joining the CURRENT dimension row instead leaks the future). The
+    plan is the scalable AS-OF formulation, not a range join: interval
+    starts (kind 0) union with purchases (kind 1), ONE user-keyed
+    window carries last(status/valid_from ignore nulls) ordered by
+    (ts, kind, event_id) — at equal timestamps the interval boundary
+    sorts first, so a purchase at a boundary lands in the newly-opened
+    interval, exactly the [valid_from, valid_to) convention the ORACLE
+    expresses as the naive BETWEEN join (the gate certifies the window
+    rewrite against the obvious-but-quadratic formulation)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select(
+            "user_id",
+            F.lit(0).alias("kind"),
+            F.col("event_id").alias("src_event_id"),
+            "ts",
+            F.col("event_type").alias("status"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("src_event_id"),
+        "ts",
+        F.lit(None).cast("string").alias("status"),
+    )
+    unioned = changes.unionByName(purchases)
+    wu = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "src_event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    annotated = unioned.select(
+        "user_id",
+        "kind",
+        "src_event_id",
+        "ts",
+        F.last("status", ignorenulls=True).over(wu).alias("pit_status"),
+        F.last(
+            F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True
+        )
+        .over(wu)
+        .alias("status_since"),
+    )
+    return annotated.where(F.col("kind") == 1).select(
+        F.col("src_event_id").alias("event_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("pit_status").alias("status"),
+        "status_since",
+    )
