@@ -365,3 +365,79 @@ def bitmap_overlap_purchase_click(
         .cast("long")
         .alias("n_both"),
     )
+
+
+@register(
+    "hll_rolling_7day_actives",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+days AS (SELECT DISTINCT d FROM act),
+win AS (
+  SELECT dd.d AS window_day, a.user_id
+  FROM act a JOIN days dd ON a.d <= dd.d AND a.d > dd.d - 7
+)
+SELECT strftime(window_day, '%Y-%m-%d') AS window_day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_7d,
+       TRUE AS within_10pct
+FROM win GROUP BY window_day
+""",
+)
+def hll_rolling_7day_actives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SKETCH path for `rolling_7day_actives`: one DataSketches HLL
+    per DAY (`hll_sketch_agg`, a mergeable ~KB partial), each window
+    day unions its 7 daily sketches (`hll_union_agg`) — the rollup
+    never re-touches user ids, which is the scale point: exact rolling
+    distinct re-expands the users x days grain per window, the sketch
+    path moves 7 kilobyte-sized objects per window regardless of user
+    count (this is how a 100 TB pipeline serves every trailing-window
+    distinct metric from one daily sketch table). Emission follows the
+    sketch-family contract: the hash-matched columns are the exact
+    count and an integer-exact boolean pinning the union estimate
+    within 10% (|est - exact| * 10 <= exact); an estimator or merge
+    regression flips the boolean and the row stops matching."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    daily = act.groupBy("d").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    days = act.select(F.col("d").alias("window_day")).distinct()
+    sk_win = (
+        daily.select(
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+            ).alias("window_day"),
+            "sk",
+        )
+        .join(F.broadcast(days), "window_day")
+        .groupBy("window_day")
+        .agg(
+            F.expr(
+                "hll_sketch_estimate(hll_union_agg(sk))"
+            ).alias("est")
+        )
+    )
+    exact_win = (
+        act.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+            ).alias("window_day"),
+        )
+        .join(F.broadcast(days), "window_day")
+        .groupBy("window_day")
+        .agg(F.count_distinct("user_id").alias("exact_7d"))
+    )
+    return exact_win.join(sk_win, "window_day").select(
+        F.date_format("window_day", "yyyy-MM-dd").alias("window_day"),
+        F.col("exact_7d").cast("long").alias("exact_7d"),
+        (
+            F.abs(F.col("est") - F.col("exact_7d")) * 10
+            <= F.col("exact_7d")
+        ).alias("within_10pct"),
+    )

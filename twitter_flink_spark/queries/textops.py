@@ -2454,3 +2454,79 @@ def good_turing_missing_mass(
             / 1e6
         ).alias("missing_mass"),
     )
+
+
+def _nb_calibration_oracle() -> str:
+    return f"""
+WITH best AS ( {_source_nb_oracle()} ),
+toks AS (
+  SELECT doc_id,
+         len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+normed AS (
+  SELECT b.doc_id, b.correct,
+         round(b.best_score / t.n_tokens, 10) AS norm_score
+  FROM best b JOIN toks t USING (doc_id)
+),
+binned AS (
+  SELECT correct,
+         CAST(ntile(5) OVER (ORDER BY norm_score DESC, doc_id)
+              AS INTEGER) AS confidence_bin
+  FROM normed
+)
+SELECT confidence_bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(correct) AS BIGINT) AS n_correct,
+       floor(sum(correct) * 1000000.0 / count(*)) / 1000000.0
+         AS accuracy
+FROM binned GROUP BY confidence_bin
+"""
+
+
+@register("nb_calibration_bins", oracle=_nb_calibration_oracle())
+def nb_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table for the naive-Bayes attribution: documents
+    rank into 5 confidence bins by LENGTH-NORMALIZED best log-
+    likelihood (raw score scales with document length, which would
+    make the bins a length histogram) and each bin reports its
+    accuracy — the reliability-diagram input that says whether the
+    classifier's confidence MEANS anything (monotone accuracy across
+    bins = usable for thresholding; flat = ignore the score). The
+    normalized score rounds to 10 dp BEFORE ranking so the ntile
+    boundary cannot flip on a 1-ulp division difference; everything
+    after is integer counts and one floor-quantized ratio on a 5-row
+    frame. The global ntile is a single-partition sort of the scored
+    docs — correct here because calibration runs on an EVAL SAMPLE by
+    construction (at 100 TB you rank the held-out sample, never the
+    corpus; equal-width score bins would be the streaming-friendly
+    alternative)."""
+    best = source_likelihood_argmax(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("n_tokens"),
+    )
+    normed = best.join(toks, "doc_id").select(
+        "doc_id",
+        "correct",
+        F.round(F.col("best_score") / F.col("n_tokens"), 10).alias(
+            "norm_score"
+        ),
+    )
+    wnd = Window.orderBy(
+        F.col("norm_score").desc(), F.col("doc_id").asc()
+    )
+    binned = normed.select(
+        "correct", F.ntile(5).over(wnd).cast("int").alias("confidence_bin")
+    )
+    return binned.groupBy("confidence_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("correct").cast("long").alias("n_correct"),
+        (
+            F.floor(F.sum("correct") * 1000000.0 / F.count(F.lit(1)))
+            / 1e6
+        ).alias("accuracy"),
+    )
