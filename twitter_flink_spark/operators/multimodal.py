@@ -155,3 +155,36 @@ def sample_frames(with_payload: DataFrame, n_frames_mod: int = 8) -> DataFrame:
             yield pd.DataFrame(out)
 
     return with_payload.mapInPandas(frames, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def byte_histogram(with_payload: DataFrame) -> DataFrame:
+    """mapInPandas: (doc_id, payload) → (doc_id, byte_value, cnt) rows —
+    a REAL vectorized numpy computation over the raw bytes (np.unique
+    per payload), unlike the deliberately-stubbed pixel decodes: byte
+    histograms need no media library, so this path exercises the Arrow
+    boundary with genuine per-byte work. The boundary stays
+    INTEGER-ONLY (counts, not floats), so the Python side cannot
+    introduce cross-engine numeric drift; any entropy/statistics math
+    happens JVM-side downstream."""
+    import pandas as pd
+
+    schema = "doc_id long, byte_value int, cnt long"
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids = []
+            vals = []
+            cnts = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                u, c = np.unique(arr, return_counts=True)
+                ids.extend([did] * len(u))
+                vals.extend(int(x) for x in u)
+                cnts.extend(int(x) for x in c)
+            yield pd.DataFrame(
+                {"doc_id": ids, "byte_value": vals, "cnt": cnts}
+            )
+
+    return with_payload.mapInPandas(gen, schema=schema)

@@ -110,3 +110,63 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cnt") > 0)
         .select("doc_id", F.col("bucket").cast("int").alias("bucket"), "cnt")
     )
+
+
+@register(
+    "multimodal_byte_entropy",
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, substr(text, i.i, 1) AS c
+  FROM documents, unnest(range(1, strlen(text) + 1)) AS i(i)
+),
+hist AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+tot AS (SELECT doc_id, sum(cnt) AS n FROM hist GROUP BY doc_id),
+terms AS (
+  SELECT h.doc_id,
+         CAST(round(-(h.cnt * 1.0 / t.n) * ln(h.cnt * 1.0 / t.n), 10)
+              AS DECIMAL(28,10)) AS term
+  FROM hist h JOIN tot t USING (doc_id)
+)
+SELECT t.doc_id,
+       CAST(tt.n AS BIGINT) AS n_bytes,
+       CAST(count(*) AS BIGINT) AS n_distinct_bytes,
+       CAST(sum(t.term) AS DOUBLE) + 0.0 AS byte_entropy_nats
+FROM terms t JOIN tot tt USING (doc_id)
+GROUP BY t.doc_id, tt.n
+""",
+)
+def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level Shannon entropy of each binary payload — the cheap
+    content-type/corruption screen a media pipeline runs BEFORE any
+    decode (ASCII text ≈ 4 nats ceiling, compressed/encrypted media
+    ≈ ln 256, truncated or constant payloads collapse toward 0). The
+    byte histogram is REAL numpy over the raw bytes inside mapInPandas
+    (`operators/multimodal.py::byte_histogram`) with an INTEGER-ONLY
+    Arrow boundary — counts cross back to the JVM, and the entropy
+    terms (round(-p ln p, 10), DECIMAL-summed) evaluate with the same
+    built-in expressions as `entropy_tokens_by_source`, so no Python
+    libm ever touches a hashed float. Oracle: the payload is the
+    UTF-8 image of the ASCII fixture text, so per-CHARACTER counts in
+    SQL reproduce the per-byte histogram exactly."""
+    from twitter_flink_spark.operators.multimodal import byte_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = byte_histogram(attach_payload(spread(docs, "doc_id")))
+    tot = hist.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    p = F.col("cnt") * 1.0 / F.col("n")
+    terms = hist.join(tot, "doc_id").select(
+        "doc_id",
+        "n",
+        F.round(-p * F.log(p), 10).cast("decimal(28,10)").alias("term"),
+    )
+    return terms.groupBy("doc_id", "n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_bytes"),
+        (F.sum("term").cast("double") + F.lit(0.0)).alias(
+            "byte_entropy_nats"
+        ),
+    ).select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_bytes"),
+        "n_distinct_bytes",
+        "byte_entropy_nats",
+    )
