@@ -53,3 +53,25 @@ def test_locations_and_followings_parse(tmp_path):
 
     assert PipelineConfig().location_boxes == []
     assert PipelineConfig().following_ids == []
+
+
+def test_run_registered_resolves_and_rejects(spark):
+    from twitter_flink_spark.__main__ import run_registered
+
+    df = run_registered(
+        spark, "q6_forecast_revenue", "/root/testdata/sf0.001"
+    )
+    assert df.count() == 1
+    import pytest
+
+    with pytest.raises(SystemExit, match="close matches"):
+        run_registered(spark, "q6_forecast_revenu", "/root/testdata/sf0.001")
+
+
+def test_cli_mode_query_roundtrip():
+    from twitter_flink_spark.config import resolve
+
+    cfg = resolve(["--mode", "query", "--query", "dedup_exact"])
+    assert cfg.mode == "query" and cfg.query == "dedup_exact"
+    cfg2 = resolve(["--mode", "list"])
+    assert cfg2.mode == "list" and cfg2.query is None

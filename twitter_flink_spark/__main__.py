@@ -1,11 +1,16 @@
-"""CLI entry point: run the flagship pipeline batch or streaming.
+"""CLI entry point: run the flagship pipeline batch or streaming, or any
+registered query by name.
 
 Batch:  python -m twitter_flink_spark --sf-dir /root/testdata/sf0.001 --N 5
 Stream: python -m twitter_flink_spark --mode stream
+List:   python -m twitter_flink_spark --mode list
+Query:  python -m twitter_flink_spark --mode query --query q1_pricing_summary
 
 Prints the per-window top-N leaderboard (reference console sink, O12) and —
 when a Redis host is configured — would upsert rank-keyed entries (O13; the
-in-process KVStore stands in, printed at exit).
+in-process KVStore stands in, printed at exit). `--mode query` exposes the
+whole registry (the complete-engine surface a reference user migrates to)
+through the same console sink.
 """
 
 from __future__ import annotations
@@ -16,6 +21,22 @@ from twitter_flink_spark.config import resolve
 from twitter_flink_spark.session import get_spark
 
 
+def run_registered(spark, name: str, sf_dir: str, n_rows: int = 20):
+    """Run one registered query and return its DataFrame (the testable
+    core of `--mode query`)."""
+    from twitter_flink_spark.registry import QUERIES
+
+    if name not in QUERIES:
+        import difflib
+
+        close = difflib.get_close_matches(name, QUERIES, n=3)
+        raise SystemExit(
+            f"unknown query {name!r}; close matches: {close}; "
+            f"--mode list prints all {len(QUERIES)}"
+        )
+    return QUERIES[name](spark, sf_dir)
+
+
 def main(argv: list[str] | None = None) -> int:
     cfg = resolve(argv)
     spark = get_spark(
@@ -23,6 +44,19 @@ def main(argv: list[str] | None = None) -> int:
         shuffle_partitions=cfg.parallelism or None,
     )
     try:
+        if cfg.mode == "list":
+            from twitter_flink_spark.registry import QUERIES
+
+            for name in sorted(QUERIES):
+                print(name)
+            return 0
+        if cfg.mode == "query":
+            if not cfg.query:
+                raise SystemExit("--mode query requires --query <name>")
+            df = run_registered(spark, cfg.query, cfg.sf_dir)
+            df.show(cfg.N or 20, truncate=False)
+            print(f"{cfg.query}: {df.count()} rows")
+            return 0
         if cfg.mode == "stream":
             from twitter_flink_spark.streaming.pipeline import TopNFeedback
 

@@ -100,7 +100,10 @@ def resolve(args: list[str] | None = None) -> PipelineConfig:
     for fld in fields(PipelineConfig):
         ap.add_argument(f"--{fld.name}", type=_ftype(fld), default=None)
     ap.add_argument("--sf-dir", dest="sf_dir", default="/root/testdata/sf0.001")
-    ap.add_argument("--mode", choices=["batch", "stream"], default="batch")
+    ap.add_argument(
+        "--mode", choices=["batch", "stream", "query", "list"], default="batch"
+    )
+    ap.add_argument("--query", default=None)
     ns = ap.parse_args(args)
 
     cfg = from_properties(ns.properties) if ns.properties else PipelineConfig()
@@ -110,4 +113,5 @@ def resolve(args: list[str] | None = None) -> PipelineConfig:
             setattr(cfg, fld.name, val)
     cfg.sf_dir = ns.sf_dir  # type: ignore[attr-defined]
     cfg.mode = ns.mode  # type: ignore[attr-defined]
+    cfg.query = ns.query  # type: ignore[attr-defined]
     return cfg
