@@ -530,3 +530,53 @@ def test_dpp_prunes_fact_partitions(spark):
     prune fact partition DIRECTORIES at execution time."""
     plan = plan_of(spark, "dpp_partitioned_fact_join")
     assert "dynamicpruning" in plan, plan
+
+
+def test_bounce_rate_single_user_exchange(spark):
+    """Session build (lag + running sum) and BOTH rollup aggregates must
+    share ONE user_id exchange — the bounce rollup adds no shuffle."""
+    plan = plan_of(spark, "session_bounce_rate")
+    n = len(re.findall(r"Exchange hashpartitioning\(user_id", plan))
+    assert n == 1, plan
+
+
+def test_kn_scoring_joins_are_broadcast(spark):
+    """Every KN model join (context totals, follow/precede types, total
+    types, and the scoring probe itself) must be broadcast — the
+    vocab^2-bounded model never drags the bigram stream through a
+    sort-merge join."""
+    plan = plan_of(spark, "kn_bigram_doc_scores")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cusum_daily_single_cell_exchange(spark):
+    """The per-(type, day) walk and its aggregate share one exchange
+    keyed by both columns — the partitioned variant must not fall back
+    to a type-only (scan-length-unbounded) key."""
+    plan = plan_of(spark, "cusum_daily_excursion")
+    n = len(
+        re.findall(r"Exchange hashpartitioning\(event_type[^)]*day", plan)
+    )
+    assert n >= 1, plan
+
+
+def test_pit_join_is_windowed_not_range_join(spark):
+    """The PIT join must run as the as-of window rewrite: no nested-loop
+    or range join anywhere, one user_id exchange feeding the union's
+    window."""
+    plan = plan_of(spark, "pit_join_purchases_status")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_bitmap_distinct_buckets_then_types(spark):
+    """Bitmap distinct: the raw scan reduces to (type, bucket) bitmap
+    partials first; no exchange ever carries raw user ids (the id
+    column dies at the first map-side aggregate)."""
+    plan = plan_of(spark, "bitmap_distinct_users_per_type")
+    assert re.search(
+        r"Exchange hashpartitioning\(event_type[^)]*bucket", plan
+    ), plan
+    assert "bitmap_construct_agg" in plan, plan
