@@ -1104,3 +1104,101 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_in_nontrivial_cluster"),
     )
+
+
+def _compression_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+bidir AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+walk(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM bidir)
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN bidir e ON e.a = w.node
+),
+cl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node),
+assigned AS (
+  SELECT d.doc_id, d.n_chars, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+),
+near AS (
+  SELECT count(DISTINCT cluster_id) AS n_near,
+         sum(n_chars) AS all_chars
+  FROM assigned
+),
+keepers AS (
+  SELECT sum(n_chars) AS kept_chars FROM (
+    SELECT cluster_id, arg_min(n_chars, doc_id) AS n_chars
+    FROM assigned GROUP BY cluster_id
+  )
+),
+exact AS (SELECT count(DISTINCT text) AS n_exact FROM documents),
+tot AS (SELECT count(*) AS n_docs FROM documents)
+SELECT CAST(tot.n_docs AS BIGINT) AS n_docs,
+       CAST(exact.n_exact AS BIGINT) AS n_after_exact,
+       CAST(near.n_near AS BIGINT) AS n_after_near,
+       CAST(near.all_chars AS BIGINT) AS total_chars,
+       CAST(keepers.kept_chars AS BIGINT) AS kept_chars,
+       floor((near.all_chars - keepers.kept_chars) * 1000000.0
+             / near.all_chars) / 1000000.0 AS chars_removed_frac
+FROM tot, exact, near, keepers
+"""
+
+
+@register("dedup_compression_summary", oracle=_compression_oracle())
+def dedup_compression_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The dedup pipeline's HEADLINE row: corpus size before dedup,
+    after exact dedup, after near-dedup (MinHash-LSH + CC clusters,
+    singletons counted as their own cluster), and the character mass
+    removed when each cluster keeps its min-doc_id survivor — the
+    one-line business case ("dedup shrinks this corpus by X%") that
+    `dedup_cluster_size_histogram` breaks down by cluster size.
+    Survivor selection pins (doc_id ASC) so kept_chars is
+    deterministic. All aggregates run on grains already reduced by the
+    shared pair/cluster machinery; output is a single row."""
+    from twitter_flink_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5, ngram=3)
+    cl = connected_components(pairs)
+    assigned = docs.select("doc_id", "n_chars", "text").join(
+        cl, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "n_chars",
+        "text",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    keepers = (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.min(F.struct("doc_id", "n_chars")).alias("k")
+        )
+        .agg(F.sum("k.n_chars").alias("kept_chars"))
+    )
+    summary = assigned.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("text").alias("n_after_exact"),
+        F.count_distinct("cluster_id").alias("n_after_near"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return summary.join(F.broadcast(keepers)).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_after_exact").cast("long").alias("n_after_exact"),
+        F.col("n_after_near").cast("long").alias("n_after_near"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.col("kept_chars").cast("long").alias("kept_chars"),
+        (
+            F.floor(
+                (F.col("total_chars") - F.col("kept_chars"))
+                * 1000000.0
+                / F.col("total_chars")
+            )
+            / 1e6
+        ).alias("chars_removed_frac"),
+    )
