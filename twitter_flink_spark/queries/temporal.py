@@ -1327,3 +1327,102 @@ def recency_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decayed_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable rollup hierarchy (continuous-aggregate derivation chain)
+
+
+@register(
+    "hypertable_rollup_hierarchy",
+    oracle="""
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS m_start,
+         CAST(floor(value * 100) AS BIGINT) AS v100
+  FROM events
+),
+minute AS (
+  SELECT event_type, m_start AS bucket_start,
+         count(*) AS cnt, sum(v100) AS sum_v100
+  FROM base GROUP BY 1, 2
+),
+hour AS (
+  SELECT event_type,
+         CAST(floor(bucket_start / 3600) * 3600 AS BIGINT) AS bucket_start,
+         sum(cnt) AS cnt, sum(sum_v100) AS sum_v100
+  FROM minute GROUP BY 1, 2
+),
+day AS (
+  SELECT event_type,
+         CAST(floor(bucket_start / 86400) * 86400 AS BIGINT) AS bucket_start,
+         sum(cnt) AS cnt, sum(sum_v100) AS sum_v100
+  FROM hour GROUP BY 1, 2
+)
+SELECT 'minute' AS grain, event_type, bucket_start,
+       CAST(cnt AS BIGINT) AS cnt, CAST(sum_v100 AS BIGINT) AS sum_v100
+FROM minute
+UNION ALL
+SELECT 'hour', event_type, bucket_start,
+       CAST(cnt AS BIGINT), CAST(sum_v100 AS BIGINT) FROM hour
+UNION ALL
+SELECT 'day', event_type, bucket_start,
+       CAST(cnt AS BIGINT), CAST(sum_v100 AS BIGINT) FROM day
+""",
+)
+def hypertable_rollup_hierarchy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy (the TimescaleDB
+    rollup pattern): minute-grain aggregates from raw events, HOUR
+    derived from the minute PARTIALS, DAY from the hour partials — raw
+    data is scanned exactly once; every coarser grain is a sum-of-sums
+    over the already-reduced frame (counts and quantized value sums are
+    additive, which is the whole trick: store partials, roll up
+    losslessly forever). This is how a 100 TB metrics store serves
+    every zoom level: one (type, minute) exchange is the only
+    data-sized shuffle, the hour/day rollups move minutes- and
+    hours-sized frames. Epoch arithmetic is integer throughout and
+    values quantize to 1e-2 before summing, so every grain is exact
+    int64 on both engines; the emitted union carries all three grains
+    with a `grain` discriminator."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 60) * 60)
+        .cast("long")
+        .alias("m_start"),
+        F.floor(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    minute = base.groupBy(
+        "event_type", F.col("m_start").alias("bucket_start")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("v100").alias("sum_v100")
+    )
+    hour = minute.groupBy(
+        "event_type",
+        (F.floor(F.col("bucket_start") / 3600) * 3600)
+        .cast("long")
+        .alias("bucket_start"),
+    ).agg(F.sum("cnt").alias("cnt"), F.sum("sum_v100").alias("sum_v100"))
+    day = hour.groupBy(
+        "event_type",
+        (F.floor(F.col("bucket_start") / 86400) * 86400)
+        .cast("long")
+        .alias("bucket_start"),
+    ).agg(F.sum("cnt").alias("cnt"), F.sum("sum_v100").alias("sum_v100"))
+
+    def shape(df, grain):
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "event_type",
+            F.col("bucket_start").cast("long").alias("bucket_start"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("sum_v100").cast("long").alias("sum_v100"),
+        )
+
+    return (
+        shape(minute, "minute")
+        .unionByName(shape(hour, "hour"))
+        .unionByName(shape(day, "day"))
+    )
