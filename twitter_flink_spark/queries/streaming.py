@@ -1216,3 +1216,121 @@ def streaming_dedup_then_window(
         "cnt",
     )
     return run_to_memory(out, output_mode="append")
+
+
+#: sf_dir the two-file late-data staging was last built for
+_LATE_STAGED_FOR: dict[str, str] = {}
+
+
+def _ensure_late_staged(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as THREE files with controlled arrival order:
+    00-early = days before the split date, 01-rest = the remaining
+    days (its processing advances the watermark past every early
+    window and emits them), 02-replay = a re-delivery of the oldest
+    days — arriving strictly AFTER its windows were emitted, the only
+    situation where the drop is guaranteed (a late row arriving in the
+    same batch that closes its window may legally be absorbed: the
+    watermark filter is planned a batch behind the eviction watermark
+    — measured). Modification times pin the arrival order."""
+    import os
+    import shutil
+    import tempfile
+
+    from twitter_flink_spark.sources.tables import load_table
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "tfs-late-" + sf_dir.strip("/").replace("/", "-"),
+    )
+    if _LATE_STAGED_FOR.get("sf") == sf_dir and os.path.isdir(dest):
+        return dest
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest)
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    ).collect()[0]
+    import datetime
+
+    split = bounds.d0 + datetime.timedelta(days=20)
+    replay_before = bounds.d0 + datetime.timedelta(days=10)
+    early = ev.where(F.to_date("ts") < F.lit(split))
+    rest = ev.where(F.to_date("ts") >= F.lit(split))
+    replay = ev.where(
+        (F.to_date("ts") < F.lit(replay_before))
+        & (F.col("event_id") % 37 == 0)
+    )
+    for i, part in ((0, early), (1, rest), (2, replay)):
+        tmp = os.path.join(dest, f"_b{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(
+            os.path.join(tmp, src), os.path.join(dest, f"{i:02d}.parquet")
+        )
+        shutil.rmtree(tmp)
+        # pin arrival order for the file source (oldest mtime first)
+        os.utime(os.path.join(dest, f"{i:02d}.parquet"), (1_000_000 + i, 1_000_000 + i))
+    _LATE_STAGED_FOR["sf"] = sf_dir
+    return dest
+
+
+@register(
+    "streaming_late_drop_metrics",
+    oracle="""
+WITH bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS d0 FROM events
+),
+counts AS (
+  SELECT to_timestamp(CAST(floor(epoch(ts)/60)*60 AS BIGINT))::TIMESTAMP
+           AS window_start,
+         event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+maxts AS (SELECT max(ts) AS mx FROM events)
+SELECT c.window_start,
+       c.window_start + INTERVAL 60 SECOND AS window_end,
+       c.event_type, c.cnt
+FROM counts c, maxts
+WHERE c.window_start + INTERVAL 60 SECOND <= maxts.mx - INTERVAL 1 SECOND
+""",
+)
+def streaming_late_drop_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The late-data contract, pinned through OUTPUT: three staged
+    batches — early days, the remaining days (advancing the watermark
+    past every early window and emitting them), then a REPLAY of
+    10-day-old rows arriving strictly after their windows closed
+    (`_ensure_late_staged` pins arrival order via mtime). A correct
+    engine drops every replayed row — append mode never re-emits an
+    emitted window — so the run's output must equal the plain windowed
+    counts over the ORIGINAL events under the usual emission rule: no
+    inflated counts, no duplicate window rows; a regression that
+    admits late rows into closed windows flips the hash either way.
+    Two measured subtleties this query documents: (1) the watermark
+    FILTER is planned one batch behind the eviction watermark, so a
+    late row landing in the same batch that closes its window is
+    legally absorbed — the guaranteed drop needs arrival strictly
+    after emission, hence three files; (2) for windowed aggregations
+    the late discard happens in a plain Filter before the stateful
+    operator, so `numRowsDroppedByWatermark` stays 0 — that telemetry
+    belongs to dedup/join state, not aggregates."""
+    staged = _ensure_late_staged(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy(F.window("ts", "60 seconds"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "cnt",
+        )
+    )
+    return run_to_memory(agg, output_mode="append")
