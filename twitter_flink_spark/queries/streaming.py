@@ -1275,7 +1275,7 @@ def _ensure_late_staged(spark: SparkSession, sf_dir: str) -> str:
 
 
 @register(
-    "streaming_late_drop_metrics",
+    "streaming_late_data_contract",
     oracle="""
 WITH bounds AS (
   SELECT min(CAST(ts AS DATE)) AS d0 FROM events
@@ -1294,7 +1294,7 @@ FROM counts c, maxts
 WHERE c.window_start + INTERVAL 60 SECOND <= maxts.mx - INTERVAL 1 SECOND
 """,
 )
-def streaming_late_drop_metrics(
+def streaming_late_data_contract(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The late-data contract, pinned through OUTPUT: three staged
@@ -1334,3 +1334,75 @@ def streaming_late_drop_metrics(
         )
     )
     return run_to_memory(agg, output_mode="append")
+
+
+@register(
+    "streaming_watermark_frontier",
+    oracle="""
+WITH bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS d0 FROM events
+),
+early AS (
+  SELECT max(ts) AS m FROM events, bounds
+  WHERE CAST(ts AS DATE) < bounds.d0 + INTERVAL 20 DAY
+),
+rest AS (
+  SELECT max(ts) AS m FROM events, bounds
+  WHERE CAST(ts AS DATE) >= bounds.d0 + INTERVAL 20 DAY
+)
+SELECT TIMESTAMP '1970-01-01 00:00:00' AS watermark
+UNION ALL
+SELECT date_trunc('milliseconds', m - INTERVAL 1 SECOND) FROM early
+UNION ALL
+SELECT date_trunc('milliseconds', m - INTERVAL 1 SECOND) FROM rest
+""",
+)
+def streaming_watermark_frontier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The watermark FRONTIER as data: the distinct set of watermark
+    values the engine planned across the staged three-batch replay —
+    epoch at batch 0, max(early) - 1s once batch 0's stats apply,
+    max(rest) - 1s after batch 1, and NO REGRESSION when the
+    late-replay batch (whose event times are 10+ days old) processes:
+    the frontier is monotone, which is the property every eviction
+    decision in this repo leans on. Read from each batch's
+    `eventTime.watermark` progress telemetry and deduplicated; the
+    oracle recomputes the frontier from the same day-split rule. This
+    is the observability twin of `streaming_late_data_contract` — that
+    query pins what the watermark DOES, this one pins where it
+    STANDS."""
+    import datetime as _dt
+    import tempfile
+
+    staged = _ensure_late_staged(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy(F.window("ts", "60 seconds"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="tfs-wmf-ckpt-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 300)
+    seen = []
+    for prog in q.recentProgress:
+        wm = prog["eventTime"].get("watermark")
+        if wm and wm not in seen:
+            seen.append(wm)
+    rows = [
+        (_dt.datetime.strptime(w, "%Y-%m-%dT%H:%M:%S.%fZ"),) for w in seen
+    ]
+    return spark.createDataFrame(rows, "watermark timestamp")
