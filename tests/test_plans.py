@@ -580,3 +580,17 @@ def test_bitmap_distinct_buckets_then_types(spark):
         r"Exchange hashpartitioning\(event_type[^)]*bucket", plan
     ), plan
     assert "bitmap_construct_agg" in plan, plan
+
+
+def test_partition_evolution_prunes_per_era(spark):
+    """The evolved era's scan must carry event_type in its
+    PartitionFilters (directory pruning); the legacy era's scan cannot
+    (type is a data column there) and must push the predicate to the
+    row level instead — both visible in one plan."""
+    plan = plan_of(spark, "partition_evolution_union_read")
+    assert re.search(
+        r"PartitionFilters: \[.*event_type.*purchase", plan
+    ), plan
+    assert re.search(
+        r"PushedFilters: \[.*EqualTo\(event_type,purchase\)", plan
+    ), plan

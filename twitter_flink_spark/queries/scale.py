@@ -1061,3 +1061,77 @@ def stratified_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-layout evolution (two eras, one logical table)
+
+_EVOLVED_LAYOUT_CACHE: dict = {}
+
+
+def _ensure_evolved_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage events as two PARTITION-LAYOUT eras: era 0 (days < 15)
+    partitioned by day only — the original layout — and era 1
+    (days >= 15) partitioned by (day, event_type) — the evolved layout
+    a growing table migrates to without rewriting history."""
+    from twitter_flink_spark.sources.files import scratch_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EVOLVED_LAYOUT_CACHE:
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "day", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+        )
+        bounds = ev.agg(F.min(F.to_date("ts")).alias("d0")).collect()[0]
+        import datetime
+
+        split = (bounds.d0 + datetime.timedelta(days=14)).isoformat()
+        era0 = scratch_dir("evo-era0")
+        era1 = scratch_dir("evo-era1")
+        ev.where(F.col("day") < split).write.partitionBy("day").mode(
+            "overwrite"
+        ).parquet(era0)
+        ev.where(F.col("day") >= split).write.partitionBy(
+            "day", "event_type"
+        ).mode("overwrite").parquet(era1)
+        _EVOLVED_LAYOUT_CACHE[key] = (era0, era1)
+    return _EVOLVED_LAYOUT_CACHE[key]
+
+
+@register(
+    "partition_evolution_union_read",
+    oracle="""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(sum(value), 2) AS total_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY CAST(ts AS DATE)
+""",
+)
+def partition_evolution_union_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reading across a PARTITION-LAYOUT EVOLUTION: history written
+    partitionBy(day), newer data partitionBy(day, event_type) — the
+    lakehouse migration every growing table performs without rewriting
+    old files — unioned into one logical table and filtered on
+    event_type. Each era prunes to the best of ITS layout: era 1 skips
+    whole (day, type) directories (the predicate never touches a
+    non-purchase file), era 0 falls back to row-group filtering inside
+    its day directories — which is exactly the cost gradient that
+    motivates the migration, visible in this one plan
+    (tests/test_plans.py pins the era-1 PartitionFilters). The result
+    must equal the single-table aggregate regardless of layout."""
+    era0, era1 = _ensure_evolved_layout(spark, sf_dir)
+    r0 = spark.read.parquet(era0).where(
+        F.col("event_type") == "purchase"
+    )
+    r1 = spark.read.parquet(era1).where(
+        F.col("event_type") == "purchase"
+    )
+    cols = ["day", "value"]
+    unioned = r0.select(*cols).unionByName(r1.select(*cols))
+    return unioned.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

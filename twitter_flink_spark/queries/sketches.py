@@ -441,3 +441,64 @@ def hll_rolling_7day_actives(
             <= F.col("exact_7d")
         ).alias("within_10pct"),
     )
+
+
+@register(
+    "approx_topk_event_types",
+    oracle="""
+WITH c AS (
+  SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+),
+r AS (
+  SELECT event_type, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, event_type)
+              AS INTEGER) AS rank
+  FROM c
+)
+SELECT rank, event_type, CAST(cnt AS BIGINT) AS exact_cnt,
+       1 AS in_approx_topk
+FROM r WHERE rank <= 3
+""",
+)
+def approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native `approx_top_k` sketch (4.x) under the
+    sketch-family contract: the hash-matched columns are the EXACT
+    top-3 heavy hitters (counts + deterministic tie-break), and
+    `in_approx_topk` pins that each exact heavy hitter appears in the
+    sketch's reported top-k with the exact count — at this key
+    cardinality the sketch must be exact, so a regression in the
+    sketch aggregate flips the flag and the row stops matching. The
+    sketch partial is a fixed-size mergeable summary — the same
+    map-side-combine story as the CMS/HLL members of this module, for
+    the "top sellers per hour at 100 TB" shape where exact per-key
+    counts are the thing you eventually drop."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("event_type").asc())
+    top = exact.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).where(F.col("rank") <= 3)
+    approx = (
+        ev.selectExpr("approx_top_k(event_type, 3) AS tk")
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("event_type"),
+            F.col("e.count").alias("approx_cnt"),
+        )
+    )
+    return (
+        top.join(F.broadcast(approx), "event_type", "left")
+        .select(
+            "rank",
+            "event_type",
+            F.col("cnt").cast("long").alias("exact_cnt"),
+            (
+                F.col("approx_cnt").isNotNull()
+                & (F.col("approx_cnt") == F.col("cnt"))
+            )
+            .cast("int")
+            .alias("in_approx_topk"),
+        )
+    )
