@@ -1,7 +1,12 @@
 """Benchmark harness: runs the registered headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+and prints ONE compact JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ..., "n": ...}
+
+The stdout line keeps `queries` down to the 10 slowest entries so it fits the
+driver's bounded stdout tail (the full 245-entry map overflowed it every
+round through r5, leaving "parsed": null in BENCH_r*.json). The complete
+per-query map is written to BENCH_QUERIES_LATEST.json next to this script.
 
 Each query is fully materialized via the `noop` datasource (executes the
 whole plan, writes nothing, no driver-side collect) — the honest measure of
@@ -52,9 +57,28 @@ def main() -> None:
     spark.range(64).repartition(64).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # ...and the session-scoped codebook fits (coarse k-means, PQ, residual
+    # PQ). These are index-BUILD costs paid once per session and cached as
+    # collected rows; without this pre-warm the alphabetically-first consumer
+    # (ann_rbo_ivfpq, ~16 s of which ~14 s is Lloyd fitting) absorbs them,
+    # making per-query round-over-round comparison misleading. The fit is
+    # charged to its own line below.
+    t_fit0 = time.perf_counter()
+    try:
+        from twitter_flink_spark.queries.similarity import (
+            _coarse_centroids,
+            _pq_centroids,
+            _residual_pq_centroids,
+        )
+
+        for fit in (_coarse_centroids, _pq_centroids, _residual_pq_centroids):
+            fit(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception as exc:
+        print(f"bench: codebook pre-warm FAILED: {exc}", file=sys.stderr)
+    codebook_fit_s = round(time.perf_counter() - t_fit0, 3)
 
     queries = entrymod.queries()
-    timings: dict[str, float] = {}
+    timings: dict[str, float] = {"codebook_fit": codebook_fit_s}
     for name in sorted(queries):
         fn = queries[name]
         t0 = time.perf_counter()
@@ -77,14 +101,37 @@ def main() -> None:
         except Exception:
             pass
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query map → file (the 245-entry map is ~9 KB and overflows the
+    # driver's stdout tail); compact summary (10 slowest) → the stdout line.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_QUERIES_LATEST.json"), "w") as f:
+        json.dump(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "n": len(timings),
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": slowest,
+                "sf": sf_val,
+                "n": len(timings),
+                "failed": sorted(n for n, t in timings.items() if t < 0),
             }
         ),
         file=real_stdout,

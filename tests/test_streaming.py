@@ -69,10 +69,11 @@ def test_feedback_snapshot_and_kv(spark):
 
 def test_feedback_state_bounded_by_watermark(spark):
     """Driver-side leaderboard state must not retain every (window, key) ever
-    seen (round-1 leak): after the stream drains, _counts holds only windows
-    still open at the final watermark plus the snapshotted (last closed)
-    window — the same bound the engine's state store gets from the watermark.
-    Snapshot/KV results are identical to the unevicted computation (pinned by
+    seen (round-1 leak): after the stream drains, the mirror holds only
+    windows still open at the final watermark plus the snapshotted (last
+    closed) window, and AT MOST n keys per window — O((open windows + 1) x n),
+    the reference's own broadcast bound (`TopNHashtags.java:131`). Snapshot/KV
+    results are identical to the unevicted computation (pinned by
     test_feedback_snapshot_and_kv)."""
     fb = TopNFeedback(spark, SF_DIR, key_col="event_type", n=3)
     fb.run_leaderboard()
@@ -86,13 +87,90 @@ def test_feedback_state_bounded_by_watermark(spark):
     total = len(rows)
     closed_ws = [r["window_start"] for r in rows if r["window_end"] <= wm]
     last_ws = max(closed_ws)
-    expected_keep = {
-        (r["window_start"], r["event_type"])
-        for r in rows
-        if r["window_end"] > wm or r["window_start"] == last_ws
-    }
-    assert set(fb._counts) == expected_keep
-    assert len(fb._counts) < total  # strictly evicted something
+    expected_windows = {
+        r["window_start"] for r in rows if r["window_end"] > wm
+    } | {last_ws}
+    assert set(fb._wend) == expected_windows
+    assert set(fb._top) == expected_windows
+    assert all(len(d) <= fb.n for d in fb._top.values())
+    assert sum(len(d) for d in fb._top.values()) < total  # strictly evicted
+
+    # the kept last-closed-window entries ARE the true top-N (cut lossless)
+    expected_top = sorted(
+        (
+            (r["event_type"], r["cnt"])
+            for r in rows
+            if r["window_start"] == last_ws
+        ),
+        key=lambda kc: (-kc[1], kc[0]),
+    )[: fb.n]
+    assert sorted(
+        fb._top[last_ws].items(), key=lambda kc: (-kc[1], kc[0])
+    ) == expected_top
+
+
+def test_feedback_mirror_bound_high_cardinality_keys(spark, tmp_path):
+    """Scale fixture for the O(windows x n) bound: 400 distinct keys per
+    window across 3 sliding-window spans. The driver mirror must hold <= n
+    keys per live window regardless of key cardinality, and the snapshot must
+    equal the batch-computed top-N of the last closed window — i.e. the
+    bounded merge + per-batch distributed cut lose nothing (monotone-count
+    argument in TopNFeedback._merge)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for minute in range(12):  # spans several 300s/60s sliding windows
+        for k in range(400):
+            # skewed counts: key k appears (k % 7) + 1 times per minute
+            for rep in range((k % 7) + 1):
+                eid += 1
+                rows.append(
+                    (eid, f"key{k:04d}", 1000 + k,
+                     base + dt.timedelta(seconds=60 * minute + rep))
+                )
+    src = str(tmp_path / "hc-events")
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, ts timestamp"
+    ).repartition(4).write.parquet(src)
+
+    fb = TopNFeedback(
+        spark, SF_DIR, key_col="event_type", n=3, src_path=src,
+        max_files_per_trigger=2,
+    )
+    fb.run_leaderboard()
+    assert fb.snapshot
+
+    # bound: <= n keys per window, windows = open ∪ {last closed}
+    assert all(len(d) <= fb.n for d in fb._top.values())
+    batch = spark.read.parquet(src)
+    b = sliding_window_counts(batch, ts_col="ts", key_cols=("event_type",))
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - datetime.timedelta(seconds=1)
+    brows = b.collect()
+    last_ws = max(
+        r["window_start"] for r in brows if r["window_end"] <= wm
+    )
+    n_windows = len(
+        {r["window_start"] for r in brows if r["window_end"] > wm} | {last_ws}
+    )
+    assert len(fb._top) <= n_windows
+    assert sum(len(d) for d in fb._top.values()) <= n_windows * fb.n
+
+    # losslessness: snapshot == batch top-N of the last closed window
+    expected = [
+        k
+        for k, _ in sorted(
+            (
+                (r["event_type"], r["cnt"])
+                for r in brows
+                if r["window_start"] == last_ws
+            ),
+            key=lambda kc: (-kc[1], kc[0]),
+        )[: fb.n]
+    ]
+    assert fb.snapshot == expected
 
 
 def test_kv_store_overwrite_by_rank():
@@ -212,7 +290,7 @@ def test_feedback_checkpoint_restart(spark, tmp_path):
         src_path=grow, checkpoint_dir=ck, max_files_per_trigger=1,
     )
     fb1.run_leaderboard()
-    assert fb1._counts  # saw some state before the "crash"
+    assert fb1._top  # saw some state before the "crash"
 
     # run 2: a FRESH instance (new dicts, new KV) on the same checkpoint,
     # after more data arrived — engine state resumes from the checkpoint,

@@ -228,15 +228,17 @@ class TopNFeedback:
     #: path is stable across restarts, which checkpoint offsets require
     src_path: str | None = None
     #: enables restartable mode: engine state checkpoints here, and the
-    #: driver mirror write-ahead-logs micro-batch counts to
+    #: driver mirror write-ahead-logs the per-batch top-N cut to
     #: {checkpoint_dir}/counts_log so a restarted process recovers the
     #: snapshot the reference loses (`TopNHashtags.java:303`)
     checkpoint_dir: str | None = None
     max_files_per_trigger: int | None = None
 
     def __post_init__(self):
-        self._counts: dict[tuple, int] = {}
-        self._window_end: dict[tuple, object] = {}
+        #: window_start -> {key -> cnt}, each inner dict bounded to n entries
+        self._top: dict[object, dict[str, int]] = {}
+        #: window_start -> window_end
+        self._wend: dict[object, object] = {}
         self._max_ts = None
         self.snapshot: list[str] = []  # latest top-N keys (empty = cold start)
         import tempfile
@@ -248,49 +250,100 @@ class TopNFeedback:
         if self._log_dir:
             self._restore()
 
-    def _restore(self) -> None:
-        """Rebuild the driver mirror from the write-ahead counts log.
+    def _merge(self, ws, wend, key: str, cnt: int) -> None:
+        """Fold one (window, key, cnt) emission into the bounded mirror.
 
-        Update-mode rows carry full aggregated values and counts only grow,
-        so `max(cnt)` per (window, key) is the latest value — which also
-        dedups the at-least-once replay foreachBatch can produce after a
-        crash. Without this log a restart would only see windows whose
-        counts CHANGE post-restart (update mode re-emits on change only)."""
+        Lossless despite keeping only n entries per window, because windowed
+        counts are MONOTONE and update mode re-emits a key's full value on
+        every change: an evicted key's value is frozen until it re-emits,
+        while the n keys that beat it (same total order as the leaderboard:
+        cnt desc, key asc) only grow — so its rank can never recover without
+        a re-emission, which re-inserts it. The same argument makes the
+        per-batch distributed top-N cut in `_update_leaderboard` lossless."""
+        d = self._top.setdefault(ws, {})
+        self._wend[ws] = wend
+        d[key] = cnt
+        if len(d) > self.n:
+            worst = max(d.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            del d[worst]
+
+    def _restore(self) -> None:
+        """Rebuild the driver mirror from the write-ahead counts log, at
+        O(windows x n) driver cost: the latest-value dedup (`max(cnt)` per
+        (window, key) — counts only grow, which also absorbs at-least-once
+        replays) and the per-window top-N rank run DISTRIBUTED on the log;
+        only the <= n rows per window ever reach the driver."""
         import os
 
         if not (self._log_dir and os.path.isdir(self._log_dir)):
             return
+        from twitter_flink_spark.operators.topn import topn_per_group
+
         log = self.spark.read.parquet(self._log_dir)
-        for row in (
-            log.groupBy("window_start", self.key_col)
-            .agg(
-                F.max("cnt").alias("cnt"),
-                F.max("window_end").alias("window_end"),
-                F.max("max_ts").alias("max_ts"),
+        frontier = log.agg(F.max("max_ts")).collect()[0][0]
+        if frontier is None:
+            return
+        latest = log.groupBy("window_start", self.key_col).agg(
+            F.max("cnt").alias("cnt"),
+            F.max("window_end").alias("window_end"),
+        )
+        top = topn_per_group(
+            latest, ("window_start",), "cnt", (self.key_col,), n=self.n
+        )
+        for row in top.collect():  # <= live windows x n rows
+            self._merge(
+                row["window_start"], row["window_end"],
+                row[self.key_col], row["cnt"],
             )
-            .collect()
-        ):
-            key = (row["window_start"], row[self.key_col])
-            self._counts[key] = row["cnt"]
-            self._window_end[key] = row["window_end"]
-            if self._max_ts is None or row["max_ts"] > self._max_ts:
-                self._max_ts = row["max_ts"]
+        self._max_ts = frontier
         self._recompute_snapshot()
 
     # -- leaderboard side (reference O6-O9 + O13) --
 
     def _update_leaderboard(self, batch_df: DataFrame, batch_id: int) -> None:
         record_batch_df_plan(f"leaderboard-b{batch_id}", batch_df)
+        from twitter_flink_spark.operators.topn import topn_per_group
+
+        # The driver only ever sees <= (windows-in-batch x n) rows: the
+        # event-time frontier is a 1-row distributed max, and the update-mode
+        # deltas are cut to the per-window top-N BEFORE collect (row_number
+        # over (window_start) → WindowGroupLimit: per-partition heaps ship at
+        # most n rows per window to the rank shuffle). The cut is lossless
+        # for monotone counts — see `_merge`. This is the reference's own
+        # bound: its broadcast carries exactly N rows
+        # (`TopNHashtags.java:131,284-288`).
+        frontier = batch_df.agg(F.max("max_ts")).collect()[0][0]
+        if frontier is None:  # empty micro-batch
+            return
+        rows = (
+            topn_per_group(
+                batch_df, ("window_start",), "cnt", (self.key_col,), n=self.n
+            )
+            .drop("rank")
+            .collect()
+        )
         if self._log_dir:
-            # write-ahead: log before mutating the mirror, so a crash between
-            # the two replays the batch (at-least-once) and _restore dedups
-            batch_df.write.mode("append").parquet(self._log_dir)
-        for row in batch_df.collect():  # update-mode deltas: (windows x keys) rows, small
-            key = (row["window_start"], row[self.key_col])
-            self._counts[key] = row["cnt"]
-            self._window_end[key] = row["window_end"]
-            if self._max_ts is None or row["max_ts"] > self._max_ts:
-                self._max_ts = row["max_ts"]
+            # write-ahead: log the cut (not the full delta) before mutating
+            # the mirror, so a crash between the two replays the batch
+            # (at-least-once) and _restore's max(cnt) dedups. max_ts is
+            # rewritten to the BATCH frontier: the per-row max could sit on
+            # a cut-away row, and _restore needs the true watermark.
+            sess = batch_df.sparkSession
+            sess.createDataFrame(
+                [
+                    (r["window_start"], r["window_end"], r[self.key_col],
+                     r["cnt"], frontier)
+                    for r in rows
+                ],
+                batch_df.schema,
+            ).write.mode("append").parquet(self._log_dir)
+        for row in rows:
+            self._merge(
+                row["window_start"], row["window_end"],
+                row[self.key_col], row["cnt"],
+            )
+        if self._max_ts is None or frontier > self._max_ts:
+            self._max_ts = frontier
         self._recompute_snapshot()
 
     def _recompute_snapshot(self) -> None:
@@ -299,17 +352,12 @@ class TopNFeedback:
         if self._max_ts is None:
             return
         wm = self._max_ts - datetime.timedelta(seconds=self.watermark_s)
-        closed = [
-            (ws, key)
-            for (ws, key) in self._counts
-            if self._window_end[(ws, key)] <= wm
-        ]
+        closed = [ws for ws, wend in self._wend.items() if wend <= wm]
         if not closed:
             return
-        last_ws = max(ws for ws, _ in closed)
+        last_ws = max(closed)
         ranked = sorted(
-            ((key, self._counts[(ws, key)]) for ws, key in closed if ws == last_ws),
-            key=lambda kc: (-kc[1], kc[0]),
+            self._top[last_ws].items(), key=lambda kc: (-kc[1], kc[0])
         )[: self.n]
         self.snapshot = [key for key, _ in ranked]
         self.kv.upsert(ranked)
@@ -319,16 +367,13 @@ class TopNFeedback:
         # aggregated values, so an evicted entry that gets a late re-emission
         # re-inserts cleanly — but only SOME keys of a window re-emit, and a
         # partially-resurrected window older than last_ws must never win the
-        # `max(ws)` race. Bounds driver state to (open windows x keys) + one
-        # closed window — same bound the engine's state store gets from the
-        # watermark (fixes the unbounded growth flagged in round 1).
-        for wk in [
-            wk
-            for wk in self._counts
-            if wk[0] < last_ws and self._window_end[wk] <= wm
-        ]:
-            del self._counts[wk]
-            del self._window_end[wk]
+        # `max(ws)` race. With the per-window n-bound in `_merge`, driver
+        # state is O((open windows + 1) x n) — same bound the engine's state
+        # store gets from the watermark, and the reference's own broadcast
+        # size (`TopNHashtags.java:131`).
+        for ws in [ws for ws in closed if ws < last_ws]:
+            del self._top[ws]
+            del self._wend[ws]
 
     def _source(self) -> DataFrame:
         if self.src_path is not None:
