@@ -308,6 +308,76 @@ def test_feedback_checkpoint_restart(spark, tmp_path):
     assert fb2.kv.data == baseline.kv.data
 
 
+def test_feedback_log_compacted_on_restore(spark, tmp_path):
+    """The counts WAL is append-only during a run; a successful restore
+    compacts it to the mirror's bounded contents, so restore cost stops
+    growing with micro-batch history. The compacted log must still restore
+    the identical snapshot (idempotence of compaction)."""
+    import shutil
+
+    full = str(tmp_path / "full")
+    files = _split_events(spark, full, n_chunks=4)
+    grow = str(tmp_path / "grow")
+    ck = str(tmp_path / "ck")
+    (tmp_path / "grow").mkdir()
+    for f in files:
+        shutil.copy2(f, grow)
+    fb1 = TopNFeedback(
+        spark, SF_DIR, key_col="event_type", n=3,
+        src_path=grow, checkpoint_dir=ck, max_files_per_trigger=1,
+    )
+    fb1.run_leaderboard()  # 4 micro-batches append to the log
+    log_dir = ck + "/counts_log"
+    n_raw = spark.read.parquet(log_dir).count()
+
+    fb2 = TopNFeedback(  # restore → compacts the log
+        spark, SF_DIR, key_col="event_type", n=3,
+        src_path=grow, checkpoint_dir=ck, max_files_per_trigger=1,
+    )
+    assert fb2.snapshot == fb1.snapshot
+    n_compact = spark.read.parquet(log_dir).count()
+    bound = (len(fb2._top) + 1) * fb2.n
+    assert n_compact <= bound <= n_raw  # genuinely shrank to the mirror bound
+
+    fb3 = TopNFeedback(  # restore FROM the compacted log: same snapshot
+        spark, SF_DIR, key_col="event_type", n=3,
+        src_path=grow, checkpoint_dir=ck, max_files_per_trigger=1,
+    )
+    assert fb3.snapshot == fb1.snapshot
+
+
+def test_feedback_unreadable_log_cold_starts(spark, tmp_path):
+    """A crash can leave {checkpoint}/counts_log existing but with no
+    committed parquet footers (only a _temporary dir from the first WAL
+    write). That must be a recoverable cold start, not a constructor
+    failure; the stranded .gc dir from an interrupted compaction must be
+    re-adopted instead."""
+    import os
+
+    ck = str(tmp_path / "ck")
+    os.makedirs(ck + "/counts_log/_temporary")
+    fb = TopNFeedback(
+        spark, SF_DIR, key_col="event_type", n=3, checkpoint_dir=ck,
+    )
+    assert fb.snapshot == [] and not fb._top  # clean cold start
+
+    # interrupted compaction: log dir gone, .gc generation present
+    ck2 = str(tmp_path / "ck2")
+    full = str(tmp_path / "full")
+    _split_events(spark, full, n_chunks=2)
+    fb1 = TopNFeedback(
+        spark, SF_DIR, key_col="event_type", n=3,
+        src_path=full, checkpoint_dir=ck2,
+    )
+    fb1.run_leaderboard()
+    os.rename(ck2 + "/counts_log", ck2 + "/counts_log.gc")
+    fb2 = TopNFeedback(
+        spark, SF_DIR, key_col="event_type", n=3,
+        src_path=full, checkpoint_dir=ck2,
+    )
+    assert fb2.snapshot == fb1.snapshot  # .gc re-adopted, state recovered
+
+
 # ---------------------------------------------------------------------------
 # Streaming source connectors (reference O1): file replay, socket, kafka
 

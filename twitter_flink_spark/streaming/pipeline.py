@@ -271,19 +271,47 @@ class TopNFeedback:
         """Rebuild the driver mirror from the write-ahead counts log, at
         O(windows x n) driver cost: the latest-value dedup (`max(cnt)` per
         (window, key) — counts only grow, which also absorbs at-least-once
-        replays) and the per-window top-N rank run DISTRIBUTED on the log;
-        only the <= n rows per window ever reach the driver."""
+        replays) and the per-window top-N rank run DISTRIBUTED on the log.
+        Restored windows are filtered by the logged frontier watermark FIRST
+        (open windows + the single most recent closed one — everything
+        `_recompute_snapshot` can ever use), so only <= live windows x n rows
+        reach the driver even when the log spans the job's whole history.
+        After a successful restore the log is COMPACTED down to exactly the
+        mirror's contents, so restore cost stays O(live windows x n) instead
+        of growing with every micro-batch ever run."""
+        import datetime
         import os
 
-        if not (self._log_dir and os.path.isdir(self._log_dir)):
+        if not self._log_dir:
+            return
+        # finish a compaction interrupted between the two directory renames:
+        # the .gc dir holds the last complete log generation
+        gc_dir = self._log_dir + ".gc"
+        if not os.path.isdir(self._log_dir) and os.path.isdir(gc_dir):
+            os.rename(gc_dir, self._log_dir)
+        if not os.path.isdir(self._log_dir):
             return
         from twitter_flink_spark.operators.topn import topn_per_group
 
-        log = self.spark.read.parquet(self._log_dir)
-        frontier = log.agg(F.max("max_ts")).collect()[0][0]
+        try:
+            log = self.spark.read.parquet(self._log_dir)
+            frontier = log.agg(F.max("max_ts")).collect()[0][0]
+        except Exception:
+            # a crash can leave the log dir existing but with no committed
+            # parquet footers (only a _temporary dir from the first WAL
+            # write): that is a recoverable cold start, not a hard failure
+            return
         if frontier is None:
             return
-        latest = log.groupBy("window_start", self.key_col).agg(
+        wm = frontier - datetime.timedelta(seconds=self.watermark_s)
+        closed = log.where(F.col("window_end") <= F.lit(wm))
+        last_closed = closed.agg(F.max("window_start")).collect()[0][0]
+        live = log.where(F.col("window_end") > F.lit(wm))
+        if last_closed is not None:
+            live = live.unionByName(
+                closed.where(F.col("window_start") == F.lit(last_closed))
+            )
+        latest = live.groupBy("window_start", self.key_col).agg(
             F.max("cnt").alias("cnt"),
             F.max("window_end").alias("window_end"),
         )
@@ -297,6 +325,36 @@ class TopNFeedback:
             )
         self._max_ts = frontier
         self._recompute_snapshot()
+        self._compact_log(frontier)
+
+    def _compact_log(self, frontier) -> None:
+        """Rewrite the append-only counts log to the restored mirror's
+        contents (<= (open windows + 1) x n rows). Crash-safe without a
+        manifest: the old generation moves aside to ``.gc`` before the
+        compacted one takes its place, and ``_restore`` re-adopts a stranded
+        ``.gc`` dir — at worst a crash costs one compaction, never the log."""
+        import os
+        import shutil
+
+        rows = [
+            (ws, self._wend[ws], key, cnt, frontier)
+            for ws, d in self._top.items()
+            for key, cnt in d.items()
+        ]
+        schema = (
+            f"window_start timestamp, window_end timestamp, "
+            f"{self.key_col} string, cnt long, max_ts timestamp"
+        )
+        tmp = self._log_dir + ".compact"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self.spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        gc_dir = self._log_dir + ".gc"
+        shutil.rmtree(gc_dir, ignore_errors=True)
+        os.rename(self._log_dir, gc_dir)
+        os.rename(tmp, self._log_dir)
+        shutil.rmtree(gc_dir, ignore_errors=True)
 
     # -- leaderboard side (reference O6-O9 + O13) --
 
@@ -315,28 +373,30 @@ class TopNFeedback:
         frontier = batch_df.agg(F.max("max_ts")).collect()[0][0]
         if frontier is None:  # empty micro-batch
             return
-        rows = (
-            topn_per_group(
-                batch_df, ("window_start",), "cnt", (self.key_col,), n=self.n
-            )
-            .drop("rank")
-            .collect()
-        )
+        cut = topn_per_group(
+            batch_df, ("window_start",), "cnt", (self.key_col,), n=self.n
+        ).drop("rank")
         if self._log_dir:
-            # write-ahead: log the cut (not the full delta) before mutating
-            # the mirror, so a crash between the two replays the batch
-            # (at-least-once) and _restore's max(cnt) dedups. max_ts is
-            # rewritten to the BATCH frontier: the per-row max could sit on
-            # a cut-away row, and _restore needs the true watermark.
-            sess = batch_df.sparkSession
-            sess.createDataFrame(
-                [
-                    (r["window_start"], r["window_end"], r[self.key_col],
-                     r["cnt"], frontier)
-                    for r in rows
-                ],
-                batch_df.schema,
-            ).write.mode("append").parquet(self._log_dir)
+            # Persist so the WAL write and the mirror collect share one
+            # evaluation of the rank cut (no second pass over the batch, no
+            # driver round-trip rebuilding the cut row-by-row).
+            cut = cut.persist()
+        try:
+            if self._log_dir:
+                # write-ahead: log the cut (not the full delta) before
+                # mutating the mirror, so a crash between the two replays the
+                # batch (at-least-once) and _restore's max(cnt) dedups.
+                # max_ts is rewritten to the BATCH frontier: the per-row max
+                # could sit on a cut-away row, and _restore needs the true
+                # watermark. The cut is written DISTRIBUTED, straight from
+                # the executors — column order pinned to the batch schema.
+                cut.withColumn("max_ts", F.lit(frontier)).select(
+                    *[f.name for f in batch_df.schema.fields]
+                ).write.mode("append").parquet(self._log_dir)
+            rows = cut.collect()
+        finally:
+            if self._log_dir:
+                cut.unpersist()
         for row in rows:
             self._merge(
                 row["window_start"], row["window_end"],
