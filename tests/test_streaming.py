@@ -378,6 +378,70 @@ def test_feedback_unreadable_log_cold_starts(spark, tmp_path):
     assert fb2.snapshot == fb1.snapshot  # .gc re-adopted, state recovered
 
 
+def test_feedback_corrupt_log_raises(spark, tmp_path):
+    """A COMMITTED-but-corrupt WAL part file must raise, not silently cold
+    start: only the no-committed-footers crash shape (previous test) is
+    recoverable — treating a corrupted log as empty would serve wrong
+    snapshots with no surfaced error."""
+    import os
+
+    import pytest
+
+    ck = str(tmp_path / "ck")
+    os.makedirs(ck + "/counts_log")
+    with open(ck + "/counts_log/part-00000-garbage.snappy.parquet", "wb") as f:
+        f.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        TopNFeedback(
+            spark, SF_DIR, key_col="event_type", n=3, checkpoint_dir=ck,
+        )
+
+
+def test_feedback_log_compacts_in_run(spark, tmp_path):
+    """A long-running job's WAL must stay bounded WITHOUT a restart:
+    with compact_every=2, a 4-micro-batch run compacts mid-run, so the
+    log's final row count stays at the (open windows + 1) x n mirror
+    bound instead of accumulating one top-N cut per batch — and a
+    restore from the in-run-compacted log still yields the identical
+    snapshot."""
+    import shutil
+
+    full = str(tmp_path / "full")
+    files = _split_events(spark, full, n_chunks=4)
+    grow = str(tmp_path / "grow")
+    ck = str(tmp_path / "ck")
+    (tmp_path / "grow").mkdir()
+    for f in files:
+        shutil.copy2(f, grow)
+    fb1 = TopNFeedback(
+        spark, SF_DIR, key_col="event_type", n=3,
+        src_path=grow, checkpoint_dir=ck, max_files_per_trigger=1,
+        compact_every=2,
+    )
+    fb1.run_leaderboard()  # 4 micro-batches, compactions after b2 and b4
+    log_dir = ck + "/counts_log"
+    n_live = spark.read.parquet(log_dir).count()
+    bound = (len(fb1._top) + 1) * fb1.n
+    assert n_live <= bound  # mid-run log already at the mirror bound
+
+    # an uncompacted run over the same data accumulates strictly more
+    ck_ref = str(tmp_path / "ck_ref")
+    fb_ref = TopNFeedback(
+        spark, SF_DIR, key_col="event_type", n=3,
+        src_path=grow, checkpoint_dir=ck_ref, max_files_per_trigger=1,
+        compact_every=None,
+    )
+    fb_ref.run_leaderboard()
+    assert spark.read.parquet(ck_ref + "/counts_log").count() > n_live
+    assert fb_ref.snapshot == fb1.snapshot
+
+    fb2 = TopNFeedback(  # restore from the in-run-compacted log
+        spark, SF_DIR, key_col="event_type", n=3,
+        src_path=grow, checkpoint_dir=ck, max_files_per_trigger=1,
+    )
+    assert fb2.snapshot == fb1.snapshot
+
+
 # ---------------------------------------------------------------------------
 # Streaming source connectors (reference O1): file replay, socket, kafka
 

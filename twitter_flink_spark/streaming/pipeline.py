@@ -233,6 +233,10 @@ class TopNFeedback:
     #: snapshot the reference loses (`TopNHashtags.java:303`)
     checkpoint_dir: str | None = None
     max_files_per_trigger: int | None = None
+    #: compact the counts WAL in-run every this many micro-batches (None
+    #: disables): a long-running job's log then stays O(live windows x n)
+    #: without waiting for a restart-time restore to truncate it
+    compact_every: int | None = 16
 
     def __post_init__(self):
         #: window_start -> {key -> cnt}, each inner dict bounded to n entries
@@ -247,6 +251,7 @@ class TopNFeedback:
         self._log_dir = (
             self.checkpoint_dir + "/counts_log" if self.checkpoint_dir else None
         )
+        self._batches_since_compact = 0
         if self._log_dir:
             self._restore()
 
@@ -279,7 +284,6 @@ class TopNFeedback:
         After a successful restore the log is COMPACTED down to exactly the
         mirror's contents, so restore cost stays O(live windows x n) instead
         of growing with every micro-batch ever run."""
-        import datetime
         import os
 
         if not self._log_dir:
@@ -291,18 +295,57 @@ class TopNFeedback:
             os.rename(gc_dir, self._log_dir)
         if not os.path.isdir(self._log_dir):
             return
+        # A crash can leave the log dir existing but with NO committed
+        # parquet part files (only a _temporary dir from the first WAL
+        # write): that exact condition is a recoverable cold start. It is
+        # detected explicitly — any other read failure (corrupt footer,
+        # schema conflict, IO error) propagates, because silently cold-
+        # starting on those would serve wrong snapshots with no error.
+        committed = [
+            f
+            for f in os.listdir(self._log_dir)
+            if f.startswith("part-") and f.endswith(".parquet")
+        ]
+        if not committed:
+            return
+        log = self.spark.read.parquet(self._log_dir)
+        reduced = self._live_top(log)
+        if reduced is None:
+            return
+        top, frontier = reduced
+        top = top.persist()
+        try:
+            rows = top.collect()  # <= (live windows + 1) x n rows
+            for row in rows:
+                self._merge(
+                    row["window_start"], row["window_end"],
+                    row[self.key_col], row["cnt"],
+                )
+            self._max_ts = frontier
+            self._recompute_snapshot()
+            # skip the rewrite when the log already IS the bounded cut
+            # (e.g. a restart with no new micro-batches since the last
+            # restore) — compaction would pay a Spark write + three
+            # directory mutations to reproduce the same contents
+            if log.count() > len(rows):
+                self._compact_log(top, frontier, log.schema)
+        finally:
+            top.unpersist()
+
+    def _live_top(self, log: DataFrame):
+        """Reduce the WAL DISTRIBUTED to the rows the mirror can ever use:
+        filter to live windows + the single most recent closed one FIRST
+        (everything `_recompute_snapshot` can see), then latest-value dedup
+        (`max(cnt)` per (window, key) — counts only grow, which also absorbs
+        at-least-once replays) and the per-window top-N rank. Returns
+        ``(top_df, frontier)``, or None for an empty log."""
+        import datetime
+
         from twitter_flink_spark.operators.topn import topn_per_group
 
-        try:
-            log = self.spark.read.parquet(self._log_dir)
-            frontier = log.agg(F.max("max_ts")).collect()[0][0]
-        except Exception:
-            # a crash can leave the log dir existing but with no committed
-            # parquet footers (only a _temporary dir from the first WAL
-            # write): that is a recoverable cold start, not a hard failure
-            return
+        frontier = log.agg(F.max("max_ts")).collect()[0][0]
         if frontier is None:
-            return
+            return None
         wm = frontier - datetime.timedelta(seconds=self.watermark_s)
         closed = log.where(F.col("window_end") <= F.lit(wm))
         last_closed = closed.agg(F.max("window_start")).collect()[0][0]
@@ -318,43 +361,50 @@ class TopNFeedback:
         top = topn_per_group(
             latest, ("window_start",), "cnt", (self.key_col,), n=self.n
         )
-        for row in top.collect():  # <= live windows x n rows
-            self._merge(
-                row["window_start"], row["window_end"],
-                row[self.key_col], row["cnt"],
-            )
-        self._max_ts = frontier
-        self._recompute_snapshot()
-        self._compact_log(frontier)
+        return top, frontier
 
-    def _compact_log(self, frontier) -> None:
-        """Rewrite the append-only counts log to the restored mirror's
-        contents (<= (open windows + 1) x n rows). Crash-safe without a
-        manifest: the old generation moves aside to ``.gc`` before the
-        compacted one takes its place, and ``_restore`` re-adopts a stranded
-        ``.gc`` dir — at worst a crash costs one compaction, never the log."""
+    def _compact_log(self, top: DataFrame, frontier, log_schema) -> None:
+        """Rewrite the append-only counts log to the live top cut
+        (<= (open windows + 1) x n rows), written straight from the
+        distributed ``top`` frame — no driver-side row rebuild, and the
+        column names/types come from the log's OWN schema (a non-string
+        key_col compacts to exactly the type it was logged with).
+        Crash-safe without a manifest: the old generation moves aside to
+        ``.gc`` before the compacted one takes its place, and ``_restore``
+        re-adopts a stranded ``.gc`` dir — at worst a crash costs one
+        compaction, never the log."""
         import os
         import shutil
 
-        rows = [
-            (ws, self._wend[ws], key, cnt, frontier)
-            for ws, d in self._top.items()
-            for key, cnt in d.items()
-        ]
-        schema = (
-            f"window_start timestamp, window_end timestamp, "
-            f"{self.key_col} string, cnt long, max_ts timestamp"
+        compacted = (
+            top.drop("rank")
+            .withColumn("max_ts", F.lit(frontier))
+            .select(*[f.name for f in log_schema.fields])
         )
         tmp = self._log_dir + ".compact"
         shutil.rmtree(tmp, ignore_errors=True)
-        self.spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        compacted.coalesce(1).write.mode("overwrite").parquet(tmp)
         gc_dir = self._log_dir + ".gc"
         shutil.rmtree(gc_dir, ignore_errors=True)
         os.rename(self._log_dir, gc_dir)
         os.rename(tmp, self._log_dir)
         shutil.rmtree(gc_dir, ignore_errors=True)
+
+    def _maybe_compact_in_run(self) -> None:
+        """In-run WAL compaction (every ``compact_every`` micro-batches):
+        without it the log grows with every micro-batch until the next
+        restart, and only restore-time filtering bounds the DRIVER cost —
+        the log scan itself would grow unboundedly in a long-running job.
+        The rewrite is the same distributed reduction `_restore` uses
+        (read log → live-window filter → dedup → top-N cut → swap dirs);
+        foreachBatch calls are serialized on the driver, so no append can
+        race the directory swap."""
+        log = self.spark.read.parquet(self._log_dir)
+        reduced = self._live_top(log)
+        if reduced is None:
+            return
+        top, frontier = reduced
+        self._compact_log(top, frontier, log.schema)
 
     # -- leaderboard side (reference O6-O9 + O13) --
 
@@ -405,6 +455,11 @@ class TopNFeedback:
         if self._max_ts is None or frontier > self._max_ts:
             self._max_ts = frontier
         self._recompute_snapshot()
+        if self._log_dir and self.compact_every:
+            self._batches_since_compact += 1
+            if self._batches_since_compact >= self.compact_every:
+                self._maybe_compact_in_run()
+                self._batches_since_compact = 0
 
     def _recompute_snapshot(self) -> None:
         import datetime
