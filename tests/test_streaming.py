@@ -628,6 +628,64 @@ def test_incremental_mv_bucket_pruned_merge(spark):
     assert mv2._buckets == mv._buckets
 
 
+def test_sketch_mv_merge_equals_one_shot(spark):
+    """SketchMV incremental invariant: per-day HLL sketches maintained
+    across micro-batch merges must estimate the same distinct counts as
+    one-shot daily sketches over the full data (within the 10% sketch
+    contract — at this cardinality they should agree exactly), a
+    replayed batch_id is a no-op, and a restart resumes from the
+    manifest."""
+    import datetime
+
+    from twitter_flink_spark.streaming.pipeline import SketchMV
+
+    d0 = datetime.date(2024, 1, 1)
+    rows = [
+        (uid, d0 + datetime.timedelta(days=uid % 3))
+        for uid in range(300)
+        for _ in range(2)  # duplicates: the sketch dedups, no pre-distinct
+    ]
+    full = spark.createDataFrame(rows, "user_id long, d date")
+    mv = SketchMV(spark, key_col="d", value_col="user_id", n_buckets=4)
+    # replay as 3 micro-batches split by user ranges (days overlap batches)
+    for i in range(3):
+        mv.merge_batch(
+            full.where((F.col("user_id") % 3) == i), i
+        )
+    est = {
+        r.d: r.est
+        for r in mv.snapshot()
+        .select("d", F.expr("hll_sketch_estimate(sk)").alias("est"))
+        .collect()
+    }
+    exact = {
+        r.d: r.n
+        for r in full.groupBy("d")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for d, n in exact.items():
+        assert abs(est[d] - n) * 10 <= n
+
+    # replayed batch: manifest skips it, snapshot byte-stable
+    v_before = dict(mv._buckets)
+    mv.merge_batch(full.where((F.col("user_id") % 3) == 2), 2)
+    assert mv._buckets == v_before
+
+    # restart on the same root resumes and serves the same estimates
+    mv2 = SketchMV(
+        spark, key_col="d", value_col="user_id", n_buckets=4, root=mv._root
+    )
+    est2 = {
+        r.d: r.est
+        for r in mv2.snapshot()
+        .select("d", F.expr("hll_sketch_estimate(sk)").alias("est"))
+        .collect()
+    }
+    assert est2 == est
+
+
 def test_incremental_mv_crash_before_manifest_commit(spark):
     """A crash AFTER bucket files are staged/renamed but BEFORE the
     manifest commit must be invisible: the manifest is the only commit

@@ -367,9 +367,10 @@ def bitmap_overlap_purchase_click(
     )
 
 
-@register(
-    "hll_rolling_7day_actives",
-    oracle="""
+#: shared with the streaming MV twin `streaming_hll_actives_mv`: the
+#: incrementally-maintained daily sketch table must serve the same rolling
+#: windows under the same exactness contract
+HLL_ROLLING_7DAY_ORACLE = """
 WITH act AS (
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
 ),
@@ -382,30 +383,20 @@ SELECT strftime(window_day, '%Y-%m-%d') AS window_day,
        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_7d,
        TRUE AS within_10pct
 FROM win GROUP BY window_day
-""",
-)
-def hll_rolling_7day_actives(
-    spark: SparkSession, sf_dir: str
+"""
+
+
+def rolling_7day_from_daily_sketches(
+    daily: DataFrame, act: DataFrame
 ) -> DataFrame:
-    """The SKETCH path for `rolling_7day_actives`: one DataSketches HLL
-    per DAY (`hll_sketch_agg`, a mergeable ~KB partial), each window
-    day unions its 7 daily sketches (`hll_union_agg`) — the rollup
-    never re-touches user ids, which is the scale point: exact rolling
-    distinct re-expands the users x days grain per window, the sketch
-    path moves 7 kilobyte-sized objects per window regardless of user
-    count (this is how a 100 TB pipeline serves every trailing-window
-    distinct metric from one daily sketch table). Emission follows the
-    sketch-family contract: the hash-matched columns are the exact
-    count and an integer-exact boolean pinning the union estimate
-    within 10% (|est - exact| * 10 <= exact); an estimator or merge
-    regression flips the boolean and the row stops matching."""
-    ev = load_table(spark, sf_dir, "events")
-    act = ev.select(
-        "user_id", F.to_date("ts").alias("d")
-    ).distinct()
-    daily = act.groupBy("d").agg(
-        F.expr("hll_sketch_agg(user_id)").alias("sk")
-    )
+    """Serve trailing-7-day distinct actives from a DAILY sketch table:
+    each window day unions its 7 daily sketches (`hll_union_agg` over
+    kilobyte objects — the rollup never re-touches user ids), and the
+    exact side recomputed from the raw activity pairs pins the estimate
+    within 10% (|est - exact| * 10 <= exact). ``daily`` is (d, sk);
+    ``act`` is the distinct (user_id, d) activity — shared by the batch
+    query and the streaming-MV twin, whose maintained snapshot plugs in
+    as ``daily`` unchanged."""
     days = act.select(F.col("d").alias("window_day")).distinct()
     sk_win = (
         daily.select(
@@ -441,6 +432,32 @@ def hll_rolling_7day_actives(
             <= F.col("exact_7d")
         ).alias("within_10pct"),
     )
+
+
+@register("hll_rolling_7day_actives", oracle=HLL_ROLLING_7DAY_ORACLE)
+def hll_rolling_7day_actives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SKETCH path for `rolling_7day_actives`: one DataSketches HLL
+    per DAY (`hll_sketch_agg`, a mergeable ~KB partial), each window
+    day unions its 7 daily sketches (`hll_union_agg`) — the rollup
+    never re-touches user ids, which is the scale point: exact rolling
+    distinct re-expands the users x days grain per window, the sketch
+    path moves 7 kilobyte-sized objects per window regardless of user
+    count (this is how a 100 TB pipeline serves every trailing-window
+    distinct metric from one daily sketch table). Emission follows the
+    sketch-family contract: the hash-matched columns are the exact
+    count and an integer-exact boolean pinning the union estimate
+    within 10% (|est - exact| * 10 <= exact); an estimator or merge
+    regression flips the boolean and the row stops matching."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    daily = act.groupBy("d").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    return rolling_7day_from_daily_sketches(daily, act)
 
 
 @register(

@@ -1163,6 +1163,74 @@ def streaming_daily_active_mv(
     )
 
 
+# oracle shared with the batch twin `hll_rolling_7day_actives` — the
+# incrementally-maintained daily sketch table must serve the same windows
+from twitter_flink_spark.queries.sketches import (  # noqa: E402
+    HLL_ROLLING_7DAY_ORACLE as _HLL_ORACLE,
+)
+
+
+@register("streaming_hll_actives_mv", oracle=_HLL_ORACLE)
+def streaming_hll_actives_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-serving MV (SURVEY §13, the last incremental-MV family
+    member): the event stream replays as four micro-batches; each batch
+    reduces to its per-DAY DataSketches HLL partials (`hll_sketch_agg`
+    over raw user ids — no pre-dedup shuffle, the sketch absorbs
+    duplicates map-side) and merges into a bucketed `SketchMV` snapshot
+    via `hll_union_agg`, touched buckets only. The trailing-7-day
+    actives then serve from the maintained daily-sketch table with the
+    SAME rollup as the batch query (`rolling_7day_from_daily_sketches`),
+    and the oracle is the batch oracle verbatim: exact count
+    hash-matched, plus an integer-exact boolean pinning the union-of-
+    unions estimate within 10% — so a merge regression (double-merged
+    batch, dropped bucket, broken union) flips the row. Completes the
+    MV family's scale story: unlike `PresenceMV`'s users x days grain,
+    this snapshot is days x ~KB — data-size independent — which is how
+    a 100 TB event history compacts into a servable distinct-metric
+    table. At-least-once replay safety comes from the family's
+    batch-id manifest (a replayed batch never re-unions), pinned for
+    this subclass in tests/test_streaming.py."""
+    import tempfile
+
+    from twitter_flink_spark.streaming.pipeline import SketchMV
+
+    staged = _ensure_split_events(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    mv = SketchMV(
+        spark,
+        key_col="d",
+        value_col="user_id",
+        prepare=lambda b: b.select(
+            "user_id", F.to_date("ts").alias("d")
+        ),
+    )
+    q = (
+        stream.writeStream.foreachBatch(mv.merge_batch)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="tfs-hllmv-ckpt-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 300)
+    from twitter_flink_spark.queries.sketches import (
+        rolling_7day_from_daily_sketches,
+    )
+    from twitter_flink_spark.sources.tables import load_table
+
+    act = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    return rolling_7day_from_daily_sketches(mv.snapshot(), act)
+
+
 @register(
     "streaming_dedup_then_window",
     oracle="""

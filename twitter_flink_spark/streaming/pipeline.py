@@ -863,3 +863,59 @@ class GroupedCountMV(IncrementalMV):
                 F.coalesce("s_cnt", F.lit(0)) + F.coalesce("cnt", F.lit(0))
             ).alias("cnt"),
         )
+
+
+class SketchMV(IncrementalMV):
+    """Sketch-serving MV: the snapshot holds one DataSketches HLL sketch
+    per key (e.g. one per DAY for the rolling-actives serving table) —
+    each micro-batch reduces to its OWN per-key sketch partials
+    (`hll_sketch_agg`, a mergeable ~KB object built map-side from raw
+    values, duplicates absorbed by the sketch itself so no pre-dedup
+    shuffle at all) and the merge is `hll_union_agg` over the union of
+    prior and partial sketches, touched buckets only.
+
+    This is the incremental form of every trailing-window distinct
+    metric at 100 TB: the maintained grain is keys x ~KB — data-size
+    independent — and serving unions a handful of sketches per window
+    (`hll_rolling_7day_actives`'s rollup) without ever replaying raw
+    ids. Unlike `PresenceMV` (exact, but its grain grows with distinct
+    pairs), the sketch snapshot's size is FIXED per key, which is what
+    makes the daily-sketch table the serving artifact a petabyte event
+    history compacts into. ``prepare`` maps a raw micro-batch to
+    (key, value) rows driver-side inside foreachBatch."""
+
+    def __init__(
+        self,
+        spark,
+        key_col: str,
+        value_col: str,
+        prepare=None,
+        n_buckets: int = 16,
+        root: str | None = None,
+    ):
+        self.value_col = value_col
+        self._prepare = prepare
+        super().__init__(spark, key_col=key_col, n_buckets=n_buckets, root=root)
+
+    _EMPTY_KEY_SCHEMA: str | None = "d date"
+    _EMPTY_VALUE_SCHEMA = "sk binary"
+
+    def _partial(self, batch_df):
+        from pyspark.sql import functions as F
+
+        if self._prepare is not None:
+            batch_df = self._prepare(batch_df)
+        return batch_df.groupBy(self.key_col).agg(
+            F.expr(f"hll_sketch_agg({self.value_col})").alias("sk")
+        )
+
+    def _merge(self, snap, partial):
+        from pyspark.sql import functions as F
+
+        cols = [self.key_col, "sk"]
+        return (
+            snap.select(*cols)
+            .unionByName(partial.select(*cols))
+            .groupBy(self.key_col)
+            .agg(F.expr("hll_union_agg(sk)").alias("sk"))
+        )
