@@ -594,3 +594,19 @@ def test_partition_evolution_prunes_per_era(spark):
     assert re.search(
         r"PushedFilters: \[.*EqualTo\(event_type,purchase\)", plan
     ), plan
+
+
+def test_era_compaction_prunes_both_eras(spark):
+    """After the era-compaction rewrite, BOTH eras serve from the evolved
+    (day, event_type) layout: the two parquet scans in the union must
+    each carry event_type in PartitionFilters (directory pruning), and no
+    scan may fall back to a row-level EqualTo(event_type, ...) pushed
+    filter — the cost gradient the migration exists to close."""
+    plan = plan_of(spark, "era_compaction_rewrite")
+    assert (
+        len(re.findall(r"PartitionFilters: \[.*event_type.*purchase", plan))
+        >= 2
+    ), plan
+    assert not re.search(
+        r"PushedFilters: \[.*EqualTo\(event_type,purchase\)", plan
+    ), plan

@@ -1135,3 +1135,139 @@ def partition_evolution_union_read(
         F.count(F.lit(1)).cast("long").alias("n_purchases"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+def _migrate_era_days(
+    spark: SparkSession, era0: str, mig_root: str, max_days: int | None = None
+) -> list[str]:
+    """ONE era-compaction maintenance invocation: rewrite up to
+    ``max_days`` not-yet-migrated legacy day partitions (partitionBy(day))
+    into the evolved (day, event_type) layout under ``mig_root``, and
+    record them in an atomically-committed manifest so the next
+    invocation resumes — never repeats — the work. The rewrite is ONE
+    Spark job regardless of day count (read the todo day dirs with
+    basePath so the partition column survives, repartition on (day,
+    event_type) → one task per output partition → one right-sized file
+    each), and publication is per-day atomic: each day dir renames from
+    the staging area before the manifest commit names it, so a crash
+    leaves either the legacy era (manifest silent, serving falls back)
+    or the completed day — never a half-written partition. Returns the
+    days migrated by THIS call."""
+    import json
+    import os
+    import shutil
+
+    manifest = os.path.join(mig_root, "_manifest.json")
+    done: list[str] = []
+    if os.path.isfile(manifest):
+        with open(manifest) as fh:
+            done = json.load(fh)
+    era0_days = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(era0)
+        if d.startswith("day=")
+    )
+    todo = [d for d in era0_days if d not in done]
+    if max_days is not None:
+        todo = todo[:max_days]
+    if not todo:
+        return []
+    stage = os.path.join(mig_root, "_stage")
+    shutil.rmtree(stage, ignore_errors=True)
+    (
+        spark.read.option("basePath", era0)
+        .parquet(*[os.path.join(era0, f"day={d}") for d in todo])
+        .repartition("day", "event_type")
+        .write.partitionBy("day", "event_type")
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    for d in todo:
+        src = os.path.join(stage, f"day={d}")
+        dst = os.path.join(mig_root, f"day={d}")
+        shutil.rmtree(dst, ignore_errors=True)  # orphan from a crashed run
+        os.rename(src, dst)
+        done.append(d)
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(done, fh)
+        os.replace(tmp, manifest)  # atomic per-day commit
+    shutil.rmtree(stage, ignore_errors=True)
+    return todo
+
+
+@register(
+    "era_compaction_rewrite",
+    oracle="""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(sum(value), 2) AS total_value,
+       TRUE AS evolved
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY CAST(ts AS DATE)
+""",
+)
+def era_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Era-compaction maintenance (SURVEY §13): incrementally rewrite the
+    LEGACY partition era of `partition_evolution_union_read` — history
+    written partitionBy(day) — into the evolved (day, event_type) layout,
+    composing the migration with `compact_small_files`' rewrite shape
+    (repartition on the output partition key → one file per partition).
+    The maintenance runs here as two invocations of `_migrate_era_days`
+    (first capped at one day, then the rest): the second call must SKIP
+    the already-migrated day — the incremental contract that lets a
+    petabyte table migrate over many scheduled windows without ever
+    rewriting a day twice. After the rewrite both eras serve from
+    type-pruning layouts: the union read's event_type predicate skips
+    whole directories on the migrated era exactly as on the native
+    evolved era (plan-pinned in tests/test_plans.py), closing the cost
+    gradient `partition_evolution_union_read` demonstrates. The emitted
+    `evolved` flag is computed from the FILESYSTEM — every served day
+    must have event_type= subdirectories and no day may migrate twice —
+    so a migration that silently re-runs, half-publishes, or leaves a
+    day in the legacy layout flips rows and fails the value hash; the
+    aggregate itself must equal the single-table oracle, proving the
+    rewrite lost nothing."""
+    import os
+
+    from twitter_flink_spark.sources.files import scratch_dir
+
+    era0, era1 = _ensure_evolved_layout(spark, sf_dir)
+    mig = scratch_dir("era-mig")
+    os.makedirs(mig, exist_ok=True)
+    first = _migrate_era_days(spark, era0, mig, max_days=1)
+    rest = _migrate_era_days(spark, era0, mig)
+    incremental_ok = len(first) == 1 and not (set(first) & set(rest))
+
+    def _day_dirs(root: str) -> dict[str, str]:
+        return {
+            d.split("=", 1)[1]: os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("day=")
+        }
+
+    serving = {**_day_dirs(mig), **_day_dirs(era1)}
+    flags = [
+        (
+            day,
+            incremental_ok
+            and any(
+                s.startswith("event_type=") for s in os.listdir(path)
+            ),
+        )
+        for day, path in sorted(serving.items())
+    ]
+    flags_df = spark.createDataFrame(flags, "day string, evolved boolean")
+    r0 = spark.read.parquet(mig).where(F.col("event_type") == "purchase")
+    r1 = spark.read.parquet(era1).where(F.col("event_type") == "purchase")
+    cols = ["day", "value"]
+    unioned = r0.select(*cols).unionByName(r1.select(*cols))
+    return (
+        unioned.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .join(F.broadcast(flags_df), "day")
+    )
