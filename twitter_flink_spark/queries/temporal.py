@@ -913,6 +913,108 @@ def ewma_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "forecast_seasonal_naive_vs_ewma",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS x FROM events GROUP BY 1
+),
+idx AS (
+  SELECT d, x,
+         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+         CAST(count(*) OVER () AS BIGINT) AS t
+  FROM daily
+),
+ew AS (
+  SELECT max(t) - 7 AS n_train,
+         sum(CASE WHEN i = 1 THEN x
+             ELSE x * (CAST(1 AS BIGINT) << (i - 2)) END) AS num
+  FROM idx WHERE i <= (SELECT max(t) - 7 FROM idx)
+)
+SELECT strftime(m.d, '%Y-%m-%d') AS day,
+       CAST(m.x AS BIGINT) AS actual,
+       CAST(l.x AS BIGINT) AS naive_pred,
+       CAST(abs(m.x - l.x) AS BIGINT) AS err_naive,
+       CAST(e.num AS DOUBLE)
+         / CAST(CAST(1 AS BIGINT) << (e.n_train - 1) AS DOUBLE) AS ewma_pred,
+       CAST(abs(m.x * (CAST(1 AS BIGINT) << (e.n_train - 1)) - e.num)
+            AS BIGINT) AS err_ewma_num,
+       (abs(m.x * (CAST(1 AS BIGINT) << (e.n_train - 1)) - e.num)
+          < abs(m.x - l.x) * (CAST(1 AS BIGINT) << (e.n_train - 1)))
+         AS ewma_beats_naive
+FROM idx m
+JOIN idx l ON l.i = m.i - 7
+CROSS JOIN ew e
+WHERE m.i > m.t - 7
+""",
+)
+def forecast_seasonal_naive_vs_ewma(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Backtested forecast comparison (SURVEY §13): hold out the FINAL
+    WEEK of the fixture's 30 contiguous days, forecast each held-out
+    day's event count two ways — seasonal-naive (the actual from 7 days
+    earlier, all of which land in the training span for a 7-day
+    horizon) and a flat EWMA carried forward from the last training day
+    — and emit per-day errors plus an `ewma_beats_naive` verdict. Every
+    emitted number is integer-EXACT cross-engine: the EWMA reuses
+    `ewma_daily_counts`' alpha=1/2 shifted-integer form (numerator
+    N = x_1 + sum x_i 2^(i-2) over the 23 train days, prediction
+    N / 2^22 — a float exponent shift), and errors compare in the
+    scaled-integer domain (|x << 22 - N|), so no float summation order
+    or rounding boundary can flip the hash. Shape: one events->daily
+    count aggregation, then all window/join work runs on the DAYS-sized
+    frame (~30 rows) — the single-partition rank window costs nothing
+    at any corpus scale because the grain is calendar days, not
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.orderBy("d")
+    idx = daily.select(
+        "d",
+        "x",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("t"),
+    )
+    ew = idx.where(F.col("i") <= F.col("t") - 7).agg(
+        (F.max("t") - F.lit(7)).alias("n_train"),
+        F.sum(
+            F.when(F.col("i") == 1, F.col("x")).otherwise(
+                F.col("x")
+                * F.expr("shiftleft(cast(1 as bigint), cast(i - 2 as int))")
+            )
+        ).alias("num"),
+    )
+    scale = F.expr(
+        "shiftleft(cast(1 as bigint), cast(n_train - 1 as int))"
+    )
+    m, lagged = idx.alias("m"), idx.alias("l")
+    test = (
+        m.join(lagged, F.col("l.i") == F.col("m.i") - 7)
+        .where(F.col("m.i") > F.col("m.t") - 7)
+        .select(
+            F.col("m.d").alias("d"),
+            F.col("m.x").alias("actual"),
+            F.col("l.x").alias("naive_pred"),
+        )
+    )
+    err_ewma = F.abs(F.col("actual") * scale - F.col("num"))
+    err_naive = F.abs(F.col("actual") - F.col("naive_pred"))
+    return test.crossJoin(F.broadcast(ew)).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("actual").cast("long").alias("actual"),
+        F.col("naive_pred").cast("long").alias("naive_pred"),
+        err_naive.cast("long").alias("err_naive"),
+        (F.col("num").cast("double") / scale.cast("double")).alias(
+            "ewma_pred"
+        ),
+        err_ewma.cast("long").alias("err_ewma_num"),
+        (err_ewma < err_naive * scale).alias("ewma_beats_naive"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Daily-count autocorrelation (seasonality probe)
 
