@@ -7,7 +7,13 @@ comparison (`tests/oracle.py`, driver-strict) — and writes
 `CORRECTNESS_LOCAL_r{N}.json` so the full-registry verification state is a
 committed artifact, not just a transient pytest run.
 
-Usage: python scripts/local_sweep.py <round> [sf_dir]
+Usage: python scripts/local_sweep.py <round> [sf_dir] [--top N] [--out PATH]
+
+--top N restricts the sweep to the N heaviest queries by the latest bench
+timings (BENCH_QUERIES_LATEST.json) — the sf0.1 spot-sweep mode that
+catches scale-dependent drift (AQE plan switches, decimal overflow) on
+exactly the queries where scale bites first. --out overrides the artifact
+path (default CORRECTNESS_LOCAL_r{NN}.json).
 """
 
 from __future__ import annotations
@@ -27,8 +33,19 @@ from oracle import canon_rows, driver_canon_check, duck_connection  # noqa: E402
 
 
 def main() -> int:
-    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    args = list(sys.argv[1:])
+    top_n = None
+    out_path = None
+    if "--top" in args:
+        i = args.index("--top")
+        top_n = int(args[i + 1])
+        del args[i : i + 2]
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = Path(args[i + 1])
+        del args[i : i + 2]
+    rnd = int(args[0]) if args else 0
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -38,6 +55,13 @@ def main() -> int:
     import __spark_entry__ as m
 
     qs, osql = m.queries(), m.oracle_sql()
+    if top_n is not None:
+        bench = json.loads(
+            (ROOT / "BENCH_QUERIES_LATEST.json").read_text()
+        )["queries"]
+        heavy = sorted(bench, key=lambda k: -bench[k])[:top_n]
+        qs = {n: qs[n] for n in heavy if n in qs}
+        print(f"spot-sweep of the {len(qs)} heaviest queries", flush=True)
     duck = duck_connection(sf_dir)
     out: dict[str, dict] = {}
     t_start = time.monotonic()
@@ -78,7 +102,7 @@ def main() -> int:
         status = "ok" if row["hash_match"] else (row["err"] or "FAIL")
         print(f"{name}: {status} ({time.monotonic() - t0:.1f}s)", flush=True)
 
-    dest = ROOT / f"CORRECTNESS_LOCAL_r{rnd:02d}.json"
+    dest = out_path or ROOT / f"CORRECTNESS_LOCAL_r{rnd:02d}.json"
     dest.write_text(json.dumps(out, indent=2))
     bad = [
         n
