@@ -1,7 +1,7 @@
 """Benchmark harness: runs the registered headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE compact JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ..., "n": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ..., "n_queries": ...}
 
 The stdout line keeps `queries` down to the 10 slowest entries so it fits the
 driver's bounded stdout tail (the full 245-entry map overflowed it every
@@ -121,7 +121,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
-                "n": len(timings),
                 "n_queries": len(timings),
                 "prewarm": prewarm,
             },
@@ -140,7 +139,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": slowest,
                 "sf": sf_val,
-                "n": len(timings),
                 "n_queries": len(timings),
                 "prewarm": prewarm,
                 "failed": sorted(n for n, t in timings.items() if t < 0),

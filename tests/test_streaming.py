@@ -686,6 +686,63 @@ def test_sketch_mv_merge_equals_one_shot(spark):
     assert est2 == est
 
 
+def test_incremental_mv_vacuum_removes_only_orphans(spark):
+    """`vacuum()` deletes exactly the version dirs the manifest does not
+    reference (crash orphans, stranded staging dirs) and leaves every
+    live file byte-identical — and a vacuum on a clean table is a
+    no-op."""
+    import os
+
+    from twitter_flink_spark.streaming.pipeline import IncrementalMV
+
+    mv = IncrementalMV(spark, key_col="user_id", n_buckets=4)
+    b0 = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "user_id long, value double"
+    )
+    mv.merge_batch(b0, 0)
+    mv.merge_batch(
+        spark.createDataFrame(
+            [(1, 5.0), (2, 6.0)], "user_id long, value double"
+        ),
+        1,
+    )
+
+    def live_files():
+        out = {}
+        for b, v in mv._buckets.items():
+            d = mv._bucket_dir(b, v)
+            for f in sorted(os.listdir(d)):
+                p = os.path.join(d, f)
+                with open(p, "rb") as fh:
+                    out[p] = fh.read()
+        return out
+
+    before = live_files()
+    snap_before = sorted(tuple(r) for r in mv.snapshot().collect())
+
+    # clean-table vacuum: nothing to do (merge_batch already GC'd
+    # superseded versions post-commit)
+    acct0 = mv.vacuum()
+    assert acct0["removed_versions"] == 0 and acct0["removed_stage"] == 0
+
+    # plant debris: two orphan versions + one stranded stage dir
+    bs = sorted(mv._buckets)
+    for b in bs[:2]:
+        orphan = mv._bucket_dir(b, mv._buckets[b] + 1)
+        os.makedirs(orphan)
+        with open(os.path.join(orphan, "junk.parquet"), "wb") as fh:
+            fh.write(b"junk")
+    os.makedirs(os.path.join(mv._root, "_stage_7"))
+    acct = mv.vacuum()
+    assert acct["removed_versions"] == 2 and acct["removed_stage"] == 1
+    for b in bs[:2]:
+        assert not os.path.isdir(mv._bucket_dir(b, mv._buckets[b] + 1))
+    assert live_files() == before  # live bytes untouched
+    assert (
+        sorted(tuple(r) for r in mv.snapshot().collect()) == snap_before
+    )
+
+
 def test_incremental_mv_crash_before_manifest_commit(spark):
     """A crash AFTER bucket files are staged/renamed but BEFORE the
     manifest commit must be invisible: the manifest is the only commit

@@ -1137,6 +1137,254 @@ def partition_evolution_union_read(
     )
 
 
+_COMPACT_TARGET_ROWS = 100  #: max rows per compacted file
+
+
+@register(
+    "compact_target_file_size",
+    oracle=f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(ceil(count(*) / {_COMPACT_TARGET_ROWS}.0) AS INTEGER)
+         AS files_after,
+       CAST({_COMPACT_TARGET_ROWS} AS INTEGER) AS target_max_rows,
+       TRUE AS file_sizes_ok
+FROM events
+GROUP BY event_type
+""",
+)
+def compact_target_file_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIZE-TARGETED compaction — `compact_small_files`' sibling for the
+    case where one-file-per-partition would overshoot (a hot partition
+    must split into right-sized files, not one giant one): repartition
+    on the partition column (one task per partition value) and let the
+    writer's ``maxRecordsPerFile`` split each partition's output at
+    exactly the target row count — the bin-packing knob every OPTIMIZE
+    job exposes, with zero extra shuffle over the plain rewrite. The
+    accounting is observed, not assumed: `files_after` comes from the
+    FileSystem listing and must equal ceil(rows / target) per
+    partition, and `file_sizes_ok` re-reads the compacted files
+    grouping by `input_file_name()` to pin every single file at or
+    under the target — an off-by-one in the writer split or a hash
+    collision merging bins would flip the row. At 100 TB the target is
+    set in bytes-per-file terms (rows x row width); rows are the
+    deterministic proxy the fixture can assert exactly."""
+    import glob as _glob
+    import os
+
+    from twitter_flink_spark.sources.files import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    base = scratch_dir("compact-size")
+    compacted = os.path.join(base, "compacted")
+    (
+        ev.repartition("event_type")
+        .write.option("maxRecordsPerFile", _COMPACT_TARGET_ROWS)
+        .partitionBy("event_type")
+        .mode("overwrite")
+        .parquet(compacted)
+    )
+    observed = []
+    for d in _glob.glob(os.path.join(compacted, "event_type=*")):
+        et = d.rsplit("=", 1)[1]
+        n_files = len(
+            [f for f in os.listdir(d) if f.endswith(".parquet")]
+        )
+        observed.append((et, n_files))
+    obs_df = spark.createDataFrame(
+        observed, "event_type string, files_after int"
+    )
+    back = spark.read.parquet(compacted)
+    per_file = back.groupBy(
+        "event_type", F.input_file_name().alias("f")
+    ).agg(F.count(F.lit(1)).alias("rows_in_file"))
+    sizes_ok = per_file.groupBy("event_type").agg(
+        (F.max("rows_in_file") <= _COMPACT_TARGET_ROWS).alias(
+            "file_sizes_ok"
+        )
+    )
+    counts = back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    return (
+        counts.join(F.broadcast(obs_df), "event_type")
+        .join(F.broadcast(sizes_ok), "event_type")
+        .select(
+            "event_type",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "files_after",
+            F.lit(_COMPACT_TARGET_ROWS).cast("int").alias(
+                "target_max_rows"
+            ),
+            "file_sizes_ok",
+        )
+    )
+
+
+@register(
+    "mv_vacuum_orphans",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 2) AS val,
+       CAST(3 AS BIGINT) AS orphans_removed,
+       CAST(1 AS BIGINT) AS stage_removed
+FROM events
+GROUP BY user_id
+""",
+)
+def mv_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-file GC for the incremental-MV table (the third maintenance
+    job beside small-file compaction and era migration): merge the
+    events as three batches into an `IncrementalMV`, simulate the crash
+    debris real long-running merges accumulate — three orphan version
+    dirs at never-committed slots plus one stranded `_stage_*` dir —
+    then `vacuum()`. The emitted per-user aggregate comes from the
+    POST-vacuum snapshot, so a vacuum that deletes a live,
+    manifest-referenced file breaks the value hash against the plain
+    events oracle; the accounting columns pin that exactly the planted
+    debris (3 versions + 1 stage dir) was removed — a GC that misses
+    orphans or over-deletes flips them. The manifest-is-truth design is
+    what makes this safe to schedule at any time at 100 TB: vacuum
+    never needs to coordinate with readers or in-flight merges beyond
+    the manifest's atomic commit point."""
+    import os
+
+    from twitter_flink_spark.streaming.pipeline import IncrementalMV
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    mv = IncrementalMV(spark, key_col="user_id")
+    for i in range(3):
+        mv.merge_batch(
+            ev.where(F.pmod(F.col("user_id"), F.lit(3)) == i), i
+        )
+    # plant crash debris: orphan version dirs at slots the manifest never
+    # committed, and a stranded staging dir from a "killed" merge
+    planted = 0
+    for b, v in sorted(mv._buckets.items()):
+        if planted == 3:
+            break
+        orphan = mv._bucket_dir(b, v + 1)
+        os.makedirs(orphan, exist_ok=True)
+        with open(os.path.join(orphan, "part-orphan.parquet"), "wb") as fh:
+            fh.write(b"crash debris")
+        planted += 1
+    os.makedirs(os.path.join(mv._root, "_stage_99"), exist_ok=True)
+    acct = mv.vacuum()
+    return mv.snapshot().select(
+        "user_id",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("val", 2).alias("val"),
+        F.lit(acct["removed_versions"]).cast("long").alias(
+            "orphans_removed"
+        ),
+        F.lit(acct["removed_stage"]).cast("long").alias("stage_removed"),
+    )
+
+
+@register(
+    "profile_columns_lineitem",
+    oracle="""
+SELECT 'l_quantity' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(l_quantity) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+       min(l_quantity) AS min_num, max(l_quantity) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(l_extendedprice) AS BIGINT),
+       CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+       min(l_extendedprice), max(l_extendedprice),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(l_returnflag) AS BIGINT),
+       CAST(count(DISTINCT l_returnflag) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       min(l_returnflag), max(l_returnflag)
+FROM lineitem
+UNION ALL
+SELECT 'l_linestatus', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(l_linestatus) AS BIGINT),
+       CAST(count(DISTINCT l_linestatus) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       min(l_linestatus), max(l_linestatus)
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(l_shipdate) AS BIGINT),
+       CAST(count(DISTINCT l_shipdate) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+       strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')
+FROM lineitem
+""",
+)
+def profile_columns_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling — the data-quality census every ingest gate runs
+    before a corpus joins a training mix: per-column row/null/distinct
+    counts and typed min/max, computed in ONE scan. All five columns'
+    aggregates land in a single `.agg` (the multi-distinct plan uses
+    Spark's Expand operator — one pass over the data multiplied by the
+    distinct-column count, the standard profiling trade vs five
+    separate scans), and the single 1-row result pivots to one row per
+    column with `stack` — driver never sees more than the profile
+    itself. Numeric min/max emit as doubles, string/timestamp as
+    strings (nulls in the other slot), so the oracle pins exact values
+    per type; n_distinct is exact (the sketch-based census lives in the
+    sketches family). At 100 TB this is the same plan — the Expand
+    multiplies rows into partial aggregates, never materializes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = [
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in cols:
+        aggs.append(F.count(c).cast("long").alias(f"{c}__nn"))
+        aggs.append(F.count_distinct(c).cast("long").alias(f"{c}__nd"))
+    for c in ["l_quantity", "l_extendedprice"]:
+        aggs.append(F.min(c).alias(f"{c}__min"))
+        aggs.append(F.max(c).alias(f"{c}__max"))
+    for c in ["l_returnflag", "l_linestatus"]:
+        aggs.append(F.min(c).alias(f"{c}__min"))
+        aggs.append(F.max(c).alias(f"{c}__max"))
+    aggs.append(
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "l_shipdate__min"
+        )
+    )
+    aggs.append(
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "l_shipdate__max"
+        )
+    )
+    one = li.agg(*aggs)
+
+    def _entry(c: str) -> str:
+        if c in ("l_quantity", "l_extendedprice"):
+            num = f"{c}__min, {c}__max"
+            txt = "cast(null as string), cast(null as string)"
+        else:
+            num = "cast(null as double), cast(null as double)"
+            txt = f"{c}__min, {c}__max"
+        return f"'{c}', n, n - {c}__nn, {c}__nd, {num}, {txt}"
+
+    stack = (
+        f"stack({len(cols)}, "
+        + ", ".join(_entry(c) for c in cols)
+        + ") as (col_name, n_rows, n_nulls, n_distinct, "
+        + "min_num, max_num, min_str, max_str)"
+    )
+    return one.selectExpr(stack)
+
+
 def _migrate_era_days(
     spark: SparkSession, era0: str, mig_root: str, max_days: int | None = None
 ) -> list[str]:

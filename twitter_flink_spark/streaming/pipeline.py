@@ -758,6 +758,51 @@ class IncrementalMV:
             shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
 
+    def vacuum(self) -> dict:
+        """Dead-file GC — the maintenance sibling of compaction: delete
+        every version directory the manifest does NOT reference (orphans
+        from merges that crashed before their manifest commit, and
+        superseded generations whose post-commit cleanup died) plus any
+        stranded ``_stage_*`` staging dirs. The manifest is the single
+        source of truth, so this is safe at any time: a crash mid-vacuum
+        just leaves fewer orphans, and readers only ever open
+        manifest-referenced dirs. Returns accounting
+        ``{live, removed_versions, removed_stage}`` — at scale this runs
+        as a scheduled job whose removed-bytes metric is the signal that
+        merge crash-rates need attention."""
+        import os
+        import shutil
+
+        live = {(b, v) for b, v in self._buckets.items()}
+        removed_versions = 0
+        removed_stage = 0
+        for entry in os.listdir(self._root):
+            path = os.path.join(self._root, entry)
+            if entry.startswith("_stage_") and os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+                removed_stage += 1
+                continue
+            if not (
+                entry.startswith("b")
+                and entry[1:].isdigit()
+                and os.path.isdir(path)
+            ):
+                continue
+            b = int(entry[1:])
+            for ventry in os.listdir(path):
+                if not (ventry.startswith("v") and ventry[1:].isdigit()):
+                    continue
+                if (b, int(ventry[1:])) not in live:
+                    shutil.rmtree(
+                        os.path.join(path, ventry), ignore_errors=True
+                    )
+                    removed_versions += 1
+        return {
+            "live": len(live),
+            "removed_versions": removed_versions,
+            "removed_stage": removed_stage,
+        }
+
     #: overridden where the key is composite or non-long
     _EMPTY_KEY_SCHEMA: str | None = None
 
