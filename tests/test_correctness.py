@@ -8,6 +8,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full-registry oracle sweep; CORRECTNESS_LOCAL artifacts cover it per round
+
 import __spark_entry__ as entrymod
 from tests.oracle import compare, duck_connection
 

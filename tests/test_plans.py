@@ -10,6 +10,8 @@ import re
 
 import pytest
 
+pytestmark = pytest.mark.slow  # executes every registered query to audit plan shapes
+
 from twitter_flink_spark.registry import QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -7,10 +7,14 @@ the volume."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.slow  # hypothesis sweeps build many Spark frames
 
 _SETTINGS = dict(
     max_examples=5,

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from twitter_flink_spark.operators.windows import sliding_window_counts
@@ -17,6 +19,8 @@ from twitter_flink_spark.streaming.pipeline import (
     windowed_stream_counts,
 )
 from twitter_flink_spark.streaming.sources import stream_table
+
+pytestmark = pytest.mark.slow  # end-to-end micro-batch runs dominate suite wall time
 
 SF_DIR = "/root/testdata/sf0.001"
 
