@@ -58,3 +58,38 @@ def test_bloom_disjoint_shingles_mostly_miss(spark):
     )
     row = bloom_shingle_hits(inc, bloom, m=M, k=K).collect()[0]
     assert row.n_hits == 0
+
+
+def test_bloom_prefilter_join_equals_plain_join(spark):
+    """`bloom_prefilter_join` must be row-identical to the plain equi-join
+    (no false negatives by construction; false positives eliminated by the
+    exact join) — and the membership mask must pass EVERY dimension key
+    while rejecting at least some non-joining fact keys."""
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators.joins import (
+        bloom_membership_mask,
+        bloom_prefilter_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(i % 50, i) for i in range(400)], "fk long, payload long"
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, 50, 7)], "dk long, name string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in bloom_prefilter_join(fact, dim, "fk", "dk").collect()
+    )
+    want = sorted(
+        tuple(r) for r in fact.join(dim, fact["fk"] == dim["dk"]).collect()
+    )
+    assert got == want and len(got) > 0
+
+    mask = bloom_membership_mask(dim, "dk", "fk")
+    n_pass = fact.where(mask).count()
+    n_true = fact.join(
+        F.broadcast(dim.select("dk")), fact["fk"] == F.col("dk"), "left_semi"
+    ).count()
+    assert n_true <= n_pass < fact.count()  # no FN; some rejection

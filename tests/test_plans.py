@@ -598,6 +598,29 @@ def test_partition_evolution_prunes_per_era(spark):
     ), plan
 
 
+def test_bloom_prefilter_runs_before_join(spark):
+    """The Bloom membership test (xxhash64 probes + O(1) element_at word
+    lookups over the inlined packed-bit array literal) must run as a
+    plain Filter on the fact side — inside the scan's codegen stage,
+    before any Exchange — and the join that follows stays an equi hash
+    join, never cartesian."""
+    plan = plan_of(spark, "bloom_prefilter_join_revenue")
+    assert "xxhash64" in plan and "element_at" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the filter belongs to the fact input, not a post-join projection:
+    # it must appear in the plan BELOW the (broadcast) hash join node
+    join_at = min(
+        i
+        for i in (
+            plan.find("BroadcastHashJoin"),
+            plan.find("SortMergeJoin"),
+            plan.find("ShuffledHashJoin"),
+        )
+        if i >= 0
+    )
+    assert plan.find("element_at", join_at) > join_at, plan
+
+
 def test_era_compaction_prunes_both_eras(spark):
     """After the era-compaction rewrite, BOTH eras serve from the evolved
     (day, event_type) layout: the two parquet scans in the union must

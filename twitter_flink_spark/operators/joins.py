@@ -148,3 +148,90 @@ def null_routed_left_join(
     )
     # join(key) moves the key to the front; align by name, not position
     return matched.unionByName(passthrough.select(matched.columns))
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m: int = 1 << 13,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-prefiltered equi-join: cut the fact side's shuffle volume
+    with a broadcast Bloom filter over the dimension's join keys BEFORE
+    the join — the manual form of Spark's runtime bloom-filter injection
+    (`spark.sql.optimizer.runtime.bloomFilter.*`), built explicitly so
+    the threshold heuristics can't silently decline it.
+
+    Why this exists at 100 TB: a selective dimension subset can be far
+    too large to broadcast as a hash-join build side (rows + payload),
+    while its Bloom filter is ``m`` BITS by construction — so the fact
+    table drops non-joining rows scan-side, and the unavoidable shuffle
+    join moves only survivors. Semantically transparent: a Bloom filter
+    has no false negatives, and its false positives are eliminated by
+    the exact join that follows — the result is row-identical to the
+    plain join, which is exactly what the oracle checks.
+
+    Mechanics: k ``xxhash64`` bit positions per key; the dimension side
+    reduces to its <= m distinct set positions (bounded by the filter
+    size REGARDLESS of dimension cardinality — the same bounded-artifact
+    rule as `shingle_bloom_bits`), packed into m/64 LONG words that
+    inline into the plan as one array literal; the fact-side membership
+    test is k O(1) ``element_at`` word lookups + bit tests ANDed inside
+    whole-stage codegen — no explode, no extra join, no Python. (Two
+    rejected encodings, both measured: a py4j boolean-array literal
+    costs ~15 s to SHIP at m=32k, and a '0'/'1' string literal probes
+    via ``substr`` whose char-position walk is O(m) PER ROW — 15 s over
+    600 k rows. The packed words are O(m/64) to ship and O(1) to
+    probe.)"""
+    member = bloom_membership_mask(dim, dim_key, fact_key, m=m, k=k)
+    return fact.where(member).join(
+        dim, fact[fact_key] == dim[dim_key]
+    )
+
+
+def bloom_membership_mask(
+    dim: DataFrame,
+    dim_key: str,
+    probe_key: str,
+    m: int = 1 << 13,
+    k: int = 3,
+) -> F.Column:
+    """The Bloom membership predicate `bloom_prefilter_join` applies:
+    builds the dimension's bit-set (one distinct on <= m integer
+    positions — bounded by the filter size, not the dimension), packs
+    it into m/64 long words inlined as one array literal, and returns
+    the ANDed k-probe O(1) word-lookup-and-bit-test over ``probe_key``
+    — a plain codegen-friendly Column usable in any `where`."""
+    if m % 64:
+        raise ValueError(f"m must be a multiple of 64, got {m}")
+
+    def pos(col: str, i: int) -> F.Column:
+        return F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(m))
+
+    set_bits = {
+        r["p"]
+        for r in dim.select(
+            F.explode(
+                F.array(*[pos(dim_key, i) for i in range(k)])
+            ).alias("p")
+        )
+        .distinct()
+        .collect()  # <= m rows by construction
+    }
+    words = [0] * (m // 64)
+    for p in set_bits:
+        words[p >> 6] |= 1 << (p & 63)
+    # Java longs are signed two's-complement; rewrap the high bit
+    arr_sql = "array(" + ",".join(
+        f"{w - (1 << 64) if w >= (1 << 63) else w}L" for w in words
+    ) + ")"
+    probes = []
+    for i in range(k):
+        p = f"pmod(xxhash64({i}, `{probe_key}`), {m})"
+        probes.append(
+            f"((element_at({arr_sql}, cast(({p}) div 64 as int) + 1)"
+            f" & shiftleft(1L, cast(({p}) % 64 as int))) != 0)"
+        )
+    return F.expr(" AND ".join(probes))

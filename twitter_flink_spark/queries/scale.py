@@ -1385,6 +1385,148 @@ def profile_columns_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.selectExpr(stack)
 
 
+@register(
+    "bloom_prefilter_join_revenue",
+    oracle="""
+SELECT s.s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l.l_extendedprice), 2) AS revenue,
+       TRUE AS prefilter_selective
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE s.s_nationkey < 3
+GROUP BY s.s_nationkey
+""",
+)
+def bloom_prefilter_join_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom-prefiltered fact-dim join (`operators/joins.py::
+    bloom_prefilter_join`): revenue by nation over only the suppliers of
+    three nations — the selective-dimension join where, at 100 TB, the
+    dimension subset outgrows a broadcast-hash build side but its Bloom
+    filter (m BITS, bounded by construction) still broadcasts, so the
+    fact table sheds non-joining rows scan-side before the shuffle. The
+    Bloom step is semantically transparent (no false negatives; false
+    positives die in the exact join), so the oracle is the PLAIN join
+    SQL — any prefilter that drops a true match breaks the value hash.
+    `prefilter_selective` pins that the mask actually rejected fact rows
+    (computed from two counts on the engine side; a mask degraded to
+    all-true flips it). Plan-pinned: the membership test (xxhash64 +
+    element_at) runs inside the fact scan's codegen stage, before any
+    exchange."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    supp = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_nationkey") < 3
+    ).select("s_suppkey", "s_nationkey")
+    from twitter_flink_spark.operators.joins import (
+        bloom_membership_mask,
+        bloom_prefilter_join,
+    )
+
+    joined = bloom_prefilter_join(li, supp, "l_suppkey", "s_suppkey")
+    # selectivity accounting: the mask must strictly shrink the fact side
+    # (deterministic for fixed hash seeds and fixture keys; an all-true
+    # degenerate mask flips the flag and the row hash)
+    mask = bloom_membership_mask(supp, "s_suppkey", "l_suppkey")
+    n_fact = li.count()
+    n_pass = li.where(mask).count()
+    selective = F.lit(n_pass < n_fact)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.first(selective).alias("prefilter_selective"),
+    )
+
+
+@register(
+    "ks_drift_value_eras",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE) + 14 AS split FROM events
+),
+cents AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c,
+         CASE WHEN CAST(ts AS DATE) < (SELECT split FROM bounds)
+              THEN 1 ELSE 0 END AS grp
+  FROM events
+),
+per AS (
+  SELECT c, sum(grp) AS na, sum(1 - grp) AS nb FROM cents GROUP BY c
+),
+cum AS (
+  SELECT c,
+         sum(na) OVER (ORDER BY c) AS ca,
+         sum(nb) OVER (ORDER BY c) AS cb
+  FROM per
+),
+tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM per)
+SELECT CAST(ta AS BIGINT) AS n_a,
+       CAST(tb AS BIGINT) AS n_b,
+       CAST(max(abs(ca * tb - cb * ta)) AS BIGINT) AS ks_num,
+       (max(abs(ca * tb - cb * ta)) * 20 > ta * tb) AS drifted
+FROM cum, tot
+GROUP BY ta, tb
+""",
+)
+def ks_drift_value_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the EXACT two-sample Kolmogorov-
+    Smirnov statistic between the value distributions of the first two
+    weeks and the rest of the month — the gate a training pipeline runs
+    before admitting a new data dump (has the metric's distribution
+    moved?). Exactness without floats: values are cents-grain money, so
+    `round(value*100)` is a lossless integer key; the KS sup-distance
+    compares SCALED cumulative counts (|F_a - F_b| maximized as
+    |ca*tb - cb*ta|, all BIGINT — no division until presentation), and
+    the drift verdict (KS > 0.05) is the integer inequality
+    ks_num * 20 > n_a * n_b. Scale shape: one events-wide aggregation
+    to the cents grain, then every window/aggregate runs on a frame
+    bounded by the VALUE DOMAIN (<= ~50k distinct cents regardless of
+    corpus size — the same bounded-by-grain argument as the calendar
+    queries); the single-partition cumulative window is over that
+    bounded frame, never over events."""
+    ev = load_table(spark, sf_dir, "events")
+    split = ev.agg(
+        F.date_add(F.to_date(F.min("ts")), 14).alias("split")
+    )
+    cents = ev.crossJoin(F.broadcast(split)).select(
+        F.round(F.col("value") * 100)
+        .cast("long")
+        .alias("c"),
+        (F.to_date("ts") < F.col("split")).cast("long").alias("grp"),
+    )
+    per = cents.groupBy("c").agg(
+        F.sum("grp").alias("na"),
+        F.sum(F.lit(1) - F.col("grp")).alias("nb"),
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "c",
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+    )
+    tot = per.agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    d = F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("ta", "tb")
+        .agg(
+            F.max(d).alias("ksn"),
+            (F.max(d) * 20 > F.col("ta") * F.col("tb")).alias("drifted"),
+        )
+        .select(
+            F.col("ta").cast("long").alias("n_a"),
+            F.col("tb").cast("long").alias("n_b"),
+            F.col("ksn").cast("long").alias("ks_num"),
+            "drifted",
+        )
+    )
+
+
 def _migrate_era_days(
     spark: SparkSession, era0: str, mig_root: str, max_days: int | None = None
 ) -> list[str]:
