@@ -747,6 +747,62 @@ def test_incremental_mv_vacuum_removes_only_orphans(spark):
     )
 
 
+def test_incremental_mv_time_travel(spark):
+    """retain_history mode: every commit archives its manifest and keeps
+    superseded versions, so `snapshot_as_of(b)` reproduces the table
+    exactly as it stood after batch b — unchanged by later merges
+    (snapshot isolation) — while plain `snapshot()` tracks the head;
+    `vacuum` keeps every history-referenced version, and pruning the
+    manifest archive is what releases them."""
+    import os
+    import shutil
+
+    from twitter_flink_spark.streaming.pipeline import IncrementalMV
+
+    mv = IncrementalMV(spark, key_col="user_id", n_buckets=4,
+                       retain_history=True)
+    b0 = spark.createDataFrame(
+        [(i, 1.0) for i in range(20)], "user_id long, value double"
+    )
+    b1 = spark.createDataFrame(
+        [(i, 2.0) for i in range(10)], "user_id long, value double"
+    )
+    mv.merge_batch(b0, 0)
+    asof0_before = sorted(
+        tuple(r) for r in mv.snapshot_as_of(0).collect()
+    )
+    mv.merge_batch(b1, 1)
+
+    # as-of 0 is untouched by batch 1; head reflects both
+    assert sorted(
+        tuple(r) for r in mv.snapshot_as_of(0).collect()
+    ) == asof0_before
+    head = {r.user_id: (r.cnt, r.val) for r in mv.snapshot().collect()}
+    assert head[5] == (2, 3.0) and head[15] == (1, 1.0)
+    # as-of resolution: a batch id beyond head resolves to head; one
+    # before the first commit resolves to the empty table
+    assert sorted(tuple(r) for r in mv.snapshot_as_of(99).collect()) == \
+        sorted(tuple(r) for r in mv.snapshot().collect())
+    assert mv.snapshot_as_of(-1).count() == 0
+
+    # vacuum keeps history-referenced superseded versions...
+    acct = mv.vacuum()
+    assert acct["removed_versions"] == 0
+    assert sorted(
+        tuple(r) for r in mv.snapshot_as_of(0).collect()
+    ) == asof0_before
+    # ...until the manifest archive is pruned, which releases them
+    hist = os.path.join(mv._root, "_manifests")
+    for f in list(os.listdir(hist)):
+        if f != sorted(os.listdir(hist))[-1]:
+            os.remove(os.path.join(hist, f))
+    acct2 = mv.vacuum()
+    assert acct2["removed_versions"] > 0
+    assert {r.user_id for r in mv.snapshot().collect()} == set(range(20))
+
+    shutil.rmtree(mv._root, ignore_errors=True)
+
+
 def test_incremental_mv_crash_before_manifest_commit(spark):
     """A crash AFTER bucket files are staged/renamed but BEFORE the
     manifest commit must be invisible: the manifest is the only commit

@@ -1527,6 +1527,56 @@ def ks_drift_value_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mv_time_travel_read",
+    oracle="""
+SELECT 'as_of_batch_1' AS version, user_id,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 2) AS val
+FROM events WHERE user_id % 3 < 2 GROUP BY user_id
+UNION ALL
+SELECT 'current' AS version, user_id,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 2) AS val
+FROM events GROUP BY user_id
+""",
+)
+def mv_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel over the incremental MV (`IncrementalMV.snapshot_as_of`
+    with ``retain_history=True``): the events merge as three batches
+    (user_id % 3 routes rows), then the table is read BOTH as of batch 1
+    (exactly the first two batches' users — a state no current-snapshot
+    read can produce) and at its current version, in one result tagged
+    by version. Each archived manifest pins an immutable (bucket,
+    version) set and superseded version dirs are retained, so the as-of
+    read is snapshot-isolated from every later merge — the table-format
+    ``VERSION AS OF`` story (reproducible training runs against a moving
+    corpus: pin the manifest, not a copy of the data). The oracle
+    recomputes both versions from raw events, so a manifest that pins
+    the wrong versions, a merge that mutates a retained file, or an
+    as-of resolution off by one batch all break the value hash."""
+    from twitter_flink_spark.streaming.pipeline import IncrementalMV
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    mv = IncrementalMV(spark, key_col="user_id", retain_history=True)
+    for i in range(3):
+        mv.merge_batch(
+            ev.where(F.pmod(F.col("user_id"), F.lit(3)) == i), i
+        )
+
+    def shape(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("version"),
+            "user_id",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round("val", 2).alias("val"),
+        )
+
+    return shape(mv.snapshot_as_of(1), "as_of_batch_1").unionByName(
+        shape(mv.snapshot(), "current")
+    )
+
+
 def _migrate_era_days(
     spark: SparkSession, era0: str, mig_root: str, max_days: int | None = None
 ) -> list[str]:

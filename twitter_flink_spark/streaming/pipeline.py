@@ -595,6 +595,7 @@ class IncrementalMV:
         key_col: str = "user_id",
         n_buckets: int = 16,
         root: str | None = None,
+        retain_history: bool = False,
     ):
         import json
         import os
@@ -603,6 +604,12 @@ class IncrementalMV:
         self.spark = spark
         self.key_col = key_col
         self.n_buckets = n_buckets
+        #: time-travel mode: archive every committed manifest under
+        #: _manifests/ and KEEP superseded bucket versions, so
+        #: `snapshot_as_of` can reconstruct the table at any past batch —
+        #: the table-format snapshot-isolation story (Delta/Iceberg
+        #: VERSION AS OF), retention bounded by an explicit `vacuum`
+        self.retain_history = retain_history
         self._root = root or tempfile.mkdtemp(prefix="tfs-mv-")
         #: bucket id -> current committed version (1-based); manifest mirror
         self._buckets: dict[int, int] = {}
@@ -652,6 +659,17 @@ class IncrementalMV:
                 fh,
             )
         os.replace(tmp, self._manifest_path())  # atomic commit point
+        if self.retain_history:
+            import shutil
+
+            hist = os.path.join(self._root, "_manifests")
+            os.makedirs(hist, exist_ok=True)
+            shutil.copyfile(
+                self._manifest_path(),
+                os.path.join(
+                    hist, f"m{self._last_batch_id:012d}.json"
+                ),
+            )
 
     def _bucket_expr(self):
         from pyspark.sql import functions as F
@@ -753,9 +771,12 @@ class IncrementalMV:
             self._buckets[b] = new_v
         self._last_batch_id = batch_id
         self._commit_manifest()
-        # only after the commit is durable, drop superseded versions
-        for d in superseded:
-            shutil.rmtree(d, ignore_errors=True)
+        # only after the commit is durable, drop superseded versions —
+        # unless history is retained for time travel (then a past
+        # manifest still references them; `vacuum` bounds retention)
+        if not self.retain_history:
+            for d in superseded:
+                shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
 
     def vacuum(self) -> dict:
@@ -774,6 +795,12 @@ class IncrementalMV:
         import shutil
 
         live = {(b, v) for b, v in self._buckets.items()}
+        # retained-history mode: every version a RETAINED manifest still
+        # references is live too (vacuum with pruned manifest history is
+        # how retention gets bounded — delete old _manifests entries
+        # first, then vacuum reclaims their exclusive versions)
+        for m in self._history_manifests():
+            live |= {(int(b), v) for b, v in m["buckets"].items()}
         removed_versions = 0
         removed_stage = 0
         for entry in os.listdir(self._root):
@@ -802,6 +829,52 @@ class IncrementalMV:
             "removed_versions": removed_versions,
             "removed_stage": removed_stage,
         }
+
+    def _history_manifests(self) -> list[dict]:
+        """All archived manifests (retain_history mode), oldest first."""
+        import json
+        import os
+
+        hist = os.path.join(self._root, "_manifests")
+        if not os.path.isdir(hist):
+            return []
+        out = []
+        for f in sorted(os.listdir(hist)):
+            if f.startswith("m") and f.endswith(".json"):
+                with open(os.path.join(hist, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def snapshot_as_of(self, batch_id: int):
+        """Time-travel read (``VERSION AS OF`` in table-format terms):
+        the MV as it stood after the last merged batch <= ``batch_id``,
+        reconstructed from the archived manifest of that commit — each
+        manifest pins the exact (bucket, version) set of its moment, and
+        retained superseded version dirs make every pinned set readable.
+        Snapshot isolation for free: a reader holding an old manifest is
+        untouched by later merges, because merges only ADD version dirs
+        and the atomic manifest replace is the only publication point.
+        Requires ``retain_history=True``; retention is bounded by
+        pruning ``_manifests/`` entries and running `vacuum`."""
+        if not self.retain_history:
+            raise ValueError(
+                "snapshot_as_of needs retain_history=True (no archived "
+                "manifests exist otherwise)"
+            )
+        chosen = None
+        for m in self._history_manifests():
+            if m["last_batch_id"] <= batch_id:
+                chosen = m  # manifests sort oldest-first; keep the latest
+        if chosen is None:
+            key_schema = self._EMPTY_KEY_SCHEMA or f"{self.key_col} long"
+            return self.spark.createDataFrame(
+                [], f"{key_schema}, {self._EMPTY_VALUE_SCHEMA}"
+            )
+        dirs = [
+            self._bucket_dir(int(b), v)
+            for b, v in chosen["buckets"].items()
+        ]
+        return self.spark.read.parquet(*dirs)
 
     #: overridden where the key is composite or non-long
     _EMPTY_KEY_SCHEMA: str | None = None
