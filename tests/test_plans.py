@@ -621,6 +621,20 @@ def test_bloom_prefilter_runs_before_join(spark):
     assert plan.find("element_at", join_at) > join_at, plan
 
 
+def test_runtime_bloom_filter_injected(spark):
+    """Catalyst's InjectRuntimeFilter must plant a `might_contain` probe
+    (fed by a bloom_filter subquery over the filtered dimension) into
+    the fact side of the shuffle join — and only inside this query's
+    scoped session: the shared test session's conf stays untouched."""
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    plan = plan_of(spark, "runtime_bloom_injected_join")
+    assert "might_contain" in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # conf isolation: the forced-SMJ knob must not leak to the caller
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
 def test_era_compaction_prunes_both_eras(spark):
     """After the era-compaction rewrite, BOTH eras serve from the evolved
     (day, event_type) layout: the two parquet scans in the union must

@@ -1442,6 +1442,71 @@ def bloom_prefilter_join_revenue(
 
 
 @register(
+    "runtime_bloom_injected_join",
+    oracle="""
+SELECT s.s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l.l_extendedprice), 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE s.s_nationkey < 3
+GROUP BY s.s_nationkey
+""",
+)
+def runtime_bloom_injected_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ENGINE-NATIVE runtime Bloom-filter injection — the automatic
+    sibling of `bloom_prefilter_join_revenue`: Catalyst's
+    InjectRuntimeFilter rule plants a `bloom_filter_agg` subquery over
+    the filtered dimension keys and a `might_contain` probe into the
+    fact scan's filters, pruning the shuffle input at RUNTIME with no
+    hand-built mask (plan-pinned:
+    `tests/test_plans.py::test_runtime_bloom_filter_injected`).
+
+    The knobs that make injection fire at fixture scale
+    (applicationSideScanSizeThreshold defaults to 10 GB; broadcast
+    joins don't get filters because they don't shuffle) are scoped to a
+    `newSession()` — shared SparkContext, executors, and cached data,
+    but an ISOLATED SQLConf, so optimization of THIS query's lazy plan
+    happens under its own settings no matter when the driver executes
+    it, and no other query inherits the forced sort-merge join. That
+    session-per-job conf scoping is the production pattern for
+    per-pipeline optimizer tuning; a set-and-restore around the builder
+    would silently not apply (optimization runs at execution time).
+    Semantics are untouched by the filter (no false negatives, FPs die
+    in the join), so the oracle is the plain join SQL."""
+    sub = spark.newSession()
+    sub.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+    )
+    sub.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    sub.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB",
+    )
+    sub.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = load_table(sub, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    supp = load_table(sub, sf_dir, "supplier").where(
+        F.col("s_nationkey") < 3
+    ).select("s_suppkey", "s_nationkey")
+    return (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
     "ks_drift_value_eras",
     oracle="""
 WITH bounds AS (
