@@ -1642,6 +1642,77 @@ def mv_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mv_changelog_between_versions",
+    oracle="""
+WITH v1 AS (
+  SELECT user_id, count(*) AS c1
+  FROM events WHERE event_id % 2 = 0 AND user_id % 5 <> 0
+  GROUP BY user_id
+),
+v2 AS (
+  SELECT user_id, count(*) AS c2, round(sum(value), 2) AS val
+  FROM events GROUP BY user_id
+)
+SELECT CASE WHEN v1.user_id IS NULL THEN 'insert'
+            ELSE 'update_postimage' END AS change_type,
+       v2.user_id,
+       CAST(v2.c2 AS BIGINT) AS cnt,
+       v2.val AS val
+FROM v2 LEFT JOIN v1 ON v1.user_id = v2.user_id
+WHERE v1.user_id IS NULL OR v1.c1 <> v2.c2
+""",
+)
+def mv_changelog_between_versions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Change-data-feed over the incremental MV (the table-format CDF
+    story, derived rather than logged): with `retain_history=True` any
+    two archived versions diff into a typed changelog — here the rows
+    batches 1-2 INSERTED (keys absent at version 0) or UPDATED (keys
+    whose count moved), each carrying its post-image. Batch routing is
+    chosen so both change types appear deterministically: batches 0/1
+    split the events of 4-in-5 users by event-id parity (their version-0
+    rows UPDATE), while every 5th user's events all arrive in batch 2
+    (pure INSERTs at the diffed boundary). The diff is ONE full-outer join of two bounded snapshots
+    (keys-grain, not events-grain) — which is why deriving the feed
+    beats logging it: no write-path cost, any version pair on demand,
+    and the at-least-once replay dedup already guaranteed by the
+    manifest applies for free. Downstream, this feed is what
+    incrementally refreshes consumers of the MV (the cascade pattern:
+    MV -> changelog -> dependent aggregate) without replaying events.
+    The oracle recomputes both versions from raw events; a diff that
+    misses an update, invents a change, or reads the wrong version
+    breaks the hash."""
+    from twitter_flink_spark.streaming.pipeline import IncrementalMV
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    mv = IncrementalMV(spark, key_col="user_id", retain_history=True)
+    even = F.pmod(F.col("event_id"), F.lit(2)) == 0
+    core = F.pmod(F.col("user_id"), F.lit(5)) != 0
+    batches = [even & core, (~even) & core, ~core]
+    for i, cond in enumerate(batches):
+        mv.merge_batch(ev.where(cond).drop("event_id"), i)
+    v1 = mv.snapshot_as_of(0).select(
+        "user_id", F.col("cnt").alias("c1")
+    )
+    v2 = mv.snapshot_as_of(2)
+    return (
+        v2.join(v1, "user_id", "left")
+        .where(F.col("c1").isNull() | (F.col("c1") != F.col("cnt")))
+        .select(
+            F.when(F.col("c1").isNull(), F.lit("insert"))
+            .otherwise(F.lit("update_postimage"))
+            .alias("change_type"),
+            "user_id",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round("val", 2).alias("val"),
+        )
+    )
+
+
 def _migrate_era_days(
     spark: SparkSession, era0: str, mig_root: str, max_days: int | None = None
 ) -> list[str]:
