@@ -1713,6 +1713,88 @@ def mv_changelog_between_versions(
     )
 
 
+@register(
+    "mv_cascaded_refresh",
+    oracle="""
+SELECT user_id % 10 AS cohort,
+       CAST(count(*) AS BIGINT) AS total_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY user_id % 10
+""",
+)
+def mv_cascaded_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascaded MV refresh — the derived-table chain MV -> changelog ->
+    downstream rollup: a per-cohort aggregate (total events, distinct
+    users per user_id%10) is first materialized against MV version 0,
+    then brought to the head version by applying ONLY the keyed deltas
+    between the two retained versions (insert => +1 user, +cnt events;
+    update => +cnt-c1 events) — never re-reading the full snapshot,
+    let alone raw events. This is why the CDF exists: the refresh cost
+    is O(changed keys), and distinct-count rollups stay refreshable
+    because the feed is keyed at exactly the MV's grain (an insert is
+    BY CONSTRUCTION a first-seen key, so +1 user is exact — no
+    re-deduplication needed). The oracle computes the head rollup
+    directly from raw events, so the refreshed table must land on the
+    same values — the cascade's end-to-end incremental-maintenance
+    invariant; a missed delta, double-applied change, or wrong
+    pre-image breaks the hash."""
+    from twitter_flink_spark.streaming.pipeline import IncrementalMV
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    mv = IncrementalMV(spark, key_col="user_id", retain_history=True)
+    even = F.pmod(F.col("event_id"), F.lit(2)) == 0
+    core = F.pmod(F.col("user_id"), F.lit(5)) != 0
+    for i, cond in enumerate([even & core, (~even) & core, ~core]):
+        mv.merge_batch(ev.where(cond).drop("event_id"), i)
+
+    cohort = F.pmod(F.col("user_id"), F.lit(10)).alias("cohort")
+    v0 = mv.snapshot_as_of(0).select(
+        "user_id", F.col("cnt").alias("c0")
+    )
+    head = mv.snapshot().select("user_id", "cnt")
+    rollup_v0 = v0.groupBy(
+        F.pmod(F.col("user_id"), F.lit(10)).alias("cohort")
+    ).agg(
+        F.sum("c0").alias("total_events"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    deltas = (
+        head.join(v0, "user_id", "left")
+        .where(F.col("c0").isNull() | (F.col("c0") != F.col("cnt")))
+        .select(
+            cohort,
+            (F.col("cnt") - F.coalesce("c0", F.lit(0))).alias("d_events"),
+            F.col("c0").isNull().cast("long").alias("d_users"),
+        )
+        .groupBy("cohort")
+        .agg(
+            F.sum("d_events").alias("d_events"),
+            F.sum("d_users").alias("d_users"),
+        )
+    )
+    return (
+        rollup_v0.join(deltas, "cohort", "full_outer")
+        .select(
+            F.col("cohort").cast("long").alias("cohort"),
+            (
+                F.coalesce("total_events", F.lit(0))
+                + F.coalesce("d_events", F.lit(0))
+            )
+            .cast("long")
+            .alias("total_events"),
+            (
+                F.coalesce("n_users", F.lit(0))
+                + F.coalesce("d_users", F.lit(0))
+            )
+            .cast("long")
+            .alias("n_users"),
+        )
+    )
+
+
 def _migrate_era_days(
     spark: SparkSession, era0: str, mig_root: str, max_days: int | None = None
 ) -> list[str]:
