@@ -803,6 +803,43 @@ def test_incremental_mv_time_travel(spark):
     shutil.rmtree(mv._root, ignore_errors=True)
 
 
+def test_incremental_mv_point_lookup_reads_one_bucket(spark):
+    """`lookup` must answer from ONLY the bucket dirs its keys hash to
+    (inputFiles-pinned), with values identical to filtering the full
+    snapshot."""
+    import os
+
+    from twitter_flink_spark.streaming.pipeline import IncrementalMV
+
+    mv = IncrementalMV(spark, key_col="user_id", n_buckets=8)
+    mv.merge_batch(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(200)],
+            "user_id long, value double",
+        ),
+        0,
+    )
+    assert len(mv._buckets) == 8  # keys span all buckets
+    looked = mv.lookup([7])
+    # I/O bound: every opened file lives in the single bucket dir key 7
+    # hashes to
+    dirs = {os.path.dirname(f).replace("file:", "") for f in looked.inputFiles()}
+    assert len(dirs) == 1
+    rows = looked.collect()
+    assert [(r.user_id, r.cnt, r.val) for r in rows] == [(7, 1, 7.0)]
+
+    # multi-key lookup equals the snapshot filtered to those keys
+    keys = [3, 7, 11, 190]
+    got = sorted(tuple(r) for r in mv.lookup(keys).collect())
+    want = sorted(
+        tuple(r)
+        for r in mv.snapshot().where(F.col("user_id").isin(keys)).collect()
+    )
+    assert got == want and len(got) == 4
+    # and a missing key simply returns nothing
+    assert mv.lookup([99999]).count() == 0
+
+
 def test_incremental_mv_crash_before_manifest_commit(spark):
     """A crash AFTER bucket files are staged/renamed but BEFORE the
     manifest commit must be invisible: the manifest is the only commit

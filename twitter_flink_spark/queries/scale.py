@@ -1795,6 +1795,48 @@ def mv_cascaded_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LOOKUP_KEYS = tuple(range(1, 21))  #: the point-lookup probe set
+
+
+@register(
+    "mv_point_lookup",
+    oracle=f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 2) AS val
+FROM events
+WHERE user_id IN ({", ".join(str(k) for k in _LOOKUP_KEYS)})
+GROUP BY user_id
+""",
+)
+def mv_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup serving over the incremental MV
+    (`IncrementalMV.lookup`): 20 specific users served by opening ONLY
+    the bucket files their keys hash to — the bucket function doubles
+    as the secondary index because it derives from the key alone, so a
+    k-key read touches <= k of the n_buckets dirs
+    (O(snapshot/n_buckets) I/O, `inputFiles`-pinned in
+    tests/test_streaming.py) instead of scanning the snapshot. The same
+    layout thus serves both the merge path and the feature-store read
+    path with no separate index to drift. Oracle = the plain per-user
+    aggregate for exactly those keys, so a lookup that routes a key to
+    the wrong bucket (missing rows) or reads extra buckets' keys
+    without filtering breaks the hash."""
+    from twitter_flink_spark.streaming.pipeline import IncrementalMV
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    mv = IncrementalMV(spark, key_col="user_id")
+    for i in range(3):
+        mv.merge_batch(
+            ev.where(F.pmod(F.col("user_id"), F.lit(3)) == i), i
+        )
+    return mv.lookup(list(_LOOKUP_KEYS)).select(
+        "user_id",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("val", 2).alias("val"),
+    )
+
+
 def _migrate_era_days(
     spark: SparkSession, era0: str, mig_root: str, max_days: int | None = None
 ) -> list[str]:

@@ -830,6 +830,44 @@ class IncrementalMV:
             "removed_stage": removed_stage,
         }
 
+    def lookup(self, keys: list) -> "DataFrame":
+        """Point lookup: serve specific keys by opening ONLY the bucket
+        files those keys hash to — the bucket function doubles as a
+        secondary index because it is derivable from the key alone
+        (pmod(hash(key), n_buckets)), so a k-key lookup reads at most k
+        bucket dirs out of the whole snapshot, O(snapshot/n_buckets)
+        I/O instead of a full scan. This is the serving path a feature
+        store needs from the same layout the merge path maintains —
+        no extra index table to keep consistent. Key-to-bucket routing
+        runs through the SAME Spark hash expression the merge uses
+        (computed on a tiny literal frame), so the index can never skew
+        from the layout."""
+        from pyspark.sql import functions as F
+
+        key_df = self.spark.createDataFrame(
+            [(k,) for k in keys],
+            self._EMPTY_KEY_SCHEMA or f"{self.key_col} long",
+        )
+        wanted = {
+            r["b"]
+            for r in key_df.select(
+                self._bucket_expr().alias("b")
+            ).distinct().collect()  # <= len(keys) rows
+        }
+        dirs = [
+            self._bucket_dir(b, v)
+            for b, v in self._buckets.items()
+            if b in wanted
+        ]
+        if not dirs:
+            key_schema = self._EMPTY_KEY_SCHEMA or f"{self.key_col} long"
+            return self.spark.createDataFrame(
+                [], f"{key_schema}, {self._EMPTY_VALUE_SCHEMA}"
+            )
+        return self.spark.read.parquet(*dirs).join(
+            F.broadcast(key_df), self.key_col
+        )
+
     def _history_manifests(self) -> list[dict]:
         """All archived manifests (retain_history mode), oldest first."""
         import json
