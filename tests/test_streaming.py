@@ -840,6 +840,53 @@ def test_incremental_mv_point_lookup_reads_one_bucket(spark):
     assert mv.lookup([99999]).count() == 0
 
 
+def test_incremental_mv_changelog_feed(spark, tmp_path):
+    """The logged CDF: batch 0 emits pure inserts; a later batch emits
+    post-images (with correct pre-images) ONLY for keys whose value
+    changed; a PresenceMV re-merging already-present pairs emits
+    NOTHING (null-safe diff, not touched-key heuristics)."""
+    from twitter_flink_spark.streaming.pipeline import IncrementalMV, PresenceMV
+
+    cdf = str(tmp_path / "cdf")
+    mv = IncrementalMV(
+        spark, key_col="user_id", n_buckets=4, changelog_dir=cdf
+    )
+    mv.merge_batch(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 2.0)], "user_id long, value double"
+        ),
+        0,
+    )
+    mv.merge_batch(
+        spark.createDataFrame([(2, 3.0)], "user_id long, value double"), 1
+    )
+    feed = {
+        (r.batch_id, r.user_id): (r.change_type, r.cnt, r.val, r.pre_cnt, r.pre_val)
+        for r in spark.read.parquet(cdf).collect()
+    }
+    assert feed[(0, 1)] == ("insert", 1, 1.0, None, None)
+    assert feed[(0, 2)] == ("insert", 1, 2.0, None, None)
+    assert feed[(1, 2)] == ("update_postimage", 2, 5.0, 1, 2.0)
+    assert (1, 1) not in feed  # untouched key stays out of the feed
+
+    # presence MV: re-seen pairs change nothing => empty changelog delta
+    import datetime
+
+    cdf2 = str(tmp_path / "cdf2")
+    pmv = PresenceMV(
+        spark, key_col="user_id", field_col="d",
+        n_buckets=4, changelog_dir=cdf2,
+    )
+    d0 = datetime.date(2024, 1, 1)
+    pairs = spark.createDataFrame(
+        [(1, d0), (2, d0)], "user_id long, d date"
+    )
+    pmv.merge_batch(pairs, 0)
+    n_after_b0 = spark.read.parquet(cdf2).count()
+    pmv.merge_batch(pairs, 1)  # identical pairs again
+    assert spark.read.parquet(cdf2).count() == n_after_b0 == 2
+
+
 def test_incremental_mv_crash_before_manifest_commit(spark):
     """A crash AFTER bucket files are staged/renamed but BEFORE the
     manifest commit must be invisible: the manifest is the only commit

@@ -1163,6 +1163,61 @@ def streaming_daily_active_mv(
     )
 
 
+@register(
+    "streaming_mv_cdf",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 2) AS val
+FROM events
+GROUP BY user_id
+""",
+)
+def streaming_mv_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming change-data-feed (SURVEY §14 candidate, delivered): the
+    event stream replays as four micro-batches into an `IncrementalMV`
+    with `changelog_dir` set, so every merge APPENDS its typed
+    changelog (insert/update post-images + pre-images, null-safe-diffed
+    so untouched keys never enter the feed) — the logged, continuous
+    form of the derived version diff, which is what downstream
+    consumers tail to refresh dependent tables without ever reading the
+    snapshot. Verified by RECONSTRUCTION: the final state rebuilt from
+    the feed alone (distinct absorbs at-least-once re-appends, then
+    each key's post-image at its max batch_id) must equal the one-shot
+    batch aggregate — completeness, ordering, and pre/post integrity in
+    one invariant; a missed change, phantom row, or mis-ordered image
+    breaks the hash."""
+    import tempfile
+
+    from twitter_flink_spark.streaming.pipeline import IncrementalMV
+
+    staged = _ensure_split_events(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    cdf_dir = tempfile.mkdtemp(prefix="tfs-cdf-") + "/log"
+    mv = IncrementalMV(spark, key_col="user_id", changelog_dir=cdf_dir)
+    q = (
+        stream.writeStream.foreachBatch(mv.merge_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="tfs-cdf-ck-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 300)
+    feed = spark.read.parquet(cdf_dir).distinct()
+    latest = feed.groupBy("user_id").agg(
+        F.max_by(F.struct("cnt", "val"), "batch_id").alias("post")
+    )
+    return latest.select(
+        "user_id",
+        F.col("post.cnt").cast("long").alias("cnt"),
+        F.round("post.val", 2).alias("val"),
+    )
+
+
 # oracle shared with the batch twin `hll_rolling_7day_actives` — the
 # incrementally-maintained daily sketch table must serve the same windows
 from twitter_flink_spark.queries.sketches import (  # noqa: E402

@@ -39,6 +39,14 @@ from pyspark.sql import functions as F
 from twitter_flink_spark.streaming.sources import stream_table
 
 
+def functools_reduce_and(cols: list) -> "F.Column":
+    """AND-fold a non-empty Column list (plain reduce, named for grep)."""
+    out = cols[0]
+    for c in cols[1:]:
+        out = out & c
+    return out
+
+
 #: When True, ``await_or_raise`` and the foreachBatch helpers record
 #: executed plans into ``STREAM_PLANS`` so plan-shape tests can assert on
 #: streaming micro-batch plans (which otherwise execute eagerly and leave
@@ -596,6 +604,7 @@ class IncrementalMV:
         n_buckets: int = 16,
         root: str | None = None,
         retain_history: bool = False,
+        changelog_dir: str | None = None,
     ):
         import json
         import os
@@ -610,6 +619,14 @@ class IncrementalMV:
         #: the table-format snapshot-isolation story (Delta/Iceberg
         #: VERSION AS OF), retention bounded by an explicit `vacuum`
         self.retain_history = retain_history
+        #: logged CDF mode: each merge also APPENDS its typed changelog
+        #: (insert/update rows with pre+post images) before the manifest
+        #: commit — the continuously-fed form of the derived version
+        #: diff. A crash between changelog append and manifest commit
+        #: replays the batch and re-appends IDENTICAL rows (same prior
+        #: state), so consumers dedup with one distinct — the standard
+        #: at-least-once feed contract.
+        self.changelog_dir = changelog_dir
         self._root = root or tempfile.mkdtemp(prefix="tfs-mv-")
         #: bucket id -> current committed version (1-based); manifest mirror
         self._buckets: dict[int, int] = {}
@@ -733,6 +750,7 @@ class IncrementalMV:
             for b in touched
             if b in self._buckets
         ]
+        snap = None
         if prior:
             snap = self.spark.read.parquet(*prior).drop("bucket")
             merged = self._merge(
@@ -741,6 +759,9 @@ class IncrementalMV:
         else:
             merged = partial
         record_batch_df_plan(f"mv-merge-b{batch_id}", merged)
+        if self.changelog_dir is not None:
+            # the changelog job re-reads merged; cache one evaluation
+            merged = merged.persist()
         # one job writes every touched bucket into a staging dir; the
         # hive-style bucket=<b> subdirs then slot in as new versions.
         # Repartition BY BUCKET first: each bucket then lands in exactly
@@ -753,6 +774,11 @@ class IncrementalMV:
             .mode("overwrite")
             .parquet(stage)
         )
+        if self.changelog_dir is not None:
+            try:
+                self._append_changelog(batch_id, snap, merged)
+            finally:
+                merged.unpersist()
         superseded: list[str] = []
         for b in touched:
             src_dir = os.path.join(stage, f"bucket={b}")
@@ -829,6 +855,61 @@ class IncrementalMV:
             "removed_versions": removed_versions,
             "removed_stage": removed_stage,
         }
+
+    def _append_changelog(self, batch_id: int, snap, merged) -> None:
+        """Append this merge's typed changelog: the post-image of every
+        key whose value actually CHANGED (null-safe diff against the
+        prior touched-bucket rows — a re-seen presence pair or identical
+        re-aggregation emits nothing), tagged insert/update_postimage,
+        with pre-image columns for delta-applying consumers. One keyed
+        left join at the merged-buckets grain; rows the batch didn't
+        change never enter the feed."""
+        from pyspark.sql import functions as F
+
+        keys = list(getattr(self, "key_cols", None) or [self.key_col])
+        vals = [
+            c for c in merged.columns if c not in set(keys) | {"bucket"}
+        ]
+        post = merged.drop("bucket")
+        if snap is None:
+            out = post.select(
+                F.lit(batch_id).alias("batch_id"),
+                F.lit("insert").alias("change_type"),
+                *keys,
+                *vals,
+                *[
+                    F.lit(None).cast(post.schema[v].dataType).alias(
+                        f"pre_{v}"
+                    )
+                    for v in vals
+                ],
+            )
+        else:
+            pre = snap.select(
+                *keys,
+                F.lit(1).alias("__had"),
+                *[F.col(v).alias(f"pre_{v}") for v in vals],
+            )
+            d = post.join(pre, keys, "left")
+            changed = d.where(
+                F.col("__had").isNull()
+                | ~functools_reduce_and(
+                    [
+                        F.col(v).eqNullSafe(F.col(f"pre_{v}"))
+                        for v in vals
+                    ]
+                )
+            )
+            out = changed.select(
+                F.lit(batch_id).alias("batch_id"),
+                F.when(F.col("__had").isNull(), F.lit("insert"))
+                .otherwise(F.lit("update_postimage"))
+                .alias("change_type"),
+                *keys,
+                *vals,
+                *[F.col(f"pre_{v}") for v in vals],
+            )
+        out.write.mode("append").parquet(self.changelog_dir)
 
     def lookup(self, keys: list) -> "DataFrame":
         """Point lookup: serve specific keys by opening ONLY the bucket
@@ -948,10 +1029,13 @@ class PresenceMV(IncrementalMV):
         prepare=None,
         n_buckets: int = 16,
         root: str | None = None,
+        **kwargs,
     ):
         self.field_col = field_col
         self._prepare = prepare
-        super().__init__(spark, key_col=key_col, n_buckets=n_buckets, root=root)
+        super().__init__(
+            spark, key_col=key_col, n_buckets=n_buckets, root=root, **kwargs
+        )
 
     _EMPTY_VALUE_SCHEMA = "d date"
 
@@ -985,6 +1069,7 @@ class GroupedCountMV(IncrementalMV):
         key_schema: str | None = None,
         n_buckets: int = 16,
         root=None,
+        **kwargs,
     ):
         self.key_cols = list(key_cols)
         self._EMPTY_KEY_SCHEMA = key_schema
@@ -993,6 +1078,7 @@ class GroupedCountMV(IncrementalMV):
             key_col=",".join(self.key_cols),
             n_buckets=n_buckets,
             root=root,
+            **kwargs,
         )
 
     _EMPTY_VALUE_SCHEMA = "cnt long"
@@ -1048,10 +1134,13 @@ class SketchMV(IncrementalMV):
         prepare=None,
         n_buckets: int = 16,
         root: str | None = None,
+        **kwargs,
     ):
         self.value_col = value_col
         self._prepare = prepare
-        super().__init__(spark, key_col=key_col, n_buckets=n_buckets, root=root)
+        super().__init__(
+            spark, key_col=key_col, n_buckets=n_buckets, root=root, **kwargs
+        )
 
     _EMPTY_KEY_SCHEMA: str | None = "d date"
     _EMPTY_VALUE_SCHEMA = "sk binary"
