@@ -887,6 +887,56 @@ def test_incremental_mv_changelog_feed(spark, tmp_path):
     assert spark.read.parquet(cdf2).count() == n_after_b0 == 2
 
 
+def test_incremental_mv_changelog_compaction(spark, tmp_path):
+    """`compact_changelog` nets every in-checkpoint change per key —
+    insert-then-update nets to an INSERT carrying the last post-image;
+    update-chains keep the FIRST pre-image — preserves post-checkpoint
+    entries verbatim, shrinks the log, and leaves consumer
+    reconstruction identical."""
+    from twitter_flink_spark.streaming.pipeline import IncrementalMV
+
+    cdf = str(tmp_path / "cdf")
+    mv = IncrementalMV(
+        spark, key_col="user_id", n_buckets=4, changelog_dir=cdf
+    )
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "user_id long, value double"
+    )
+    mv.merge_batch(mk([(1, 1.0), (2, 2.0)]), 0)
+    mv.merge_batch(mk([(1, 10.0), (3, 3.0)]), 1)  # update 1, insert 3
+    mv.merge_batch(mk([(2, 20.0)]), 2)  # post-checkpoint update
+
+    def recon():
+        feed = spark.read.parquet(cdf).distinct()
+        return sorted(
+            tuple(r)
+            for r in feed.groupBy("user_id")
+            .agg(F.max_by(F.struct("cnt", "val"), "batch_id").alias("p"))
+            .select("user_id", "p.cnt", "p.val")
+            .collect()
+        )
+
+    before = recon()
+    n_before = spark.read.parquet(cdf).count()  # 2 + 2 + 1 = 5
+    mv.compact_changelog(upto_batch=1)
+    rows = {
+        (r.batch_id, r.user_id): r
+        for r in spark.read.parquet(cdf).collect()
+    }
+    assert spark.read.parquet(cdf).count() == 4 < n_before
+    # user 1: insert@0 + update@1 nets to insert with last post-image
+    r1 = rows[(1, 1)]
+    assert (r1.change_type, r1.cnt, r1.val, r1.pre_cnt) == (
+        "insert", 2, 11.0, None,
+    )
+    # user 2's post-checkpoint update preserved verbatim
+    r2 = rows[(2, 2)]
+    assert (r2.change_type, r2.pre_cnt, r2.pre_val) == (
+        "update_postimage", 1, 2.0,
+    )
+    assert recon() == before  # reconstruction invariant
+
+
 def test_incremental_mv_crash_before_manifest_commit(spark):
     """A crash AFTER bucket files are staged/renamed but BEFORE the
     manifest commit must be invisible: the manifest is the only commit

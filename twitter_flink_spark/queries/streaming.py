@@ -1218,6 +1218,69 @@ def streaming_mv_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_mv_cdf_compacted",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 2) AS val,
+       TRUE AS log_compacted
+FROM events
+GROUP BY user_id
+""",
+)
+def streaming_mv_cdf_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Changelog compaction under a consumer checkpoint
+    (`IncrementalMV.compact_changelog`): after the four-micro-batch
+    drain, every CDF entry at or below batch 2 collapses to ONE net
+    change per key (first-in-range change type + pre-image, last
+    post-image; later entries verbatim) via the same crash-safe
+    two-rename protocol as the counts WAL — so a long-lived feed stays
+    O(keys + post-checkpoint changes) at rest instead of growing with
+    every batch ever merged. The oracle-checked invariant is the same
+    reconstruction as `streaming_mv_cdf` — state rebuilt from the
+    COMPACTED feed must still equal the one-shot batch aggregate — plus
+    a `log_compacted` flag pinning that compaction strictly shrank the
+    log (a no-op rewrite flips it)."""
+    import tempfile
+
+    from twitter_flink_spark.streaming.pipeline import IncrementalMV
+
+    staged = _ensure_split_events(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    cdf_dir = tempfile.mkdtemp(prefix="tfs-cdfc-") + "/log"
+    mv = IncrementalMV(spark, key_col="user_id", changelog_dir=cdf_dir)
+    q = (
+        stream.writeStream.foreachBatch(mv.merge_batch)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="tfs-cdfc-ck-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 300)
+    n_before = spark.read.parquet(cdf_dir).count()
+    mv.compact_changelog(upto_batch=2)
+    n_after = spark.read.parquet(cdf_dir).count()
+    feed = spark.read.parquet(cdf_dir).distinct()
+    latest = feed.groupBy("user_id").agg(
+        F.max_by(F.struct("cnt", "val"), "batch_id").alias("post")
+    )
+    return latest.select(
+        "user_id",
+        F.col("post.cnt").cast("long").alias("cnt"),
+        F.round("post.val", 2).alias("val"),
+        F.lit(n_after < n_before).alias("log_compacted"),
+    )
+
+
 # oracle shared with the batch twin `hll_rolling_7day_actives` — the
 # incrementally-maintained daily sketch table must serve the same windows
 from twitter_flink_spark.queries.sketches import (  # noqa: E402

@@ -911,6 +911,64 @@ class IncrementalMV:
             )
         out.write.mode("append").parquet(self.changelog_dir)
 
+    def compact_changelog(self, upto_batch: int) -> None:
+        """Compact the CDF log: replace every entry with
+        ``batch_id <= upto_batch`` (a consumer checkpoint — everything
+        all readers have already applied) by ONE net change per key:
+        the post-image at the range's max batch_id, typed insert iff
+        the key's FIRST in-range change was an insert (its pre-image
+        carries over, so delta-applying consumers stay exact). Entries
+        beyond the checkpoint are preserved verbatim. Reconstruction is
+        invariant (distinct + max_by(batch_id) sees the same winners),
+        so the log stays O(keys + post-checkpoint changes) instead of
+        growing with every batch ever merged — the same at-rest bound
+        the counts WAL gets, via the same crash-safe two-rename
+        protocol (``.compact`` staged, old generation to ``.gc``,
+        swap)."""
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        keys = list(getattr(self, "key_cols", None) or [self.key_col])
+        log = self.spark.read.parquet(self.changelog_dir).distinct()
+        vals = [
+            f.name
+            for f in log.schema.fields
+            if f.name not in {"batch_id", "change_type", *keys}
+            and not f.name.startswith("pre_")
+        ]
+        pres = [f"pre_{v}" for v in vals]
+        old = log.where(F.col("batch_id") <= upto_batch)
+        keep = log.where(F.col("batch_id") > upto_batch)
+        net = (
+            old.groupBy(*keys)
+            .agg(
+                F.max("batch_id").alias("batch_id"),
+                F.max_by(F.struct(*vals), "batch_id").alias("__post"),
+                F.min_by(
+                    F.struct("change_type", *pres), "batch_id"
+                ).alias("__first"),
+            )
+            .select(
+                "batch_id",
+                F.col("__first.change_type").alias("change_type"),
+                *keys,
+                *[F.col(f"__post.{v}").alias(v) for v in vals],
+                *[F.col(f"__first.{p}").alias(p) for p in pres],
+            )
+        )
+        order = [f.name for f in log.schema.fields]
+        out = net.select(*order).unionByName(keep.select(*order))
+        tmp = self.changelog_dir + ".compact"
+        shutil.rmtree(tmp, ignore_errors=True)
+        out.write.mode("overwrite").parquet(tmp)
+        gc_dir = self.changelog_dir + ".gc"
+        shutil.rmtree(gc_dir, ignore_errors=True)
+        os.rename(self.changelog_dir, gc_dir)
+        os.rename(tmp, self.changelog_dir)
+        shutil.rmtree(gc_dir, ignore_errors=True)
+
     def lookup(self, keys: list) -> "DataFrame":
         """Point lookup: serve specific keys by opening ONLY the bucket
         files those keys hash to — the bucket function doubles as a
