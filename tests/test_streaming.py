@@ -937,6 +937,61 @@ def test_incremental_mv_changelog_compaction(spark, tmp_path):
     assert recon() == before  # reconstruction invariant
 
 
+def test_incremental_mv_consumer_checkpointing(spark, tmp_path):
+    """Durable consumer offsets gate changelog compaction: the derived
+    safe point is the SLOWEST registered consumer's committed offset,
+    acks are monotonic (a regressing ack raises), offsets survive a
+    process restart (re-opened handle on the same root), deriving with
+    no registered consumers raises, and a consumer that has applied
+    nothing (offset -1) makes derived compaction a no-op rather than a
+    full-log rewrite for an empty range."""
+    import pytest
+
+    from twitter_flink_spark.streaming.pipeline import IncrementalMV
+
+    cdf = str(tmp_path / "cdf")
+    root = str(tmp_path / "mv")
+    mv = IncrementalMV(
+        spark, key_col="user_id", n_buckets=4, root=root, changelog_dir=cdf
+    )
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "user_id long, value double"
+    )
+    mv.merge_batch(mk([(1, 1.0), (2, 2.0)]), 0)
+    mv.merge_batch(mk([(1, 10.0), (3, 3.0)]), 1)
+    mv.merge_batch(mk([(2, 20.0)]), 2)
+
+    with pytest.raises(ValueError, match="registered consumer"):
+        mv.compact_changelog()  # no registry: nothing is known safe
+    with pytest.raises(KeyError, match="not registered"):
+        mv.ack_consumer("rollup", 1)
+
+    mv.register_consumer("rollup")
+    mv.register_consumer("audit")
+    assert mv.safe_compaction_point() == -1
+    n0 = spark.read.parquet(cdf).count()
+    files0 = set(spark.read.parquet(cdf).inputFiles())
+    mv.compact_changelog()  # derived -1: no-op
+    assert spark.read.parquet(cdf).count() == n0
+    assert set(spark.read.parquet(cdf).inputFiles()) == files0
+
+    mv.ack_consumer("rollup", 2)
+    with pytest.raises(ValueError, match="regressed"):
+        mv.ack_consumer("rollup", 0)
+    mv.ack_consumer("audit", 1)
+
+    # restart: a fresh handle on the same root reads committed offsets
+    mv2 = IncrementalMV(
+        spark, key_col="user_id", n_buckets=4, root=root, changelog_dir=cdf
+    )
+    assert mv2.consumer_offsets() == {"rollup": 2, "audit": 1}
+    assert mv2.safe_compaction_point() == 1
+    mv2.compact_changelog()  # derives 1: nets the 0..1 range per key
+    assert spark.read.parquet(cdf).count() == 4 < n0
+    mv2.register_consumer("rollup")  # re-register keeps progress
+    assert mv2.consumer_offsets()["rollup"] == 2
+
+
 def test_incremental_mv_crash_before_manifest_commit(spark):
     """A crash AFTER bucket files are staged/renamed but BEFORE the
     manifest commit must be invisible: the manifest is the only commit

@@ -1281,6 +1281,177 @@ def streaming_mv_cdf_compacted(
     )
 
 
+@register(
+    "streaming_mv_cdf_checkpointed",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 2) AS val,
+       CAST(1 AS BIGINT) AS compacted_upto,
+       TRUE AS log_compacted
+FROM events
+GROUP BY user_id
+""",
+)
+def streaming_mv_cdf_checkpointed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Consumer-checkpointed changelog compaction (SURVEY §14 round-9
+    candidate, delivered): compaction's bound no longer comes from a
+    caller-supplied constant but from a DURABLE consumer-offset
+    registry on the MV root — `register_consumer` / `ack_consumer`
+    (monotonic, atomic-replace committed) feed
+    `safe_compaction_point()` = the slowest reader's applied offset, and
+    `compact_changelog(upto_batch=None)` derives its range from it, so
+    maintenance can never outrun a reader. Here two consumers tail the
+    four-batch feed: the fast one acks batch 3, the slow one batch 1 —
+    and the compaction is driven from a RE-OPENED handle on the same MV
+    root, pinning that offsets are disk-committed state, not in-memory
+    mirrors. `compacted_upto` emits the derived point (must be the
+    slow consumer's 1, not the fast one's 3) and `log_compacted` pins
+    strict shrinkage; the reconstruction hash then proves the 0..1 net
+    per key preserved consumer-visible history exactly."""
+    import tempfile
+
+    from twitter_flink_spark.streaming.pipeline import IncrementalMV
+
+    staged = _ensure_split_events(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    cdf_dir = tempfile.mkdtemp(prefix="tfs-cdfk-") + "/log"
+    mv = IncrementalMV(spark, key_col="user_id", changelog_dir=cdf_dir)
+    q = (
+        stream.writeStream.foreachBatch(mv.merge_batch)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="tfs-cdfk-ck-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 300)
+    mv.register_consumer("rollup")
+    mv.register_consumer("audit")
+    mv.ack_consumer("rollup", 3)  # fast reader: fully caught up
+    mv.ack_consumer("audit", 1)  # slow reader pins the safe point
+    # restart boundary: a fresh handle on the same root must see the
+    # committed offsets and derive the same safe point
+    mv2 = IncrementalMV(
+        spark, key_col="user_id", root=mv._root, changelog_dir=cdf_dir
+    )
+    safe = mv2.safe_compaction_point()
+    n_before = spark.read.parquet(cdf_dir).count()
+    mv2.compact_changelog()  # upto_batch derived from the registry
+    n_after = spark.read.parquet(cdf_dir).count()
+    feed = spark.read.parquet(cdf_dir).distinct()
+    latest = feed.groupBy("user_id").agg(
+        F.max_by(F.struct("cnt", "val"), "batch_id").alias("post")
+    )
+    return latest.select(
+        "user_id",
+        F.col("post.cnt").cast("long").alias("cnt"),
+        F.round("post.val", 2).alias("val"),
+        F.lit(safe).cast("long").alias("compacted_upto"),
+        F.lit(n_after < n_before).alias("log_compacted"),
+    )
+
+
+@register(
+    "streaming_mv_cdf_consumer_lag",
+    oracle="""
+SELECT 'bootstrap' AS consumer,
+       CAST(-1 AS BIGINT) AS committed_offset,
+       CAST(3 AS BIGINT) AS head_batch,
+       CAST(4 AS BIGINT) AS lag_batches,
+       CAST(0 AS BIGINT) AS users_applied
+UNION ALL
+SELECT 'rollup',
+       CAST(3 AS BIGINT),
+       CAST(3 AS BIGINT),
+       CAST(0 AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT)
+FROM events
+""",
+)
+def streaming_mv_cdf_consumer_lag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-consumer changelog lag monitor (SURVEY §14 round-9 candidate,
+    delivered): the operational query a feed operator watches — for every
+    reader in the durable offsets registry, how far behind the changelog
+    head is it (`lag_batches` = head batch minus committed offset) and
+    how much of the keyspace has it actually applied (`users_applied` =
+    distinct keys at or below its offset). Two readers bracket the
+    contract: `rollup` acks the DATA-DERIVED head (max batch_id read
+    from the feed, not a constant — lag must come out 0 and its applied
+    keyset must equal the full distinct-user count), while `bootstrap`
+    registers and never acks (offset -1, lag head+1, zero keys applied —
+    the registered-but-idle reader that pins compaction, exactly what
+    this monitor exists to surface). One column-pruned scan computes the
+    head and every consumer's applied-count via conditional distinct
+    aggregates — O(consumers) expressions, not O(consumers) scans — the
+    shape that holds when the feed is TBs and the registry is dozens of
+    readers."""
+    import tempfile
+
+    from twitter_flink_spark.streaming.pipeline import IncrementalMV
+
+    staged = _ensure_split_events(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    cdf_dir = tempfile.mkdtemp(prefix="tfs-cdlag-") + "/log"
+    mv = IncrementalMV(spark, key_col="user_id", changelog_dir=cdf_dir)
+    q = (
+        stream.writeStream.foreachBatch(mv.merge_batch)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="tfs-cdlag-ck-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 300)
+    log = spark.read.parquet(cdf_dir).distinct()  # absorb re-appends
+    head = log.agg(F.max("batch_id")).first()[0]  # 1-row frontier collect
+    mv.register_consumer("rollup")
+    mv.register_consumer("bootstrap")
+    mv.ack_consumer("rollup", int(head))  # caught-up reader, derived ack
+    offsets = sorted(mv.consumer_offsets().items())
+    agg = log.agg(
+        F.max("batch_id").cast("long").alias("head_batch"),
+        *[
+            F.count_distinct(
+                F.when(F.col("batch_id") <= F.lit(off), F.col("user_id"))
+            )
+            .cast("long")
+            .alias(f"applied_{name}")
+            for name, off in offsets
+        ],
+    )
+    per_consumer = [
+        agg.select(
+            F.lit(name).alias("consumer"),
+            F.lit(off).cast("long").alias("committed_offset"),
+            "head_batch",
+            (F.col("head_batch") - F.lit(off))
+            .cast("long")
+            .alias("lag_batches"),
+            F.col(f"applied_{name}").alias("users_applied"),
+        )
+        for name, off in offsets
+    ]
+    out = per_consumer[0]
+    for frame in per_consumer[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
 # oracle shared with the batch twin `hll_rolling_7day_actives` — the
 # incrementally-maintained daily sketch table must serve the same windows
 from twitter_flink_spark.queries.sketches import (  # noqa: E402

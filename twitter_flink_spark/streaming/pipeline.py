@@ -911,7 +911,76 @@ class IncrementalMV:
             )
         out.write.mode("append").parquet(self.changelog_dir)
 
-    def compact_changelog(self, upto_batch: int) -> None:
+    # -- durable consumer offsets (changelog checkpointing) ------------------
+    def _consumers_path(self) -> str:
+        import os
+
+        return os.path.join(self._root, "_consumers.json")
+
+    def consumer_offsets(self) -> dict[str, int]:
+        """Read the durable consumer-offset registry (consumer name ->
+        highest batch_id that consumer has fully applied; -1 = registered
+        but nothing applied yet). Read from disk on every call so a
+        restarted process — or a second process sharing the MV root —
+        always sees the committed offsets, never a stale mirror."""
+        import json
+        import os
+
+        if not os.path.isfile(self._consumers_path()):
+            return {}
+        with open(self._consumers_path()) as fh:
+            return {k: int(v) for k, v in json.load(fh).items()}
+
+    def _write_consumers(self, offsets: dict[str, int]) -> None:
+        import json
+        import os
+
+        tmp = self._consumers_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(offsets, fh)
+        os.replace(tmp, self._consumers_path())  # atomic, like the manifest
+
+    def register_consumer(self, name: str) -> None:
+        """Register a changelog reader. A new consumer starts at offset
+        -1 (it has applied nothing), which pins the safe compaction
+        point at -1 until its first ack — registering a reader is what
+        PROTECTS the feed's history for it. Re-registering an existing
+        consumer is a no-op (its progress is kept)."""
+        offsets = self.consumer_offsets()
+        if name not in offsets:
+            offsets[name] = -1
+            self._write_consumers(offsets)
+
+    def ack_consumer(self, name: str, batch_id: int) -> None:
+        """Durably record that ``name`` has fully applied every change
+        with ``batch_id <=`` the given id. Monotonic by contract: a
+        regressing ack raises instead of silently un-protecting log
+        ranges a prior ack already released for compaction."""
+        offsets = self.consumer_offsets()
+        if name not in offsets:
+            raise KeyError(
+                f"consumer {name!r} is not registered on this changelog; "
+                f"call register_consumer first"
+            )
+        if batch_id < offsets[name]:
+            raise ValueError(
+                f"consumer {name!r} ack regressed: {batch_id} < committed "
+                f"offset {offsets[name]}"
+            )
+        offsets[name] = batch_id
+        self._write_consumers(offsets)
+
+    def safe_compaction_point(self) -> int | None:
+        """The highest batch_id every registered consumer has applied —
+        min over committed offsets — or None when no consumer is
+        registered (nothing is known about readers, so nothing is known
+        to be safe)."""
+        offsets = self.consumer_offsets()
+        if not offsets:
+            return None
+        return min(offsets.values())
+
+    def compact_changelog(self, upto_batch: int | None = None) -> None:
         """Compact the CDF log: replace every entry with
         ``batch_id <= upto_batch`` (a consumer checkpoint — everything
         all readers have already applied) by ONE net change per key:
@@ -924,12 +993,30 @@ class IncrementalMV:
         growing with every batch ever merged — the same at-rest bound
         the counts WAL gets, via the same crash-safe two-rename
         protocol (``.compact`` staged, old generation to ``.gc``,
-        swap)."""
+        swap).
+
+        With ``upto_batch=None`` the checkpoint DERIVES from the durable
+        consumer registry: the slowest registered consumer's committed
+        offset (`safe_compaction_point`), so maintenance can never
+        outrun a reader. Deriving with no registered consumers raises —
+        there is no basis to call any range safe; a registry whose
+        slowest consumer has applied nothing (offset -1) makes the call
+        a no-op instead of rewriting the log for an empty range."""
         import os
         import shutil
 
         from pyspark.sql import functions as F
 
+        if upto_batch is None:
+            upto_batch = self.safe_compaction_point()
+            if upto_batch is None:
+                raise ValueError(
+                    "compact_changelog(upto_batch=None) needs at least one "
+                    "registered consumer to derive the safe point; register "
+                    "consumers or pass an explicit upto_batch"
+                )
+            if upto_batch < 0:
+                return  # slowest consumer has applied nothing: keep all
         keys = list(getattr(self, "key_cols", None) or [self.key_col])
         log = self.spark.read.parquet(self.changelog_dir).distinct()
         vals = [
