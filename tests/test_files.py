@@ -53,3 +53,262 @@ def test_spread_leaves_non_file_input_alone(spark):
     assert df.inputFiles() == []
     out = spread(df, "id")
     assert out is df  # literal no-op
+
+
+def test_filestats_index_prunes_and_is_lossless(spark, tmp_path):
+    """The file-level min/max index must (a) schedule ONLY envelope-
+    intersecting files — pinned via inputFiles, the pre-plan skipping
+    parquet row-group stats cannot give — (b) stay lossless thanks to the
+    residual predicate (results equal the full-scan filter even though
+    selection is candidate-level), (c) keep all-null-envelope files as
+    candidates, and (d) return an empty same-schema frame when nothing
+    intersects."""
+    import datetime
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(hours=h), h % 5, float(h)) for h in range(96)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, k int, value double")
+    # 4 files clustered on ts: each covers a contiguous 24 h
+    df.repartitionByRange(4, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(root)
+    skipping.build(spark, root, ["ts"])
+
+    lo = base + datetime.timedelta(hours=30)
+    hi = base + datetime.timedelta(hours=40)
+    sliced, files_read, files_total = skipping.read_between(
+        spark, root, "ts", lo, hi
+    )
+    assert files_total == 4
+    assert files_read < files_total  # skipping actually happened
+    assert len(sliced.inputFiles()) == files_read  # only those scheduled
+    whole = spark.read.parquet(root)
+    full = whole.where((whole.ts >= lo) & (whole.ts < hi))
+    assert sorted(r.value for r in sliced.collect()) == sorted(
+        r.value for r in full.collect()
+    )
+
+    # empty intersection: empty frame, same schema, zero files scheduled
+    lo2 = base + datetime.timedelta(days=30)
+    hi2 = base + datetime.timedelta(days=31)
+    empty, fr2, ft2 = skipping.read_between(spark, root, "ts", lo2, hi2)
+    assert fr2 == 0 and ft2 == 4
+    assert empty.count() == 0
+    assert empty.schema == spark.read.parquet(root).schema
+
+    # a file with an all-null envelope must stay a candidate
+    nulls = spark.createDataFrame(
+        [(None, 99, 999.0)], "ts timestamp, k int, value double"
+    )
+    nulls.coalesce(1).write.mode("append").parquet(root)
+    skipping.build(spark, root, ["ts"])
+    _, fr3, ft3 = skipping.read_between(spark, root, "ts", lo, hi)
+    assert ft3 == 5 and fr3 == 2  # 1 intersecting + the unknown-envelope file
+
+    # rebuild is atomic-swap: no .tmp/.gc residue
+    import os
+
+    assert not os.path.isdir(os.path.join(root, skipping.STATS_DIR + ".tmp"))
+    assert not os.path.isdir(os.path.join(root, skipping.STATS_DIR + ".gc"))
+
+
+def test_filestats_incremental_update_scans_only_new(spark, tmp_path):
+    """`update` must index ONLY files missing from the manifest (O(new
+    data)): existing rows survive byte-identical, the new files' stats
+    appear, an immediate second update is a pure no-op (returns 0 and
+    leaves the manifest files untouched), and multi-column conjunction
+    selection (`read_where`) prunes on BOTH envelopes."""
+    import datetime
+    import os
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    base = datetime.datetime(2024, 1, 1)
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [
+            (base + datetime.timedelta(hours=h), h, float(h))
+            for h in range(lo, hi)
+        ],
+        "ts timestamp, k long, value double",
+    )
+    mk(0, 48).repartitionByRange(2, "ts").sortWithinPartitions(
+        "ts"
+    ).write.mode("overwrite").parquet(root)
+    skipping.build(spark, root, ["ts", "k"])
+    before = {
+        r["file"]: r.asDict()
+        for r in spark.read.parquet(
+            os.path.join(root, skipping.STATS_DIR)
+        ).collect()
+    }
+    assert len(before) == 2
+
+    mk(48, 96).repartitionByRange(2, "ts").sortWithinPartitions(
+        "ts"
+    ).write.mode("append").parquet(root)
+    assert skipping.update(spark, root, ["ts", "k"]) == 2
+    after = {
+        r["file"]: r.asDict()
+        for r in spark.read.parquet(
+            os.path.join(root, skipping.STATS_DIR)
+        ).collect()
+    }
+    assert len(after) == 4
+    for f, row in before.items():
+        assert after[f] == row  # old entries preserved verbatim
+
+    # second update: nothing new -> no-op, manifest untouched on disk
+    manifest_files = set(
+        spark.read.parquet(os.path.join(root, skipping.STATS_DIR)).inputFiles()
+    )
+    assert skipping.update(spark, root, ["ts", "k"]) == 0
+    assert (
+        set(
+            spark.read.parquet(
+                os.path.join(root, skipping.STATS_DIR)
+            ).inputFiles()
+        )
+        == manifest_files
+    )
+
+    # conjunction selection: hour-window AND k-range must intersect BOTH
+    lo = base + datetime.timedelta(hours=50)
+    hi = base + datetime.timedelta(hours=60)
+    df, fr, ft = skipping.read_where(
+        spark, root, [("ts", lo, hi), ("k", 50, 60)]
+    )
+    assert ft == 4 and fr == 1
+    assert df.count() == 10
+    # same time range but impossible k: ts envelope matches 1 file, k none
+    _, fr2, _ = skipping.read_where(
+        spark, root, [("ts", lo, hi), ("k", 1000, 2000)]
+    )
+    assert fr2 == 0
+
+
+def test_filebloom_point_read_prunes_and_exact(spark, tmp_path):
+    """Per-file Bloom index: a key lookup on a randomly scattered layout
+    must read a strict subset of files (inputFiles-pinned), return
+    exactly the matching rows (residual kills false positives; Bloom
+    construction forbids false negatives — checked for EVERY key), and
+    an absent key must read zero rows."""
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 400).select(
+        (F.col("id") * 7919 % 1000003).alias("key"),
+        (F.col("id") % 13).alias("payload"),
+    )
+    df.repartition(8).write.mode("overwrite").parquet(root)
+    skipping.build_bloom(spark, root, "key", m=1 << 13, k=3)
+
+    probe = df.where(F.col("id") == 123).first()["key"]
+    hit, fr, ft = skipping.point_read(spark, root, "key", int(probe))
+    assert ft == 8 and 1 <= fr < ft
+    assert len(hit.inputFiles()) == fr
+    assert [r["key"] for r in hit.collect()] == [probe]
+
+    # no false negatives: every key's candidate set contains its file
+    whole = spark.read.parquet(root).withColumn(
+        "f", F.input_file_name()
+    )
+    homes = {r["key"]: r["f"] for r in whole.collect()}
+    misses = 0
+    for key, home in list(homes.items())[:50]:
+        paths, _ = skipping.bloom_select_files(spark, root, "key", int(key))
+        assert home in paths
+        misses += len(paths)
+    assert misses < 50 * 8  # and it's an index, not a full-scan alias
+
+    absent, fr0, _ = skipping.point_read(spark, root, "key", 999999937)
+    assert absent.count() == 0
+
+
+def test_filestats_vacuum_drops_only_dead_entries(spark, tmp_path):
+    """`vacuum_manifest` must drop exactly the manifest rows whose data
+    files are gone, keep live rows verbatim, no-op (0, no swap) when
+    everything is live, and leave selection working afterwards."""
+    import datetime
+    import os
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(hours=h), float(h)) for h in range(64)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, value double"
+    ).repartitionByRange(4, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(root)
+    skipping.build(spark, root, ["ts"])
+    assert skipping.vacuum_manifest(spark, root) == 0  # all live: no-op
+
+    # a compactor deletes one physical file out from under the manifest
+    victim = sorted(
+        f for f in os.listdir(root) if f.endswith(".parquet")
+    )[0]
+    os.remove(os.path.join(root, victim))
+    assert skipping.vacuum_manifest(spark, root) == 1
+    manifest = spark.read.parquet(os.path.join(root, skipping.STATS_DIR))
+    assert manifest.count() == 3
+    assert not any(victim in r["file"] for r in manifest.collect())
+    assert skipping.vacuum_manifest(spark, root) == 0  # idempotent
+
+    lo = base + datetime.timedelta(hours=40)
+    hi = base + datetime.timedelta(hours=50)
+    df, fr, ft = skipping.read_between(spark, root, "ts", lo, hi)
+    assert ft == 3 and 1 <= fr < ft
+    assert df.count() > 0
+
+
+def test_filebloom_incremental_update(spark, tmp_path):
+    """`update_bloom` must hash only manifest-absent files with the
+    manifest's own m/k, keep old rows verbatim, no-op when nothing is
+    new — and a key that only exists in the appended files must be
+    UNSERVABLE before the update (no candidate files: the staleness
+    failure) and exactly servable after."""
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    spark.range(0, 200).select(F.col("id").alias("key")).repartition(
+        4
+    ).write.mode("overwrite").parquet(root)
+    skipping.build_bloom(spark, root, "key", m=1 << 13, k=3)
+    before = {
+        r["file"]
+        for r in spark.read.parquet(
+            skipping._bloom_dir(root, "key")
+        ).collect()
+    }
+    assert len(before) == 4
+
+    spark.range(200, 400).select(F.col("id").alias("key")).repartition(
+        4
+    ).write.mode("append").parquet(root)
+    # stale manifest: an era-2 key has NO candidate file (false negative)
+    paths, total = skipping.bloom_select_files(spark, root, "key", 321)
+    assert total == 4 and paths == []
+
+    assert skipping.update_bloom(spark, root, "key") == 4
+    manifest = spark.read.parquet(skipping._bloom_dir(root, "key"))
+    assert manifest.count() == 8
+    assert before <= {r["file"] for r in manifest.collect()}
+    assert manifest.select("m").distinct().count() == 1  # m/k consistent
+    assert skipping.update_bloom(spark, root, "key") == 0  # no-op
+
+    hit, fr, ft = skipping.point_read(spark, root, "key", 321)
+    assert ft == 8 and 1 <= fr < ft
+    assert [r["key"] for r in hit.collect()] == [321]

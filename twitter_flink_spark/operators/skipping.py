@@ -1,0 +1,320 @@
+"""File-level statistics indexes: Delta/Iceberg-style data skipping.
+
+Parquet row-group statistics prune WITHIN a file, but Spark still lists and
+schedules a task for EVERY file under the scan root — at 100 TB a selective
+time-slice query pays task startup + footer reads for millions of files it
+will read zero rows from. Table formats solve this with file-level index
+manifests consulted BEFORE planning: only files that can possibly contain
+matching rows are ever scheduled. This module is that manifest layer for
+plain parquet directories, two index kinds:
+
+- **min/max envelopes** (``build`` / ``read_between`` / ``read_where``) —
+  per-file [min, max] per column, pruning range predicates when the layout
+  clusters the column (a random layout's envelopes all span the domain).
+  ``read_where`` takes a CONJUNCTION of ranges, so a z-order/space-filling
+  layout turns multi-dimensional predicates into multi-envelope pruning.
+- **per-file Bloom filters** (``build_bloom`` / ``point_read``) — the
+  point-lookup index for high-cardinality keys where envelopes are useless
+  (every file's [min, max] spans the key domain under any non-key-sorted
+  layout): ~m bits per file regardless of row count, k xxhash64 probes
+  select candidate files. The Iceberg-puffin / Delta bloom sidecar story.
+
+All manifests commit via write-to-tmp + atomic rename swap (a concurrent
+reader never sees a half manifest) and live under the data root with an
+underscore prefix (``_filestats``, ``_filebloom_<col>``) so Spark's input
+listing ignores them — the ``_manifests`` convention. ``update`` maintains
+the stats manifest INCREMENTALLY on append: only files absent from the
+committed manifest are scanned, O(new data) not O(table), the maintenance
+shape a streaming sink needs.
+
+Every index is candidate-level: readers re-apply the exact predicate as a
+residual filter, so a lossy selection can only cost performance, never
+rows. Builds are column-pruned to exactly the indexed columns — O(indexed
+columns), not O(table width).
+
+The reference has no storage layer at all (SURVEY.md §2.2 "Scans"); this is
+the scan-side pruning story a 100 TB engine needs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STATS_DIR = "_filestats"
+BLOOM_DIR = "_filebloom"  #: per-column suffix appended: _filebloom_<col>
+
+
+def _commit_swap(df: DataFrame, dest: str) -> None:
+    """Atomically replace ``dest`` with ``df``'s rows (tmp write, rename
+    swap, old generation to .gc then removed) — same crash-safe protocol
+    as the MV manifests: a reader sees the old or the new manifest, never
+    a mix, and a stranded .tmp/.gc is overwritten by the next commit."""
+    tmp = dest + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    old = dest + ".gc"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(dest):
+        os.rename(dest, old)
+    os.rename(tmp, dest)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _file_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
+        ]
+    return (
+        df.select(*cols)
+        .withColumn("__file", F.input_file_name())
+        .groupBy(F.col("__file").alias("file"))
+        .agg(*aggs)
+    )
+
+
+def build(spark: SparkSession, root: str, cols: list[str]) -> str:
+    """Compute and commit the per-file stats manifest for ``cols`` in ONE
+    column-pruned scan (hash aggregate on ``input_file_name()`` — as many
+    groups as files)."""
+    dest = os.path.join(root, STATS_DIR)
+    _commit_swap(_file_stats(spark.read.parquet(root), cols), dest)
+    return dest
+
+
+def update(spark: SparkSession, root: str, cols: list[str]) -> int:
+    """Incrementally maintain the stats manifest after appends: scan ONLY
+    files absent from the committed manifest (O(new data), not O(table)),
+    union their stats with the existing rows, swap. Returns the number of
+    newly indexed files; 0 is a pure no-op (no write, no swap). Files
+    deleted since the last build simply linger as envelopes of nothing —
+    candidate-level selection tolerates them; a periodic full ``build``
+    is the vacuum."""
+    dest = os.path.join(root, STATS_DIR)
+    reader = spark.read.parquet(root)
+    known = {
+        _norm_path(r["file"])
+        for r in spark.read.parquet(dest).select("file").collect()
+    }  # O(files)
+    # inputFiles() and input_file_name() render the scheme differently
+    # (file:/ vs file:///) — compare on the normalized path
+    new = [f for f in reader.inputFiles() if _norm_path(f) not in known]
+    if not new:
+        return 0
+    fresh = _file_stats(spark.read.parquet(*new), cols)
+    _commit_swap(spark.read.parquet(dest).unionByName(fresh), dest)
+    return len(new)
+
+
+def select_files(
+    spark: SparkSession, root: str, preds: list[tuple[str, object, object]]
+) -> tuple[list[str], int]:
+    """Files whose envelopes intersect EVERY ``(col, lo, hi)`` half-open
+    range in ``preds`` (a conjunction), plus the total file count. Files
+    with a NULL min/max keep candidacy (an all-null envelope is unknown —
+    never drop what you cannot prove out); rows are decided by the
+    caller's residual predicate, the index only decides FILES."""
+    manifest = spark.read.parquet(os.path.join(root, STATS_DIR))
+    total = manifest.count()
+    keep = manifest
+    for col, lo, hi in preds:
+        keep = keep.where(
+            (F.col(f"min_{col}").isNull())
+            | (F.col(f"max_{col}").isNull())
+            | (
+                (F.col(f"min_{col}") < F.lit(hi))
+                & (F.col(f"max_{col}") >= F.lit(lo))
+            )
+        )
+    paths = [r["file"] for r in keep.select("file").collect()]  # O(files)
+    return paths, total
+
+
+def _empty_like(spark: SparkSession, root: str) -> DataFrame:
+    return spark.createDataFrame([], spark.read.parquet(root).schema)
+
+
+def read_where(
+    spark: SparkSession, root: str, preds: list[tuple[str, object, object]]
+) -> tuple[DataFrame, int, int]:
+    """Reader over only the index-selected files for a CONJUNCTION of
+    range predicates, with the exact residual already applied (the index
+    is candidate-level; the residual makes it lossless). Returns
+    (df, files_read, files_total)."""
+    paths, total = select_files(spark, root, preds)
+    if not paths:
+        return _empty_like(spark, root), 0, total
+    df = spark.read.parquet(*paths)
+    for col, lo, hi in preds:
+        df = df.where((F.col(col) >= F.lit(lo)) & (F.col(col) < F.lit(hi)))
+    return df, len(paths), total
+
+
+def read_between(
+    spark: SparkSession, root: str, col: str, lo, hi
+) -> tuple[DataFrame, int, int]:
+    """Single-column form of ``read_where``."""
+    return read_where(spark, root, [(col, lo, hi)])
+
+
+def vacuum_manifest(spark: SparkSession, root: str) -> int:
+    """Drop stats-manifest rows whose data files no longer exist (left
+    behind by compaction/rewrite — harmless to correctness since
+    selection is candidate-level, but they cost dead-path read attempts
+    and manifest bloat). The live file list is the same O(files) driver
+    listing every scan plan pays; the reconciliation is a semi-join on
+    normalized paths (`input_file_name` renders file:/// where
+    `inputFiles` renders file:/ — both reduce to the bare path).
+    Returns the number of rows dropped; 0 is a pure no-op (no swap)."""
+    dest = os.path.join(root, STATS_DIR)
+    live = [
+        (_norm_path(f),) for f in spark.read.parquet(root).inputFiles()
+    ]
+    manifest = spark.read.parquet(dest)
+    live_df = spark.createDataFrame(live, "path string")
+    norm = F.regexp_replace(F.col("file"), "^[a-z]+:/+", "/")
+    keep = manifest.join(
+        F.broadcast(live_df), norm == F.col("path"), "left_semi"
+    )
+    total = manifest.count()
+    kept = keep.count()
+    if kept == total:
+        return 0
+    _commit_swap(keep, dest)
+    return total - kept
+
+
+def _norm_path(p: str) -> str:
+    from urllib.parse import urlparse
+
+    return urlparse(p).path or p
+
+
+# -- per-file Bloom index (point lookups on unclustered keys) ---------------
+
+
+def _bloom_dir(root: str, col: str) -> str:
+    return os.path.join(root, f"{BLOOM_DIR}_{col}")
+
+
+def _positions(col: F.Column, m: int, k: int) -> list[F.Column]:
+    return [
+        F.pmod(F.xxhash64(F.lit(i), col), F.lit(m)) for i in range(k)
+    ]
+
+
+def build_bloom(
+    spark: SparkSession, root: str, col: str, m: int = 1 << 17, k: int = 3
+) -> str:
+    """Commit a per-file Bloom manifest for ``col``: each file's keys set
+    k xxhash64 positions in an m-bit set, packed DISTRIBUTED into 64-bit
+    words (`bit_or` over `shiftleft`) and stored as one map<word, bits>
+    row per file — ~m bits per file AT MOST, independent of row count,
+    and sparse files pay only their touched words. The whole build is one
+    column-pruned scan + two hash aggregates; nothing returns to the
+    driver. m, k ride along as manifest columns so lookups can never
+    probe with mismatched parameters."""
+    if m % 64:
+        raise ValueError(f"m must be a multiple of 64, got {m}")
+    dest = _bloom_dir(root, col)
+    _commit_swap(_bloom_manifest(spark.read.parquet(root), col, m, k), dest)
+    return dest
+
+
+def _bloom_manifest(df: DataFrame, col: str, m: int, k: int) -> DataFrame:
+    src = df.select(col).withColumn("__file", F.input_file_name())
+    pos = src.select(
+        "__file",
+        F.explode(F.array(*_positions(F.col(col), m, k))).alias("p"),
+    ).distinct()
+    words = pos.groupBy(
+        "__file", (F.col("p") / 64).cast("int").alias("w")
+    ).agg(F.bit_or(F.expr("shiftleft(1L, cast(p % 64 as int))")).alias("bits"))
+    return words.groupBy(F.col("__file").alias("file")).agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias(
+            "bloom"
+        ),
+        F.lit(m).alias("m"),
+        F.lit(k).alias("k"),
+    )
+
+
+def update_bloom(spark: SparkSession, root: str, col: str) -> int:
+    """Incrementally maintain the Bloom manifest after appends: hash ONLY
+    files absent from the committed manifest (O(new data), not O(table))
+    with the manifest's OWN m/k (parameters ride along as columns exactly
+    so a refresh can never probe-skew the index), union, swap. Returns
+    the number of newly indexed files; 0 is a pure no-op."""
+    dest = _bloom_dir(root, col)
+    manifest = spark.read.parquet(dest)
+    m, k = manifest.select("m", "k").first()
+    known = {
+        _norm_path(r["file"]) for r in manifest.select("file").collect()
+    }  # O(files)
+    new = [
+        f
+        for f in spark.read.parquet(root).inputFiles()
+        if _norm_path(f) not in known
+    ]
+    if not new:
+        return 0
+    fresh = _bloom_manifest(spark.read.parquet(*new), col, int(m), int(k))
+    _commit_swap(manifest.unionByName(fresh), dest)
+    return len(new)
+
+
+def bloom_select_files(
+    spark: SparkSession, root: str, col: str, value
+) -> tuple[list[str], int]:
+    """Candidate files for ``col = value``: probe every file's Bloom map
+    with the k positions of ``value``. Positions are computed through the
+    SAME Spark hash expressions the build used — on a 1-row literal frame
+    cast to the indexed column's type — so probe and build can never skew
+    (the bucket-routing idiom of `IncrementalMV.lookup`)."""
+    manifest = spark.read.parquet(_bloom_dir(root, col))
+    total = manifest.count()
+    m, k = manifest.select("m", "k").first()
+    dtype = spark.read.parquet(root).schema[col].dataType
+    probe = F.lit(value).cast(dtype)
+    pos = (
+        spark.range(1)
+        .select(F.array(*_positions(probe, m, k)).alias("ps"))
+        .first()["ps"]
+    )  # k ints, 1-row collect
+    cond = None
+    for p in pos:
+        w, bit = int(p) >> 6, int(p) & 63
+        # Java longs are signed two's-complement; rewrap bit 63
+        mask = (1 << bit) - (1 << 64) if bit == 63 else (1 << bit)
+        c = (
+            F.coalesce(F.element_at("bloom", F.lit(w)), F.lit(0)).bitwiseAND(
+                F.lit(mask).cast("long")
+            )
+            != 0
+        )
+        cond = c if cond is None else (cond & c)
+    paths = [
+        r["file"] for r in manifest.where(cond).select("file").collect()
+    ]
+    return paths, total
+
+
+def point_read(
+    spark: SparkSession, root: str, col: str, value
+) -> tuple[DataFrame, int, int]:
+    """Reader over only the Bloom-candidate files for ``col = value``,
+    exact equality re-applied as the residual (false positives die here —
+    no false negatives by Bloom construction). Returns
+    (df, files_read, files_total)."""
+    paths, total = bloom_select_files(spark, root, col, value)
+    if not paths:
+        return _empty_like(spark, root), 0, total
+    df = spark.read.parquet(*paths).where(F.col(col) == F.lit(value))
+    return df, len(paths), total

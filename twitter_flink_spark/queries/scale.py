@@ -1971,3 +1971,560 @@ def era_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(flags_df), "day")
     )
+
+
+@register(
+    "filestats_pruned_time_slice",
+    oracle="""
+WITH bounds AS (SELECT min(ts) AS t0 FROM events)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(e.value), 2) AS total_value,
+       TRUE AS index_pruned
+FROM events e, bounds b
+WHERE e.ts >= b.t0 + INTERVAL 12 HOUR
+  AND e.ts < b.t0 + INTERVAL 18 HOUR
+GROUP BY e.event_type
+""",
+)
+def filestats_pruned_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping (`operators/skipping.py`): a MIDDLE
+    6-hour slice served by consulting a per-file min/max manifest before
+    planning, so only the files whose envelope intersects the slice are
+    ever LISTED INTO THE SCAN — the others get no task, no footer read,
+    no row-group machinery. This is the step beyond
+    `range_sorted_time_slice`, where the pushed predicate still schedules
+    a task per file and prunes row groups inside; at 100 TB / millions of
+    files the manifest consult (O(files), KBs) replaces task startup for
+    the ~all of the table a selective slice excludes — the Delta/Iceberg
+    scan-planning story on plain parquet. A middle slice (t0+12h..t0+18h)
+    is the honest case: head slices a sorted reader can fake with early
+    termination; a middle one only stats can prune. The index is
+    candidate-level — `read_between` re-applies the exact bounds as a
+    residual filter — so the oracle over the ORIGINAL unsorted table
+    proves losslessness, and `index_pruned` (files_read < files_total,
+    with >1 file total) pins that skipping actually happened rather than
+    degenerating to a full scan."""
+    import datetime
+
+    from twitter_flink_spark.operators import skipping
+
+    dest = _ensure_time_sorted_layout(spark, sf_dir)
+    skipping.build(spark, dest, ["ts"])
+    t0 = spark.read.parquet(dest).agg(F.min("ts")).first()[0]  # 1-row
+    lo = t0 + datetime.timedelta(hours=12)
+    hi = t0 + datetime.timedelta(hours=18)
+    sliced, files_read, files_total = skipping.read_between(
+        spark, dest, "ts", lo, hi
+    )
+    return sliced.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.lit(files_total > 1 and files_read < files_total).alias(
+            "index_pruned"
+        ),
+    )
+
+
+_ERA_STATS_FOR: dict[str, str] = {}
+
+
+def _ensure_two_era_stats_layout(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, bool]:
+    """events split at t0+15d into two appends of 4 ts-clustered files
+    each — era 1 indexed by `skipping.build`, era 2 arriving AFTER the
+    first manifest commit, the append a streaming sink produces. Returns
+    (dest, freshly_built) so the caller knows whether era 2 is still
+    unindexed (fresh) or a prior call's update already absorbed it."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from twitter_flink_spark.operators import skipping
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "tfs-erastats-" + sf_dir.strip("/").replace("/", "-"),
+    )
+    if _ERA_STATS_FOR.get("sf") == sf_dir and os.path.isdir(dest):
+        return dest, False
+    shutil.rmtree(dest, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events")
+    t0 = e.agg(F.min("ts")).first()[0]
+    split = t0 + datetime.timedelta(days=15)
+    for era_pred, mode in [
+        (F.col("ts") < F.lit(split), "overwrite"),
+        (F.col("ts") >= F.lit(split), "append"),
+    ]:
+        (
+            e.where(era_pred)
+            .repartitionByRange(4, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode(mode)
+            .parquet(dest)
+        )
+        if mode == "overwrite":
+            skipping.build(spark, dest, ["ts"])
+    _ERA_STATS_FOR["sf"] = sf_dir
+    return dest, True
+
+
+@register(
+    "filestats_incremental_update",
+    oracle="""
+WITH bounds AS (SELECT min(ts) AS t0 FROM events)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(e.value), 2) AS total_value,
+       TRUE AS incrementally_indexed,
+       TRUE AS index_pruned
+FROM events e, bounds b
+WHERE e.ts >= b.t0 + INTERVAL 14 DAY
+  AND e.ts < b.t0 + INTERVAL 16 DAY
+GROUP BY e.event_type
+""",
+)
+def filestats_incremental_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental stats-manifest maintenance (`operators/skipping.py::
+    update`): after era-2 files append to an already-indexed table, the
+    manifest refresh scans ONLY the unindexed files — O(new data), not
+    O(table), the maintenance bound that lets a streaming sink keep its
+    skipping index fresh per commit instead of re-profiling 100 TB.
+    `incrementally_indexed` pins the contract both ways: the first
+    update indexes >0 new files, an immediate second update is a pure
+    no-op (0 files, no manifest swap). The slice then SPANS the era
+    boundary (t0+14d..t0+16d), so serving it correctly requires both
+    the original manifest rows and the incrementally added ones, and
+    `index_pruned` pins that skipping still bites across eras. The
+    oracle over the original single-parquet table proves the
+    append+update pipeline lost nothing."""
+    import datetime
+
+    from twitter_flink_spark.operators import skipping
+
+    dest, fresh = _ensure_two_era_stats_layout(spark, sf_dir)
+    n_new = skipping.update(spark, dest, ["ts"])
+    n_again = skipping.update(spark, dest, ["ts"])
+    t0 = spark.read.parquet(dest).agg(F.min("ts")).first()[0]  # 1-row
+    lo = t0 + datetime.timedelta(days=14)
+    hi = t0 + datetime.timedelta(days=16)
+    sliced, files_read, files_total = skipping.read_between(
+        spark, dest, "ts", lo, hi
+    )
+    # fresh layout: the first update MUST index era 2 (>0 files); cached
+    # layout: a prior call absorbed it, so both updates must no-op
+    incremental_ok = (n_new > 0 if fresh else n_new == 0) and n_again == 0
+    return sliced.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.lit(bool(incremental_ok)).alias("incrementally_indexed"),
+        F.lit(files_total > 1 and files_read < files_total).alias(
+            "index_pruned"
+        ),
+    )
+
+
+_CELL_LAYOUT_FOR: dict[str, str] = {}
+
+
+def _ensure_cell_clustered_layout(spark: SparkSession, sf_dir: str) -> str:
+    """events clustered into 16 files by (user-quartile, time-quartile)
+    cells — the space-filling-curve layout family (OPTIMIZE ZORDER's
+    point): each file's (user_id, ts) envelopes are tight in BOTH
+    dimensions, so a 2-D predicate can prune on the conjunction."""
+    import os
+    import tempfile
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "tfs-cellstats-" + sf_dir.strip("/").replace("/", "-"),
+    )
+    if _CELL_LAYOUT_FOR.get("sf") == sf_dir and os.path.isdir(dest):
+        return dest
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg(
+        F.min("user_id").alias("u0"),
+        F.max("user_id").alias("u1"),
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+    )
+    cells = (
+        e.crossJoin(F.broadcast(b))
+        .withColumn(
+            "qx",
+            F.least(
+                F.lit(3),
+                F.floor(
+                    (F.col("user_id") - F.col("u0"))
+                    * 4
+                    / (F.col("u1") - F.col("u0") + 1)
+                ),
+            ),
+        )
+        .withColumn(
+            "qy",
+            F.least(
+                F.lit(3),
+                F.floor(
+                    (F.unix_timestamp("ts") - F.unix_timestamp("t0"))
+                    * 4
+                    / (
+                        F.unix_timestamp("t1")
+                        - F.unix_timestamp("t0")
+                        + 1
+                    ),
+                ),
+            ),
+        )
+    )
+    (
+        cells.repartitionByRange(16, "qx", "qy")
+        .sortWithinPartitions("qx", "qy")
+        .drop("qx", "qy", "u0", "u1", "t0", "t1")
+        .write.mode("overwrite")
+        .parquet(dest)
+    )
+    _CELL_LAYOUT_FOR["sf"] = sf_dir
+    return dest
+
+
+@register(
+    "zorder_filestats_2d_slice",
+    oracle="""
+WITH b AS (SELECT min(user_id) AS u0, max(user_id) AS u1, min(ts) AS t0
+           FROM events)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(e.value), 2) AS total_value,
+       TRUE AS index_pruned
+FROM events e, b
+WHERE e.user_id >= b.u0 + (b.u1 - b.u0 + 1) // 4
+  AND e.user_id <  b.u0 + (b.u1 - b.u0 + 1) // 2
+  AND e.ts >= b.t0 + INTERVAL 10 DAY
+  AND e.ts <  b.t0 + INTERVAL 14 DAY
+GROUP BY e.event_type
+""",
+)
+def zorder_filestats_2d_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data skipping (SURVEY §14 candidate, delivered):
+    a conjunction predicate — one user-quartile AND a 4-day mid-month
+    window — served through `skipping.read_where` over the
+    cell-clustered layout, pruning files whose envelope fails EITHER
+    dimension. This is why space-filling-curve clustering exists: a
+    single-column sort gives tight envelopes in one dimension and
+    domain-spanning ones in every other, so multi-predicate queries
+    degenerate to 1-D skipping; cell/z-order layouts keep every indexed
+    column's per-file envelope tight and the SAME stats manifest prunes
+    their conjunction. The index stays candidate-level (exact bounds
+    re-applied as residuals per column), so the oracle over the
+    original table proves losslessness; both slice bounds are derived
+    from data (integer quartile math replicated verbatim in the SQL),
+    and `index_pruned` pins real 2-D skipping."""
+    import datetime
+
+    from twitter_flink_spark.operators import skipping
+
+    dest = _ensure_cell_clustered_layout(spark, sf_dir)
+    skipping.build(spark, dest, ["user_id", "ts"])
+    b = (
+        spark.read.parquet(dest)
+        .agg(
+            F.min("user_id").alias("u0"),
+            F.max("user_id").alias("u1"),
+            F.min("ts").alias("t0"),
+        )
+        .first()
+    )
+    span = b["u1"] - b["u0"] + 1
+    ulo, uhi = b["u0"] + span // 4, b["u0"] + span // 2
+    tlo = b["t0"] + datetime.timedelta(days=10)
+    thi = b["t0"] + datetime.timedelta(days=14)
+    sliced, files_read, files_total = skipping.read_where(
+        spark, dest, [("user_id", ulo, uhi), ("ts", tlo, thi)]
+    )
+    return sliced.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.lit(files_total > 1 and files_read < files_total).alias(
+            "index_pruned"
+        ),
+    )
+
+
+_BLOOM_LAYOUT_FOR: dict[str, str] = {}
+
+
+def _ensure_bloom_indexed_orders(spark: SparkSession, sf_dir: str) -> str:
+    """orders scattered RANDOMLY into 16 files (no key clustering — the
+    layout where min/max envelopes are useless for a key lookup) with a
+    per-file Bloom manifest on o_orderkey."""
+    import os
+    import tempfile
+
+    from twitter_flink_spark.operators import skipping
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "tfs-bloomidx-" + sf_dir.strip("/").replace("/", "-"),
+    )
+    if _BLOOM_LAYOUT_FOR.get("sf") == sf_dir and os.path.isdir(dest):
+        return dest
+    load_table(spark, sf_dir, "orders").repartition(16).write.mode(
+        "overwrite"
+    ).parquet(dest)
+    skipping.build_bloom(spark, dest, "o_orderkey")
+    _BLOOM_LAYOUT_FOR["sf"] = sf_dir
+    return dest
+
+
+@register(
+    "filebloom_point_read",
+    oracle="""
+SELECT o_orderkey,
+       o_orderstatus,
+       round(o_totalprice, 2) AS total,
+       TRUE AS bloom_pruned
+FROM orders
+WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+""",
+)
+def filebloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom index point lookup (`operators/skipping.py::
+    build_bloom`/`point_read`): fetch one order by key from a RANDOMLY
+    scattered layout — the case file-level min/max can never prune
+    (every file's key envelope spans the domain) and the case that
+    matters for serving: a feature-store / debugging point read against
+    a fact table nobody re-sorted. Each file carries ~m bits regardless
+    of row count; k xxhash64 probes select candidate files (typically
+    1 + binomial false positives), equality re-applied as the residual
+    kills FPs — no false negatives by construction, which the oracle's
+    exact row proves. Probe hashing runs through the SAME Spark
+    expressions as the build (1-row literal frame, cast to the column
+    type), the `IncrementalMV.lookup` routing idiom, so probe and index
+    can never skew. `bloom_pruned` pins that the lookup actually
+    skipped files rather than scanning all 16."""
+    from twitter_flink_spark.operators import skipping
+
+    dest = _ensure_bloom_indexed_orders(spark, sf_dir)
+    key = spark.read.parquet(dest).agg(F.min("o_orderkey")).first()[0]
+    hit, files_read, files_total = skipping.point_read(
+        spark, dest, "o_orderkey", int(key)
+    )
+    return hit.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total"),
+        F.lit(files_total > 1 and files_read < files_total).alias(
+            "bloom_pruned"
+        ),
+    )
+
+
+_VACUUM_LAYOUT_FOR: dict[str, tuple] = {}
+
+
+def _ensure_compacted_vacuumed_layout(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, int, int]:
+    """The full index-maintenance lifecycle on one table: events written
+    as 8 small ts-clustered files and stats-indexed; a compactor then
+    rewrites them into 2 right-sized files via a dir-level atomic swap
+    (the manifest, living under the root, is carried across the swap
+    untouched — now referencing only dead paths); `skipping.update`
+    indexes the 2 new files (old entries untouched), `skipping.vacuum_
+    manifest` reconciles the 8 dead ones away. Returns (dest, n_new,
+    n_dead) from the FIRST run; cached calls replay the recorded counts
+    — the mutation already happened, idempotently."""
+    import os
+    import shutil
+    import tempfile
+
+    from twitter_flink_spark.operators import skipping
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "tfs-vacstats-" + sf_dir.strip("/").replace("/", "-"),
+    )
+    if _VACUUM_LAYOUT_FOR.get("sf") == sf_dir and os.path.isdir(dest):
+        return dest, *_VACUUM_LAYOUT_FOR["counts"]
+    shutil.rmtree(dest, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events")
+    (
+        e.repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(dest)
+    )
+    skipping.build(spark, dest, ["ts"])
+    # compactor: rewrite 8 -> 2 files, atomic dir swap, manifest carried
+    tmp, gc = dest + ".compact", dest + ".gc"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.read.parquet(dest)
+        .repartitionByRange(2, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    shutil.rmtree(gc, ignore_errors=True)
+    os.rename(dest, gc)
+    os.rename(tmp, dest)
+    shutil.move(
+        os.path.join(gc, skipping.STATS_DIR),
+        os.path.join(dest, skipping.STATS_DIR),
+    )
+    shutil.rmtree(gc, ignore_errors=True)
+    n_new = skipping.update(spark, dest, ["ts"])
+    n_dead = skipping.vacuum_manifest(spark, dest)
+    _VACUUM_LAYOUT_FOR["sf"] = sf_dir
+    _VACUUM_LAYOUT_FOR["counts"] = (n_new, n_dead)
+    return dest, n_new, n_dead
+
+
+@register(
+    "filestats_vacuum_after_compact",
+    oracle="""
+WITH bounds AS (SELECT min(ts) AS t0 FROM events)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(e.value), 2) AS total_value,
+       TRUE AS manifest_reconciled,
+       TRUE AS index_pruned
+FROM events e, bounds b
+WHERE e.ts >= b.t0 + INTERVAL 3 DAY
+  AND e.ts < b.t0 + INTERVAL 10 DAY
+GROUP BY e.event_type
+""",
+)
+def filestats_vacuum_after_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stats-manifest vacuum (SURVEY §14 candidate, delivered) closing
+    the index-maintenance lifecycle: build -> compact (8 small files
+    rewritten to 2, dir-level atomic swap, manifest carried across) ->
+    incremental `update` (indexes exactly the 2 new files) ->
+    `vacuum_manifest` (drops exactly the 8 dead entries — dead envelopes
+    are harmless to correctness but cost dead-path reads and manifest
+    bloat forever if nothing reconciles them). `manifest_reconciled`
+    pins the exact ledger: 2 indexed, 8 dropped, and the post-vacuum
+    manifest row count equals the live file count. The week-long slice
+    then serves from the vacuumed index (`index_pruned` pins pruning
+    still bites), and the oracle over the original table proves the
+    whole rewrite lost nothing."""
+    import datetime
+    import os
+
+    from twitter_flink_spark.operators import skipping
+
+    dest, n_new, n_dead = _ensure_compacted_vacuumed_layout(spark, sf_dir)
+    manifest_rows = spark.read.parquet(
+        os.path.join(dest, skipping.STATS_DIR)
+    ).count()
+    live_files = len(spark.read.parquet(dest).inputFiles())
+    reconciled = (
+        n_new == 2 and n_dead == 8 and manifest_rows == live_files == 2
+    )
+    t0 = spark.read.parquet(dest).agg(F.min("ts")).first()[0]  # 1-row
+    lo = t0 + datetime.timedelta(days=3)
+    hi = t0 + datetime.timedelta(days=10)
+    sliced, files_read, files_total = skipping.read_between(
+        spark, dest, "ts", lo, hi
+    )
+    return sliced.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.lit(bool(reconciled)).alias("manifest_reconciled"),
+        F.lit(files_total > 1 and files_read < files_total).alias(
+            "index_pruned"
+        ),
+    )
+
+
+_BLOOM_ERA_FOR: dict[str, str] = {}
+
+
+def _ensure_two_era_bloom_orders(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, bool]:
+    """orders split at the key midpoint into two 8-file appends — era 1
+    Bloom-indexed, era 2 arriving after the first manifest commit.
+    Returns (dest, freshly_built)."""
+    import os
+    import shutil
+    import tempfile
+
+    from twitter_flink_spark.operators import skipping
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "tfs-bloomera-" + sf_dir.strip("/").replace("/", "-"),
+    )
+    if _BLOOM_ERA_FOR.get("sf") == sf_dir and os.path.isdir(dest):
+        return dest, False
+    shutil.rmtree(dest, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_orderkey").alias("k0"), F.max("o_orderkey").alias("k1")
+    ).first()
+    mid = (b["k0"] + b["k1"]) // 2
+    for pred, mode in [
+        (F.col("o_orderkey") <= F.lit(mid), "overwrite"),
+        (F.col("o_orderkey") > F.lit(mid), "append"),
+    ]:
+        o.where(pred).repartition(8).write.mode(mode).parquet(dest)
+        if mode == "overwrite":
+            skipping.build_bloom(spark, dest, "o_orderkey")
+    _BLOOM_ERA_FOR["sf"] = sf_dir
+    return dest, True
+
+
+@register(
+    "filebloom_incremental_update",
+    oracle="""
+SELECT o_orderkey,
+       o_orderstatus,
+       round(o_totalprice, 2) AS total,
+       TRUE AS incrementally_indexed,
+       TRUE AS bloom_pruned
+FROM orders
+WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
+""",
+)
+def filebloom_incremental_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental Bloom-manifest maintenance (`skipping.update_bloom`):
+    after era-2 files append to a Bloom-indexed orders table, the
+    refresh hashes ONLY the unindexed files — O(new data), not O(table)
+    — reusing the manifest's own m/k (carried as columns precisely so a
+    refresh can never probe-skew the index). The probe key is the MAX
+    orderkey, which by the midpoint split lives in era 2: a stale
+    manifest would have no candidate file for it at all — a false
+    negative, the one failure Bloom semantics forbid — so the oracle's
+    exact row existing proves the incremental refresh made the new era
+    servable, `incrementally_indexed` pins the update ledger (>0 new
+    files on a fresh layout, double-update no-op), and `bloom_pruned`
+    pins that the lookup still reads a strict subset of the 16 files."""
+    from twitter_flink_spark.operators import skipping
+
+    dest, fresh = _ensure_two_era_bloom_orders(spark, sf_dir)
+    n_new = skipping.update_bloom(spark, dest, "o_orderkey")
+    n_again = skipping.update_bloom(spark, dest, "o_orderkey")
+    incremental_ok = (n_new > 0 if fresh else n_new == 0) and n_again == 0
+    key = spark.read.parquet(dest).agg(F.max("o_orderkey")).first()[0]
+    hit, files_read, files_total = skipping.point_read(
+        spark, dest, "o_orderkey", int(key)
+    )
+    return hit.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total"),
+        F.lit(bool(incremental_ok)).alias("incrementally_indexed"),
+        F.lit(files_total > 1 and files_read < files_total).alias(
+            "bloom_pruned"
+        ),
+    )
