@@ -587,3 +587,98 @@ def cusum_daily_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sev_pct"),
         )
     )
+
+
+@register(
+    "expectations_quarantine_routing",
+    oracle="""
+SELECT 'no_error_type' AS rule, 'quarantine' AS action,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n,
+       TRUE AS persisted_matches
+FROM events
+UNION ALL
+SELECT 'route_dropped', 'route',
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT), TRUE
+FROM events
+UNION ALL
+SELECT 'route_good', 'route',
+       CAST(sum(CASE WHEN user_id IS NOT NULL AND value >= 100
+                          AND event_type <> 'error'
+                     THEN 1 ELSE 0 END) AS BIGINT), TRUE
+FROM events
+UNION ALL
+SELECT 'route_quarantined', 'route',
+       CAST(sum(CASE WHEN user_id IS NOT NULL
+                          AND (value < 100 OR event_type = 'error')
+                     THEN 1 ELSE 0 END) AS BIGINT), TRUE
+FROM events
+UNION ALL
+SELECT 'user_present', 'drop',
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT), TRUE
+FROM events
+UNION ALL
+SELECT 'value_at_least_1', 'warn',
+       CAST(sum(CASE WHEN value < 1 THEN 1 ELSE 0 END) AS BIGINT), TRUE
+FROM events
+UNION ALL
+SELECT 'value_under_100', 'quarantine',
+       CAST(sum(CASE WHEN value < 100 THEN 1 ELSE 0 END) AS BIGINT), TRUE
+FROM events
+""",
+)
+def expectations_quarantine_routing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Expectations ENFORCEMENT (`operators/expectations.py`), one step
+    past `dq_constraint_violations`' audit: a declared contract — two
+    quarantine rules (value >= 100, no 'error' events), one warn rule
+    (value >= 1: counted, row still flows), one drop rule (user
+    present; clean here, so its ledger row pins an exact 0) — routes
+    EVERY row to good/quarantined/dropped directories in ONE scan and
+    ONE write (`partitionBy` on the route column; not a filter-scan per
+    destination), while the violation ledger rides the same job via
+    `DataFrame.observe` (Catalyst CollectMetrics: executor-side inline
+    aggregation, zero extra scans — where a groupBy ledger would re-read
+    the corpus). Precedence drop > quarantine keeps routes a partition
+    of the input (per-rule counts stay raw), which the oracle pins by
+    recomputing each count independently; `persisted_matches` pins that
+    the rows actually ON DISK per route equal the observed ledger —
+    enforcement happened, not just measurement."""
+    import tempfile
+
+    from twitter_flink_spark.operators.expectations import ROUTE_COL, Rule, route
+
+    rules = [
+        Rule("value_under_100", "value >= 100", "quarantine"),
+        Rule("no_error_type", "event_type <> 'error'", "quarantine"),
+        Rule("value_at_least_1", "value >= 1", "warn"),
+        Rule("user_present", "user_id IS NOT NULL", "drop"),
+    ]
+    e = load_table(spark, sf_dir, "events")
+    dest = tempfile.mkdtemp(prefix="tfs-expect-") + "/routed"
+    ledger, _ = route(e, rules, dest)
+    on_disk = {
+        r[ROUTE_COL]: r["n"]
+        for r in spark.read.parquet(dest)
+        .groupBy(ROUTE_COL)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # <= 3 rows
+    }
+    matches = all(
+        ledger[f"route_{v}"] == on_disk.get(v, 0)
+        for v in ("good", "quarantined", "dropped")
+    )
+    by_action = {r.name: r.action for r in rules}
+    rows = [
+        (
+            k.removeprefix("rule_"),
+            by_action[k.removeprefix("rule_")],
+            ledger[k],
+        )
+        for k in ledger
+        if k.startswith("rule_")
+    ] + [(k, "route", ledger[k]) for k in ledger if k.startswith("route_")]
+    return spark.createDataFrame(
+        [(r, a, n, bool(matches)) for r, a, n in rows],
+        "rule string, action string, n long, persisted_matches boolean",
+    )
