@@ -1452,6 +1452,123 @@ def streaming_mv_cdf_consumer_lag(
     return out
 
 
+@register(
+    "streaming_expectations_gate",
+    oracle="""
+SELECT 'no_error_type' AS rule, 'quarantine' AS action,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n,
+       TRUE AS persisted_matches
+FROM events
+UNION ALL
+SELECT 'route_dropped', 'route',
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT), TRUE
+FROM events
+UNION ALL
+SELECT 'route_good', 'route',
+       CAST(sum(CASE WHEN user_id IS NOT NULL AND value >= 100
+                          AND event_type <> 'error'
+                     THEN 1 ELSE 0 END) AS BIGINT), TRUE
+FROM events
+UNION ALL
+SELECT 'route_quarantined', 'route',
+       CAST(sum(CASE WHEN user_id IS NOT NULL
+                          AND (value < 100 OR event_type = 'error')
+                     THEN 1 ELSE 0 END) AS BIGINT), TRUE
+FROM events
+UNION ALL
+SELECT 'user_present', 'drop',
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT), TRUE
+FROM events
+UNION ALL
+SELECT 'value_at_least_1', 'warn',
+       CAST(sum(CASE WHEN value < 1 THEN 1 ELSE 0 END) AS BIGINT), TRUE
+FROM events
+UNION ALL
+SELECT 'value_under_100', 'quarantine',
+       CAST(sum(CASE WHEN value < 100 THEN 1 ELSE 0 END) AS BIGINT), TRUE
+FROM events
+""",
+)
+def streaming_expectations_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ingest gate as a CONTINUOUS contract: the same expectations
+    as `expectations_quarantine_routing` enforced per micro-batch under
+    foreachBatch — each batch routes its rows to
+    `batch=<id>/__route=good|quarantined|dropped` in one observed write
+    (CollectMetrics ledger riding the write job, no second pass over
+    the batch), and the cumulative ledger is the O(rules) driver-side
+    sum of per-batch observations. The oracle is the BATCH contract's
+    SQL verbatim: summing per-batch enforcement over the four-batch
+    replay must reproduce exactly the corpus-wide counts — the
+    streaming/batch equivalence that makes a gate trustworthy at the
+    edge. `persisted_matches` pins the union of all batches' routed
+    directories (partition discovery over batch= and __route=) against
+    the accumulated ledger, and that the run really was incremental
+    (>1 batch)."""
+    import tempfile
+    from collections import Counter
+
+    from twitter_flink_spark.operators.expectations import (
+        ROUTE_COL,
+        Rule,
+        route,
+    )
+
+    rules = [
+        Rule("value_under_100", "value >= 100", "quarantine"),
+        Rule("no_error_type", "event_type <> 'error'", "quarantine"),
+        Rule("value_at_least_1", "value >= 1", "warn"),
+        Rule("user_present", "user_id IS NOT NULL", "drop"),
+    ]
+    staged = _ensure_split_events(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    dest = tempfile.mkdtemp(prefix="tfs-sexpect-") + "/routed"
+    totals: Counter = Counter()
+    batches = []
+
+    def on_batch(batch_df, batch_id: int) -> None:
+        led, _ = route(batch_df, rules, f"{dest}/batch={batch_id}")
+        totals.update(led)
+        batches.append(batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="tfs-sexpect-ck-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 300)
+    on_disk = {
+        r[ROUTE_COL]: r["n"]
+        for r in spark.read.parquet(dest)
+        .groupBy(ROUTE_COL)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # <= 3 rows
+    }
+    matches = len(batches) > 1 and all(
+        totals[f"route_{v}"] == on_disk.get(v, 0)
+        for v in ("good", "quarantined", "dropped")
+    )
+    by_action = {r.name: r.action for r in rules}
+    rows = [
+        (k.removeprefix("rule_"), by_action[k.removeprefix("rule_")], n)
+        for k, n in totals.items()
+        if k.startswith("rule_")
+    ] + [(k, "route", n) for k, n in totals.items() if k.startswith("route_")]
+    return spark.createDataFrame(
+        [(r, a, int(n), bool(matches)) for r, a, n in rows],
+        "rule string, action string, n long, persisted_matches boolean",
+    )
+
+
 # oracle shared with the batch twin `hll_rolling_7day_actives` — the
 # incrementally-maintained daily sketch table must serve the same windows
 from twitter_flink_spark.queries.sketches import (  # noqa: E402
