@@ -312,3 +312,109 @@ def test_filebloom_incremental_update(spark, tmp_path):
     hit, fr, ft = skipping.point_read(spark, root, "key", 321)
     assert ft == 8 and 1 <= fr < ft
     assert [r["key"] for r in hit.collect()] == [321]
+
+
+def test_metadata_count_exact_and_null_aware(spark, tmp_path):
+    """`count_between` must equal the full-scan count while scanning only
+    boundary files; a contained file's null rows subtract from metadata
+    (never scanned, never counted); a null-envelope file routes to the
+    scan side; a range covering everything scans zero files."""
+    import datetime
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(hours=h), float(h)) for h in range(96)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, value double"
+    ).repartitionByRange(4, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(root)
+    skipping.build(spark, root, ["ts"])
+
+    lo = base + datetime.timedelta(hours=12)
+    hi = base + datetime.timedelta(hours=60)
+    whole = spark.read.parquet(root)
+    expected = whole.where((whole.ts >= lo) & (whole.ts < hi)).count()
+    cnt, scanned, total = skipping.count_between(spark, root, "ts", lo, hi)
+    assert cnt == expected == 48
+    assert total == 4
+    assert scanned == 2  # 1 contained (24..48), 2 boundary, 1 pruned
+
+    # full-range count: every file contained, ZERO scanned
+    cnt2, scanned2, _ = skipping.count_between(
+        spark, root, "ts", base, base + datetime.timedelta(days=30)
+    )
+    assert cnt2 == 96 and scanned2 == 0
+
+    # a file with nulls inside an otherwise-contained envelope: the null
+    # rows are PROVABLY non-matching -> subtracted, still not scanned
+    mixed = spark.createDataFrame(
+        [(base + datetime.timedelta(hours=h), -1.0) for h in (30, 31)]
+        + [(None, -2.0)],
+        "ts timestamp, value double",
+    )
+    mixed.coalesce(1).write.mode("append").parquet(root)
+    skipping.update(spark, root, ["ts"])
+    cnt3, scanned3, total3 = skipping.count_between(
+        spark, root, "ts", base, base + datetime.timedelta(days=30)
+    )
+    assert total3 == 5
+    assert cnt3 == 98  # 96 + 2 non-null appended rows, null excluded
+    assert scanned3 == 0  # metadata alone still answered
+
+    # all-null envelope file: unknown -> must be scanned
+    spark.createDataFrame(
+        [(None, -3.0)], "ts timestamp, value double"
+    ).coalesce(1).write.mode("append").parquet(root)
+    skipping.update(spark, root, ["ts"])
+    cnt4, scanned4, total4 = skipping.count_between(
+        spark, root, "ts", base, base + datetime.timedelta(days=30)
+    )
+    assert total4 == 6 and cnt4 == 98 and scanned4 == 1
+
+
+def test_metadata_minmax_exact_and_boundary_only(spark, tmp_path):
+    """`minmax_between` must equal the full-scan extrema while scanning
+    only boundary files; a fully-covering range answers from metadata
+    alone; an empty range returns (None, None)."""
+    import datetime
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(hours=h), float(h)) for h in range(96)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, value double"
+    ).repartitionByRange(4, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(root)
+    skipping.build(spark, root, ["ts"])
+
+    lo = base + datetime.timedelta(hours=12)
+    hi = base + datetime.timedelta(hours=60)
+    mn, mx, scanned, total = skipping.minmax_between(spark, root, "ts", lo, hi)
+    assert mn == lo  # hour 12 exists
+    assert mx == base + datetime.timedelta(hours=59)  # hi exclusive
+    assert total == 4 and scanned == 2  # boundary files only
+
+    mn2, mx2, scanned2, _ = skipping.minmax_between(
+        spark, root, "ts", base, base + datetime.timedelta(days=30)
+    )
+    assert (mn2, mx2) == (base, base + datetime.timedelta(hours=95))
+    assert scanned2 == 0  # metadata alone
+
+    mn3, mx3, _, _ = skipping.minmax_between(
+        spark,
+        root,
+        "ts",
+        base + datetime.timedelta(days=40),
+        base + datetime.timedelta(days=41),
+    )
+    assert (mn3, mx3) == (None, None)

@@ -164,6 +164,95 @@ def read_between(
     return read_where(spark, root, [(col, lo, hi)])
 
 
+def count_between(
+    spark: SparkSession, root: str, col: str, lo, hi
+) -> tuple[int, int, int]:
+    """COUNT(*) over ``lo <= col < hi`` answered mostly from METADATA:
+    files whose envelope is fully contained in the range contribute
+    ``rows - nulls_col`` straight from the manifest (their every non-null
+    row matches — no scan, no task, no footer read); only BOUNDARY files
+    (intersecting but not contained) are scanned with the exact
+    predicate. At scale this is the Iceberg/Delta metadata-only count: a
+    15-day slice of a year-partitioned corpus reads two boundary files'
+    worth of data instead of 15 days' worth. A contained file's null
+    rows are subtracted, not scanned (a null never satisfies a range
+    predicate — still provable from metadata); a file with a NULL
+    envelope routes to the scan side — metadata answers only what it can
+    PROVE. Returns (count, files_scanned, files_total)."""
+    manifest = spark.read.parquet(os.path.join(root, STATS_DIR))
+    total = manifest.count()
+    known = F.col(f"min_{col}").isNotNull() & F.col(f"max_{col}").isNotNull()
+    contained = (
+        known
+        & (F.col(f"min_{col}") >= F.lit(lo))
+        & (F.col(f"max_{col}") < F.lit(hi))
+    )
+    intersects = ~known | (
+        (F.col(f"min_{col}") < F.lit(hi)) & (F.col(f"max_{col}") >= F.lit(lo))
+    )
+    agg = manifest.agg(
+        F.sum(
+            F.when(contained, F.col("rows") - F.col(f"nulls_{col}"))
+        ).alias("meta_rows"),
+        F.collect_list(
+            F.when(intersects & ~contained, F.col("file"))
+        ).alias("boundary"),  # O(files), the planner's listing cost
+    ).first()
+    count = int(agg["meta_rows"] or 0)
+    boundary = list(agg["boundary"])
+    if boundary:
+        count += (
+            spark.read.parquet(*boundary)
+            .where((F.col(col) >= F.lit(lo)) & (F.col(col) < F.lit(hi)))
+            .count()
+        )
+    return count, len(boundary), total
+
+
+def minmax_between(
+    spark: SparkSession, root: str, col: str, lo, hi
+) -> tuple[object, object, int, int]:
+    """MIN/MAX of ``col`` over ``lo <= col < hi`` with the same
+    containment split as ``count_between``: a CONTAINED file's envelope
+    IS its min/max contribution (parquet stats already exclude nulls),
+    so only boundary files are scanned with the exact predicate; the
+    final extrema combine one candidate pair from metadata with one from
+    the boundary scan. Returns (min, max, files_scanned, files_total);
+    (None, None, ...) when the range is empty."""
+    manifest = spark.read.parquet(os.path.join(root, STATS_DIR))
+    total = manifest.count()
+    known = F.col(f"min_{col}").isNotNull() & F.col(f"max_{col}").isNotNull()
+    contained = (
+        known
+        & (F.col(f"min_{col}") >= F.lit(lo))
+        & (F.col(f"max_{col}") < F.lit(hi))
+    )
+    intersects = ~known | (
+        (F.col(f"min_{col}") < F.lit(hi)) & (F.col(f"max_{col}") >= F.lit(lo))
+    )
+    agg = manifest.agg(
+        F.min(F.when(contained, F.col(f"min_{col}"))).alias("mn"),
+        F.max(F.when(contained, F.col(f"max_{col}"))).alias("mx"),
+        F.collect_list(
+            F.when(intersects & ~contained, F.col("file"))
+        ).alias("boundary"),
+    ).first()
+    mn, mx = agg["mn"], agg["mx"]
+    boundary = list(agg["boundary"])
+    if boundary:
+        b = (
+            spark.read.parquet(*boundary)
+            .where((F.col(col) >= F.lit(lo)) & (F.col(col) < F.lit(hi)))
+            .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+            .first()
+        )
+        cands_mn = [v for v in (mn, b["mn"]) if v is not None]
+        cands_mx = [v for v in (mx, b["mx"]) if v is not None]
+        mn = min(cands_mn) if cands_mn else None
+        mx = max(cands_mx) if cands_mx else None
+    return mn, mx, len(boundary), total
+
+
 def vacuum_manifest(spark: SparkSession, root: str) -> int:
     """Drop stats-manifest rows whose data files no longer exist (left
     behind by compaction/rewrite — harmless to correctness since

@@ -2528,3 +2528,98 @@ def filebloom_incremental_update(
             "bloom_pruned"
         ),
     )
+
+
+@register(
+    "metadata_count_time_slice",
+    oracle="""
+WITH b AS (SELECT min(ts) AS t0 FROM events)
+SELECT CAST(count(*) AS BIGINT) AS cnt,
+       TRUE AS used_metadata,
+       TRUE AS partial_scan_subset
+FROM events e, b
+WHERE e.ts >= b.t0 + INTERVAL 5 DAY
+  AND e.ts < b.t0 + INTERVAL 20 DAY
+""",
+)
+def metadata_count_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only counting (`skipping.count_between`): a 15-day slice
+    COUNT answered mostly from the stats manifest — every file whose
+    envelope is FULLY contained in the range contributes its manifest
+    row count (minus provable nulls) without a scan, a task, or a footer
+    read; only the two boundary files are opened, with the exact
+    predicate. This is the Iceberg/Delta `SELECT count(*)` fast path the
+    skipping index earns on top of pruning: pruning made the scan
+    O(intersecting files), containment makes it O(BOUNDARY files) — at
+    100 TB a month-long slice reads hours, not weeks, of data.
+    `used_metadata` pins that contained files actually answered from the
+    manifest (scanned < intersecting), `partial_scan_subset` that the
+    boundary scan stayed a strict subset of the table; the oracle's
+    exact corpus-wide count proves the metadata/scan split lost
+    nothing."""
+    import datetime
+
+    from twitter_flink_spark.operators import skipping
+
+    dest = _ensure_time_sorted_layout(spark, sf_dir)
+    skipping.build(spark, dest, ["ts"])
+    t0 = spark.read.parquet(dest).agg(F.min("ts")).first()[0]  # 1-row
+    lo = t0 + datetime.timedelta(days=5)
+    hi = t0 + datetime.timedelta(days=20)
+    cnt, scanned, total = skipping.count_between(spark, dest, "ts", lo, hi)
+    candidates, _total = skipping.select_files(spark, dest, [("ts", lo, hi)])
+    n_intersecting = len(candidates)
+    return spark.createDataFrame(
+        [
+            (
+                cnt,
+                scanned < n_intersecting,
+                0 < scanned < total,
+            )
+        ],
+        "cnt long, used_metadata boolean, partial_scan_subset boolean",
+    )
+
+
+@register(
+    "metadata_minmax_time_slice",
+    oracle="""
+WITH b AS (SELECT min(ts) AS t0 FROM events)
+SELECT min(e.ts) AS min_ts,
+       max(e.ts) AS max_ts,
+       TRUE AS used_metadata,
+       TRUE AS partial_scan_subset
+FROM events e, b
+WHERE e.ts >= b.t0 + INTERVAL 5 DAY
+  AND e.ts < b.t0 + INTERVAL 20 DAY
+""",
+)
+def metadata_minmax_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata MIN/MAX serving (`skipping.minmax_between`), the
+    containment trick extended to extrema: a CONTAINED file's envelope
+    IS its min/max contribution (parquet stats already exclude nulls),
+    so the slice's earliest/latest event resolve from the manifest for
+    every interior file and only the two boundary files are scanned
+    with the exact predicate — the metadata fast path behind `SELECT
+    min(ts), max(ts)` freshness probes that ops dashboards fire at a
+    100 TB table every minute. Verdict booleans as in
+    `metadata_count_time_slice`; the oracle's exact extrema over the
+    original table prove the metadata/scan split."""
+    import datetime
+
+    from twitter_flink_spark.operators import skipping
+
+    dest = _ensure_time_sorted_layout(spark, sf_dir)
+    skipping.build(spark, dest, ["ts"])
+    t0 = spark.read.parquet(dest).agg(F.min("ts")).first()[0]  # 1-row
+    lo = t0 + datetime.timedelta(days=5)
+    hi = t0 + datetime.timedelta(days=20)
+    mn, mx, scanned, total = skipping.minmax_between(
+        spark, dest, "ts", lo, hi
+    )
+    candidates, _total = skipping.select_files(spark, dest, [("ts", lo, hi)])
+    return spark.createDataFrame(
+        [(mn, mx, scanned < len(candidates), 0 < scanned < total)],
+        "min_ts timestamp, max_ts timestamp, used_metadata boolean,"
+        " partial_scan_subset boolean",
+    )
