@@ -418,3 +418,69 @@ def test_metadata_minmax_exact_and_boundary_only(spark, tmp_path):
         base + datetime.timedelta(days=41),
     )
     assert (mn3, mx3) == (None, None)
+
+
+def test_two_level_manifest_prunes_shards(spark, tmp_path):
+    """Two-level selection must read a strict subset of manifest shards
+    AND stay lossless when a file STRADDLES range buckets (its max far
+    beyond its bucket's nominal range): the parent envelope is the union
+    of child envelopes, so the straddler's shard is selected for ranges
+    its bucket's nominal bounds would miss. files_total must come from
+    the parent (no flat-manifest scan); a non-intersecting range reads
+    zero shards."""
+    import datetime
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(hours=h), float(h)) for h in range(96)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, value double"
+    ).repartitionByRange(8, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(root)
+    # straddler: min in the FIRST bucket, max beyond the last hour
+    spark.createDataFrame(
+        [
+            (base + datetime.timedelta(hours=1), -1.0),
+            (base + datetime.timedelta(hours=200), -2.0),
+        ],
+        "ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(root)
+    skipping.build_two_level(spark, root, "ts", n_parts=4)
+
+    lo = base + datetime.timedelta(hours=30)
+    hi = base + datetime.timedelta(hours=40)
+    df, fr, ft, pr, pt = skipping.read_between_two_level(
+        spark, root, "ts", lo, hi
+    )
+    assert ft == 9 and pt == 4
+    assert 0 < pr < pt  # manifest shards pruned
+    assert 0 < fr < ft  # data files pruned
+    whole = spark.read.parquet(root)
+    exp = whole.where((whole.ts >= lo) & (whole.ts < hi))
+    assert sorted(r.value for r in df.collect()) == sorted(
+        r.value for r in exp.collect()
+    )
+
+    # a range ONLY the straddler's max reaches: bucket nominal bounds
+    # would miss it; union envelopes must select its shard + file
+    lo2 = base + datetime.timedelta(hours=150)
+    hi2 = base + datetime.timedelta(hours=250)
+    df2, fr2, _, pr2, _ = skipping.read_between_two_level(
+        spark, root, "ts", lo2, hi2
+    )
+    assert fr2 == 1 and pr2 >= 1
+    assert [r.value for r in df2.collect()] == [-2.0]
+
+    # nothing intersects: zero shards, zero files, empty same-schema frame
+    lo3 = base + datetime.timedelta(days=30)
+    hi3 = base + datetime.timedelta(days=31)
+    df3, fr3, ft3, pr3, _ = skipping.read_between_two_level(
+        spark, root, "ts", lo3, hi3
+    )
+    assert fr3 == 0 and pr3 == 0 and ft3 == 9
+    assert df3.count() == 0

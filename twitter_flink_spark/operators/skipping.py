@@ -286,6 +286,127 @@ def _norm_path(p: str) -> str:
     return urlparse(p).path or p
 
 
+# -- two-level manifest (manifest-of-manifests, the Iceberg shape) ----------
+
+PARTS_DIR = "_filestats_parts"
+ROOT_MANIFEST = "_filestats_root"
+
+
+def build_two_level(
+    spark: SparkSession, root: str, col: str, n_parts: int = 16
+) -> tuple[str, str]:
+    """The scale-out shape for the manifest ITSELF: at millions of files
+    a flat manifest is GBs, and reading all of it per query planning is
+    the new bottleneck. Iceberg's answer is a manifest LIST pointing at
+    manifest files; this builds the same two levels on parquet: the
+    per-file stats manifest is written PARTITIONED by a range bucket of
+    ``min_col`` (n_parts dirs), and a tiny parent manifest (one row per
+    partition: the UNION envelope of its files' envelopes + file count)
+    is what selection reads first — O(partitions), KBs, regardless of
+    file count. A file may straddle buckets (its max can exceed its
+    bucket's nominal range); correctness holds because the parent
+    envelope is the union of CHILD envelopes, not of bucket bounds —
+    the parent test is conservative by construction. Null-envelope
+    files land in partition -1, whose parent row is always selected."""
+    stats = _file_stats(spark.read.parquet(root), [col])
+    b = stats.agg(
+        F.min(f"min_{col}").alias("lo"), F.max(f"min_{col}").alias("hi")
+    ).first()
+    lo, hi = b["lo"], b["hi"]
+    span = (F.unix_micros(F.lit(hi)) - F.unix_micros(F.lit(lo)) + 1) if str(
+        stats.schema[f"min_{col}"].dataType
+    ).startswith("Timestamp") else (F.lit(hi) - F.lit(lo) + 1)
+    pos = (
+        F.unix_micros(F.col(f"min_{col}")) - F.unix_micros(F.lit(lo))
+        if str(stats.schema[f"min_{col}"].dataType).startswith("Timestamp")
+        else F.col(f"min_{col}") - F.lit(lo)
+    )
+    part = F.when(
+        F.col(f"min_{col}").isNull(), F.lit(-1)
+    ).otherwise(
+        F.least(F.lit(n_parts - 1), F.floor(pos * n_parts / span)).cast("int")
+    )
+    parted = stats.withColumn("part", part)
+    parts_dest = os.path.join(root, PARTS_DIR)
+    tmp = parts_dest + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    parted.write.mode("overwrite").partitionBy("part").parquet(tmp)
+    _swap_dirs(tmp, parts_dest)
+    parent = (
+        parted.groupBy("part")
+        .agg(
+            F.min(f"min_{col}").alias("part_min"),
+            F.max(f"max_{col}").alias("part_max"),
+            F.max(F.col(f"min_{col}").isNull().cast("int")).alias("unknown"),
+            F.count(F.lit(1)).alias("n_files"),
+        )
+    )
+    root_dest = os.path.join(root, ROOT_MANIFEST)
+    _commit_swap(parent, root_dest)
+    return parts_dest, root_dest
+
+
+def _swap_dirs(tmp: str, dest: str) -> None:
+    old = dest + ".gc"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(dest):
+        os.rename(dest, old)
+    os.rename(tmp, dest)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def select_files_two_level(
+    spark: SparkSession, root: str, col: str, lo, hi
+) -> tuple[list[str], int, int, int]:
+    """Two-phase selection: the PARENT manifest (O(partitions)) picks
+    which manifest partitions can contain intersecting files; only those
+    partition dirs of the file manifest are then read for the per-file
+    envelope test. The full manifest is never scanned — the planning
+    cost at a million files is a KB parent read plus the touched
+    manifest shards. Returns (paths, files_total, parts_read,
+    parts_total); files_total comes from the parent's counts, not a
+    manifest scan."""
+    parent = spark.read.parquet(os.path.join(root, ROOT_MANIFEST))
+    rows = parent.collect()  # O(partitions), the planner's tiny read
+    parts_total = len(rows)
+    files_total = sum(r["n_files"] for r in rows)
+    chosen = [
+        r["part"]
+        for r in rows
+        if r["unknown"] == 1
+        or (r["part_min"] is not None and r["part_min"] < hi and r["part_max"] >= lo)
+    ]
+    if not chosen:
+        return [], files_total, 0, parts_total
+    dirs = [
+        os.path.join(root, PARTS_DIR, f"part={p}") for p in chosen
+    ]
+    shard = spark.read.parquet(*dirs)
+    keep = shard.where(
+        (F.col(f"min_{col}").isNull())
+        | (F.col(f"max_{col}").isNull())
+        | ((F.col(f"min_{col}") < F.lit(hi)) & (F.col(f"max_{col}") >= F.lit(lo)))
+    )
+    paths = [r["file"] for r in keep.select("file").collect()]
+    return paths, files_total, len(chosen), parts_total
+
+
+def read_between_two_level(
+    spark: SparkSession, root: str, col: str, lo, hi
+) -> tuple[DataFrame, int, int, int, int]:
+    """Reader over the two-level-selected files with the exact residual.
+    Returns (df, files_read, files_total, parts_read, parts_total)."""
+    paths, files_total, parts_read, parts_total = select_files_two_level(
+        spark, root, col, lo, hi
+    )
+    if not paths:
+        return _empty_like(spark, root), 0, files_total, parts_read, parts_total
+    df = spark.read.parquet(*paths).where(
+        (F.col(col) >= F.lit(lo)) & (F.col(col) < F.lit(hi))
+    )
+    return df, len(paths), files_total, parts_read, parts_total
+
+
 # -- per-file Bloom index (point lookups on unclustered keys) ---------------
 
 

@@ -2623,3 +2623,87 @@ def metadata_minmax_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_ts timestamp, max_ts timestamp, used_metadata boolean,"
         " partial_scan_subset boolean",
     )
+
+
+_TWOLEVEL_LAYOUT_FOR: dict[str, str] = {}
+
+
+def _ensure_two_level_layout(spark: SparkSession, sf_dir: str) -> str:
+    """events in 64 ts-clustered files with a TWO-LEVEL manifest: the
+    file manifest partitioned into 8 range buckets of min_ts plus a
+    parent manifest of partition envelopes."""
+    import os
+    import tempfile
+
+    from twitter_flink_spark.operators import skipping
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "tfs-twolevel-" + sf_dir.strip("/").replace("/", "-"),
+    )
+    if _TWOLEVEL_LAYOUT_FOR.get("sf") == sf_dir and os.path.isdir(dest):
+        return dest
+    e = load_table(spark, sf_dir, "events")
+    (
+        e.repartitionByRange(64, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(dest)
+    )
+    skipping.build_two_level(spark, dest, "ts", n_parts=8)
+    _TWOLEVEL_LAYOUT_FOR["sf"] = sf_dir
+    return dest
+
+
+@register(
+    "twolevel_manifest_time_slice",
+    oracle="""
+WITH b AS (SELECT min(ts) AS t0 FROM events)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(e.value), 2) AS total_value,
+       TRUE AS manifest_pruned,
+       TRUE AS files_pruned
+FROM events e, b
+WHERE e.ts >= b.t0 + INTERVAL 12 DAY
+  AND e.ts < b.t0 + INTERVAL 14 DAY
+GROUP BY e.event_type
+""",
+)
+def twolevel_manifest_time_slice(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Manifest-of-manifests (SURVEY §14 candidate, delivered;
+    `skipping.build_two_level` / `read_between_two_level`): at millions
+    of files the FLAT manifest is itself GBs and reading all of it per
+    planning is the new bottleneck — Iceberg's manifest-list shape fixes
+    it, rebuilt here on plain parquet: the file manifest is partitioned
+    into 8 range buckets of min_ts, and selection first reads a KB-sized
+    PARENT manifest (one union-envelope row per bucket) to pick which
+    manifest shards to open at all. A 2-day mid-month slice over 64
+    files must open a strict subset of manifest shards
+    (`manifest_pruned`) AND of data files (`files_pruned`); files may
+    straddle buckets, which stays lossless because parent envelopes are
+    unions of CHILD envelopes, never of nominal bucket bounds (the
+    conservative-superset argument, unit-pinned with a straddling file
+    in `test_two_level_manifest_prunes_shards`). `files_total` comes
+    from the parent's counts — the flat manifest is never scanned. The
+    oracle over the original table proves the two-phase selection lost
+    nothing."""
+    import datetime
+
+    from twitter_flink_spark.operators import skipping
+
+    dest = _ensure_two_level_layout(spark, sf_dir)
+    t0 = spark.read.parquet(dest).agg(F.min("ts")).first()[0]  # 1-row
+    lo = t0 + datetime.timedelta(days=12)
+    hi = t0 + datetime.timedelta(days=14)
+    sliced, files_read, files_total, parts_read, parts_total = (
+        skipping.read_between_two_level(spark, dest, "ts", lo, hi)
+    )
+    return sliced.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.lit(0 < parts_read < parts_total).alias("manifest_pruned"),
+        F.lit(0 < files_read < files_total).alias("files_pruned"),
+    )
