@@ -484,3 +484,48 @@ def test_two_level_manifest_prunes_shards(spark, tmp_path):
     )
     assert fr3 == 0 and pr3 == 0 and ft3 == 9
     assert df3.count() == 0
+
+
+def test_two_level_metadata_count_exact(spark, tmp_path):
+    """`count_between_two_level` must equal the full count while reading
+    only boundary files from only the selected shards; a covering range
+    answers with zero scans."""
+    import datetime
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(hours=h), float(h)) for h in range(96)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, value double"
+    ).repartitionByRange(8, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(root)
+    skipping.build_two_level(spark, root, "ts", n_parts=4)
+
+    lo = base + datetime.timedelta(hours=18)
+    hi = base + datetime.timedelta(hours=66)
+    whole = spark.read.parquet(root)
+    expected = whole.where((whole.ts >= lo) & (whole.ts < hi)).count()
+    cnt, scanned, ft, pr, pt = skipping.count_between_two_level(
+        spark, root, "ts", lo, hi
+    )
+    assert cnt == expected == 48
+    assert ft == 8 and pt == 4
+    assert 0 < pr < pt  # shards pruned
+    assert 0 < scanned < 5  # boundary files only (interior answered meta)
+
+    cnt2, scanned2, _, _, _ = skipping.count_between_two_level(
+        spark, root, "ts", base, base + datetime.timedelta(days=30)
+    )
+    assert cnt2 == 96 and scanned2 == 0
+
+    cnt3, scanned3, _, pr3, _ = skipping.count_between_two_level(
+        spark, root, "ts",
+        base + datetime.timedelta(days=40),
+        base + datetime.timedelta(days=41),
+    )
+    assert cnt3 == 0 and scanned3 == 0 and pr3 == 0

@@ -391,6 +391,60 @@ def select_files_two_level(
     return paths, files_total, len(chosen), parts_total
 
 
+def count_between_two_level(
+    spark: SparkSession, root: str, col: str, lo, hi
+) -> tuple[int, int, int, int, int]:
+    """The full 100 TB composition: COUNT(*) over a range with the
+    parent manifest picking manifest shards, the touched shards
+    splitting files into CONTAINED (answered as ``rows - nulls`` from
+    shard metadata, never opened) and BOUNDARY (scanned with the exact
+    predicate) — so the query's I/O is one KB parent read + the touched
+    manifest shards + only the boundary data files; neither the flat
+    manifest nor any interior file is ever read. Returns
+    (count, files_scanned, files_total, parts_read, parts_total)."""
+    parent = spark.read.parquet(os.path.join(root, ROOT_MANIFEST))
+    rows = parent.collect()  # O(partitions)
+    parts_total = len(rows)
+    files_total = sum(r["n_files"] for r in rows)
+    chosen = [
+        r["part"]
+        for r in rows
+        if r["unknown"] == 1
+        or (r["part_min"] is not None and r["part_min"] < hi and r["part_max"] >= lo)
+    ]
+    if not chosen:
+        return 0, 0, files_total, 0, parts_total
+    shard = spark.read.parquet(
+        *[os.path.join(root, PARTS_DIR, f"part={p}") for p in chosen]
+    )
+    known = F.col(f"min_{col}").isNotNull() & F.col(f"max_{col}").isNotNull()
+    contained = (
+        known
+        & (F.col(f"min_{col}") >= F.lit(lo))
+        & (F.col(f"max_{col}") < F.lit(hi))
+    )
+    intersects = ~known | (
+        (F.col(f"min_{col}") < F.lit(hi)) & (F.col(f"max_{col}") >= F.lit(lo))
+    )
+    agg = shard.agg(
+        F.sum(
+            F.when(contained, F.col("rows") - F.col(f"nulls_{col}"))
+        ).alias("meta_rows"),
+        F.collect_list(
+            F.when(intersects & ~contained, F.col("file"))
+        ).alias("boundary"),
+    ).first()
+    count = int(agg["meta_rows"] or 0)
+    boundary = list(agg["boundary"])
+    if boundary:
+        count += (
+            spark.read.parquet(*boundary)
+            .where((F.col(col) >= F.lit(lo)) & (F.col(col) < F.lit(hi)))
+            .count()
+        )
+    return count, len(boundary), files_total, len(chosen), parts_total
+
+
 def read_between_two_level(
     spark: SparkSession, root: str, col: str, lo, hi
 ) -> tuple[DataFrame, int, int, int, int]:

@@ -2707,3 +2707,54 @@ def twolevel_manifest_time_slice(
         F.lit(0 < parts_read < parts_total).alias("manifest_pruned"),
         F.lit(0 < files_read < files_total).alias("files_pruned"),
     )
+
+
+@register(
+    "twolevel_metadata_count",
+    oracle="""
+WITH b AS (SELECT min(ts) AS t0 FROM events)
+SELECT CAST(count(*) AS BIGINT) AS cnt,
+       TRUE AS manifest_pruned,
+       TRUE AS boundary_only_scan
+FROM events e, b
+WHERE e.ts >= b.t0 + INTERVAL 8 DAY
+  AND e.ts < b.t0 + INTERVAL 22 DAY
+""",
+)
+def twolevel_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 100 TB composition (SURVEY §14 candidate, delivered;
+    `skipping.count_between_two_level`): a two-week COUNT whose I/O is
+    one KB parent-manifest read + the touched manifest shards + ONLY
+    the boundary data files — the parent picks shards, the shards split
+    files into contained (answered as rows-minus-nulls from shard
+    metadata, never opened) and boundary (scanned with the exact
+    predicate). Neither the flat manifest nor any interior file is
+    read: planning scales with partitions, serving with boundary files
+    — both independent of corpus size for a fixed slice width.
+    `manifest_pruned` pins shard-level pruning, `boundary_only_scan`
+    pins scanned < intersecting files; the oracle's exact corpus count
+    proves the three-level split lost nothing."""
+    import datetime
+
+    from twitter_flink_spark.operators import skipping
+
+    dest = _ensure_two_level_layout(spark, sf_dir)
+    t0 = spark.read.parquet(dest).agg(F.min("ts")).first()[0]  # 1-row
+    lo = t0 + datetime.timedelta(days=8)
+    hi = t0 + datetime.timedelta(days=22)
+    cnt, scanned, files_total, parts_read, parts_total = (
+        skipping.count_between_two_level(spark, dest, "ts", lo, hi)
+    )
+    candidates, _ft, _pr, _pt = skipping.select_files_two_level(
+        spark, dest, "ts", lo, hi
+    )
+    return spark.createDataFrame(
+        [
+            (
+                cnt,
+                0 < parts_read < parts_total,
+                scanned < len(candidates),
+            )
+        ],
+        "cnt long, manifest_pruned boolean, boundary_only_scan boolean",
+    )
