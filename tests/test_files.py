@@ -529,3 +529,70 @@ def test_two_level_metadata_count_exact(spark, tmp_path):
         base + datetime.timedelta(days=41),
     )
     assert cnt3 == 0 and scanned3 == 0 and pr3 == 0
+
+
+def test_two_level_incremental_update(spark, tmp_path):
+    """`update_two_level` must stat only manifest-absent files, bucket
+    them with the parent's STORED bounds (a file beyond the original
+    span clamps into the edge bucket and extends its envelope), append
+    rows into ONLY the touched shard dirs (untouched shards byte-
+    identical), re-commit the parent so selection serves the new era,
+    and no-op on a second call."""
+    import datetime
+    import os
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(hours=h), float(h)) for h in range(96)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, value double"
+    ).repartitionByRange(8, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(root)
+    skipping.build_two_level(spark, root, "ts", n_parts=4)
+    parts = os.path.join(root, skipping.PARTS_DIR)
+    shard_files_before = {
+        p: set(spark.read.parquet(os.path.join(parts, p)).inputFiles())
+        for p in os.listdir(parts)
+        if p.startswith("part=")
+    }
+
+    # era 2: 2 files, both far beyond the original time span
+    spark.createDataFrame(
+        [
+            (base + datetime.timedelta(hours=h), float(h))
+            for h in range(200, 248)
+        ],
+        "ts timestamp, value double",
+    ).repartitionByRange(2, "ts").write.mode("append").parquet(root)
+
+    assert skipping.update_two_level(spark, root, "ts") == 2
+    assert skipping.update_two_level(spark, root, "ts") == 0  # no-op
+
+    # only the edge shard gained rows; all other shard dirs untouched
+    changed = []
+    for p, before in shard_files_before.items():
+        now = set(spark.read.parquet(os.path.join(parts, p)).inputFiles())
+        if now != before:
+            changed.append(p)
+    assert changed == ["part=3"]
+
+    parent = spark.read.parquet(
+        os.path.join(root, skipping.ROOT_MANIFEST)
+    ).collect()
+    assert sum(r["n_files"] for r in parent) == 10
+    edge = next(r for r in parent if r["part"] == 3)
+    assert edge["part_max"] == base + datetime.timedelta(hours=247)
+
+    # selection serves the appended era through the extended envelope
+    lo = base + datetime.timedelta(hours=210)
+    hi = base + datetime.timedelta(hours=220)
+    df, fr, ft, pr, pt = skipping.read_between_two_level(
+        spark, root, "ts", lo, hi
+    )
+    assert ft == 10 and 0 < fr < ft and 0 < pr < pt
+    assert df.count() == 10

@@ -313,37 +313,111 @@ def build_two_level(
         F.min(f"min_{col}").alias("lo"), F.max(f"min_{col}").alias("hi")
     ).first()
     lo, hi = b["lo"], b["hi"]
-    span = (F.unix_micros(F.lit(hi)) - F.unix_micros(F.lit(lo)) + 1) if str(
-        stats.schema[f"min_{col}"].dataType
-    ).startswith("Timestamp") else (F.lit(hi) - F.lit(lo) + 1)
-    pos = (
-        F.unix_micros(F.col(f"min_{col}")) - F.unix_micros(F.lit(lo))
-        if str(stats.schema[f"min_{col}"].dataType).startswith("Timestamp")
-        else F.col(f"min_{col}") - F.lit(lo)
+    is_ts = str(stats.schema[f"min_{col}"].dataType).startswith("Timestamp")
+    lo_us, hi_us = (
+        (_to_micros(lo), _to_micros(hi)) if is_ts else (lo, hi)
     )
-    part = F.when(
-        F.col(f"min_{col}").isNull(), F.lit(-1)
-    ).otherwise(
-        F.least(F.lit(n_parts - 1), F.floor(pos * n_parts / span)).cast("int")
+    parted = stats.withColumn(
+        "part", _bucket_expr(col, is_ts, lo_us, hi_us, n_parts)
     )
-    parted = stats.withColumn("part", part)
     parts_dest = os.path.join(root, PARTS_DIR)
     tmp = parts_dest + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     parted.write.mode("overwrite").partitionBy("part").parquet(tmp)
     _swap_dirs(tmp, parts_dest)
-    parent = (
-        parted.groupBy("part")
-        .agg(
-            F.min(f"min_{col}").alias("part_min"),
-            F.max(f"max_{col}").alias("part_max"),
-            F.max(F.col(f"min_{col}").isNull().cast("int")).alias("unknown"),
-            F.count(F.lit(1)).alias("n_files"),
-        )
-    )
+    # bucketing params ride the parent (like Bloom's m/k) so incremental
+    # maintenance can never re-bucket with different bounds
+    parent = _parent_manifest(parted, col, lo_us, hi_us, n_parts)
     root_dest = os.path.join(root, ROOT_MANIFEST)
     _commit_swap(parent, root_dest)
     return parts_dest, root_dest
+
+
+def _to_micros(v) -> int:
+    import calendar
+
+    return (
+        calendar.timegm(v.timetuple()) * 1_000_000 + v.microsecond
+    )
+
+
+def _bucket_expr(
+    col: str, is_ts: bool, lo_us: int, hi_us: int, n_parts: int
+) -> F.Column:
+    """Range-bucket of ``min_col`` over the ORIGINAL build bounds,
+    clamped to [0, n_parts-1] so later files outside the original span
+    land in the edge buckets (their parent envelopes extend — parent
+    rows are unions of child envelopes, never nominal bounds). NULL
+    min -> bucket -1, the always-selected unknowns bucket."""
+    raw = (
+        F.unix_micros(F.col(f"min_{col}"))
+        if is_ts
+        else F.col(f"min_{col}")
+    )
+    span = hi_us - lo_us + 1
+    scaled = F.floor((raw - F.lit(lo_us)) * n_parts / F.lit(span))
+    return F.when(F.col(f"min_{col}").isNull(), F.lit(-1)).otherwise(
+        F.greatest(
+            F.lit(0), F.least(F.lit(n_parts - 1), scaled)
+        ).cast("int")
+    )
+
+
+def _parent_manifest(
+    parted: DataFrame, col: str, lo_us: int, hi_us: int, n_parts: int
+) -> DataFrame:
+    return parted.groupBy("part").agg(
+        F.min(f"min_{col}").alias("part_min"),
+        F.max(f"max_{col}").alias("part_max"),
+        F.max(F.col(f"min_{col}").isNull().cast("int")).alias("unknown"),
+        F.count(F.lit(1)).alias("n_files"),
+        F.lit(int(lo_us)).alias("bucket_lo"),
+        F.lit(int(hi_us)).alias("bucket_hi"),
+        F.lit(n_parts).alias("n_parts"),
+    )
+
+
+def update_two_level(spark: SparkSession, root: str, col: str) -> int:
+    """Incrementally maintain the two-level manifest after appends: stat
+    ONLY manifest-absent files (O(new data)), bucket them with the
+    parent's STORED bounds (re-bucketing with fresh bounds would scatter
+    existing shards), append their rows to exactly the touched shards
+    (a partitioned append writes nothing into untouched shard dirs), and
+    atomically re-commit the parent — the parent swap is the commit
+    point: a crash before it leaves the new files invisible to
+    selection, indistinguishable from not-yet-indexed, never wrong.
+    Returns the number of newly indexed files; 0 is a pure no-op."""
+    parent_path = os.path.join(root, ROOT_MANIFEST)
+    parts_path = os.path.join(root, PARTS_DIR)
+    meta = spark.read.parquet(parent_path).select(
+        "bucket_lo", "bucket_hi", "n_parts"
+    ).first()
+    shards = spark.read.parquet(parts_path)
+    known = {
+        _norm_path(r["file"]) for r in shards.select("file").collect()
+    }  # O(files), maintenance-time only — planning never reads this flat
+    new = [
+        f
+        for f in spark.read.parquet(root).inputFiles()
+        if _norm_path(f) not in known
+    ]
+    if not new:
+        return 0
+    fresh = _file_stats(spark.read.parquet(*new), [col])
+    is_ts = str(fresh.schema[f"min_{col}"].dataType).startswith("Timestamp")
+    fresh = fresh.withColumn(
+        "part",
+        _bucket_expr(
+            col, is_ts, meta["bucket_lo"], meta["bucket_hi"], meta["n_parts"]
+        ),
+    )
+    fresh.write.mode("append").partitionBy("part").parquet(parts_path)
+    all_rows = spark.read.parquet(parts_path)
+    parent = _parent_manifest(
+        all_rows, col, meta["bucket_lo"], meta["bucket_hi"], meta["n_parts"]
+    )
+    _commit_swap(parent, parent_path)
+    return len(new)
 
 
 def _swap_dirs(tmp: str, dest: str) -> None:

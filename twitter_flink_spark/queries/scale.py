@@ -2758,3 +2758,102 @@ def twolevel_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "cnt long, manifest_pruned boolean, boundary_only_scan boolean",
     )
+
+
+_TWOLEVEL_ERA_FOR: dict[str, str] = {}
+
+
+def _ensure_two_level_era_layout(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, bool]:
+    """events split at t0+15d: era 1 (32 ts-clustered files) gets the
+    TWO-LEVEL manifest; era 2 (32 more files) appends after the build.
+    Returns (dest, freshly_built)."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from twitter_flink_spark.operators import skipping
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "tfs-twolevelera-" + sf_dir.strip("/").replace("/", "-"),
+    )
+    if _TWOLEVEL_ERA_FOR.get("sf") == sf_dir and os.path.isdir(dest):
+        return dest, False
+    shutil.rmtree(dest, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events")
+    t0 = e.agg(F.min("ts")).first()[0]
+    split = t0 + datetime.timedelta(days=15)
+    for pred, mode in [
+        (F.col("ts") < F.lit(split), "overwrite"),
+        (F.col("ts") >= F.lit(split), "append"),
+    ]:
+        (
+            e.where(pred)
+            .repartitionByRange(32, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode(mode)
+            .parquet(dest)
+        )
+        if mode == "overwrite":
+            skipping.build_two_level(spark, dest, "ts", n_parts=8)
+    _TWOLEVEL_ERA_FOR["sf"] = sf_dir
+    return dest, True
+
+
+@register(
+    "twolevel_incremental_update",
+    oracle="""
+WITH b AS (SELECT min(ts) AS t0 FROM events)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(e.value), 2) AS total_value,
+       TRUE AS incrementally_indexed,
+       TRUE AS manifest_pruned
+FROM events e, b
+WHERE e.ts >= b.t0 + INTERVAL 14 DAY
+  AND e.ts < b.t0 + INTERVAL 17 DAY
+GROUP BY e.event_type
+""",
+)
+def twolevel_incremental_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-level manifest maintenance (`skipping.update_two_level`):
+    after era-2 files append to a two-level-indexed table, the refresh
+    stats ONLY manifest-absent files, buckets them with the parent's
+    STORED bounds (era 2 lies beyond the original span, so its files
+    clamp into the edge bucket whose parent envelope extends — the
+    union-of-child-envelopes argument again), appends rows into only
+    the touched shards, and atomically re-commits the parent — the
+    commit point: a crash before it leaves era 2 merely not-yet-
+    indexed, never wrong. The slice SPANS the era boundary, so serving
+    it correctly requires both manifest generations;
+    `incrementally_indexed` pins the ledger (>0 new files on a fresh
+    layout, double-update no-op) and `manifest_pruned` that shard-level
+    pruning still bites post-update. Oracle over the original table
+    proves the append+update pipeline lost nothing."""
+    import datetime
+
+    from twitter_flink_spark.operators import skipping
+
+    dest, fresh = _ensure_two_level_era_layout(spark, sf_dir)
+    n_new = skipping.update_two_level(spark, dest, "ts")
+    n_again = skipping.update_two_level(spark, dest, "ts")
+    incremental_ok = (n_new > 0 if fresh else n_new == 0) and n_again == 0
+    t0 = spark.read.parquet(dest).agg(F.min("ts")).first()[0]  # 1-row
+    lo = t0 + datetime.timedelta(days=14)
+    hi = t0 + datetime.timedelta(days=17)
+    sliced, files_read, files_total, parts_read, parts_total = (
+        skipping.read_between_two_level(spark, dest, "ts", lo, hi)
+    )
+    return sliced.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.lit(bool(incremental_ok)).alias("incrementally_indexed"),
+        F.lit(
+            0 < parts_read < parts_total and 0 < files_read < files_total
+        ).alias("manifest_pruned"),
+    )
