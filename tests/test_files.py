@@ -596,3 +596,481 @@ def test_two_level_incremental_update(spark, tmp_path):
     )
     assert ft == 10 and 0 < fr < ft and 0 < pr < pt
     assert df.count() == 10
+
+
+def test_norm_path_agrees_with_sql_on_authority_uris(spark):
+    """Reconciliation joins normalize the Python side with `_norm_path`
+    and the SQL side with `_norm_sql`; the two MUST agree on every URI
+    shape — authority-bearing (s3a/hdfs/abfs), file:/ vs file:///, and
+    bare paths — or vacuum silently drops live manifest rows wholesale
+    (the failure mode: urlparse dropped the authority while the SQL
+    regex kept it, so on s3a NOTHING matched)."""
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators.skipping import _norm_path, _norm_sql
+
+    uris = [
+        "s3a://bucket/warehouse/part-0.parquet",
+        "hdfs://namenode:8020/tbl/part-1.parquet",
+        "abfss://fs@acct.dfs.core.windows.net/tbl/part-2.parquet",
+        "file:///root/tbl/part-3.parquet",
+        "file:/root/tbl/part-3.parquet",
+        "/root/tbl/part-3.parquet",
+    ]
+    sql_side = [
+        r["n"]
+        for r in spark.createDataFrame([(u,) for u in uris], "file string")
+        .select(_norm_sql("file").alias("n"))
+        .collect()
+    ]
+    assert sql_side == [_norm_path(u) for u in uris]
+    # authority is KEPT (two buckets' same-keyed files must not collide)
+    assert _norm_path("s3a://bucket-a/k.parquet") != _norm_path(
+        "s3a://bucket-b/k.parquet"
+    )
+    # the file:/ vs file:/// renderings of one local path agree
+    assert _norm_path(uris[3]) == _norm_path(uris[4]) == uris[5]
+
+
+def test_keep_live_reconciles_authority_uris(spark):
+    """`_keep_live` (the semi-join under both flat vacuums) on an
+    authority-bearing filesystem: live rows kept verbatim, dead rows
+    counted — the exact case the urlparse-vs-regex mismatch broke."""
+    from twitter_flink_spark.operators.skipping import _keep_live
+
+    manifest = spark.createDataFrame(
+        [
+            ("s3a://bucket/tbl/a.parquet", 10),
+            ("s3a://bucket/tbl/b.parquet", 20),
+            ("s3a://bucket/tbl/c.parquet", 30),
+        ],
+        "file string, rows int",
+    )
+    keep, dropped = _keep_live(
+        spark,
+        manifest,
+        ["s3a://bucket/tbl/a.parquet", "s3a://bucket/tbl/c.parquet"],
+    )
+    assert dropped == 1
+    assert sorted(r["rows"] for r in keep.collect()) == [10, 30]
+
+
+def test_bloom_vacuum_drops_only_dead_entries(spark, tmp_path):
+    """`vacuum_bloom` must drop exactly the Bloom rows whose data files
+    are gone, keep live rows verbatim, no-op when everything is live,
+    and leave point reads exact afterwards."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    spark.range(0, 400).select(F.col("id").alias("key")).repartition(
+        4
+    ).write.mode("overwrite").parquet(root)
+    skipping.build_bloom(spark, root, "key", m=1 << 13, k=3)
+    assert skipping.vacuum_bloom(spark, root, "key") == 0  # all live
+
+    victim = sorted(
+        f for f in os.listdir(root) if f.endswith(".parquet")
+    )[0]
+    os.remove(os.path.join(root, victim))
+    assert skipping.vacuum_bloom(spark, root, "key") == 1
+    manifest = spark.read.parquet(skipping._bloom_dir(root, "key"))
+    assert manifest.count() == 3
+    assert not any(victim in r["file"] for r in manifest.collect())
+    assert skipping.vacuum_bloom(spark, root, "key") == 0  # idempotent
+
+    # a surviving key still resolves exactly through the vacuumed index
+    key = int(spark.read.parquet(root).agg(F.max("key")).first()[0])
+    hit, fr, ft = skipping.point_read(spark, root, "key", key)
+    assert ft == 3 and 1 <= fr < ft
+    assert [r["key"] for r in hit.collect()] == [key]
+
+
+def test_two_level_vacuum_rewrites_only_touched_shards(spark, tmp_path):
+    """`vacuum_two_level` must drop exactly the dead shard rows, rewrite
+    ONLY shards that contained them (untouched shard dirs byte-
+    identical), recommit the parent (n_files == live files), no-op when
+    all live, and keep selection lossless afterwards."""
+    import datetime
+    import os
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(hours=h), float(h)) for h in range(96)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, value double"
+    ).repartitionByRange(8, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(root)
+    skipping.build_two_level(spark, root, "ts", n_parts=4)
+    assert skipping.vacuum_two_level(spark, root, "ts") == 0  # all live
+
+    parts = os.path.join(root, skipping.PARTS_DIR)
+    shard_files_before = {
+        p: set(spark.read.parquet(os.path.join(parts, p)).inputFiles())
+        for p in os.listdir(parts)
+        if p.startswith("part=")
+    }
+    # the earliest data file dies (it lives in the part=0 shard)
+    manifest = spark.read.parquet(parts)
+    victim = min(
+        (r["file"] for r in manifest.collect()),
+        key=lambda f: f,
+    )
+    victim_row = manifest.where(
+        skipping._norm_sql("file")
+        == skipping._norm_path(victim)
+    ).first()
+    victim_part = victim_row["part"]
+    os.remove(skipping._norm_path(victim))
+
+    assert skipping.vacuum_two_level(spark, root, "ts") == 1
+    assert skipping.vacuum_two_level(spark, root, "ts") == 0  # idempotent
+
+    for p, before in shard_files_before.items():
+        now = set(spark.read.parquet(os.path.join(parts, p)).inputFiles())
+        if p == f"part={victim_part}":
+            assert now != before  # rewritten
+        else:
+            assert now == before  # byte-identical
+
+    parent = spark.read.parquet(
+        os.path.join(root, skipping.ROOT_MANIFEST)
+    ).collect()
+    live = len(spark.read.parquet(root).inputFiles())
+    assert sum(r["n_files"] for r in parent) == live == 7
+
+    lo = base + datetime.timedelta(hours=40)
+    hi = base + datetime.timedelta(hours=60)
+    df, fr, ft, pr, pt = skipping.read_between_two_level(
+        spark, root, "ts", lo, hi
+    )
+    whole = spark.read.parquet(root)
+    assert ft == 7 and 0 < fr < ft and 0 < pr <= pt
+    assert (
+        df.count()
+        == whole.where((whole.ts >= lo) & (whole.ts < hi)).count()
+    )
+
+
+def test_two_level_vacuum_fully_dead_shard(spark, tmp_path):
+    """A shard ALL of whose files died rewrites to an empty schema-
+    bearing dir: its parent row vanishes, selection never opens it, and
+    partition discovery over the parts dir keeps working."""
+    import datetime
+    import os
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(hours=h), float(h)) for h in range(96)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, value double"
+    ).repartitionByRange(8, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(root)
+    skipping.build_two_level(spark, root, "ts", n_parts=4)
+
+    parts = os.path.join(root, skipping.PARTS_DIR)
+    shard0 = spark.read.parquet(os.path.join(parts, "part=0"))
+    dead = [skipping._norm_path(r["file"]) for r in shard0.collect()]
+    n_dead = len(dead)
+    assert n_dead >= 2
+    for f in dead:
+        os.remove(f)
+
+    assert skipping.vacuum_two_level(spark, root, "ts") == n_dead
+    parent = spark.read.parquet(
+        os.path.join(root, skipping.ROOT_MANIFEST)
+    ).collect()
+    assert all(r["part"] != 0 for r in parent)
+    assert sum(r["n_files"] for r in parent) == len(
+        spark.read.parquet(root).inputFiles()
+    )
+
+    # the range the dead shard covered now selects zero of its files
+    # and the rest of the table still serves exactly
+    lo = base + datetime.timedelta(hours=50)
+    hi = base + datetime.timedelta(hours=70)
+    df, fr, ft, pr, pt = skipping.read_between_two_level(
+        spark, root, "ts", lo, hi
+    )
+    whole = spark.read.parquet(root)
+    assert (
+        df.count()
+        == whole.where((whole.ts >= lo) & (whole.ts < hi)).count()
+        > 0
+    )
+
+
+def test_update_two_level_repairs_crashed_parent(spark, tmp_path):
+    """Crash-safety repair: a run that crashed BETWEEN its shard append
+    and its parent recommit leaves shard rows the parent never covers —
+    and since recovery derives `known` from the shards, a later update
+    that finds no new files would fast-path out and the crashed files'
+    rows would be unservable FOREVER. `update_two_level` must detect
+    the shards/parent disagreement on that fast path and recommit the
+    parent."""
+    import datetime
+    import os
+
+    from twitter_flink_spark.operators import skipping
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(hours=h), float(h)) for h in range(96)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, value double"
+    ).repartitionByRange(8, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(root)
+    skipping.build_two_level(spark, root, "ts", n_parts=4)
+
+    # era 2 appends...
+    spark.createDataFrame(
+        [
+            (base + datetime.timedelta(hours=h), float(h))
+            for h in range(200, 248)
+        ],
+        "ts timestamp, value double",
+    ).repartitionByRange(2, "ts").write.mode("append").parquet(root)
+
+    # ...and the updating run CRASHES after the shard append, before the
+    # parent swap: replay exactly the pre-commit half of update_two_level
+    parent_path = os.path.join(root, skipping.ROOT_MANIFEST)
+    parts_path = os.path.join(root, skipping.PARTS_DIR)
+    meta = spark.read.parquet(parent_path).select(
+        "bucket_lo", "bucket_hi", "n_parts"
+    ).first()
+    known = {
+        skipping._norm_path(r["file"])
+        for r in spark.read.parquet(parts_path).select("file").collect()
+    }
+    new = [
+        f
+        for f in spark.read.parquet(root).inputFiles()
+        if skipping._norm_path(f) not in known
+    ]
+    assert len(new) == 2
+    fresh = skipping._file_stats(spark.read.parquet(*new), ["ts"]).withColumn(
+        "part",
+        skipping._bucket_expr(
+            "ts", True, meta["bucket_lo"], meta["bucket_hi"], meta["n_parts"]
+        ),
+    )
+    fresh.write.mode("append").partitionBy("part").parquet(parts_path)
+    # crashed state: the era-2 slice is invisible (parent never re-committed)
+    lo = base + datetime.timedelta(hours=210)
+    hi = base + datetime.timedelta(hours=220)
+    df0, fr0, _, _, _ = skipping.read_between_two_level(
+        spark, root, "ts", lo, hi
+    )
+    assert df0.count() == 0 and fr0 == 0
+
+    # the repair: no new files, but shards/parent disagree -> recommit
+    assert skipping.update_two_level(spark, root, "ts") == 0
+    parent = spark.read.parquet(parent_path).collect()
+    assert sum(r["n_files"] for r in parent) == 10
+    df1, fr1, ft1, _, _ = skipping.read_between_two_level(
+        spark, root, "ts", lo, hi
+    )
+    assert ft1 == 10 and fr1 > 0 and df1.count() == 10
+    assert skipping.update_two_level(spark, root, "ts") == 0  # stable
+
+
+def test_bloom_two_level_point_read_one_shard(spark, tmp_path):
+    """The sharded Bloom index must answer a point read from exactly ONE
+    shard dir (key-hash routing — 1/n_shards of the manifest bytes),
+    prune data files, and stay exact; a key absent from the corpus must
+    return no rows (false positives die in the residual)."""
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    # scattered layout: every file's key range spans the domain, so
+    # envelopes are useless and only the hash index can prune
+    spark.range(0, 4000).select(
+        F.col("id").alias("key"), (F.col("id") * 2).alias("payload")
+    ).repartition(8).write.mode("overwrite").parquet(root)
+    parts, parent = skipping.build_bloom_two_level(
+        spark, root, "key", m=1 << 13, k=3, n_shards=8
+    )
+    import os
+
+    shard_dirs = [d for d in os.listdir(parts) if d.startswith("shard=")]
+    assert len(shard_dirs) == 8
+
+    for key in (0, 1234, 3999):
+        df, fr, ft, sr, st = skipping.point_read_two_level(
+            spark, root, "key", key
+        )
+        assert ft == 8 and sr == 1 and st == 8
+        assert 1 <= fr < ft  # hash pruning bites on a scattered layout
+        assert [(r["key"], r["payload"]) for r in df.collect()] == [
+            (key, key * 2)
+        ]
+
+    miss, fr, _, sr, _ = skipping.point_read_two_level(
+        spark, root, "key", 999_999
+    )
+    assert miss.count() == 0 and sr <= 1
+
+
+def test_bloom_two_level_incremental_update_and_vacuum(spark, tmp_path):
+    """`update_bloom_two_level` must hash only manifest-absent files
+    with the parent's own m/k/n_shards (stale manifest = no candidates
+    for an era-2 key; exact after), append into only touched shard
+    dirs, and no-op on a second call; `vacuum_bloom_two_level` must
+    drop exactly the dead file's rows and keep point reads exact."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    spark.range(0, 2000).select(F.col("id").alias("key")).repartition(
+        4
+    ).write.mode("overwrite").parquet(root)
+    skipping.build_bloom_two_level(
+        spark, root, "key", m=1 << 13, k=3, n_shards=4
+    )
+
+    spark.range(2000, 4000).select(F.col("id").alias("key")).repartition(
+        4
+    ).write.mode("append").parquet(root)
+    # stale: era-2 key has no candidate (never a wrong row)
+    paths, total, sr, st = skipping.bloom2_select_files(
+        spark, root, "key", 3210
+    )
+    assert paths == [] and total == 4
+
+    assert skipping.update_bloom_two_level(spark, root, "key") == 4
+    assert skipping.update_bloom_two_level(spark, root, "key") == 0
+    hit, fr, ft, sr, st = skipping.point_read_two_level(
+        spark, root, "key", 3210
+    )
+    assert ft == 8 and 1 <= fr < ft and sr == 1
+    assert [r["key"] for r in hit.collect()] == [3210]
+
+    # a compactor deletes one data file; its rows reconcile away
+    victim = sorted(
+        f for f in os.listdir(root) if f.endswith(".parquet")
+    )[0]
+    victim_rows = (
+        spark.read.parquet(skipping._bloom2_parts_dir(root, "key"))
+        .where(skipping._norm_sql("file").contains(victim))
+        .count()
+    )
+    os.remove(os.path.join(root, victim))
+    assert victim_rows >= 1
+    assert (
+        skipping.vacuum_bloom_two_level(spark, root, "key") == victim_rows
+    )
+    assert skipping.vacuum_bloom_two_level(spark, root, "key") == 0
+    parent = spark.read.parquet(
+        skipping._bloom2_root_dir(root, "key")
+    ).first()
+    assert parent["total_files"] == 7
+
+    key = int(spark.read.parquet(root).agg(F.max("key")).first()[0])
+    hit2, fr2, ft2, _, _ = skipping.point_read_two_level(
+        spark, root, "key", key
+    )
+    assert ft2 == 7 and [r["key"] for r in hit2.collect()] == [key]
+
+
+def test_flat_index_auto_cutover_to_two_level(spark, tmp_path):
+    """A flat index grown past the file-count threshold must upgrade to
+    the two-level manifest on `update` (and `build` above threshold must
+    go two-level directly), after which the SAME flat entry points
+    (`read_between`, `count_between`) consult the shards — no caller
+    inherits the O(files) flat driver consult at scale."""
+    import datetime
+    import os
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    base = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(base + datetime.timedelta(hours=h), float(h)) for h in range(24)],
+        "ts timestamp, value double",
+    ).repartitionByRange(2, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(root)
+    skipping.build(spark, root, ["ts"], two_level_threshold=4)
+    assert os.path.isdir(os.path.join(root, skipping.STATS_DIR))  # flat
+
+    # growth: 6 more files pushes past the threshold; update upgrades
+    spark.createDataFrame(
+        [
+            (base + datetime.timedelta(hours=h), float(h))
+            for h in range(24, 96)
+        ],
+        "ts timestamp, value double",
+    ).repartitionByRange(6, "ts").sortWithinPartitions("ts").write.mode(
+        "append"
+    ).parquet(root)
+    assert skipping.update(spark, root, ["ts"], two_level_threshold=4) == 6
+    assert not os.path.isdir(os.path.join(root, skipping.STATS_DIR))
+    assert os.path.isdir(os.path.join(root, skipping.ROOT_MANIFEST))
+    assert skipping.stale_file_count(spark, root) == 0
+
+    # the flat entry points now consult the shards transparently
+    lo = base + datetime.timedelta(hours=40)
+    hi = base + datetime.timedelta(hours=60)
+    df, fr, ft = skipping.read_between(spark, root, "ts", lo, hi)
+    whole = spark.read.parquet(root)
+    exp = whole.where((whole.ts >= lo) & (whole.ts < hi)).count()
+    assert ft == 8 and 0 < fr < ft and df.count() == exp == 20
+    cnt, scanned, ft2 = skipping.count_between(spark, root, "ts", lo, hi)
+    assert cnt == exp and ft2 == 8 and scanned < ft2
+
+    # further appends maintain the TWO-LEVEL manifest through update()
+    spark.createDataFrame(
+        [
+            (base + datetime.timedelta(hours=h), float(h))
+            for h in range(200, 224)
+        ],
+        "ts timestamp, value double",
+    ).repartitionByRange(2, "ts").write.mode("append").parquet(root)
+    assert skipping.stale_file_count(spark, root) == 2
+    assert skipping.update(spark, root, ["ts"], two_level_threshold=4) == 2
+    assert skipping.stale_file_count(spark, root) == 0
+    df2, fr2, ft3 = skipping.read_between(
+        spark,
+        root,
+        "ts",
+        base + datetime.timedelta(hours=205),
+        base + datetime.timedelta(hours=215),
+    )
+    assert ft3 == 10 and df2.count() == 10
+
+    # a big build goes two-level from the start
+    root2 = str(tmp_path / "tbl2")
+    spark.createDataFrame(
+        [(base + datetime.timedelta(hours=h), float(h)) for h in range(96)],
+        "ts timestamp, value double",
+    ).repartitionByRange(8, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(root2)
+    skipping.build(spark, root2, ["ts"], two_level_threshold=4)
+    assert not os.path.isdir(os.path.join(root2, skipping.STATS_DIR))
+    assert os.path.isdir(os.path.join(root2, skipping.ROOT_MANIFEST))
+    df3, fr3, ft4 = skipping.read_between(spark, root2, "ts", lo, hi)
+    assert ft4 == 8 and 0 < fr3 < ft4 and df3.count() == 20

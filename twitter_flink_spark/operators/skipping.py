@@ -28,9 +28,13 @@ committed manifest are scanned, O(new data) not O(table), the maintenance
 shape a streaming sink needs.
 
 Every index is candidate-level: readers re-apply the exact predicate as a
-residual filter, so a lossy selection can only cost performance, never
-rows. Builds are column-pruned to exactly the indexed columns — O(indexed
-columns), not O(table width).
+residual filter, so over the INDEXED files a lossy selection can only cost
+performance, never rows. The indexed view is the contract's boundary:
+files appended after the last ``build``/``update`` are invisible to every
+read entry point until refreshed — run ``update`` after appends, or guard
+with ``stale_file_count`` (== 0 means the index covers the table). Builds
+are column-pruned to exactly the indexed columns — O(indexed columns),
+not O(table width).
 
 The reference has no storage layer at all (SURVEY.md §2.2 "Scans"); this is
 the scan-side pruning story a 100 TB engine needs.
@@ -39,6 +43,7 @@ the scan-side pruning story a 100 TB engine needs.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,6 +51,11 @@ from pyspark.sql import functions as F
 
 STATS_DIR = "_filestats"
 BLOOM_DIR = "_filebloom"  #: per-column suffix appended: _filebloom_<col>
+
+#: flat manifests past this many files auto-cut over to the two-level
+#: (manifest-of-manifests) shape — beyond it the O(files) flat consult
+#: on the driver is the planning bottleneck the sharded form exists for.
+AUTO_TWO_LEVEL_FILES = 65536
 
 
 def _commit_swap(df: DataFrame, dest: str) -> None:
@@ -80,36 +90,78 @@ def _file_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
-def build(spark: SparkSession, root: str, cols: list[str]) -> str:
+def build(
+    spark: SparkSession,
+    root: str,
+    cols: list[str],
+    two_level_threshold: int | None = None,
+) -> str:
     """Compute and commit the per-file stats manifest for ``cols`` in ONE
     column-pruned scan (hash aggregate on ``input_file_name()`` — as many
-    groups as files)."""
+    groups as files). Past ``two_level_threshold`` files (default
+    ``AUTO_TWO_LEVEL_FILES``) a SINGLE-column build cuts over to the
+    two-level manifest instead — no caller inherits the O(files) flat
+    driver consult at the scale it stops being viable; the single-range
+    readers (``select_files`` / ``read_where`` / ``read_between`` /
+    ``count_between``) route through the shards transparently."""
+    threshold = (
+        AUTO_TWO_LEVEL_FILES if two_level_threshold is None
+        else two_level_threshold
+    )
+    reader = spark.read.parquet(root)
+    if len(cols) == 1 and len(reader.inputFiles()) > threshold:
+        _, parent = build_two_level(spark, root, cols[0])
+        shutil.rmtree(os.path.join(root, STATS_DIR), ignore_errors=True)
+        return parent
     dest = os.path.join(root, STATS_DIR)
-    _commit_swap(_file_stats(spark.read.parquet(root), cols), dest)
+    _commit_swap(_file_stats(reader, cols), dest)
     return dest
 
 
-def update(spark: SparkSession, root: str, cols: list[str]) -> int:
+def update(
+    spark: SparkSession,
+    root: str,
+    cols: list[str],
+    two_level_threshold: int | None = None,
+) -> int:
     """Incrementally maintain the stats manifest after appends: scan ONLY
     files absent from the committed manifest (O(new data), not O(table)),
     union their stats with the existing rows, swap. Returns the number of
     newly indexed files; 0 is a pure no-op (no write, no swap). Files
     deleted since the last build simply linger as envelopes of nothing —
-    candidate-level selection tolerates them; a periodic full ``build``
-    is the vacuum."""
+    candidate-level selection tolerates them; ``vacuum_manifest`` is the
+    reconciliation. If the table has already cut over to the two-level
+    manifest, this delegates to ``update_two_level``; a flat index grown
+    past ``two_level_threshold`` files (default ``AUTO_TWO_LEVEL_FILES``)
+    upgrades to the two-level shape after the refresh."""
+    threshold = (
+        AUTO_TWO_LEVEL_FILES if two_level_threshold is None
+        else two_level_threshold
+    )
     dest = os.path.join(root, STATS_DIR)
     reader = spark.read.parquet(root)
+    if (
+        len(cols) == 1
+        and not os.path.isdir(dest)
+        and os.path.isdir(os.path.join(root, ROOT_MANIFEST))
+    ):
+        return update_two_level(spark, root, cols[0])
     known = {
         _norm_path(r["file"])
         for r in spark.read.parquet(dest).select("file").collect()
     }  # O(files)
     # inputFiles() and input_file_name() render the scheme differently
     # (file:/ vs file:///) — compare on the normalized path
-    new = [f for f in reader.inputFiles() if _norm_path(f) not in known]
-    if not new:
-        return 0
-    fresh = _file_stats(spark.read.parquet(*new), cols)
-    _commit_swap(spark.read.parquet(dest).unionByName(fresh), dest)
+    live = reader.inputFiles()
+    new = [f for f in live if _norm_path(f) not in known]
+    if new:
+        fresh = _file_stats(spark.read.parquet(*new), cols)
+        _commit_swap(spark.read.parquet(dest).unionByName(fresh), dest)
+    if len(cols) == 1 and len(live) > threshold:
+        # grown past flat viability: upgrade so the NEXT consult is
+        # O(parent + touched shards), not O(files) on the driver
+        build_two_level(spark, root, cols[0])
+        shutil.rmtree(dest, ignore_errors=True)
     return len(new)
 
 
@@ -120,7 +172,20 @@ def select_files(
     range in ``preds`` (a conjunction), plus the total file count. Files
     with a NULL min/max keep candidacy (an all-null envelope is unknown —
     never drop what you cannot prove out); rows are decided by the
-    caller's residual predicate, the index only decides FILES."""
+    caller's residual predicate, the index only decides FILES. On a
+    table that has cut over to the two-level manifest, a single-range
+    conjunction routes through the shards transparently. NOTE the index
+    serves an INDEXED VIEW of the table: files appended since the last
+    ``build``/``update`` are invisible to selection until refreshed —
+    run ``update`` after appends (or check ``stale_file_count``)."""
+    if len(preds) == 1 and not os.path.isdir(
+        os.path.join(root, STATS_DIR)
+    ) and os.path.isdir(os.path.join(root, ROOT_MANIFEST)):
+        col, lo, hi = preds[0]
+        paths, files_total, _, _ = select_files_two_level(
+            spark, root, col, lo, hi
+        )
+        return paths, files_total
     manifest = spark.read.parquet(os.path.join(root, STATS_DIR))
     total = manifest.count()
     keep = manifest
@@ -178,7 +243,17 @@ def count_between(
     rows are subtracted, not scanned (a null never satisfies a range
     predicate — still provable from metadata); a file with a NULL
     envelope routes to the scan side — metadata answers only what it can
-    PROVE. Returns (count, files_scanned, files_total)."""
+    PROVE. Counts the INDEXED VIEW: refresh with ``update`` after
+    appends. On a two-level-cutover table this routes through
+    ``count_between_two_level``. Returns
+    (count, files_scanned, files_total)."""
+    if not os.path.isdir(os.path.join(root, STATS_DIR)) and os.path.isdir(
+        os.path.join(root, ROOT_MANIFEST)
+    ):
+        cnt, scanned, files_total, _, _ = count_between_two_level(
+            spark, root, col, lo, hi
+        )
+        return cnt, scanned, files_total
     manifest = spark.read.parquet(os.path.join(root, STATS_DIR))
     total = manifest.count()
     known = F.col(f"min_{col}").isNotNull() & F.col(f"max_{col}").isNotNull()
@@ -253,37 +328,109 @@ def minmax_between(
     return mn, mx, len(boundary), total
 
 
+def _keep_live(
+    spark: SparkSession, manifest: DataFrame, live: list[str]
+) -> tuple[DataFrame, int]:
+    """Manifest rows whose ``file`` is in ``live``, plus the count of
+    rows that are NOT (the dead entries). Both sides normalize through
+    the same canonical form (``_norm_path`` / ``_norm_sql``), so the
+    semi-join agrees on any filesystem — authority-bearing URIs
+    included."""
+    live_df = spark.createDataFrame(
+        [(_norm_path(f),) for f in live], "path string"
+    )
+    keep = manifest.join(
+        F.broadcast(live_df), _norm_sql("file") == F.col("path"), "left_semi"
+    )
+    return keep, manifest.count() - keep.count()
+
+
+def stale_file_count(spark: SparkSession, root: str) -> int:
+    """How many data files under ``root`` the committed envelope index
+    does NOT cover — the cheap guard for the indexed-view semantics:
+    every read entry point serves only files indexed at the last
+    ``build``/``update``, so a caller who appends without refreshing
+    gets silently stale (never wrong-for-indexed-rows) results. A
+    monitoring job asserts this is 0, or a cautious reader calls
+    ``update`` when it isn't. Costs the same O(files) listing a scan
+    plan pays. Counts ALL files as stale when no index exists."""
+    live = {_norm_path(f) for f in spark.read.parquet(root).inputFiles()}
+    flat = os.path.join(root, STATS_DIR)
+    parts = os.path.join(root, PARTS_DIR)
+    if os.path.isdir(flat):
+        src = spark.read.parquet(flat)
+    elif os.path.isdir(parts):
+        src = spark.read.parquet(parts)
+    else:
+        return len(live)
+    known = {
+        _norm_path(r["file"]) for r in src.select("file").collect()
+    }
+    return len(live - known)
+
+
 def vacuum_manifest(spark: SparkSession, root: str) -> int:
     """Drop stats-manifest rows whose data files no longer exist (left
     behind by compaction/rewrite — harmless to correctness since
     selection is candidate-level, but they cost dead-path read attempts
     and manifest bloat). The live file list is the same O(files) driver
     listing every scan plan pays; the reconciliation is a semi-join on
-    normalized paths (`input_file_name` renders file:/// where
-    `inputFiles` renders file:/ — both reduce to the bare path).
-    Returns the number of rows dropped; 0 is a pure no-op (no swap)."""
+    paths normalized identically on both sides (``_norm_path`` in
+    Python, its SQL twin ``_norm_sql`` in the join — the two must never
+    diverge or vacuum would drop live rows wholesale). Returns the
+    number of rows dropped; 0 is a pure no-op (no swap)."""
     dest = os.path.join(root, STATS_DIR)
-    live = [
-        (_norm_path(f),) for f in spark.read.parquet(root).inputFiles()
-    ]
     manifest = spark.read.parquet(dest)
-    live_df = spark.createDataFrame(live, "path string")
-    norm = F.regexp_replace(F.col("file"), "^[a-z]+:/+", "/")
-    keep = manifest.join(
-        F.broadcast(live_df), norm == F.col("path"), "left_semi"
+    keep, dropped = _keep_live(
+        spark, manifest, spark.read.parquet(root).inputFiles()
     )
-    total = manifest.count()
-    kept = keep.count()
-    if kept == total:
+    if not dropped:
         return 0
     _commit_swap(keep, dest)
-    return total - kept
+    return dropped
+
+
+def vacuum_bloom(spark: SparkSession, root: str, col: str) -> int:
+    """Bloom-manifest twin of ``vacuum_manifest``: drop per-file Bloom
+    rows whose data files a compactor rewrote away. Dead Bloom rows are
+    worse than dead envelopes — every point read probes them and any
+    hash hit schedules a read of a dead path — so the point-lookup
+    index needs the same reconciliation the stats manifest gets.
+    Returns rows dropped; 0 is a pure no-op (no swap)."""
+    dest = _bloom_dir(root, col)
+    manifest = spark.read.parquet(dest)
+    keep, dropped = _keep_live(
+        spark, manifest, spark.read.parquet(root).inputFiles()
+    )
+    if not dropped:
+        return 0
+    _commit_swap(keep, dest)
+    return dropped
+
+
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
 
 
 def _norm_path(p: str) -> str:
-    from urllib.parse import urlparse
+    """Canonical path form for reconciliation joins: strip the URI
+    scheme, collapse leading slashes to one. `input_file_name()` renders
+    file:/// where `inputFiles()` renders file:/ — both reduce to the
+    bare path — and unlike ``urlparse().path`` this KEEPS the authority
+    (``s3a://bucket/key`` -> ``/bucket/key``), so both sides of a
+    semi-join agree on authority-bearing filesystems (s3a, hdfs, abfs),
+    not just local ``file:`` URIs. ``_norm_sql`` is the
+    character-for-character SQL twin; change them together."""
+    return re.sub(r"^/+", "/", _SCHEME_RE.sub("", p))
 
-    return urlparse(p).path or p
+
+def _norm_sql(c) -> F.Column:
+    """SQL twin of ``_norm_path`` — the SAME two rewrites, so a
+    reconciliation that normalizes one side in Python and the other in
+    SQL can never disagree on any URI scheme or authority."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.regexp_replace(
+        F.regexp_replace(col, "^[a-zA-Z][a-zA-Z0-9+.-]*:", ""), "^/+", "/"
+    )
 
 
 # -- two-level manifest (manifest-of-manifests, the Iceberg shape) ----------
@@ -386,12 +533,18 @@ def update_two_level(spark: SparkSession, root: str, col: str) -> int:
     atomically re-commit the parent — the parent swap is the commit
     point: a crash before it leaves the new files invisible to
     selection, indistinguishable from not-yet-indexed, never wrong.
-    Returns the number of newly indexed files; 0 is a pure no-op."""
+    Returns the number of newly indexed files; 0 is a pure no-op —
+    unless the shards and the parent DISAGREE (a prior run crashed
+    between its shard append and its parent swap, or mid-vacuum),
+    in which case the parent is recomputed from the shards before
+    returning: recovery derives ``known`` from the shards, so without
+    this repair a crashed run's files would stay in shards the parent
+    envelope never covers and selection would silently miss their rows
+    forever."""
     parent_path = os.path.join(root, ROOT_MANIFEST)
     parts_path = os.path.join(root, PARTS_DIR)
-    meta = spark.read.parquet(parent_path).select(
-        "bucket_lo", "bucket_hi", "n_parts"
-    ).first()
+    parent = spark.read.parquet(parent_path)
+    meta = parent.select("bucket_lo", "bucket_hi", "n_parts").first()
     shards = spark.read.parquet(parts_path)
     known = {
         _norm_path(r["file"]) for r in shards.select("file").collect()
@@ -402,6 +555,18 @@ def update_two_level(spark: SparkSession, root: str, col: str) -> int:
         if _norm_path(f) not in known
     ]
     if not new:
+        covered = parent.agg(F.sum("n_files")).first()[0] or 0
+        if covered != len(known):  # crashed append/vacuum: repair parent
+            _commit_swap(
+                _parent_manifest(
+                    shards,
+                    col,
+                    meta["bucket_lo"],
+                    meta["bucket_hi"],
+                    meta["n_parts"],
+                ),
+                parent_path,
+            )
         return 0
     fresh = _file_stats(spark.read.parquet(*new), [col])
     is_ts = str(fresh.schema[f"min_{col}"].dataType).startswith("Timestamp")
@@ -427,6 +592,87 @@ def _swap_dirs(tmp: str, dest: str) -> None:
         os.rename(dest, old)
     os.rename(tmp, dest)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def vacuum_two_level(spark: SparkSession, root: str, col: str) -> int:
+    """Two-level twin of ``vacuum_manifest``: after a compactor rewrite,
+    shard rows referencing dead paths are reconciled away PER SHARD —
+    only shards that actually contain dead rows are rewritten (their
+    dir swapped atomically; a fully-dead shard rewrites to an empty
+    schema-bearing dir whose parent row vanishes), then
+    the parent is recomputed from the surviving shards and recommitted.
+    Untouched shards stay byte-identical — at millions of files a
+    compaction of one era rewrites a handful of shard files, not the
+    whole manifest. Crash-safe without being atomic end-to-end: a crash
+    after some shard swaps leaves the parent's envelopes a conservative
+    SUPERSET of its children (dropping children only shrinks the true
+    union), so selection stays lossless, and the next
+    ``update_two_level`` detects the shards/parent count disagreement
+    and repairs the parent. Returns shard rows dropped; 0 is a pure
+    no-op (no swap, no parent recommit)."""
+    parent_path = os.path.join(root, ROOT_MANIFEST)
+    parts_path = os.path.join(root, PARTS_DIR)
+    meta = spark.read.parquet(parent_path).select(
+        "bucket_lo", "bucket_hi", "n_parts"
+    ).first()
+    dropped = _vacuum_shards(spark, root, parts_path, "part")
+    if not dropped:
+        return 0
+    survivors = spark.read.parquet(parts_path)
+    _commit_swap(
+        _parent_manifest(
+            survivors,
+            col,
+            meta["bucket_lo"],
+            meta["bucket_hi"],
+            meta["n_parts"],
+        ),
+        parent_path,
+    )
+    return dropped
+
+
+def _vacuum_shards(
+    spark: SparkSession, root: str, parts_path: str, part_col: str
+) -> int:
+    """Shared per-shard reconciliation under both two-level vacuums:
+    find shards holding rows whose data files no longer exist under
+    ``root``, rewrite ONLY those shard dirs without their dead rows
+    (atomic swap each; a fully-dead shard rewrites to an empty
+    schema-bearing dir so partition discovery keeps working), leave
+    every other shard byte-identical. Returns rows dropped; the caller
+    recommits its parent manifest."""
+    live_df = spark.createDataFrame(
+        [
+            (_norm_path(f),)
+            for f in spark.read.parquet(root).inputFiles()
+        ],
+        "path string",
+    )
+    shards = spark.read.parquet(parts_path)
+    dead_per_part = {
+        r[part_col]: r["n_dead"]
+        for r in shards.join(
+            F.broadcast(live_df),
+            _norm_sql("file") == F.col("path"),
+            "left_anti",
+        )
+        .groupBy(part_col)
+        .agg(F.count(F.lit(1)).alias("n_dead"))
+        .collect()
+    }  # O(touched shards) rewrites follow; nothing else is reread
+    for part in sorted(dead_per_part):
+        shard_dir = os.path.join(parts_path, f"{part_col}={part}")
+        keep = spark.read.parquet(shard_dir).join(
+            F.broadcast(live_df),
+            _norm_sql("file") == F.col("path"),
+            "left_semi",
+        )
+        tmp = shard_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        keep.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _swap_dirs(tmp, shard_dir)
+    return int(sum(dead_per_part.values()))
 
 
 def select_files_two_level(
@@ -656,3 +902,230 @@ def point_read(
         return _empty_like(spark, root), 0, total
     df = spark.read.parquet(*paths).where(F.col(col) == F.lit(value))
     return df, len(paths), total
+
+
+# -- two-level Bloom manifest (key-hash-sharded point-lookup index) ---------
+#
+# The flat Bloom manifest has the same millions-of-files problem the flat
+# stats manifest has: every point read scans EVERY file's word map. The
+# envelope index shards by value range; a hash index shards by KEY HASH:
+# each file's keys scatter their bits into per-(file, shard) word maps,
+# partitioned on disk by shard, and a probe computes its key's shard and
+# opens exactly ONE shard dir — 1/n_shards of the manifest bytes, while a
+# tiny parent manifest carries n_files / m / k / n_shards. Lossless by
+# construction: every bit a key set lives in that key's shard, so probing
+# only that shard can produce false positives, never false negatives.
+
+
+def _bloom2_parts_dir(root: str, col: str) -> str:
+    return os.path.join(root, f"{BLOOM_DIR}2_{col}_parts")
+
+
+def _bloom2_root_dir(root: str, col: str) -> str:
+    return os.path.join(root, f"{BLOOM_DIR}2_{col}_root")
+
+
+def _bloom_shard_expr(key: F.Column, n_shards: int) -> F.Column:
+    """Key-hash shard assignment; seed -1 keeps it independent of the k
+    position hashes (seeds 0..k-1), so shard routing and bit positions
+    are uncorrelated."""
+    return F.pmod(F.xxhash64(F.lit(-1), key), F.lit(n_shards)).cast("int")
+
+
+def _bloom2_shard_rows(
+    df: DataFrame, col: str, m: int, k: int, n_shards: int
+) -> DataFrame:
+    """(file, shard, bloom) rows: each key's k positions land in ITS
+    shard's word map — same distributed word packing as the flat build,
+    with shard as an extra group key."""
+    src = df.select(col).withColumn("__file", F.input_file_name())
+    pos = src.select(
+        "__file",
+        _bloom_shard_expr(F.col(col), n_shards).alias("shard"),
+        F.explode(F.array(*_positions(F.col(col), m, k))).alias("p"),
+    ).distinct()
+    words = pos.groupBy(
+        "__file", "shard", (F.col("p") / 64).cast("int").alias("w")
+    ).agg(F.bit_or(F.expr("shiftleft(1L, cast(p % 64 as int))")).alias("bits"))
+    return words.groupBy(F.col("__file").alias("file"), "shard").agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias(
+            "bloom"
+        )
+    )
+
+
+def _bloom2_parent(
+    shards: DataFrame, m: int, k: int, n_shards: int, total_files: int
+) -> DataFrame:
+    return shards.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.lit(m).alias("m"),
+        F.lit(k).alias("k"),
+        F.lit(n_shards).alias("n_shards"),
+        F.lit(total_files).alias("total_files"),
+    )
+
+
+def build_bloom_two_level(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    m: int = 1 << 17,
+    k: int = 3,
+    n_shards: int = 16,
+) -> tuple[str, str]:
+    """Commit the sharded Bloom manifest: per-(file, shard) word maps
+    partitioned by shard (one build scan, everything distributed), plus
+    the parent manifest carrying m/k/n_shards/total_files so probes and
+    refreshes can never skew parameters. One point read later opens one
+    shard dir out of n_shards."""
+    if m % 64:
+        raise ValueError(f"m must be a multiple of 64, got {m}")
+    df = spark.read.parquet(root)
+    total_files = len(df.inputFiles())
+    rows = _bloom2_shard_rows(df, col, m, k, n_shards)
+    parts_dest = _bloom2_parts_dir(root, col)
+    tmp = parts_dest + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    rows.write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    _swap_dirs(tmp, parts_dest)
+    parent_dest = _bloom2_root_dir(root, col)
+    _commit_swap(
+        _bloom2_parent(
+            spark.read.parquet(parts_dest), m, k, n_shards, total_files
+        ),
+        parent_dest,
+    )
+    return parts_dest, parent_dest
+
+
+def update_bloom_two_level(spark: SparkSession, root: str, col: str) -> int:
+    """Incrementally maintain the sharded Bloom manifest: hash ONLY
+    manifest-absent files with the parent's stored m/k/n_shards, append
+    into only the touched shard dirs, recommit the parent — the commit
+    point, with the same crash repair as ``update_two_level``: on the
+    no-new-files fast path a shards/parent disagreement (a prior run
+    crashed between append and parent swap) recommits the parent, since
+    recovery derives ``known`` from the shards. Returns newly indexed
+    files; 0 is a pure no-op."""
+    parent_path = _bloom2_root_dir(root, col)
+    parts_path = _bloom2_parts_dir(root, col)
+    parent = spark.read.parquet(parent_path)
+    meta = parent.select("m", "k", "n_shards").first()
+    m, k, n_shards = int(meta["m"]), int(meta["k"]), int(meta["n_shards"])
+    shards = spark.read.parquet(parts_path)
+    known = {
+        _norm_path(r["file"])
+        for r in shards.select("file").distinct().collect()
+    }  # O(files), maintenance-time only
+    new = [
+        f
+        for f in spark.read.parquet(root).inputFiles()
+        if _norm_path(f) not in known
+    ]
+    if not new:
+        covered = parent.select("total_files").first()[0] or 0
+        if covered != len(known):  # crashed append/vacuum: repair parent
+            _commit_swap(
+                _bloom2_parent(shards, m, k, n_shards, len(known)),
+                parent_path,
+            )
+        return 0
+    fresh = _bloom2_shard_rows(spark.read.parquet(*new), col, m, k, n_shards)
+    fresh.write.mode("append").partitionBy("shard").parquet(parts_path)
+    all_rows = spark.read.parquet(parts_path)
+    _commit_swap(
+        _bloom2_parent(all_rows, m, k, n_shards, len(known) + len(new)),
+        parent_path,
+    )
+    return len(new)
+
+
+def vacuum_bloom_two_level(spark: SparkSession, root: str, col: str) -> int:
+    """Sharded-Bloom twin of ``vacuum_two_level``: reconcile dead shard
+    rows away per shard (only touched shard dirs rewritten), recommit
+    the parent. Same crash posture: a crash between shard swaps and the
+    parent recommit leaves stale counts the next update repairs, and
+    dead rows are never a correctness issue (candidate-level). Returns
+    rows dropped; 0 is a pure no-op."""
+    parent_path = _bloom2_root_dir(root, col)
+    parts_path = _bloom2_parts_dir(root, col)
+    parent = spark.read.parquet(parent_path)
+    meta = parent.select("m", "k", "n_shards").first()
+    dropped = _vacuum_shards(spark, root, parts_path, "shard")
+    if not dropped:
+        return 0
+    survivors = spark.read.parquet(parts_path)
+    total_files = survivors.select("file").distinct().count()
+    _commit_swap(
+        _bloom2_parent(
+            survivors,
+            int(meta["m"]),
+            int(meta["k"]),
+            int(meta["n_shards"]),
+            total_files,
+        ),
+        parent_path,
+    )
+    return dropped
+
+
+def bloom2_select_files(
+    spark: SparkSession, root: str, col: str, value
+) -> tuple[list[str], int, int, int]:
+    """Candidate files for ``col = value`` through the sharded index:
+    the parent (O(n_shards), KBs) supplies the probe parameters, the
+    key's OWN hash picks exactly one shard dir, and only that shard's
+    per-file word maps are probed — computed through the same Spark
+    hash expressions as the build, on a 1-row literal frame cast to the
+    column type, so probe and index can never skew. Returns
+    (paths, total_files, shards_read, shards_total)."""
+    parent_rows = spark.read.parquet(_bloom2_root_dir(root, col)).collect()
+    shards_total = len(parent_rows)
+    meta = parent_rows[0]
+    m, k, n_shards = int(meta["m"]), int(meta["k"]), int(meta["n_shards"])
+    total_files = int(meta["total_files"])
+    dtype = spark.read.parquet(root).schema[col].dataType
+    probe = F.lit(value).cast(dtype)
+    row = (
+        spark.range(1)
+        .select(
+            _bloom_shard_expr(probe, n_shards).alias("s"),
+            F.array(*_positions(probe, m, k)).alias("ps"),
+        )
+        .first()
+    )  # 1-row collect: shard id + k positions
+    shard_dir = os.path.join(
+        _bloom2_parts_dir(root, col), f"shard={int(row['s'])}"
+    )
+    if not os.path.isdir(shard_dir):
+        return [], total_files, 0, shards_total
+    manifest = spark.read.parquet(shard_dir)
+    cond = None
+    for p in row["ps"]:
+        w, bit = int(p) >> 6, int(p) & 63
+        mask = (1 << bit) - (1 << 64) if bit == 63 else (1 << bit)
+        c = (
+            F.coalesce(F.element_at("bloom", F.lit(w)), F.lit(0)).bitwiseAND(
+                F.lit(mask).cast("long")
+            )
+            != 0
+        )
+        cond = c if cond is None else (cond & c)
+    paths = [
+        r["file"] for r in manifest.where(cond).select("file").collect()
+    ]
+    return paths, total_files, 1, shards_total
+
+
+def point_read_two_level(
+    spark: SparkSession, root: str, col: str, value
+) -> tuple[DataFrame, int, int, int, int]:
+    """Reader over the sharded-Bloom candidates for ``col = value``,
+    exact equality re-applied as the residual. Returns
+    (df, files_read, files_total, shards_read, shards_total)."""
+    paths, total, sr, st = bloom2_select_files(spark, root, col, value)
+    if not paths:
+        return _empty_like(spark, root), 0, total, sr, st
+    df = spark.read.parquet(*paths).where(F.col(col) == F.lit(value))
+    return df, len(paths), total, sr, st

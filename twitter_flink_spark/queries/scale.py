@@ -2857,3 +2857,294 @@ def twolevel_incremental_update(
             0 < parts_read < parts_total and 0 < files_read < files_total
         ).alias("manifest_pruned"),
     )
+
+
+_TWOLEVEL_VACUUM_FOR: dict[str, tuple] = {}
+
+
+def _ensure_twolevel_vacuumed_layout(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, int, int]:
+    """The two-level index's full maintenance lifecycle on one table:
+    events written as 16 small ts-clustered files under a two-level
+    (manifest-of-manifests) index; a compactor rewrites them into 4
+    right-sized files via a dir-level atomic swap carrying BOTH manifest
+    levels across — parent and shards now reference only dead paths;
+    `update_two_level` indexes the 4 new files, `vacuum_two_level`
+    reconciles the 16 dead shard rows away per shard and recommits the
+    parent. Returns (dest, n_new, n_dead); cached calls replay the
+    recorded counts."""
+    import os
+    import shutil
+    import tempfile
+
+    from twitter_flink_spark.operators import skipping
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "tfs-vactwolevel-" + sf_dir.strip("/").replace("/", "-"),
+    )
+    if _TWOLEVEL_VACUUM_FOR.get("sf") == sf_dir and os.path.isdir(dest):
+        return dest, *_TWOLEVEL_VACUUM_FOR["counts"]
+    shutil.rmtree(dest, ignore_errors=True)
+    e = load_table(spark, sf_dir, "events")
+    (
+        e.repartitionByRange(16, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(dest)
+    )
+    skipping.build_two_level(spark, dest, "ts", n_parts=4)
+    tmp, gc = dest + ".compact", dest + ".gc"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.read.parquet(dest)
+        .repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    shutil.rmtree(gc, ignore_errors=True)
+    os.rename(dest, gc)
+    os.rename(tmp, dest)
+    for d in (skipping.PARTS_DIR, skipping.ROOT_MANIFEST):
+        shutil.move(os.path.join(gc, d), os.path.join(dest, d))
+    shutil.rmtree(gc, ignore_errors=True)
+    n_new = skipping.update_two_level(spark, dest, "ts")
+    n_dead = skipping.vacuum_two_level(spark, dest, "ts")
+    _TWOLEVEL_VACUUM_FOR["sf"] = sf_dir
+    _TWOLEVEL_VACUUM_FOR["counts"] = (n_new, n_dead)
+    return dest, n_new, n_dead
+
+
+@register(
+    "twolevel_vacuum_after_compact",
+    oracle="""
+WITH bounds AS (SELECT min(ts) AS t0 FROM events)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(e.value), 2) AS total_value,
+       TRUE AS manifest_reconciled,
+       TRUE AS manifest_pruned
+FROM events e, bounds b
+WHERE e.ts >= b.t0 + INTERVAL 3 DAY
+  AND e.ts < b.t0 + INTERVAL 10 DAY
+GROUP BY e.event_type
+""",
+)
+def twolevel_vacuum_after_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-level manifest vacuum (round-8 VERDICT item 1, closing the
+    skipping family's lifecycle symmetry): after a compactor rewrites a
+    two-level-indexed table (16 -> 4 files, both manifest levels carried
+    across the swap), `update_two_level` indexes exactly the 4 new files
+    and `vacuum_two_level` reconciles exactly the 16 dead shard rows —
+    rewriting ONLY shards that held dead rows (unit-pinned byte-identity
+    for untouched shards in `test_two_level_vacuum_rewrites_only_touched_
+    shards`) and recommitting the parent so its counts equal the live
+    file count. `manifest_reconciled` pins the ledger; `manifest_pruned`
+    pins that shard- AND file-level pruning still bite when the week
+    slice serves from the vacuumed index; the oracle over the original
+    table proves the whole rewrite lost nothing."""
+    import datetime
+    import os
+
+    from twitter_flink_spark.operators import skipping
+
+    dest, n_new, n_dead = _ensure_twolevel_vacuumed_layout(spark, sf_dir)
+    parent = spark.read.parquet(
+        os.path.join(dest, skipping.ROOT_MANIFEST)
+    ).collect()
+    live = len(spark.read.parquet(dest).inputFiles())
+    reconciled = (
+        n_new == 4
+        and n_dead == 16
+        and sum(r["n_files"] for r in parent) == live == 4
+    )
+    t0 = spark.read.parquet(dest).agg(F.min("ts")).first()[0]  # 1-row
+    lo = t0 + datetime.timedelta(days=3)
+    hi = t0 + datetime.timedelta(days=10)
+    sliced, files_read, files_total, parts_read, parts_total = (
+        skipping.read_between_two_level(spark, dest, "ts", lo, hi)
+    )
+    return sliced.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.lit(bool(reconciled)).alias("manifest_reconciled"),
+        F.lit(
+            0 < parts_read < parts_total and 0 < files_read < files_total
+        ).alias("manifest_pruned"),
+    )
+
+
+_BLOOM_VACUUM_FOR: dict[str, tuple] = {}
+
+
+def _ensure_bloom_vacuumed_layout(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, int, int]:
+    """Bloom-manifest maintenance lifecycle: orders written as 8
+    scattered files under a per-file Bloom index on o_orderkey; a
+    compactor rewrites them into 2 files (atomic dir swap, manifest
+    carried across); `update_bloom` hashes the 2 new files,
+    `vacuum_bloom` reconciles the 8 dead rows. Returns
+    (dest, n_new, n_dead); cached calls replay the counts."""
+    import os
+    import shutil
+    import tempfile
+
+    from twitter_flink_spark.operators import skipping
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "tfs-vacbloom-" + sf_dir.strip("/").replace("/", "-"),
+    )
+    if _BLOOM_VACUUM_FOR.get("sf") == sf_dir and os.path.isdir(dest):
+        return dest, *_BLOOM_VACUUM_FOR["counts"]
+    shutil.rmtree(dest, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    o.repartition(8).write.mode("overwrite").parquet(dest)
+    skipping.build_bloom(spark, dest, "o_orderkey")
+    tmp, gc = dest + ".compact", dest + ".gc"
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.read.parquet(dest).repartition(2).write.mode("overwrite").parquet(
+        tmp
+    )
+    shutil.rmtree(gc, ignore_errors=True)
+    os.rename(dest, gc)
+    os.rename(tmp, dest)
+    bloom_dir = os.path.basename(skipping._bloom_dir(dest, "o_orderkey"))
+    shutil.move(
+        os.path.join(gc, bloom_dir), os.path.join(dest, bloom_dir)
+    )
+    shutil.rmtree(gc, ignore_errors=True)
+    n_new = skipping.update_bloom(spark, dest, "o_orderkey")
+    n_dead = skipping.vacuum_bloom(spark, dest, "o_orderkey")
+    _BLOOM_VACUUM_FOR["sf"] = sf_dir
+    _BLOOM_VACUUM_FOR["counts"] = (n_new, n_dead)
+    return dest, n_new, n_dead
+
+
+@register(
+    "filebloom_vacuum_after_compact",
+    oracle="""
+SELECT o_orderkey,
+       o_orderstatus,
+       round(o_totalprice, 2) AS total,
+       TRUE AS manifest_reconciled,
+       TRUE AS bloom_pruned
+FROM orders
+WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
+""",
+)
+def filebloom_vacuum_after_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom-manifest vacuum (round-8 VERDICT item 1's Bloom twin):
+    dead Bloom rows are worse than dead envelopes — every point read
+    probes them, and any hash hit schedules a dead-path read — so after
+    a compactor rewrite (8 scattered files -> 2, manifest carried
+    across the swap) `update_bloom` hashes exactly the 2 new files and
+    `vacuum_bloom` reconciles exactly the 8 dead rows away.
+    `manifest_reconciled` pins the ledger (2 indexed / 8 dropped /
+    post-vacuum rows == live files); the max-orderkey point read serves
+    from the vacuumed index (`bloom_pruned` pins it reads a strict
+    subset of files) and the oracle's exact row proves no loss."""
+    import os
+
+    from twitter_flink_spark.operators import skipping
+
+    dest, n_new, n_dead = _ensure_bloom_vacuumed_layout(spark, sf_dir)
+    manifest_rows = spark.read.parquet(
+        skipping._bloom_dir(dest, "o_orderkey")
+    ).count()
+    live = len(spark.read.parquet(dest).inputFiles())
+    reconciled = (
+        n_new == 2 and n_dead == 8 and manifest_rows == live == 2
+    )
+    key = spark.read.parquet(dest).agg(F.max("o_orderkey")).first()[0]
+    hit, files_read, files_total = skipping.point_read(
+        spark, dest, "o_orderkey", int(key)
+    )
+    return hit.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total"),
+        F.lit(bool(reconciled)).alias("manifest_reconciled"),
+        F.lit(files_total > 1 and files_read < files_total).alias(
+            "bloom_pruned"
+        ),
+    )
+
+
+_BLOOM2_LAYOUT_FOR: dict[str, str] = {}
+
+
+def _ensure_bloom2_layout(spark: SparkSession, sf_dir: str) -> str:
+    """orders scattered into 16 files (every file's key range spans the
+    domain — envelopes useless) under the SHARDED Bloom index."""
+    import os
+    import tempfile
+
+    from twitter_flink_spark.operators import skipping
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "tfs-bloom2-" + sf_dir.strip("/").replace("/", "-"),
+    )
+    if _BLOOM2_LAYOUT_FOR.get("sf") == sf_dir and os.path.isdir(dest):
+        return dest
+    o = load_table(spark, sf_dir, "orders")
+    o.repartition(16).write.mode("overwrite").parquet(dest)
+    skipping.build_bloom_two_level(
+        spark, dest, "o_orderkey", n_shards=8
+    )
+    _BLOOM2_LAYOUT_FOR["sf"] = sf_dir
+    return dest
+
+
+@register(
+    "twolevel_bloom_point_read",
+    oracle="""
+SELECT o_orderkey,
+       o_custkey,
+       round(o_totalprice, 2) AS total,
+       TRUE AS one_shard_probe,
+       TRUE AS files_pruned
+FROM orders
+WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
+""",
+)
+def twolevel_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded Bloom manifest (round-8 VERDICT item 6 — the point-read
+    index's own millions-of-files story): the flat Bloom manifest scans
+    every file's word map per probe; here each key's bits land in the
+    shard its OWN hash picks, the manifest is partitioned by that shard,
+    and a probe opens exactly ONE shard dir out of 8 — 1/n_shards of
+    the manifest bytes — while the parent manifest (O(shards), KBs)
+    carries m/k/n_shards so probe and index can never skew. Lossless by
+    construction (a key's every bit lives in its shard: false positives
+    die in the equality residual, false negatives impossible).
+    `one_shard_probe` pins the 1-of-8 shard read, `files_pruned` that
+    hash pruning bites on a layout where envelopes are useless; the
+    oracle's exact max-orderkey row proves the routing found the right
+    file."""
+    from twitter_flink_spark.operators import skipping
+
+    dest = _ensure_bloom2_layout(spark, sf_dir)
+    key = spark.read.parquet(dest).agg(F.max("o_orderkey")).first()[0]
+    hit, files_read, files_total, shards_read, shards_total = (
+        skipping.point_read_two_level(spark, dest, "o_orderkey", int(key))
+    )
+    return hit.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total"),
+        F.lit(shards_read == 1 and shards_total == 8).alias(
+            "one_shard_probe"
+        ),
+        F.lit(files_total > 1 and files_read < files_total).alias(
+            "files_pruned"
+        ),
+    )
