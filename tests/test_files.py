@@ -1074,3 +1074,66 @@ def test_flat_index_auto_cutover_to_two_level(spark, tmp_path):
     assert os.path.isdir(os.path.join(root2, skipping.ROOT_MANIFEST))
     df3, fr3, ft4 = skipping.read_between(spark, root2, "ts", lo, hi)
     assert ft4 == 8 and 0 < fr3 < ft4 and df3.count() == 20
+
+
+def test_binpack_write_spreads_hot_partition(spark, tmp_path):
+    """`binpack_write` must produce EXACTLY ceil(rows/target) files per
+    partition value, each at most target rows — and a HOT partition
+    value's files must come from >= 2 distinct writer tasks (the
+    skew-safety contract: repartition(part_col) would serialize the hot
+    value through one task; bin packing spreads it across its bins)."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.sources.files import binpack_write
+
+    target = 100
+    # hot: 950 rows of one value (10 bins), cold: 120 and 30
+    df = (
+        spark.range(0, 1100)
+        .select(
+            F.col("id").alias("event_id"),
+            F.when(F.col("id") < 950, F.lit("hot"))
+            .when(F.col("id") < 1070, F.lit("warm"))
+            .otherwise(F.lit("cold"))
+            .alias("event_type"),
+        )
+        .repartition(8)
+    )
+    src = str(tmp_path / "src")
+    df.write.mode("overwrite").parquet(src)
+    dest = str(tmp_path / "packed")
+    binpack_write(
+        spark,
+        spark.read.parquet(src),
+        "event_type",
+        target,
+        dest,
+        order_col="event_id",
+    )
+
+    expected_files = {"hot": 10, "warm": 2, "cold": 1}
+    expected_rows = {"hot": 950, "warm": 120, "cold": 30}
+    for et, n_exp in expected_files.items():
+        d = os.path.join(dest, f"event_type={et}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == n_exp, (et, files)
+        # writer-task ids are the part-NNNNN prefix of each file name
+        tasks = {re.match(r"part-(\d+)", f).group(1) for f in files}
+        if et == "hot":
+            assert len(tasks) >= 2, tasks  # skew spread across tasks
+        per_file = (
+            spark.read.parquet(d)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        assert all(r["n"] <= target for r in per_file)
+        assert sum(r["n"] for r in per_file) == expected_rows[et]
+
+    # lossless: every row survives exactly once
+    back = spark.read.parquet(dest)
+    assert back.count() == 1100
+    assert back.select("event_id").distinct().count() == 1100

@@ -1156,33 +1156,40 @@ GROUP BY event_type
 def compact_target_file_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SIZE-TARGETED compaction — `compact_small_files`' sibling for the
     case where one-file-per-partition would overshoot (a hot partition
-    must split into right-sized files, not one giant one): repartition
-    on the partition column (one task per partition value) and let the
-    writer's ``maxRecordsPerFile`` split each partition's output at
-    exactly the target row count — the bin-packing knob every OPTIMIZE
-    job exposes, with zero extra shuffle over the plain rewrite. The
-    accounting is observed, not assumed: `files_after` comes from the
-    FileSystem listing and must equal ceil(rows / target) per
-    partition, and `file_sizes_ok` re-reads the compacted files
-    grouping by `input_file_name()` to pin every single file at or
-    under the target — an off-by-one in the writer split or a hash
-    collision merging bins would flip the row. At 100 TB the target is
+    must split into right-sized files, not one giant one), via
+    `binpack_write`'s SKEW-SAFE exact bin packing: a global gap-free
+    row index per partition value (per-file offsets cumulated from one
+    metadata-sized count, window numbering bounded by file size)
+    assigns every row a bin of exactly the target size, and the write
+    shuffles by (value, bin) — a hot partition value's work spreads
+    across as many tasks as it has bins, instead of serializing through
+    the single task `repartition(part_col)` would route it to (at
+    100 TB that one task would write terabytes alone;
+    ``maxRecordsPerFile`` splits the files but not the work —
+    `test_binpack_write_spreads_hot_partition` pins >= 2 writer tasks
+    for a hot value). The accounting is observed, not assumed:
+    `files_after` comes from the FileSystem listing and must equal
+    ceil(rows / target) per partition, and `file_sizes_ok` re-reads the
+    compacted files grouping by `input_file_name()` to pin every single
+    file at or under the target — an off-by-one in the writer split or
+    a bin straddling tasks would flip the row. At 100 TB the target is
     set in bytes-per-file terms (rows x row width); rows are the
     deterministic proxy the fixture can assert exactly."""
     import glob as _glob
     import os
 
-    from twitter_flink_spark.sources.files import scratch_dir
+    from twitter_flink_spark.sources.files import binpack_write, scratch_dir
 
     ev = load_table(spark, sf_dir, "events")
     base = scratch_dir("compact-size")
     compacted = os.path.join(base, "compacted")
-    (
-        ev.repartition("event_type")
-        .write.option("maxRecordsPerFile", _COMPACT_TARGET_ROWS)
-        .partitionBy("event_type")
-        .mode("overwrite")
-        .parquet(compacted)
+    binpack_write(
+        spark,
+        ev,
+        "event_type",
+        _COMPACT_TARGET_ROWS,
+        compacted,
+        order_col="event_id",
     )
     observed = []
     for d in _glob.glob(os.path.join(compacted, "event_type=*")):

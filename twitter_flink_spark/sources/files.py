@@ -93,6 +93,87 @@ def compact_parquet(
     )
 
 
+def binpack_write(
+    spark: SparkSession,
+    df: DataFrame,
+    part_col: str,
+    target_rows: int,
+    dest: str,
+    order_col: str | None = None,
+) -> None:
+    """Size-targeted compaction write with EXACT bin packing and NO
+    hot-partition serialization: every partition value ends up in
+    exactly ``ceil(rows / target_rows)`` files, each at most
+    ``target_rows`` rows, and a hot partition value's write work is
+    spread across as many tasks as it has bins — never the one task
+    that ``repartition(part_col)`` routes a whole partition value to
+    (at 100 TB a hot value would otherwise serialize terabytes through
+    a single writer; ``maxRecordsPerFile`` splits the FILES but not
+    the WORK).
+
+    Three metadata-cheap steps:
+
+    1. Count rows per (partition value, input file) — one column-pruned
+       aggregate, O(values x files) rows to the driver (the same scale
+       as a skipping manifest consult), cumulated into per-file global
+       offsets.
+    2. Broadcast the offsets back and window-number rows within each
+       (value, file) group — fine-grained shuffle bounded by file size,
+       no single-task key — so ``offset + row_number`` is a global,
+       gap-free row index per partition value, and ``index div target``
+       a global bin id where every bin except the last is exactly full.
+    3. Shuffle by (value, bin) into EXPLICITLY ``total bins`` partitions
+       (an explicit count so AQE cannot coalesce the hot value's bins
+       back into one task) and write with ``maxRecordsPerFile``: full
+       bins make each task's rows per value a multiple of the target
+       (plus at most the one remainder bin), so the writer's file
+       splits reproduce the exact bin count no matter how bins hash
+       into tasks.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    src = df.withColumn("__f", F.input_file_name())
+    counts = (
+        src.groupBy(part_col, "__f")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )  # O(values x files): planner-scale metadata, not data
+    offsets, run = [], {}
+    for r in sorted(counts, key=lambda r: (str(r[part_col]), r["__f"])):
+        key = r[part_col]
+        offsets.append((key, r["__f"], run.get(key, 0)))
+        run[key] = run.get(key, 0) + r["c"]
+    off_df = spark.createDataFrame(
+        offsets, f"{part_col} string, __f string, __off long"
+    )
+    w = Window.partitionBy(part_col, "__f").orderBy(
+        order_col if order_col else F.lit(1)
+    )
+    binned = (
+        src.join(F.broadcast(off_df), [part_col, "__f"], "left")
+        .withColumn(
+            "__bin",
+            F.floor(
+                (F.col("__off") + F.row_number().over(w) - 1)
+                / F.lit(target_rows)
+            ),
+        )
+        .drop("__f", "__off")
+    )
+    total_bins = sum(
+        -(-c // target_rows) for c in run.values()
+    )  # ceil-div per value
+    (
+        binned.repartition(max(1, total_bins), part_col, "__bin")
+        .drop("__bin")
+        .write.option("maxRecordsPerFile", target_rows)
+        .partitionBy(part_col)
+        .mode("overwrite")
+        .parquet(dest)
+    )
+
+
 def scratch_dir(tag: str) -> str:
     """Per-run scratch directory for sink round-trips (driver runs queries
     repeatedly in one process; each run writes fresh)."""
