@@ -1252,9 +1252,11 @@ def mv_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     events oracle; the accounting columns pin that exactly the planted
     debris (3 versions + 1 stage dir) was removed — a GC that misses
     orphans or over-deletes flips them. The manifest-is-truth design is
-    what makes this safe to schedule at any time at 100 TB: vacuum
-    never needs to coordinate with readers or in-flight merges beyond
-    the manifest's atomic commit point."""
+    what makes the VERSION half safe to schedule at any time at 100 TB:
+    vacuum never needs to coordinate with readers beyond the manifest's
+    atomic commit point. Staging dirs are age-guarded by default (an
+    in-flight merge's stage precedes its version renames); this fixture
+    is quiesced, so it waives the threshold explicitly."""
     import os
 
     from twitter_flink_spark.streaming.pipeline import IncrementalMV
@@ -1277,7 +1279,7 @@ def mv_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             fh.write(b"crash debris")
         planted += 1
     os.makedirs(os.path.join(mv._root, "_stage_99"), exist_ok=True)
-    acct = mv.vacuum()
+    acct = mv.vacuum(stage_min_age_s=0)  # quiesced: no merge in flight
     return mv.snapshot().select(
         "user_id",
         F.col("cnt").cast("long").alias("cnt"),

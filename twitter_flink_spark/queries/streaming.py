@@ -364,13 +364,21 @@ def streaming_dedup_watermark_bounded(spark: SparkSession, sf_dir: str) -> DataF
     return run_to_memory(deduped, output_mode="append")
 
 
-#: sf_dir the 4-file events copy was last staged from (multi-batch replay).
-_SPLIT_EVENTS_FOR: dict[str, str] = {}
-
-
 def _ensure_split_events(spark: SparkSession, sf_dir: str) -> str:
+    """The 4-file events copy multi-batch replays read, staged
+    WRITE-ONCE at a fixed per-sf path: built into a per-process,
+    per-thread scratch dir and atomically renamed into place, so a
+    concurrent second process (driver sweep + builder bench share this
+    /tmp path) either wins the rename or discards its own copy and
+    reads the winner's — never overwrites a copy another process is
+    mid-read on (the previous module-global guard only serialized
+    within ONE process). The parquet job's own ``_SUCCESS`` is the
+    completeness marker: present -> reuse as-is; a dir without it (a
+    crashed build) is replaced."""
     import os
+    import shutil
     import tempfile
+    import threading
 
     from twitter_flink_spark.sources.tables import load_table
 
@@ -378,11 +386,20 @@ def _ensure_split_events(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(),
         "tfs-evsplit-" + sf_dir.strip("/").replace("/", "-"),
     )
-    if _SPLIT_EVENTS_FOR.get("sf") != sf_dir or not os.path.isdir(dest):
-        load_table(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(dest)
-        _SPLIT_EVENTS_FOR["sf"] = sf_dir
+    marker = os.path.join(dest, "_SUCCESS")
+    if os.path.exists(marker):
+        return dest
+    tmp = f"{dest}.build-{os.getpid()}-{threading.get_ident()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    if os.path.isdir(dest) and not os.path.exists(marker):
+        shutil.rmtree(dest, ignore_errors=True)  # crashed prior build
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # another builder won
     return dest
 
 

@@ -805,20 +805,28 @@ class IncrementalMV:
                 shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
 
-    def vacuum(self) -> dict:
+    def vacuum(self, stage_min_age_s: float = 3600.0) -> dict:
         """Dead-file GC — the maintenance sibling of compaction: delete
         every version directory the manifest does NOT reference (orphans
         from merges that crashed before their manifest commit, and
-        superseded generations whose post-commit cleanup died) plus any
-        stranded ``_stage_*`` staging dirs. The manifest is the single
-        source of truth, so this is safe at any time: a crash mid-vacuum
-        just leaves fewer orphans, and readers only ever open
-        manifest-referenced dirs. Returns accounting
+        superseded generations whose post-commit cleanup died) plus
+        stranded ``_stage_*`` staging dirs OLDER than
+        ``stage_min_age_s``. The manifest is the single source of truth
+        for VERSION dirs, so that half is safe at any time: a crash
+        mid-vacuum just leaves fewer orphans, and readers only ever open
+        manifest-referenced dirs. Staging dirs are different — an
+        in-flight ``merge_batch`` writes its stage BEFORE the version
+        renames, so deleting a fresh stage would fail a live merge; the
+        age threshold (default 1 h, far beyond any batch's stage-to-
+        commit window) is what makes the scheduled-job usage safe.
+        Pass ``stage_min_age_s=0`` only on a quiesced table (no merge
+        in flight) to reclaim everything immediately. Returns accounting
         ``{live, removed_versions, removed_stage}`` — at scale this runs
         as a scheduled job whose removed-bytes metric is the signal that
         merge crash-rates need attention."""
         import os
         import shutil
+        import time
 
         live = {(b, v) for b, v in self._buckets.items()}
         # retained-history mode: every version a RETAINED manifest still
@@ -832,8 +840,10 @@ class IncrementalMV:
         for entry in os.listdir(self._root):
             path = os.path.join(self._root, entry)
             if entry.startswith("_stage_") and os.path.isdir(path):
-                shutil.rmtree(path, ignore_errors=True)
-                removed_stage += 1
+                age = time.time() - os.path.getmtime(path)
+                if age >= stage_min_age_s:
+                    shutil.rmtree(path, ignore_errors=True)
+                    removed_stage += 1
                 continue
             if not (
                 entry.startswith("b")
@@ -1067,12 +1077,21 @@ class IncrementalMV:
         no extra index table to keep consistent. Key-to-bucket routing
         runs through the SAME Spark hash expression the merge uses
         (computed on a tiny literal frame), so the index can never skew
-        from the layout."""
+        from the layout. Composite-key MVs (``key_cols`` set, e.g.
+        ``GroupedCountMV``) look up by TUPLES, one element per key
+        column; single-key MVs accept scalars (tuples of one also
+        work)."""
         from pyspark.sql import functions as F
 
+        join_cols = list(getattr(self, "key_cols", None) or [self.key_col])
+        rows = [k if isinstance(k, tuple) else (k,) for k in keys]
+        if rows and len(rows[0]) != len(join_cols):
+            raise ValueError(
+                f"lookup keys must have {len(join_cols)} element(s) "
+                f"({join_cols}); got {len(rows[0])}"
+            )
         key_df = self.spark.createDataFrame(
-            [(k,) for k in keys],
-            self._EMPTY_KEY_SCHEMA or f"{self.key_col} long",
+            rows, self._EMPTY_KEY_SCHEMA or f"{self.key_col} long"
         )
         wanted = {
             r["b"]
@@ -1091,7 +1110,7 @@ class IncrementalMV:
                 [], f"{key_schema}, {self._EMPTY_VALUE_SCHEMA}"
             )
         return self.spark.read.parquet(*dirs).join(
-            F.broadcast(key_df), self.key_col
+            F.broadcast(key_df), join_cols
         )
 
     def _history_manifests(self) -> list[dict]:
