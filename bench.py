@@ -1,12 +1,27 @@
-"""Benchmark harness: runs the registered headline queries at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE compact JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ..., "n_queries": ...}
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+compact JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "n_queries": ..., "headline_total_s": ..., "canary_s": [...]}
 
-The stdout line keeps `queries` down to the 10 slowest entries so it fits the
-driver's bounded stdout tail (the full 245-entry map overflowed it every
-round through r5, leaving "parsed": null in BENCH_r*.json). The complete
-per-query map is written to BENCH_QUERIES_LATEST.json next to this script.
+Two round-over-round comparability anchors (the full registry's total
+drifts every round purely from registry growth/mix):
+
+- **Frozen headline subset** (`HEADLINE`, ~20 queries, one per operator
+  family): benched FIRST in a fixed order, reported as its own
+  `headline_total_s` + `headline` map. Compare THIS number across rounds;
+  the subset only changes with an explicit BASELINE.md note.
+- **Contention canary**: a constant 1-partition JVM-only job timed before
+  the run, after every 20 queries, and at the end (`canary_s`). On a quiet
+  machine the samples are flat; a co-running Spark job inflates the
+  samples in exactly the wall-clock window it occupied, so an inflated
+  alphabetical block in the per-query map can be attributed to machine
+  contention (or not) from the artifact alone.
+
+The stdout line keeps `queries` down to the 10 slowest entries so it fits
+the driver's bounded stdout tail (the full per-query map overflowed it
+every round through r5, leaving "parsed": null in BENCH_r*.json). The
+complete map is written to BENCH_QUERIES_LATEST.json next to this script.
 
 Each query is fully materialized via the `noop` datasource (executes the
 whole plan, writes nothing, no driver-side collect) — the honest measure of
@@ -21,6 +36,45 @@ import sys
 import time
 
 from twitter_flink_spark.session import get_spark
+
+#: FROZEN headline subset — one query per operator family, benched first
+#: in this exact order. Do not edit casually: round-over-round comparisons
+#: key on it (see BASELINE.md "Headline subset").
+HEADLINE = [
+    "flagship_topn_semijoin",        # reference flagship (O1-O13 chain)
+    "topn_tokens_per_window",        # windowed top-N w/ rank
+    "sliding_window_event_counts",   # sliding-window grouped count
+    "streaming_topn_feedback",       # streaming feedback loop + KV sink
+    "streaming_incremental_mv",      # MV merge path (4 micro-batches)
+    "mv_point_lookup",               # MV serving path
+    "salted_join_supplier_revenue",  # skew-salted join
+    "bucketed_join_order_revenue",   # co-located bucketed join
+    "bloom_prefilter_join_revenue",  # bloom-prefiltered join
+    "dedup_exact",                   # exact dedup
+    "dedup_minhash_lsh",             # MinHash+LSH near-dup
+    "simhash_hamming_pairs",         # SimHash banded retrieval
+    "ngram_jaccard_prefix_same_source",  # prefix-filter set similarity
+    "cosine_topk_bruteforce",        # ANN brute-force baseline
+    "ivf_pq_ann_topk",               # ANN scale path (IVF-PQ)
+    "lang_id_heuristic",             # text analysis: language ID
+    "text_quality_scores",           # text analysis: quality scoring
+    "bpe_learn_merges",              # tokenizer training
+    "filestats_pruned_time_slice",   # scan-side skipping index
+    "multimodal_feature_extract",    # multimodal Arrow-batched UDF
+]
+
+#: canary cadence: one sample per this many queries
+CANARY_EVERY = 20
+
+
+def _canary(spark) -> float:
+    """Constant-work probe: 1 task, pure JVM codegen, no IO, no shuffle.
+    Its wall time moves only with machine load — the contention signal."""
+    t0 = time.perf_counter()
+    spark.range(0, 2_000_000, 1, 1).selectExpr(
+        "sum(pmod(xxhash64(id), 1000003)) as s"  # bounded: no ANSI overflow
+    ).write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
 
 
 def _claim_stdout() -> "os.IO":
@@ -80,8 +134,16 @@ def main() -> None:
     codebook_fit_s = round(time.perf_counter() - t_fit0, 3)
 
     queries = entrymod.queries()
+    # headline first (fixed order), then the rest alphabetically — a
+    # missing headline name is a hard error so the frozen subset cannot
+    # silently rot out of the registry
+    missing = [n for n in HEADLINE if n not in queries]
+    if missing:
+        raise SystemExit(f"bench: headline queries missing: {missing}")
+    order = HEADLINE + [n for n in sorted(queries) if n not in set(HEADLINE)]
     timings: dict[str, float] = {}
-    for name in sorted(queries):
+    canary_s: list[float] = [_canary(spark)]
+    for i, name in enumerate(order):
         fn = queries[name]
         t0 = time.perf_counter()
         try:
@@ -102,7 +164,12 @@ def main() -> None:
                 rdd.unpersist(False)
         except Exception:
             pass
+        if (i + 1) % CANARY_EVERY == 0:
+            canary_s.append(_canary(spark))
+    canary_s.append(_canary(spark))
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    headline = {n: timings[n] for n in HEADLINE}
+    headline_total = round(sum(t for t in headline.values() if t >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # codebook_fit is an index-BUILD cost, not a registered query: it gets its
     # own top-level field and is excluded from `value`/`n`/`queries` so
@@ -123,6 +190,9 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "prewarm": prewarm,
+                "headline_total_s": headline_total,
+                "headline": headline,
+                "canary_s": canary_s,
             },
             f,
             indent=1,
@@ -141,6 +211,8 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "prewarm": prewarm,
+                "headline_total_s": headline_total,
+                "canary_s": canary_s,
                 "failed": sorted(n for n, t in timings.items() if t < 0),
             }
         ),
