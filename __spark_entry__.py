@@ -30,12 +30,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
+def _touched_module_files() -> set[str]:
+    """Repo-relative .py paths changed since the last driver-artifact
+    commit (the commit that last touched a CORRECTNESS_r*.json), plus
+    any uncommitted changes — i.e. "this round's" code churn. Empty set
+    on any git hiccup: the rotation then degrades to plain LRU."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def _git(*args: str) -> str:
+        return subprocess.run(
+            ["git", *args],
+            cwd=here,
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout
+
+    try:
+        base = _git(
+            "log", "-1", "--format=%H", "--", "CORRECTNESS_r*.json"
+        ).strip()
+        if not base:
+            return set()
+        changed = _git("diff", "--name-only", base, "HEAD")
+        changed += _git("diff", "--name-only")  # uncommitted too
+        return {p for p in changed.splitlines() if p.endswith(".py")}
+    except Exception:
+        return set()
+
+
 def _verification_order(names: list[str]) -> list[str]:
     """Order queries so the driver's per-round correctness budget (r01 checked
-    exactly the first 50 of 75) maximizes NEW coverage: queries with no green
-    CORRECTNESS row yet run first (registry order), then previously-green ones,
-    least-recently-verified first. Reads the driver's own CORRECTNESS_r*.json
-    outputs, so the rotation is self-maintaining round over round.
+    exactly the first 50 of 75) maximizes the VALUE of its 50 rows: queries
+    whose defining module changed this round sort first (their behavior may
+    have changed — a 278-query registry under a 50-row cap is otherwise a
+    6-round blind spot for regressions in touched code), then queries with no
+    green CORRECTNESS row yet, then previously-green ones least-recently-
+    verified first. Reads the driver's own CORRECTNESS_r*.json outputs and
+    git's changed-file list, so the rotation is self-maintaining round over
+    round.
     """
     last_green: dict[str, str] = {}
     here = os.path.dirname(os.path.abspath(__file__))
@@ -54,7 +89,16 @@ def _verification_order(names: list[str]) -> list[str]:
                 and row.get("err") in (None, "")
             ):
                 last_green[name] = path
-    return sorted(names, key=lambda n: (n in last_green, last_green.get(n, "")))
+    touched_files = _touched_module_files()
+    touched = {
+        n
+        for n in names
+        if QUERIES[n].__module__.replace(".", "/") + ".py" in touched_files
+    }
+    return sorted(
+        names,
+        key=lambda n: (n not in touched, n in last_green, last_green.get(n, "")),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
