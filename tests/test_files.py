@@ -1137,3 +1137,109 @@ def test_binpack_write_spreads_hot_partition(spark, tmp_path):
     back = spark.read.parquet(dest)
     assert back.count() == 1100
     assert back.select("event_id").distinct().count() == 1100
+
+
+def test_two_level_metadata_minmax_exact(spark, tmp_path):
+    """`minmax_between_two_level` must equal the full-scan extrema while
+    scanning only boundary files from only the selected shards; a
+    covering range answers with zero scans; an empty range returns
+    (None, None)."""
+    import datetime
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(hours=h), float(h)) for h in range(96)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, value double"
+    ).repartitionByRange(8, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(root)
+    skipping.build_two_level(spark, root, "ts", n_parts=4)
+
+    lo = base + datetime.timedelta(hours=18)
+    hi = base + datetime.timedelta(hours=66)
+    mn, mx, scanned, ft, pr, pt = skipping.minmax_between_two_level(
+        spark, root, "ts", lo, hi
+    )
+    assert mn == base + datetime.timedelta(hours=18)
+    assert mx == base + datetime.timedelta(hours=65)
+    assert ft == 8 and 0 < pr < pt and 0 < scanned < 5
+
+    mn2, mx2, scanned2, _, _, _ = skipping.minmax_between_two_level(
+        spark, root, "ts", base, base + datetime.timedelta(days=30)
+    )
+    assert mn2 == base and scanned2 == 0
+    assert mx2 == base + datetime.timedelta(hours=95)
+
+    mn3, mx3, s3, _, pr3, _ = skipping.minmax_between_two_level(
+        spark, root, "ts",
+        base + datetime.timedelta(days=40),
+        base + datetime.timedelta(days=41),
+    )
+    assert mn3 is None and mx3 is None and s3 == 0 and pr3 == 0
+
+
+def test_bloom_auto_cutover_to_two_level(spark, tmp_path):
+    """A flat Bloom manifest grown past the file-count threshold must
+    upgrade to the sharded form on `update_bloom` (and `build_bloom`
+    above threshold goes sharded directly), after which the SAME flat
+    entry points (`point_read`, `bloom_select_files`) probe one shard
+    dir transparently."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    spark.range(0, 1000).select(F.col("id").alias("key")).repartition(
+        2
+    ).write.mode("overwrite").parquet(root)
+    skipping.build_bloom(
+        spark, root, "key", m=1 << 13, k=3, two_level_threshold=4
+    )
+    assert os.path.isdir(skipping._bloom_dir(root, "key"))  # flat
+
+    spark.range(1000, 4000).select(F.col("id").alias("key")).repartition(
+        6
+    ).write.mode("append").parquet(root)
+    assert (
+        skipping.update_bloom(spark, root, "key", two_level_threshold=4)
+        == 6
+    )
+    assert not os.path.isdir(skipping._bloom_dir(root, "key"))
+    assert os.path.isdir(skipping._bloom2_root_dir(root, "key"))
+    # the upgraded manifest carried the flat build's m/k
+    parent = spark.read.parquet(
+        skipping._bloom2_root_dir(root, "key")
+    ).first()
+    assert parent["m"] == 1 << 13 and parent["k"] == 3
+
+    # the flat entry points now probe one shard transparently
+    hit, fr, ft = skipping.point_read(spark, root, "key", 3210)
+    assert ft == 8 and 1 <= fr < ft
+    assert [r["key"] for r in hit.collect()] == [3210]
+    # further appends maintain the SHARDED manifest through update_bloom
+    spark.range(4000, 4500).select(F.col("id").alias("key")).repartition(
+        2
+    ).write.mode("append").parquet(root)
+    assert skipping.update_bloom(spark, root, "key") == 2
+    hit2, _, ft2 = skipping.point_read(spark, root, "key", 4321)
+    assert ft2 == 10 and [r["key"] for r in hit2.collect()] == [4321]
+
+    # a big build goes sharded from the start
+    root2 = str(tmp_path / "tbl2")
+    spark.range(0, 1000).select(F.col("id").alias("key")).repartition(
+        8
+    ).write.mode("overwrite").parquet(root2)
+    skipping.build_bloom(
+        spark, root2, "key", m=1 << 13, k=3, two_level_threshold=4
+    )
+    assert not os.path.isdir(skipping._bloom_dir(root2, "key"))
+    hit3, fr3, ft3 = skipping.point_read(spark, root2, "key", 777)
+    assert ft3 == 8 and 1 <= fr3 < ft3
+    assert [r["key"] for r in hit3.collect()] == [777]

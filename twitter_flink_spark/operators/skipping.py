@@ -292,8 +292,18 @@ def minmax_between(
     IS its min/max contribution (parquet stats already exclude nulls),
     so only boundary files are scanned with the exact predicate; the
     final extrema combine one candidate pair from metadata with one from
-    the boundary scan. Returns (min, max, files_scanned, files_total);
+    the boundary scan. Serves the INDEXED VIEW (refresh with ``update``
+    after appends); on a two-level-cutover table this routes through
+    ``minmax_between_two_level``. Returns
+    (min, max, files_scanned, files_total);
     (None, None, ...) when the range is empty."""
+    if not os.path.isdir(os.path.join(root, STATS_DIR)) and os.path.isdir(
+        os.path.join(root, ROOT_MANIFEST)
+    ):
+        mn, mx, scanned, files_total, _, _ = minmax_between_two_level(
+            spark, root, col, lo, hi
+        )
+        return mn, mx, scanned, files_total
     manifest = spark.read.parquet(os.path.join(root, STATS_DIR))
     total = manifest.count()
     known = F.col(f"min_{col}").isNotNull() & F.col(f"max_{col}").isNotNull()
@@ -765,6 +775,64 @@ def count_between_two_level(
     return count, len(boundary), files_total, len(chosen), parts_total
 
 
+def minmax_between_two_level(
+    spark: SparkSession, root: str, col: str, lo, hi
+) -> tuple[object, object, int, int, int, int]:
+    """Two-level twin of ``minmax_between``: the parent picks manifest
+    shards, the touched shards split files into CONTAINED (their
+    envelope IS their min/max contribution — never opened) and BOUNDARY
+    (scanned with the exact predicate). The freshness probe an ops
+    dashboard fires every minute against a 100 TB table: one KB parent
+    read + touched shards + only boundary data files. Returns
+    (min, max, files_scanned, files_total, parts_read, parts_total);
+    (None, None, ...) when the range is empty."""
+    parent = spark.read.parquet(os.path.join(root, ROOT_MANIFEST))
+    rows = parent.collect()  # O(partitions)
+    parts_total = len(rows)
+    files_total = sum(r["n_files"] for r in rows)
+    chosen = [
+        r["part"]
+        for r in rows
+        if r["unknown"] == 1
+        or (r["part_min"] is not None and r["part_min"] < hi and r["part_max"] >= lo)
+    ]
+    if not chosen:
+        return None, None, 0, files_total, 0, parts_total
+    shard = spark.read.parquet(
+        *[os.path.join(root, PARTS_DIR, f"part={p}") for p in chosen]
+    )
+    known = F.col(f"min_{col}").isNotNull() & F.col(f"max_{col}").isNotNull()
+    contained = (
+        known
+        & (F.col(f"min_{col}") >= F.lit(lo))
+        & (F.col(f"max_{col}") < F.lit(hi))
+    )
+    intersects = ~known | (
+        (F.col(f"min_{col}") < F.lit(hi)) & (F.col(f"max_{col}") >= F.lit(lo))
+    )
+    agg = shard.agg(
+        F.min(F.when(contained, F.col(f"min_{col}"))).alias("mn"),
+        F.max(F.when(contained, F.col(f"max_{col}"))).alias("mx"),
+        F.collect_list(
+            F.when(intersects & ~contained, F.col("file"))
+        ).alias("boundary"),
+    ).first()
+    mn, mx = agg["mn"], agg["mx"]
+    boundary = list(agg["boundary"])
+    if boundary:
+        b = (
+            spark.read.parquet(*boundary)
+            .where((F.col(col) >= F.lit(lo)) & (F.col(col) < F.lit(hi)))
+            .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+            .first()
+        )
+        cands_mn = [v for v in (mn, b["mn"]) if v is not None]
+        cands_mx = [v for v in (mx, b["mx"]) if v is not None]
+        mn = min(cands_mn) if cands_mn else None
+        mx = max(cands_mx) if cands_mx else None
+    return mn, mx, len(boundary), files_total, len(chosen), parts_total
+
+
 def read_between_two_level(
     spark: SparkSession, root: str, col: str, lo, hi
 ) -> tuple[DataFrame, int, int, int, int]:
@@ -795,7 +863,12 @@ def _positions(col: F.Column, m: int, k: int) -> list[F.Column]:
 
 
 def build_bloom(
-    spark: SparkSession, root: str, col: str, m: int = 1 << 17, k: int = 3
+    spark: SparkSession,
+    root: str,
+    col: str,
+    m: int = 1 << 17,
+    k: int = 3,
+    two_level_threshold: int | None = None,
 ) -> str:
     """Commit a per-file Bloom manifest for ``col``: each file's keys set
     k xxhash64 positions in an m-bit set, packed DISTRIBUTED into 64-bit
@@ -804,11 +877,24 @@ def build_bloom(
     and sparse files pay only their touched words. The whole build is one
     column-pruned scan + two hash aggregates; nothing returns to the
     driver. m, k ride along as manifest columns so lookups can never
-    probe with mismatched parameters."""
+    probe with mismatched parameters. Past ``two_level_threshold`` files
+    (default ``AUTO_TWO_LEVEL_FILES``) the build cuts over to the
+    SHARDED Bloom manifest — every point read would otherwise scan all
+    files' word maps — and ``point_read``/``bloom_select_files`` route
+    through the shards transparently."""
     if m % 64:
         raise ValueError(f"m must be a multiple of 64, got {m}")
+    threshold = (
+        AUTO_TWO_LEVEL_FILES if two_level_threshold is None
+        else two_level_threshold
+    )
+    reader = spark.read.parquet(root)
+    if len(reader.inputFiles()) > threshold:
+        _, parent = build_bloom_two_level(spark, root, col, m=m, k=k)
+        shutil.rmtree(_bloom_dir(root, col), ignore_errors=True)
+        return parent
     dest = _bloom_dir(root, col)
-    _commit_swap(_bloom_manifest(spark.read.parquet(root), col, m, k), dest)
+    _commit_swap(_bloom_manifest(reader, col, m, k), dest)
     return dest
 
 
@@ -830,27 +916,47 @@ def _bloom_manifest(df: DataFrame, col: str, m: int, k: int) -> DataFrame:
     )
 
 
-def update_bloom(spark: SparkSession, root: str, col: str) -> int:
+def update_bloom(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    two_level_threshold: int | None = None,
+) -> int:
     """Incrementally maintain the Bloom manifest after appends: hash ONLY
     files absent from the committed manifest (O(new data), not O(table))
     with the manifest's OWN m/k (parameters ride along as columns exactly
     so a refresh can never probe-skew the index), union, swap. Returns
-    the number of newly indexed files; 0 is a pure no-op."""
+    the number of newly indexed files; 0 is a pure no-op. Delegates to
+    ``update_bloom_two_level`` on a table that has cut over to the
+    sharded manifest; a flat manifest grown past ``two_level_threshold``
+    files (default ``AUTO_TWO_LEVEL_FILES``) upgrades after the
+    refresh."""
+    threshold = (
+        AUTO_TWO_LEVEL_FILES if two_level_threshold is None
+        else two_level_threshold
+    )
     dest = _bloom_dir(root, col)
+    if not os.path.isdir(dest) and os.path.isdir(
+        _bloom2_root_dir(root, col)
+    ):
+        return update_bloom_two_level(spark, root, col)
     manifest = spark.read.parquet(dest)
     m, k = manifest.select("m", "k").first()
     known = {
         _norm_path(r["file"]) for r in manifest.select("file").collect()
     }  # O(files)
-    new = [
-        f
-        for f in spark.read.parquet(root).inputFiles()
-        if _norm_path(f) not in known
-    ]
-    if not new:
-        return 0
-    fresh = _bloom_manifest(spark.read.parquet(*new), col, int(m), int(k))
-    _commit_swap(manifest.unionByName(fresh), dest)
+    live = spark.read.parquet(root).inputFiles()
+    new = [f for f in live if _norm_path(f) not in known]
+    if new:
+        fresh = _bloom_manifest(
+            spark.read.parquet(*new), col, int(m), int(k)
+        )
+        _commit_swap(manifest.unionByName(fresh), dest)
+    if len(live) > threshold:
+        # grown past flat viability: upgrade so the NEXT probe reads one
+        # shard dir instead of every file's word map
+        build_bloom_two_level(spark, root, col, m=int(m), k=int(k))
+        shutil.rmtree(dest, ignore_errors=True)
     return len(new)
 
 
@@ -861,7 +967,14 @@ def bloom_select_files(
     with the k positions of ``value``. Positions are computed through the
     SAME Spark hash expressions the build used — on a 1-row literal frame
     cast to the indexed column's type — so probe and build can never skew
-    (the bucket-routing idiom of `IncrementalMV.lookup`)."""
+    (the bucket-routing idiom of `IncrementalMV.lookup`). On a table that
+    has cut over to the sharded Bloom manifest, routes through the
+    one-shard probe transparently."""
+    if not os.path.isdir(_bloom_dir(root, col)) and os.path.isdir(
+        _bloom2_root_dir(root, col)
+    ):
+        paths, total, _, _ = bloom2_select_files(spark, root, col, value)
+        return paths, total
     manifest = spark.read.parquet(_bloom_dir(root, col))
     total = manifest.count()
     m, k = manifest.select("m", "k").first()

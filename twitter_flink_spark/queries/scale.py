@@ -3157,3 +3157,57 @@ def twolevel_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "files_pruned"
         ),
     )
+
+
+@register(
+    "twolevel_metadata_minmax",
+    oracle="""
+WITH b AS (SELECT min(ts) AS t0 FROM events)
+SELECT min(e.ts) AS first_event,
+       max(e.ts) AS last_event,
+       TRUE AS manifest_pruned,
+       TRUE AS boundary_only_scan
+FROM events e, b
+WHERE e.ts >= b.t0 + INTERVAL 9 DAY
+  AND e.ts < b.t0 + INTERVAL 21 DAY
+""",
+)
+def twolevel_metadata_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level metadata MIN/MAX serving
+    (`skipping.minmax_between_two_level`) — the last metadata read
+    without a two-level twin: the parent manifest picks shards, the
+    touched shards split files into contained (their envelope IS their
+    extrema contribution — parquet stats already exclude nulls, never
+    opened) and boundary (scanned with the exact predicate). The
+    freshness probe an ops dashboard fires every minute against a
+    100 TB table costs one KB parent read + touched shards + two
+    boundary files. `manifest_pruned` pins shard-level pruning,
+    `boundary_only_scan` pins scanned < intersecting files; the
+    oracle's exact corpus-wide extrema prove the three-level split
+    lost nothing."""
+    import datetime
+
+    from twitter_flink_spark.operators import skipping
+
+    dest = _ensure_two_level_layout(spark, sf_dir)
+    t0 = spark.read.parquet(dest).agg(F.min("ts")).first()[0]  # 1-row
+    lo = t0 + datetime.timedelta(days=9)
+    hi = t0 + datetime.timedelta(days=21)
+    mn, mx, scanned, files_total, parts_read, parts_total = (
+        skipping.minmax_between_two_level(spark, dest, "ts", lo, hi)
+    )
+    candidates, _ft, _pr, _pt = skipping.select_files_two_level(
+        spark, dest, "ts", lo, hi
+    )
+    return spark.createDataFrame(
+        [
+            (
+                mn,
+                mx,
+                0 < parts_read < parts_total,
+                scanned < len(candidates),
+            )
+        ],
+        "first_event timestamp, last_event timestamp, "
+        "manifest_pruned boolean, boundary_only_scan boolean",
+    )
