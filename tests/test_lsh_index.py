@@ -1,0 +1,133 @@
+"""Incremental LSH index: probe+extend equivalence with a full rebuild,
+update no-op coverage, and torn-append crash recovery."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from twitter_flink_spark.operators.dedup import (
+    LSH_BANDS,
+    doc_shingles,
+    jaccard_verify,
+    lsh_bands,
+    lsh_candidate_pairs,
+    lsh_index_build,
+    lsh_index_candidates,
+    lsh_index_update,
+    minhash_signature,
+)
+from twitter_flink_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _split_docs(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    b = docs.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")).first()
+    split = (int(b["mn"]) + int(b["mx"])) // 2
+    return docs, split
+
+
+def test_incremental_index_equals_full_rebuild(spark, tmp_path):
+    """build(corpus) + update(new) must yield EXACTLY the candidate pairs
+    of a batch banding over everything — the incremental-maintenance
+    invariant — and a full-table re-update must be a pure no-op."""
+    docs, split = _split_docs(spark)
+    idx = str(tmp_path / "lshidx")
+    n0 = lsh_index_build(spark, docs.where(F.col("doc_id") <= split), idx)
+    n1 = lsh_index_update(spark, docs.where(F.col("doc_id") > split), idx)
+    assert n0 > 0 and n1 > 0
+    assert lsh_index_update(spark, docs, idx) == 0  # fully covered
+
+    got = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_index_candidates(spark, idx).collect()
+    )
+    batch = lsh_candidate_pairs(
+        lsh_bands(minhash_signature(doc_shingles(docs)))
+    )
+    exp = sorted((r["doc_a"], r["doc_b"]) for r in batch.collect())
+    assert got == exp and len(got) > 0
+
+
+def test_incremental_index_recovers_torn_append(spark, tmp_path):
+    """A doc with only SOME of its bands present (a torn multi-file
+    append) must be re-indexed by the next update — and the duplicate
+    band rows a re-index creates must not change the candidate set."""
+    docs, split = _split_docs(spark)
+    idx = str(tmp_path / "lshidx")
+    lsh_index_build(spark, docs.where(F.col("doc_id") <= split), idx)
+    lsh_index_update(spark, docs.where(F.col("doc_id") > split), idx)
+    clean = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_index_candidates(spark, idx).collect()
+    )
+
+    # tear one new-era doc: drop all but one of its band rows by
+    # rewriting the index without them (simulates a crash mid-move)
+    victim = int(
+        spark.read.parquet(idx)
+        .where(F.col("doc_id") > split)
+        .agg(F.max("doc_id"))
+        .first()[0]
+    )
+    kept = spark.read.parquet(idx).where(
+        (F.col("doc_id") != victim) | (F.col("band") == 0)
+    )
+    tmp = idx + ".rewrite"
+    kept.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(idx)
+    os.rename(tmp, idx)
+    torn = spark.read.parquet(idx)
+    assert torn.where(F.col("doc_id") == victim).count() == 1
+
+    # recovery: the victim is not FULLY covered, so update re-indexes it
+    assert lsh_index_update(spark, docs, idx) == 1
+    after = spark.read.parquet(idx)
+    assert (
+        after.where(F.col("doc_id") == victim)
+        .select("band")
+        .distinct()
+        .count()
+        == LSH_BANDS
+    )
+    # duplicates (band 0 twice for the victim) do not change candidates
+    got = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_index_candidates(spark, idx).collect()
+    )
+    assert got == clean
+
+
+def test_incremental_index_verified_pairs_cross_era(spark, tmp_path):
+    """End-to-end: index-served candidates restricted to new-side pairs,
+    exact-Jaccard verified, equal the batch pipeline's pairs under the
+    same restriction."""
+    docs, split = _split_docs(spark)
+    idx = str(tmp_path / "lshidx")
+    lsh_index_build(spark, docs.where(F.col("doc_id") <= split), idx)
+    lsh_index_update(spark, docs.where(F.col("doc_id") > split), idx)
+    sh = doc_shingles(docs)
+    got = sorted(
+        tuple(r)
+        for r in jaccard_verify(
+            lsh_index_candidates(spark, idx).where(
+                F.col("doc_b") > split
+            ),
+            sh,
+        ).collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in jaccard_verify(
+            lsh_candidate_pairs(
+                lsh_bands(minhash_signature(sh))
+            ).where(F.col("doc_b") > split),
+            sh,
+        ).collect()
+    )
+    assert got == exp and len(got) > 0

@@ -411,3 +411,112 @@ def prefix_filter_jaccard_pairs(
             "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental LSH index: probe + extend without recomputing the corpus
+
+
+def lsh_index_build(
+    spark,
+    docs: DataFrame,
+    index_dir: str,
+    ngram: int = 3,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> int:
+    """Persist the banded-signature table (doc_id, band, band_hash) as an
+    on-disk LSH INDEX — the shape that lets tomorrow's crawl probe
+    today's corpus without recomputing a single corpus signature. At
+    100 TB re-shingling the corpus per dedup run IS the cost; the index
+    is O(docs x bands) rows of hashes, appended to incrementally
+    (`lsh_index_update`). Parameters (ngram/k/bands) ride every row so
+    an update can never band with skewed settings — the Bloom-manifest
+    m/k principle. Commits via tmp write + atomic rename. Returns the
+    number of indexed docs."""
+    import os
+    import shutil
+
+    sh = doc_shingles(docs, ngram=ngram)
+    rows = lsh_bands(minhash_signature(sh, k=k), k=k, bands=bands).select(
+        "doc_id",
+        "band",
+        "band_hash",
+        F.lit(ngram).alias("ngram"),
+        F.lit(k).alias("k"),
+        F.lit(bands).alias("bands"),
+    )
+    tmp = index_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    rows.write.mode("overwrite").parquet(tmp)
+    gc = index_dir + ".gc"
+    shutil.rmtree(gc, ignore_errors=True)
+    if os.path.isdir(index_dir):
+        os.rename(index_dir, gc)
+    os.rename(tmp, index_dir)
+    shutil.rmtree(gc, ignore_errors=True)
+    return (
+        spark.read.parquet(index_dir).select("doc_id").distinct().count()
+    )
+
+
+def lsh_index_update(spark, docs: DataFrame, index_dir: str) -> int:
+    """Extend the LSH index with docs it does not FULLY cover yet:
+    shingle + sign + band ONLY those docs with the index's own stored
+    parameters, stage the new rows, and move the staged part files into
+    the index dir (rename per file). O(new docs), never O(corpus).
+    Crash posture: a doc counts as indexed only when ALL its bands are
+    present (a torn multi-file move leaves it re-indexable, and the
+    duplicate band rows a re-index creates are harmless — candidate
+    pairs are distinct); a crash therefore leaves new docs merely
+    not-yet-indexed, never wrong, never permanently skipped. Returns
+    the number of newly indexed docs; 0 is a pure no-op."""
+    import os
+    import shutil
+    import uuid
+
+    idx = spark.read.parquet(index_dir)
+    p = idx.select("ngram", "k", "bands").first()
+    fully = (
+        idx.groupBy("doc_id")
+        .agg(F.count_distinct("band").alias("nb"))
+        .where(F.col("nb") >= p["bands"])
+        .select("doc_id")
+    )
+    new_docs = docs.join(fully, "doc_id", "left_anti")
+    n_new = new_docs.select("doc_id").distinct().count()
+    if not n_new:
+        return 0
+    sh = doc_shingles(new_docs, ngram=int(p["ngram"]))
+    rows = lsh_bands(
+        minhash_signature(sh, k=int(p["k"])),
+        k=int(p["k"]),
+        bands=int(p["bands"]),
+    ).select(
+        "doc_id",
+        "band",
+        "band_hash",
+        F.lit(int(p["ngram"])).alias("ngram"),
+        F.lit(int(p["k"])).alias("k"),
+        F.lit(int(p["bands"])).alias("bands"),
+    )
+    stage = index_dir + f".stage-{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    rows.write.mode("overwrite").parquet(stage)
+    tag = uuid.uuid4().hex[:8]
+    for f in os.listdir(stage):
+        if f.endswith(".parquet"):
+            os.rename(
+                os.path.join(stage, f),
+                os.path.join(index_dir, f"inc-{tag}-{f}"),
+            )
+    shutil.rmtree(stage, ignore_errors=True)
+    return n_new
+
+
+def lsh_index_candidates(spark, index_dir: str) -> DataFrame:
+    """Candidate pairs straight from the persisted index: the same
+    (band, band_hash) equi self-join as `lsh_candidate_pairs`, reading
+    hashes instead of recomputing signatures. Callers restrict the pair
+    set (e.g. at-least-one-side-new) and verify with exact Jaccard."""
+    return lsh_candidate_pairs(spark.read.parquet(index_dir))

@@ -1202,3 +1202,108 @@ def dedup_compression_summary(
             / 1e6
         ).alias("chars_removed_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental LSH index (probe + extend, never recompute the corpus)
+
+
+_LSH_INDEX_FOR: dict[str, tuple] = {}
+
+
+def _ensure_lsh_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, int, tuple[int, int, int]]:
+    """documents split at the doc_id midpoint: the corpus half gets the
+    persisted LSH index (`lsh_index_build`), the new half arrives later
+    and `lsh_index_update` bands ONLY it; a full-table re-update must
+    then be a pure no-op (everything covered). Returns
+    (index_dir, split, (n_corpus, n_new, n_again))."""
+    import os
+    import shutil
+    import tempfile
+
+    from twitter_flink_spark.operators.dedup import (
+        lsh_index_build,
+        lsh_index_update,
+    )
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "tfs-lshidx-" + sf_dir.strip("/").replace("/", "-"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    ).first()
+    split = (int(b["mn"]) + int(b["mx"])) // 2
+    if _LSH_INDEX_FOR.get("sf") == sf_dir and os.path.isdir(dest):
+        return dest, split, _LSH_INDEX_FOR["counts"]
+    shutil.rmtree(dest, ignore_errors=True)
+    n_corpus = lsh_index_build(
+        spark, docs.where(F.col("doc_id") <= split), dest
+    )
+    n_new = lsh_index_update(
+        spark, docs.where(F.col("doc_id") > split), dest
+    )
+    n_again = lsh_index_update(spark, docs, dest)
+    _LSH_INDEX_FOR["sf"] = sf_dir
+    _LSH_INDEX_FOR["counts"] = (n_corpus, n_new, n_again)
+    return dest, split, (n_corpus, n_new, n_again)
+
+
+@register(
+    "doc_neardup_incremental_index",
+    oracle=f"""
+WITH {_minhash_pair_ctes()}
+SELECT doc_a, doc_b, jaccard,
+       TRUE AS incrementally_indexed
+FROM pairs
+WHERE doc_b > (
+  SELECT CAST(floor((min(doc_id) + max(doc_id)) / 2.0) AS BIGINT)
+  FROM documents
+)
+""",
+)
+def doc_neardup_incremental_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental LSH index maintenance — the daily-crawl-vs-corpus
+    dedup shape: the corpus half of `documents` is banded ONCE into a
+    persisted index; the "new" half arrives later and
+    `lsh_index_update` shingles/signs/bands ONLY it (with the index's
+    own stored ngram/k/bands — parameter skew would silently change
+    banding), staging + per-file renames appending it. Candidates come
+    straight from the index's (band, band_hash) equi self-join
+    restricted to pairs whose larger id is new (at least one new side),
+    then exact-Jaccard verified. The oracle is the FULL-REBUILD
+    equivalence: batch-banding everything and filtering to the same
+    pair restriction must give the identical verified pair set — the
+    incremental-maintenance invariant, provable exactly because bands
+    are md5-deterministic. `incrementally_indexed` pins the ledger:
+    corpus build >0 docs, update indexes >0 new docs, and the
+    full-table re-update is a pure no-op (a non-no-op would mean the
+    update missed docs or the coverage test is broken). At 100 TB this
+    is the difference between re-shingling the corpus per crawl and
+    paying O(new docs)."""
+    from twitter_flink_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_verify,
+        lsh_index_candidates,
+    )
+
+    dest, split, (n_corpus, n_new, n_again) = _ensure_lsh_index(
+        spark, sf_dir
+    )
+    ok = n_corpus > 0 and n_new > 0 and n_again == 0
+    cands = lsh_index_candidates(spark, dest).where(
+        F.col("doc_b") > F.lit(split)
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    verified = jaccard_verify(cands, doc_shingles(docs), threshold=0.5)
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.lit(bool(ok)).alias("incrementally_indexed"),
+    )
