@@ -364,17 +364,17 @@ def streaming_dedup_watermark_bounded(spark: SparkSession, sf_dir: str) -> DataF
     return run_to_memory(deduped, output_mode="append")
 
 
-def _ensure_split_events(spark: SparkSession, sf_dir: str) -> str:
-    """The 4-file events copy multi-batch replays read, staged
-    WRITE-ONCE at a fixed per-sf path: built into a per-process,
-    per-thread scratch dir and atomically renamed into place, so a
-    concurrent second process (driver sweep + builder bench share this
-    /tmp path) either wins the rename or discards its own copy and
-    reads the winner's — never overwrites a copy another process is
-    mid-read on (the previous module-global guard only serialized
+def _stage_events_once(spark: SparkSession, sf_dir: str, tag: str, writer) -> str:
+    """Stage an events copy WRITE-ONCE at a fixed per-sf path: built into
+    a per-process, per-thread scratch dir and atomically renamed into
+    place, so a concurrent second process (driver sweep + builder bench
+    share this /tmp path) either wins the rename or discards its own
+    copy and reads the winner's — never overwrites a copy another
+    process is mid-read on (a module-global guard only serializes
     within ONE process). The parquet job's own ``_SUCCESS`` is the
     completeness marker: present -> reuse as-is; a dir without it (a
-    crashed build) is replaced."""
+    crashed build) is replaced. ``writer(df, path)`` performs the
+    actual layout write."""
     import os
     import shutil
     import tempfile
@@ -384,16 +384,14 @@ def _ensure_split_events(spark: SparkSession, sf_dir: str) -> str:
 
     dest = os.path.join(
         tempfile.gettempdir(),
-        "tfs-evsplit-" + sf_dir.strip("/").replace("/", "-"),
+        f"tfs-{tag}-" + sf_dir.strip("/").replace("/", "-"),
     )
     marker = os.path.join(dest, "_SUCCESS")
     if os.path.exists(marker):
         return dest
     tmp = f"{dest}.build-{os.getpid()}-{threading.get_ident()}"
     shutil.rmtree(tmp, ignore_errors=True)
-    load_table(spark, sf_dir, "events").repartition(4).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    writer(load_table(spark, sf_dir, "events"), tmp)
     if os.path.isdir(dest) and not os.path.exists(marker):
         shutil.rmtree(dest, ignore_errors=True)  # crashed prior build
     try:
@@ -401,6 +399,36 @@ def _ensure_split_events(spark: SparkSession, sf_dir: str) -> str:
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # another builder won
     return dest
+
+
+def _ensure_split_events(spark: SparkSession, sf_dir: str) -> str:
+    """The 4-file events copy multi-batch replays read (hash split:
+    every batch carries the full time range)."""
+    return _stage_events_once(
+        spark,
+        sf_dir,
+        "evsplit",
+        lambda df, p: df.repartition(4).write.mode("overwrite").parquet(p),
+    )
+
+
+def _ensure_time_split_events(spark: SparkSession, sf_dir: str) -> str:
+    """4-file events copy split by TIME RANGE — each replayed micro-batch
+    is one contiguous time quarter, the arrival order of a real
+    time-ordered ingest (and the layout whose per-batch files have
+    tight ts envelopes, so a per-commit skipping index actually
+    prunes)."""
+    return _stage_events_once(
+        spark,
+        sf_dir,
+        "evtsplit",
+        lambda df, p: (
+            df.repartitionByRange(4, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(p)
+        ),
+    )
 
 
 @register(
@@ -1897,3 +1925,94 @@ def streaming_watermark_frontier(
         (_dt.datetime.strptime(w, "%Y-%m-%dT%H:%M:%S.%fZ"),) for w in seen
     ]
     return spark.createDataFrame(rows, "watermark timestamp")
+
+
+@register(
+    "streaming_sink_skipping_index",
+    oracle="""
+WITH b AS (SELECT min(ts) AS t0 FROM events)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(e.value), 2) AS total_value,
+       TRUE AS incrementally_indexed,
+       TRUE AS index_pruned
+FROM events e, b
+WHERE e.ts >= b.t0 + INTERVAL 7 DAY
+  AND e.ts < b.t0 + INTERVAL 12 DAY
+GROUP BY e.event_type
+""",
+)
+def streaming_sink_skipping_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A streaming parquet sink that keeps its SKIPPING INDEX fresh per
+    commit — the maintenance shape `operators/skipping.py` promises
+    ("the shape a streaming sink needs"), now exercised end-to-end: the
+    events stream replays as four time-ordered micro-batches
+    (maxFilesPerTrigger=1 over a range-split copy — real ingest arrives
+    in time order, which is exactly why per-file ts envelopes stay
+    tight); each foreachBatch appends its files and refreshes the stats
+    manifest via `skipping.update`, which scans ONLY the manifest-absent
+    files — O(batch), never O(table), so the refresh cost stays constant
+    as the table grows to 100 TB. After the drain the table serves a
+    5-day slice THROUGH the index. `incrementally_indexed` pins the
+    ledger: all four per-batch refreshes indexed >0 files and the final
+    index covers the table exactly (`stale_file_count` == 0);
+    `index_pruned` pins that the mid-range slice reads a strict subset
+    of files. The oracle over the original events proves the
+    batch-by-batch build lost nothing."""
+    import datetime
+    import os
+    import tempfile
+
+    from twitter_flink_spark.operators import skipping
+
+    staged = _ensure_time_split_events(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    dest = os.path.join(
+        tempfile.mkdtemp(prefix="tfs-streamidx-"), "table"
+    )
+    ledger: list[int] = []
+
+    def sink(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(dest)
+        if os.path.isdir(os.path.join(dest, skipping.STATS_DIR)):
+            ledger.append(skipping.update(spark, dest, ["ts"]))
+        else:
+            skipping.build(spark, dest, ["ts"])
+            ledger.append(len(spark.read.parquet(dest).inputFiles()))
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="tfs-streamidx-ckpt-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 300)
+    incremental_ok = (
+        len(ledger) == 4
+        and all(n > 0 for n in ledger)
+        and skipping.stale_file_count(spark, dest) == 0
+    )
+    t0 = spark.read.parquet(dest).agg(F.min("ts")).first()[0]  # 1-row
+    lo = t0 + datetime.timedelta(days=7)
+    hi = t0 + datetime.timedelta(days=12)
+    sliced, files_read, files_total = skipping.read_between(
+        spark, dest, "ts", lo, hi
+    )
+    return sliced.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.lit(bool(incremental_ok)).alias("incrementally_indexed"),
+        F.lit(files_total > 1 and 0 < files_read < files_total).alias(
+            "index_pruned"
+        ),
+    )
