@@ -2262,3 +2262,243 @@ def ann_rbo_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_rbo(
         spark, sf_dir, cosine_topk_lsh_multiprobe(spark, sf_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index: persisted centroids + assignments, refit-free growth
+
+
+def _ivf_inc_oracle(k: int = _KM_K, iters: int = _KM_ITERS, topk: int = 5) -> str:
+    """Corpus-half Lloyd fit (same unrolled rounds as `_kmeans_ctes`, with
+    the fit restricted to vec_id <= split), then assignment of EVERY
+    vector to the fitted centroids, then the exact cosine top-k within
+    the max-vec_id probe's cell — the full-rebuild twin of the
+    incremental index."""
+    parts = [
+        f"""sp AS (
+  SELECT CAST(floor((min(vec_id) + max(vec_id)) / 2.0) AS BIGINT) AS s
+  FROM embeddings
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+vc AS (SELECT v.* FROM v, sp WHERE v.vec_id <= sp.s),
+c0 AS (SELECT vec_id AS cid, e AS cent FROM vc WHERE vec_id < {k})"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"""d{r} AS (
+  SELECT vc.vec_id, c.cid,
+         list_dot_product(vc.e, vc.e) - 2 * list_dot_product(vc.e, c.cent)
+           + list_dot_product(c.cent, c.cent) AS dist
+  FROM vc CROSS JOIN c{r - 1} c
+),
+a{r} AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d{r}
+  ) WHERE rn = 1
+),
+m{r} AS (
+  SELECT a.cid, CAST(t.i AS BIGINT) AS dim,
+         sum(CAST(round(vc.e[t.i], 7) AS DECIMAL(28,7))) AS s,
+         count(*) AS n
+  FROM a{r} a JOIN vc ON vc.vec_id = a.vec_id
+  CROSS JOIN unnest(range(1, {_KM_DIM + 1})) AS t(i)
+  GROUP BY 1, 2
+),
+c{r} AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cent,
+         max(n) AS n_vecs
+  FROM m{r} GROUP BY cid
+)"""
+        )
+    parts.append(
+        f"""dall AS (
+  SELECT v.vec_id, c.cid,
+         list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c.cent)
+           + list_dot_product(c.cent, c.cent) AS dist
+  FROM v CROSS JOIN c{iters} c
+),
+aall AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM dall
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT v.vec_id, v.e FROM v
+  WHERE v.vec_id = (SELECT max(vec_id) FROM v)
+),
+pcell AS (SELECT a.cid FROM aall a JOIN probe p ON p.vec_id = a.vec_id),
+cand AS (
+  SELECT a.vec_id, v.e
+  FROM aall a JOIN v ON v.vec_id = a.vec_id, pcell
+  WHERE a.cid = pcell.cid
+    AND a.vec_id <> (SELECT vec_id FROM probe)
+),
+scored AS (
+  SELECT c.vec_id,
+         round(
+           list_dot_product(c.e, p.e)
+             / (sqrt(list_dot_product(c.e, c.e))
+                * sqrt(list_dot_product(p.e, p.e))),
+           6) AS cosine
+  FROM cand c CROSS JOIN probe p
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT vec_id, cosine, TRUE AS incrementally_assigned
+FROM scored
+ORDER BY cosine DESC, vec_id
+LIMIT {topk}
+"""
+    )
+
+
+_IVF_INC_FOR: dict[str, tuple] = {}
+
+
+def _ensure_ivf_inc_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, int, tuple[int, int, int]]:
+    """Persisted IVF index with refit-free growth: the corpus half
+    (vec_id <= split) pays the Lloyd fit ONCE and its centroids +
+    assignments commit to disk; the new half arrives later and is
+    assigned to the EXISTING centroids (broadcast argmin, O(new)) with
+    the assignments appended via staged per-file renames — the
+    production cadence (refit weekly, assign streaming). Returns
+    (index_dir, split, (n_corpus, n_new, n_again))."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from twitter_flink_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_fit,
+    )
+    from twitter_flink_spark.sources.tables import spread
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "tfs-ivfinc-" + sf_dir.strip("/").replace("/", "-"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.agg(
+        F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")
+    ).first()
+    split = (int(b["mn"]) + int(b["mx"])) // 2
+    if _IVF_INC_FOR.get("sf") == sf_dir and os.path.isdir(dest):
+        return dest, split, _IVF_INC_FOR["counts"]
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest)
+    corpus = spread(emb, "vec_id").where(F.col("vec_id") <= split)
+    vecs = corpus.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = kmeans_fit(corpus, k=_KM_K, iters=_KM_ITERS).select(
+        "cid", "cent"
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(dest, "_centroids")
+    )
+    disk_cents = spark.read.parquet(os.path.join(dest, "_centroids"))
+    assign_clusters(vecs, disk_cents).write.mode("overwrite").parquet(
+        os.path.join(dest, "_assign")
+    )
+    n_corpus = spark.read.parquet(os.path.join(dest, "_assign")).count()
+
+    def _update(new_vecs) -> int:
+        assign_dir = os.path.join(dest, "_assign")
+        known = spark.read.parquet(assign_dir).select("vec_id")
+        todo = new_vecs.join(known, "vec_id", "left_anti")
+        n = todo.count()
+        if not n:
+            return 0
+        fresh = assign_clusters(
+            todo, spark.read.parquet(os.path.join(dest, "_centroids"))
+        )
+        stage = assign_dir + f".stage-{os.getpid()}"
+        shutil.rmtree(stage, ignore_errors=True)
+        fresh.write.mode("overwrite").parquet(stage)
+        tag = uuid.uuid4().hex[:8]
+        for f in os.listdir(stage):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(stage, f),
+                    os.path.join(assign_dir, f"inc-{tag}-{f}"),
+                )
+        shutil.rmtree(stage, ignore_errors=True)
+        return n
+
+    all_vecs = spread(emb, "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    n_new = _update(all_vecs.where(F.col("vec_id") > split))
+    n_again = _update(all_vecs)
+    _IVF_INC_FOR["sf"] = sf_dir
+    _IVF_INC_FOR["counts"] = (n_corpus, n_new, n_again)
+    return dest, split, (n_corpus, n_new, n_again)
+
+
+@register("ivf_index_incremental", oracle=_ivf_inc_oracle())
+def ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index — the ANN twin of the incremental LSH
+    index: centroids fit ONCE on the corpus half and persisted; new
+    vectors are assigned to the existing centroids without any refit
+    (k-row broadcast argmin — O(new vectors), the corpus is never
+    rescanned) and their assignments append to the on-disk index.
+    Serving routes the max-vec_id probe (in the NEW era by the split)
+    through its assigned cell and scores exact cosine against only that
+    cell's members — index-pruned, never all-pairs. The oracle is the
+    full-rebuild equivalence: fitting on the corpus half and assigning
+    everything in one batch must give the same cells, hence the same
+    candidates, hence the same top-k (deterministic Lloyd + argmin with
+    cid tie-break make this exact). `incrementally_assigned` pins the
+    ledger: corpus assignments committed, update assigned >0 new
+    vectors, full-table re-update a pure no-op. At 100 TB this is the
+    vector-store maintenance cadence: refit weekly, assign streaming."""
+    dest, split, (n0, n1, n2) = _ensure_ivf_inc_index(spark, sf_dir)
+    import os
+
+    ok = n0 > 0 and n1 > 0 and n2 == 0
+    assign = spark.read.parquet(os.path.join(dest, "_assign"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_id = int(emb.agg(F.max("vec_id")).first()[0])
+    pcell = assign.where(F.col("vec_id") == probe_id).select(
+        F.col("cid").alias("pcid")
+    )
+    probe_vec = emb.where(F.col("vec_id") == probe_id).select(
+        F.col("embedding").cast("array<double>").alias("pe")
+    )
+    cands = (
+        assign.join(F.broadcast(pcell), assign.cid == F.col("pcid"))
+        .where(F.col("vec_id") != probe_id)
+        .select("vec_id")
+        .join(emb, "vec_id")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    )
+    scored = cands.crossJoin(F.broadcast(probe_vec)).select(
+        "vec_id",
+        F.round(
+            dot(F.col("e"), F.col("pe"))
+            / (
+                F.sqrt(dot(F.col("e"), F.col("e")))
+                * F.sqrt(dot(F.col("pe"), F.col("pe")))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    return (
+        scored.orderBy(F.desc("cosine"), "vec_id")
+        .limit(5)
+        .select(
+            "vec_id",
+            "cosine",
+            F.lit(bool(ok)).alias("incrementally_assigned"),
+        )
+    )
