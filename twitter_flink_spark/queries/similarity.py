@@ -2502,3 +2502,76 @@ def ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(bool(ok)).alias("incrementally_assigned"),
         )
     )
+
+
+def _ivf_drift_oracle(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    """Per-era assignment-distance totals against the corpus-fit
+    centroids, all in exact DECIMAL after a fixed rounding — the refit
+    trigger's arithmetic, cross-engine stable."""
+    base = _ivf_inc_oracle(k, iters)
+    # reuse everything up to `aall`/`dall`; re-derive the WITH body here
+    # rather than string-surgery on the final SELECT
+    head = base.split("probe AS (")[0].rstrip().rstrip(",")
+    return (
+        head
+        + f""",
+dbest AS (
+  SELECT d.vec_id, d.dist
+  FROM dall d JOIN aall a
+    ON a.vec_id = d.vec_id AND a.cid = d.cid
+),
+eras AS (
+  SELECT CASE WHEN d.vec_id <= sp.s THEN 'corpus' ELSE 'new' END AS era,
+         CAST(round(d.dist, 6) AS DECIMAL(38,6)) AS dist6
+  FROM dbest d, sp
+)
+SELECT era,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(dist6) AS DOUBLE) AS total_dist
+FROM eras
+GROUP BY era
+"""
+    )
+
+
+@register("ivf_assignment_drift", oracle=_ivf_drift_oracle())
+def ivf_assignment_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REFIT TRIGGER for the incremental IVF index: per-era totals of
+    each vector's distance to its assigned (corpus-fit) centroid. A
+    healthy incremental index keeps new-era assignment distances in the
+    corpus era's band; sustained growth means the data moved and the
+    weekly refit should fire — the monitoring query a vector store runs
+    beside `ivf_index_incremental`'s serving path. One k-row broadcast
+    argmin over the corpus (map-side, no shuffle for assignment), one
+    per-era aggregate; distances are rounded to a fixed grain and summed
+    in DECIMAL so the totals are bit-stable across engines — the same
+    exactness discipline as the Lloyd oracle itself. The oracle refits
+    and re-derives every distance from scratch; matching totals prove
+    the persisted index's assignments are exactly the full rebuild's."""
+    import os
+
+    from twitter_flink_spark.operators.clustering import assign_clusters
+    from twitter_flink_spark.sources.tables import spread
+
+    dest, split, _counts = _ensure_ivf_inc_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = spread(emb, "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = spark.read.parquet(os.path.join(dest, "_centroids"))
+    assigned = assign_clusters(vecs, cents, keep_dist=True)
+    return (
+        assigned.withColumn(
+            "era",
+            F.when(F.col("vec_id") <= F.lit(split), F.lit("corpus"))
+            .otherwise(F.lit("new")),
+        )
+        .withColumn(
+            "dist6", F.round("dist", 6).cast("decimal(38,6)")
+        )
+        .groupBy("era")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("dist6").cast("double").alias("total_dist"),
+        )
+    )
