@@ -645,3 +645,87 @@ def test_simhash_band_pair_index_is_lossless(spark, texts):
         for r in simhash_hamming_pairs(spark, dest).collect()
     }
     assert got == expected
+
+
+# --- round-9 operators -------------------------------------------------------
+
+_uri_paths = st.lists(
+    st.from_regex(r"[a-z0-9]{1,8}(/[a-z0-9]{1,8}){0,3}\.parquet", fullmatch=True),
+    min_size=1,
+    max_size=8,
+    unique=True,
+)
+_schemes = st.sampled_from(
+    ["", "file:", "file://", "s3a://bucket", "hdfs://nn:8020",
+     "abfss://fs@acct.dfs.core.windows.net"]
+)
+
+
+@settings(**_SETTINGS)
+@given(paths=_uri_paths, scheme=_schemes)
+def test_norm_path_sql_twin_property(spark, paths, scheme):
+    """`_norm_path` (Python) and `_norm_sql` (SQL) must agree on EVERY
+    generated URI shape — the invariant under all manifest
+    reconciliation joins (a disagreement mass-drops live rows)."""
+    from twitter_flink_spark.operators.skipping import _norm_path, _norm_sql
+
+    uris = [f"{scheme}/{p}" for p in paths]
+    sql_side = [
+        r["n"]
+        for r in spark.createDataFrame([(u,) for u in uris], "file string")
+        .select(_norm_sql("file").alias("n"))
+        .collect()
+    ]
+    assert sql_side == [_norm_path(u) for u in uris]
+
+
+_binpack_counts = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(1, 137)),  # (value id, rows)
+    min_size=1,
+    max_size=4,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(**_SETTINGS)
+@given(counts=_binpack_counts, target=st.sampled_from([7, 25, 100]))
+def test_binpack_exact_ceil_property(spark, tmp_path_factory, counts, target):
+    """`binpack_write` must produce exactly ceil(rows/target) files per
+    partition value with every file at most target rows, for arbitrary
+    value/row distributions and targets — including remainders, single
+    bins, and values smaller than one bin."""
+    import os
+
+    from twitter_flink_spark.sources.files import binpack_write
+
+    base = tmp_path_factory.mktemp("binpack-prop")
+    rows = [
+        (vid * 100000 + i, f"v{vid}")
+        for vid, n in counts
+        for i in range(n)
+    ]
+    src = str(base / "src")
+    spark.createDataFrame(rows, "event_id long, event_type string").repartition(
+        3
+    ).write.mode("overwrite").parquet(src)
+    dest = str(base / "packed")
+    binpack_write(
+        spark,
+        spark.read.parquet(src),
+        "event_type",
+        target,
+        dest,
+        order_col="event_id",
+    )
+    for vid, n in counts:
+        d = os.path.join(dest, f"event_type=v{vid}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == -(-n // target), (vid, n, target, files)
+        per_file = (
+            spark.read.parquet(d)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        assert all(r["c"] <= target for r in per_file)
+        assert sum(r["c"] for r in per_file) == n
