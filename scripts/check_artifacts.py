@@ -1,0 +1,122 @@
+"""Artifact freshness gate: verify the committed round artifacts match the
+CURRENT registry, so a query added after the last sweep/bench can never
+ship silently unverified (the round-7 staleness criticism, mechanized).
+
+Checks:
+- CORRECTNESS_LOCAL_r{N}.json (latest): row set == registered query set,
+  zero failures.
+- BENCH_QUERIES_LATEST.json: per-query map keys == registered query set,
+  no -1 timings, headline subset present and fully timed.
+- CORRECTNESS_LOCAL_SF01_r{N}.json (latest): all rows green and every row
+  names a registered query.
+
+Exit 0 = fresh and green; 1 = stale or failing (details on stdout).
+Usage: python scripts/check_artifacts.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import re
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+
+def _latest(pattern: str) -> Path | None:
+    paths = sorted(
+        ROOT.glob(pattern),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    return paths[-1] if paths else None
+
+
+def main() -> int:
+    from twitter_flink_spark.registry import QUERIES
+
+    registered = set(QUERIES)
+    problems: list[str] = []
+
+    sweep_path = _latest("CORRECTNESS_LOCAL_r[0-9]*.json")
+    if not sweep_path:
+        problems.append("no CORRECTNESS_LOCAL_r*.json artifact")
+    else:
+        sweep = json.loads(sweep_path.read_text())
+        missing = registered - set(sweep)
+        extra = set(sweep) - registered
+        bad = [
+            n
+            for n, r in sweep.items()
+            if r.get("err") not in (None, "no_oracle")
+            or r.get("hash_match") is False
+        ]
+        if missing:
+            problems.append(
+                f"{sweep_path.name}: registry has {len(missing)} unswept "
+                f"queries: {sorted(missing)[:5]}..."
+            )
+        if extra:
+            problems.append(
+                f"{sweep_path.name}: {len(extra)} swept rows no longer "
+                f"registered: {sorted(extra)[:5]}..."
+            )
+        if bad:
+            problems.append(f"{sweep_path.name}: failing rows: {bad}")
+
+    bench_path = ROOT / "BENCH_QUERIES_LATEST.json"
+    if not bench_path.exists():
+        problems.append("no BENCH_QUERIES_LATEST.json")
+    else:
+        bench = json.loads(bench_path.read_text())
+        q = bench.get("queries", {})
+        missing = registered - set(q)
+        extra = set(q) - registered
+        failed = [n for n, t in q.items() if t < 0]
+        if missing:
+            problems.append(
+                f"bench map missing {len(missing)} registered queries: "
+                f"{sorted(missing)[:5]}..."
+            )
+        if extra:
+            problems.append(
+                f"bench map has {len(extra)} unregistered entries: "
+                f"{sorted(extra)[:5]}..."
+            )
+        if failed:
+            problems.append(f"bench failures (-1): {failed}")
+        if "headline_total_s" not in bench or "canary_s" not in bench:
+            problems.append("bench map lacks headline_total_s/canary_s")
+
+    spot_path = _latest("CORRECTNESS_LOCAL_SF01_r[0-9]*.json")
+    if spot_path:
+        spot = json.loads(spot_path.read_text())
+        bad = [
+            n
+            for n, r in spot.items()
+            if r.get("err") not in (None, "no_oracle")
+            or r.get("hash_match") is False
+        ]
+        stray = set(spot) - registered
+        if bad:
+            problems.append(f"{spot_path.name}: failing rows: {bad}")
+        if stray:
+            problems.append(f"{spot_path.name}: unregistered rows: {stray}")
+
+    if problems:
+        print("STALE/FAILING artifacts:")
+        for p in problems:
+            print(" -", p)
+        return 1
+    print(
+        f"artifacts fresh: {len(registered)} registered queries, "
+        f"{sweep_path.name} green, bench map complete with headline+canary,"
+        f" {spot_path.name if spot_path else 'no spot sweep'} green"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
