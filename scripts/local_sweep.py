@@ -44,6 +44,11 @@ def main() -> int:
         i = args.index("--out")
         out_path = Path(args[i + 1])
         del args[i : i + 2]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
     rnd = int(args[0]) if args else 0
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
 
@@ -62,6 +67,13 @@ def main() -> int:
         heavy = sorted(bench, key=lambda k: -bench[k])[:top_n]
         qs = {n: qs[n] for n in heavy if n in qs}
         print(f"spot-sweep of the {len(qs)} heaviest queries", flush=True)
+    if only is not None:
+        missing = only - set(qs)
+        if missing:
+            print(f"unknown queries: {sorted(missing)}")
+            return 1
+        qs = {n: qs[n] for n in qs if n in only}
+        print(f"scoped sweep of {len(qs)} queries", flush=True)
     duck = duck_connection(sf_dir)
     out: dict[str, dict] = {}
     t_start = time.monotonic()

@@ -912,7 +912,11 @@ def test_bloom_two_level_point_read_one_shard(spark, tmp_path):
     import os
 
     shard_dirs = [d for d in os.listdir(parts) if d.startswith("shard=")]
-    assert len(shard_dirs) == 8
+    # 8 probeable key-hash shards + the shard=-1 coverage dir (one row
+    # per listed file so zero-row files stay in the known set)
+    assert sorted(shard_dirs) == ["shard=-1"] + [
+        f"shard={i}" for i in range(8)
+    ]
 
     for key in (0, 1234, 3999):
         df, fr, ft, sr, st = skipping.point_read_two_level(
@@ -1302,3 +1306,176 @@ def test_vacuum_routes_through_cutover(spark, tmp_path):
         .first()["total_files"]
         == 7
     )
+
+
+def _drop_empty_parquet_file(table_dir: str, like_schema_path: str) -> str:
+    """Plant a ZERO-ROW parquet part file inside ``table_dir`` with the
+    table's schema (what a writer emits for an empty partition / an
+    empty compaction bin)."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(like_schema_path)
+    dest = os.path.join(table_dir, "part-empty-0000.parquet")
+    pq.write_table(schema.empty_table(), dest)
+    return dest
+
+
+def test_zero_row_file_coverage_stats_manifest(spark, tmp_path):
+    """A zero-row data file never appears in an input_file_name() group,
+    so without coverage rows `update` counts it as "new" forever. The
+    manifest must cover it (one update, then pure no-ops), keep
+    stale_file_count at 0, and keep range reads exact."""
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    spark.range(0, 400).select(
+        F.col("id").alias("key"), (F.col("id") * 3).alias("v")
+    ).repartition(4).write.mode("overwrite").parquet(root)
+    skipping.build(spark, root, ["key"])
+    a_file = sorted(
+        f for f in os.listdir(root) if f.endswith(".parquet")
+    )[0]
+    _drop_empty_parquet_file(root, os.path.join(root, a_file))
+
+    assert skipping.update(spark, root, ["key"]) == 1  # covered once
+    assert skipping.update(spark, root, ["key"]) == 0  # pure no-op
+    assert skipping.stale_file_count(spark, root) == 0
+    manifest = spark.read.parquet(os.path.join(root, skipping.STATS_DIR))
+    cover = manifest.where(F.col("rows") == 0).collect()
+    assert len(cover) == 1
+    assert cover[0]["min_key"] is None and cover[0]["max_key"] is None
+    df, fr, ft = skipping.read_between(spark, root, "key", 10, 20)
+    assert ft == 5 and df.count() == 10
+
+    # a BUILD over a table already containing the empty file also covers
+    skipping.build(spark, root, ["key"])
+    assert skipping.update(spark, root, ["key"]) == 0
+
+
+def test_zero_row_file_coverage_bloom_manifests(spark, tmp_path):
+    """Flat and sharded Bloom manifests must cover zero-row files the
+    same way: one update indexes the empty file (NULL word map — probes
+    never select it), the next is a pure no-op, and total_files repair
+    stabilizes."""
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators import skipping
+
+    # flat
+    root = str(tmp_path / "flat")
+    spark.range(0, 300).select(F.col("id").alias("key")).repartition(
+        3
+    ).write.mode("overwrite").parquet(root)
+    skipping.build_bloom(spark, root, "key", m=1 << 13, k=3)
+    first = sorted(f for f in os.listdir(root) if f.endswith(".parquet"))[0]
+    _drop_empty_parquet_file(root, os.path.join(root, first))
+    assert skipping.update_bloom(spark, root, "key") == 1
+    assert skipping.update_bloom(spark, root, "key") == 0
+    df, fr, ft = skipping.point_read(spark, root, "key", 42)
+    assert ft == 4 and df.count() == 1 and fr < ft
+
+    # sharded
+    root2 = str(tmp_path / "sharded")
+    spark.range(0, 1000).select(F.col("id").alias("key")).repartition(
+        8
+    ).write.mode("overwrite").parquet(root2)
+    skipping.build_bloom_two_level(
+        spark, root2, "key", m=1 << 13, k=3, n_shards=8
+    )
+    first2 = sorted(
+        f for f in os.listdir(root2) if f.endswith(".parquet")
+    )[0]
+    _drop_empty_parquet_file(root2, os.path.join(root2, first2))
+    assert skipping.update_bloom_two_level(spark, root2, "key") == 1
+    assert skipping.update_bloom_two_level(spark, root2, "key") == 0
+    parent = spark.read.parquet(skipping._bloom2_root_dir(root2, "key"))
+    assert parent.first()["total_files"] == 9
+    df, fr, ft, sr, st = skipping.point_read_two_level(
+        spark, root2, "key", 123
+    )
+    assert ft == 9 and sr == 1 and st == 8 and df.count() == 1
+
+
+def test_two_level_multipredicate_select(spark, tmp_path):
+    """On a cut-over (two-level) table, a multi-range conjunction must
+    intersect per-predicate selections on the indexed column, keep
+    candidacy for non-indexed columns (no stats — the residual decides),
+    and raise descriptively when NO predicate touches the indexed
+    column. A multi-column `update` on a cut-over table must raise, not
+    crash on the deleted flat manifest."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    # time-clustered layout so envelopes prune
+    spark.range(0, 1600).select(
+        F.col("id").alias("ts"), (F.col("id") % 7).alias("cat")
+    ).repartitionByRange(8, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(root)
+    skipping.build(spark, root, ["ts"], two_level_threshold=4)  # cuts over
+    assert os.path.isdir(os.path.join(root, skipping.ROOT_MANIFEST))
+
+    # conjunction of two ranges on the indexed column: intersection
+    paths, total = skipping.select_files(
+        spark, root, [("ts", 0, 800), ("ts", 600, 1600)]
+    )
+    assert total == 8 and 1 <= len(paths) <= 2  # ~[600, 800) overlap
+    df, fr, ft = skipping.read_where(
+        spark, root, [("ts", 0, 800), ("ts", 600, 1600)]
+    )
+    assert df.count() == 200 and fr == len(paths)
+
+    # non-indexed column rides along: selection driven by ts, rows exact
+    df2, fr2, _ = skipping.read_where(
+        spark, root, [("ts", 0, 200), ("cat", 0, 3)]
+    )
+    assert df2.count() == sum(1 for i in range(200) if i % 7 < 3)
+    assert fr2 <= 2
+
+    # only non-indexed predicates: descriptive error, not a missing-path
+    with pytest.raises(ValueError, match="two-level manifest"):
+        skipping.select_files(spark, root, [("cat", 0, 3)])
+    with pytest.raises(ValueError, match="two-level manifest"):
+        skipping.update(spark, root, ["ts", "cat"])
+
+
+def test_bloom_two_level_fully_dead_vacuum_recovers(spark, tmp_path):
+    """A table fully rewritten between index refreshes: vacuum drops
+    every row, but the parameter sentinel keeps m/k/n_shards alive so
+    probes return empty (no IndexError) and the next update re-anchors
+    the index."""
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    spark.range(0, 500).select(F.col("id").alias("key")).repartition(
+        4
+    ).write.mode("overwrite").parquet(root)
+    skipping.build_bloom_two_level(
+        spark, root, "key", m=1 << 13, k=3, n_shards=4
+    )
+    # full rewrite IN PLACE (what a compactor does — mode("overwrite")
+    # on root would delete the index dirs too): drop every old data
+    # file, append replacements
+    for f in list(os.listdir(root)):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(root, f))
+    spark.range(500, 900).select(F.col("id").alias("key")).repartition(
+        3
+    ).write.mode("append").parquet(root)
+    assert skipping.vacuum_bloom_two_level(spark, root, "key") > 0
+    paths, total, sr, st = skipping.bloom2_select_files(
+        spark, root, "key", 700
+    )
+    assert (paths, sr, st) == ([], 0, 0)  # no probeable shards, no crash
+    assert skipping.update_bloom_two_level(spark, root, "key") == 3
+    df, fr, ft, sr, st = skipping.point_read_two_level(
+        spark, root, "key", 700
+    )
+    assert df.count() == 1 and ft == 3 and sr == 1 and st == 4

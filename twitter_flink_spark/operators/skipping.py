@@ -82,11 +82,64 @@ def _file_stats(df: DataFrame, cols: list[str]) -> DataFrame:
             F.max(c).alias(f"max_{c}"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
         ]
-    return (
+    stats = (
         df.select(*cols)
         .withColumn("__file", F.input_file_name())
         .groupBy(F.col("__file").alias("file"))
         .agg(*aggs)
+    )
+    defaults = {"rows": 0}
+    defaults.update({f"nulls_{c}": 0 for c in cols})
+    return _with_zero_file_coverage(df, stats, defaults)
+
+
+def _listed_files(df: DataFrame) -> list[str]:
+    """The scan listing behind ``df``, or [] when it has none (a
+    constructed frame)."""
+    try:
+        return df.inputFiles()
+    except Exception:
+        return []
+
+
+def _with_zero_file_coverage(
+    df: DataFrame, per_file: DataFrame, defaults: dict
+) -> DataFrame:
+    """Guarantee ONE manifest row per LISTED file: a zero-row data file
+    appears in the scan listing but never in an ``input_file_name()``
+    group, so per-file aggregation silently skips it — and an
+    incremental ``update`` then counts it as "new" forever (its path
+    never enters the known set), breaking the pure-no-op contract and
+    the parent total_files repair heuristic. Union a coverage row per
+    listed file (``defaults`` for counters/params, NULL envelopes — the
+    "unknown" posture selection already keeps) and dedup preferring the
+    real row, keyed on the canonical path (``input_file_name()`` and
+    ``inputFiles()`` render schemes differently). This is an O(files)
+    manifest-side aggregate — the data scan still runs exactly once."""
+    listed = _listed_files(df)
+    if not listed:
+        return per_file
+    spark = df.sparkSession
+    ghost = spark.createDataFrame([(p,) for p in listed], "file string")
+    for f in per_file.schema.fields:
+        if f.name != "file":
+            ghost = ghost.withColumn(
+                f.name, F.lit(defaults.get(f.name)).cast(f.dataType)
+            )
+    merged = per_file.withColumn("__real", F.lit(1)).unionByName(
+        ghost.withColumn("__real", F.lit(0))
+    )
+    picked = [
+        # max_by orders only on the marker: the real row wins whenever
+        # one exists (and map-typed values — un-orderable by max() —
+        # pass through untouched)
+        F.max_by(F.col(f.name), F.col("__real")).alias(f.name)
+        for f in per_file.schema.fields
+    ]
+    return (
+        merged.groupBy(_norm_sql("file").alias("__k"))
+        .agg(*picked)
+        .drop("__k")
     )
 
 
@@ -101,9 +154,13 @@ def build(
     groups as files). Past ``two_level_threshold`` files (default
     ``AUTO_TWO_LEVEL_FILES``) a SINGLE-column build cuts over to the
     two-level manifest instead — no caller inherits the O(files) flat
-    driver consult at the scale it stops being viable; the single-range
+    driver consult at the scale it stops being viable; the range
     readers (``select_files`` / ``read_where`` / ``read_between`` /
-    ``count_between``) route through the shards transparently."""
+    ``count_between``) route through the shards transparently.
+    ASYMMETRY: a multi-column build NEVER cuts over (the two-level
+    shape range-buckets one column); past the threshold it stays flat
+    by design — split the columns into per-column indexes if the flat
+    consult becomes the bottleneck."""
     threshold = (
         AUTO_TWO_LEVEL_FILES if two_level_threshold is None
         else two_level_threshold
@@ -140,11 +197,15 @@ def update(
     )
     dest = os.path.join(root, STATS_DIR)
     reader = spark.read.parquet(root)
-    if (
-        len(cols) == 1
-        and not os.path.isdir(dest)
-        and os.path.isdir(os.path.join(root, ROOT_MANIFEST))
+    if not os.path.isdir(dest) and os.path.isdir(
+        os.path.join(root, ROOT_MANIFEST)
     ):
+        if len(cols) != 1:
+            raise ValueError(
+                f"table at {root} cut over to a two-level manifest "
+                "(single-column by construction); update it with its "
+                "one indexed column, not a multi-column refresh"
+            )
         return update_two_level(spark, root, cols[0])
     known = {
         _norm_path(r["file"])
@@ -173,19 +234,49 @@ def select_files(
     with a NULL min/max keep candidacy (an all-null envelope is unknown —
     never drop what you cannot prove out); rows are decided by the
     caller's residual predicate, the index only decides FILES. On a
-    table that has cut over to the two-level manifest, a single-range
-    conjunction routes through the shards transparently. NOTE the index
-    serves an INDEXED VIEW of the table: files appended since the last
-    ``build``/``update`` are invisible to selection until refreshed —
-    run ``update`` after appends (or check ``stale_file_count``)."""
-    if len(preds) == 1 and not os.path.isdir(
+    table that has cut over to the two-level manifest (single-column by
+    construction — ``build`` with multiple cols stays flat forever, see
+    its docstring), ranges on the INDEXED column route through the
+    shards and intersect; ranges on other columns have no stats there
+    and prune nothing (their files stay candidates — the residual
+    decides rows), and a conjunction touching ONLY non-indexed columns
+    raises rather than misreading the deleted flat manifest. NOTE the
+    index serves an INDEXED VIEW of the table: files appended since the
+    last ``build``/``update`` are invisible to selection until
+    refreshed — run ``update`` after appends (or check
+    ``stale_file_count``)."""
+    if not os.path.isdir(
         os.path.join(root, STATS_DIR)
     ) and os.path.isdir(os.path.join(root, ROOT_MANIFEST)):
-        col, lo, hi = preds[0]
-        paths, files_total, _, _ = select_files_two_level(
-            spark, root, col, lo, hi
+        indexed = next(
+            f[4:]
+            for f in spark.read.parquet(
+                os.path.join(root, PARTS_DIR)
+            ).columns
+            if f.startswith("min_")
         )
-        return paths, files_total
+        on_index = [p for p in preds if p[0] == indexed]
+        if not on_index:
+            raise ValueError(
+                f"table at {root} cut over to a two-level manifest on "
+                f"column {indexed!r}; no stats exist for predicate "
+                f"columns {sorted({c for c, _, _ in preds})} — include a "
+                f"range on {indexed!r}, or rebuild flat with "
+                "build(spark, root, cols, two_level_threshold=<large>)"
+            )
+        sel: dict[str, str] | None = None
+        total = 0
+        for col, lo, hi in on_index:
+            paths, total, _, _ = select_files_two_level(
+                spark, root, col, lo, hi
+            )
+            cur = {_norm_path(p): p for p in paths}
+            sel = (
+                cur
+                if sel is None
+                else {n: p for n, p in sel.items() if n in cur}
+            )
+        return list(sel.values()), total
     manifest = spark.read.parquet(os.path.join(root, STATS_DIR))
     total = manifest.count()
     keep = manifest
@@ -923,13 +1014,16 @@ def _bloom_manifest(df: DataFrame, col: str, m: int, k: int) -> DataFrame:
     words = pos.groupBy(
         "__file", (F.col("p") / 64).cast("int").alias("w")
     ).agg(F.bit_or(F.expr("shiftleft(1L, cast(p % 64 as int))")).alias("bits"))
-    return words.groupBy(F.col("__file").alias("file")).agg(
+    per_file = words.groupBy(F.col("__file").alias("file")).agg(
         F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias(
             "bloom"
         ),
         F.lit(m).alias("m"),
         F.lit(k).alias("k"),
     )
+    # zero-row files: a NULL word map probes to "no hit" (element_at on
+    # NULL -> NULL -> coalesce 0) — never selected, always covered
+    return _with_zero_file_coverage(df, per_file, {"m": m, "k": k})
 
 
 def update_bloom(
@@ -1076,16 +1170,34 @@ def _bloom2_shard_rows(
     words = pos.groupBy(
         "__file", "shard", (F.col("p") / 64).cast("int").alias("w")
     ).agg(F.bit_or(F.expr("shiftleft(1L, cast(p % 64 as int))")).alias("bits"))
-    return words.groupBy(F.col("__file").alias("file"), "shard").agg(
+    rows = words.groupBy(F.col("__file").alias("file"), "shard").agg(
         F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias(
             "bloom"
         )
     )
+    # COVERAGE shard -1: one row per listed file regardless of row count,
+    # so zero-row files enter the known set (otherwise "new" forever and
+    # the parent's total_files repair never stabilizes). Probes route by
+    # key hash into [0, n_shards) and never open shard=-1; the parent
+    # excludes it; per-file counts go through the normalized distinct.
+    listed = _listed_files(df)
+    if listed:
+        ghost = (
+            df.sparkSession.createDataFrame(
+                [(p,) for p in listed], "file string"
+            )
+            .withColumn("shard", F.lit(-1).cast("int"))
+            .withColumn("bloom", F.lit(None).cast("map<int,bigint>"))
+        )
+        rows = rows.unionByName(ghost)
+    return rows
 
 
 def _bloom2_parent(
     shards: DataFrame, m: int, k: int, n_shards: int, total_files: int
 ) -> DataFrame:
+    # shard -1 holds coverage rows, not probeable word maps
+    shards = shards.where(F.col("shard") >= 0)
     return shards.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_files"),
         F.lit(m).alias("m"),
@@ -1181,21 +1293,30 @@ def vacuum_bloom_two_level(spark: SparkSession, root: str, col: str) -> int:
     parts_path = _bloom2_parts_dir(root, col)
     parent = spark.read.parquet(parent_path)
     meta = parent.select("m", "k", "n_shards").first()
+    if meta is None:  # nothing indexed (all shards already vacuumed away)
+        return 0
+    m, k, n_shards = int(meta["m"]), int(meta["k"]), int(meta["n_shards"])
     dropped = _vacuum_shards(spark, root, parts_path, "shard")
     if not dropped:
         return 0
     survivors = spark.read.parquet(parts_path)
-    total_files = survivors.select("file").distinct().count()
-    _commit_swap(
-        _bloom2_parent(
-            survivors,
-            int(meta["m"]),
-            int(meta["k"]),
-            int(meta["n_shards"]),
-            total_files,
-        ),
-        parent_path,
+    # distinct over the CANONICAL path: coverage rows (shard -1) render
+    # paths via inputFiles(), word-map rows via input_file_name()
+    total_files = (
+        survivors.select(_norm_sql("file").alias("f")).distinct().count()
     )
+    new_parent = _bloom2_parent(survivors, m, k, n_shards, total_files)
+    if not new_parent.head(1):
+        # every row died (the table was fully rewritten before the next
+        # update): keep a parameter-carrying sentinel so m/k/n_shards —
+        # which ride the parent — survive to re-anchor the next update;
+        # probes see zero probeable shards and select nothing
+        new_parent = spark.createDataFrame(
+            [(-1, 0, m, k, n_shards, total_files)],
+            "shard int, n_files long, m int, k int, n_shards int, "
+            "total_files long",
+        )
+    _commit_swap(new_parent, parent_path)
     return dropped
 
 
@@ -1210,8 +1331,13 @@ def bloom2_select_files(
     column type, so probe and index can never skew. Returns
     (paths, total_files, shards_read, shards_total)."""
     parent_rows = spark.read.parquet(_bloom2_root_dir(root, col)).collect()
-    shards_total = len(parent_rows)
-    meta = parent_rows[0]
+    if not parent_rows:
+        # an empty table, or every file vacuumed away: nothing can match
+        return [], 0, 0, 0
+    meta = parent_rows[0]  # every row (sentinel included) carries m/k
+    shards_total = sum(1 for r in parent_rows if int(r["shard"]) >= 0)
+    if not shards_total:  # param-sentinel only: fully-vacuumed index
+        return [], int(meta["total_files"]), 0, 0
     m, k, n_shards = int(meta["m"]), int(meta["k"]), int(meta["n_shards"])
     total_files = int(meta["total_files"])
     dtype = spark.read.parquet(root).schema[col].dataType
