@@ -1479,3 +1479,70 @@ def test_bloom_two_level_fully_dead_vacuum_recovers(spark, tmp_path):
         spark, root, "key", 700
     )
     assert df.count() == 1 and ft == 3 and sr == 1 and st == 4
+
+
+def test_binpack_write_numeric_partition_column(spark, tmp_path):
+    """The offsets frame must mirror the partition column's ACTUAL type:
+    a numeric part_col previously hit the hardcoded 'string' schema
+    (TypeError from createDataFrame, or an implicit cast in the
+    equi-join). Exact bin counts must hold for an int column."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.sources.files import binpack_write
+
+    df = spark.range(0, 700).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") < 520, F.lit(7))
+        .otherwise(F.lit(11))
+        .cast("int")
+        .alias("bucket"),
+    ).repartition(6)
+    src = str(tmp_path / "src")
+    df.write.mode("overwrite").parquet(src)
+    dest = str(tmp_path / "packed")
+    binpack_write(
+        spark, spark.read.parquet(src), "bucket", 100, dest,
+        order_col="event_id",
+    )
+    for val, (n_files, n_rows) in {7: (6, 520), 11: (2, 180)}.items():
+        d = os.path.join(dest, f"bucket={val}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == n_files, (val, files)
+        assert spark.read.parquet(d).count() == n_rows
+    assert spark.read.parquet(dest).select("event_id").distinct().count() == 700
+
+
+def test_binpack_write_non_file_backed_input(spark, tmp_path):
+    """A frame with NO file scan behind it (input_file_name() = '' for
+    every row) must not collapse a value's rows into one window
+    partition: the content-hash salt keeps the work spread, and the
+    per-value file counts stay EXACT."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.sources.files import binpack_write
+
+    df = spark.range(0, 900).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") < 800, F.lit("hot"))
+        .otherwise(F.lit("cold"))
+        .alias("event_type"),
+    )
+    assert df.inputFiles() == []  # genuinely non-file-backed
+    dest = str(tmp_path / "packed")
+    binpack_write(spark, df, "event_type", 100, dest, order_col="event_id")
+    for et, (n_files, n_rows) in {"hot": (8, 800), "cold": (1, 100)}.items():
+        d = os.path.join(dest, f"event_type={et}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == n_files, (et, files)
+        assert spark.read.parquet(d).count() == n_rows
+    hot_tasks = {
+        re.match(r"part-(\d+)", f).group(1)
+        for f in os.listdir(os.path.join(dest, "event_type=hot"))
+        if f.endswith(".parquet")
+    }
+    assert len(hot_tasks) >= 2  # skew spread survives the fallback

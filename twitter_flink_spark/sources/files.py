@@ -132,8 +132,34 @@ def binpack_write(
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
-    src = df.withColumn("__f", F.input_file_name())
+    try:
+        file_backed = bool(df.inputFiles())
+    except Exception:
+        file_backed = False
+    # the offset group key: per input file when the frame is file-backed;
+    # otherwise input_file_name() is '' for every row and all of a value's
+    # rows would share ONE (value, '') window partition — the exact
+    # hot-partition serialization this function exists to avoid — so fall
+    # back to a deterministic per-row content-hash salt (same exactness:
+    # bins are built from per-group counts, whatever the groups are)
+    grp = (
+        F.input_file_name()
+        if file_backed
+        else F.concat(
+            F.lit("salt-"),
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(64)
+            ).cast("string"),
+        )
+    )
+    src = df.withColumn("__f", grp)
     counts = (
         src.groupBy(part_col, "__f")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -145,7 +171,17 @@ def binpack_write(
         offsets.append((key, r["__f"], run.get(key, 0)))
         run[key] = run.get(key, 0) + r["c"]
     off_df = spark.createDataFrame(
-        offsets, f"{part_col} string, __f string, __off long"
+        offsets,
+        StructType(
+            [
+                # mirror the source column's type: a hardcoded string here
+                # would TypeError on numeric partition columns (or force
+                # an implicit cast into the equi-join)
+                StructField(part_col, df.schema[part_col].dataType),
+                StructField("__f", StringType()),
+                StructField("__off", LongType()),
+            ]
+        ),
     )
     w = Window.partitionBy(part_col, "__f").orderBy(
         order_col if order_col else F.lit(1)
