@@ -243,3 +243,47 @@ def test_doc_multiprobe_pairs_superset_of_single_probe(spark):
     single = {(r.doc_a, r.doc_b) for r in doc_neardup_lsh_tfidf(spark, sf).collect()}
     multi = {(r.doc_a, r.doc_b) for r in doc_neardup_lsh_multiprobe(spark, sf).collect()}
     assert single <= multi
+
+
+def test_ivf_inc_index_probe_reads_one_cell_dir(spark):
+    """The incremental IVF index's assignment table is PARTITIONED BY
+    cid (the inverted-list layout): a probe's candidate fetch must open
+    exactly one cid=<cell> dir — inputFiles-pinned — and the single-dir
+    read must equal filtering the full assignment table to that cell
+    (routing and layout agree)."""
+    import os
+
+    from twitter_flink_spark.operators.clustering import assign_clusters
+    from twitter_flink_spark.queries.similarity import (
+        _ensure_ivf_inc_index,
+    )
+    from twitter_flink_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    dest, split, (n0, n1, n2) = _ensure_ivf_inc_index(spark, sf)
+    assert n0 > 0 and n1 > 0 and n2 == 0
+
+    emb = load_table(spark, sf, "embeddings")
+    probe_id = int(emb.agg(F.max("vec_id")).first()[0])
+    cents = spark.read.parquet(os.path.join(dest, "_centroids"))
+    probe = emb.where(F.col("vec_id") == probe_id).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    pcid = int(assign_clusters(probe, cents).first()["cid"])
+
+    cell_dir = os.path.join(dest, "_assign", f"cid={pcid}")
+    cell = spark.read.parquet(cell_dir)
+    assert cell.inputFiles()  # the cell exists on disk
+    assert all(cell_dir in f for f in cell.inputFiles())  # ONE dir
+
+    full = spark.read.parquet(os.path.join(dest, "_assign"))
+    # the probe fetch reads a strict subset of the assignment table
+    assert len(cell.inputFiles()) < len(full.inputFiles())
+    # single-dir read == cell filter over the full table (routing pins
+    # the same cell the stored assignment has)
+    a = sorted(r["vec_id"] for r in cell.collect())
+    b = sorted(
+        r["vec_id"] for r in full.where(F.col("cid") == pcid).collect()
+    )
+    assert a == b
+    assert probe_id in a  # the probe's own stored row is in its cell

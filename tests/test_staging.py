@@ -1,0 +1,128 @@
+"""Cross-process write-once staging (`sources/staging.py`): the commit
+protocol shared by every fixed-path /tmp fixture builder."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from twitter_flink_spark.sources import staging
+
+
+def _tag(tmp_path, monkeypatch):
+    # point the staging root at the test's own tmp dir
+    monkeypatch.setattr(
+        staging.tempfile, "gettempdir", lambda: str(tmp_path)
+    )
+
+
+def test_stage_once_builds_then_replays_ledger(tmp_path, monkeypatch):
+    _tag(tmp_path, monkeypatch)
+    calls = []
+
+    def build(p):
+        calls.append(p)
+        with open(os.path.join(p, "data.txt"), "w") as f:
+            f.write("payload")
+        return {"n": 7}
+
+    d1, m1 = staging.stage_once("t", "/sf", build)
+    d2, m2 = staging.stage_once("t", "/sf", build)
+    assert d1 == d2 and m1 == m2 == {"n": 7}
+    assert len(calls) == 1  # second call replayed the marker
+    assert open(os.path.join(d1, "data.txt")).read() == "payload"
+
+
+def test_stage_once_finalize_runs_at_final_path(tmp_path, monkeypatch):
+    _tag(tmp_path, monkeypatch)
+    seen = {}
+
+    def build(p):
+        with open(os.path.join(p, "d"), "w") as f:
+            f.write("x")
+        return {"a": 1}
+
+    def finalize(dest):
+        seen["dest"] = dest
+        assert os.path.exists(os.path.join(dest, "d"))  # post-rename
+        return {"b": 2}
+
+    d, m = staging.stage_once("t2", "/sf", build, finalize)
+    assert seen["dest"] == d  # finalize saw the FINAL path
+    assert m == {"a": 1, "b": 2}
+    # ledger is committed: a reuser replays both phases' entries
+    _, m2 = staging.stage_once(
+        "t2", "/sf", lambda p: (_ for _ in ()).throw(AssertionError)
+    )
+    assert m2 == {"a": 1, "b": 2}
+
+
+def test_stage_once_losing_rename_reuses_winner(tmp_path, monkeypatch):
+    _tag(tmp_path, monkeypatch)
+
+    def winner_mid_build(p):
+        # simulate a concurrent winner committing while we build: the
+        # marker-bearing dest appears before our rename
+        dest = staging.fixture_path("t3", "/sf")
+        os.makedirs(dest)
+        with open(os.path.join(dest, staging.MARKER), "w") as f:
+            json.dump({"n": 99}, f)
+        with open(os.path.join(p, "mine"), "w") as f:
+            f.write("loser build")
+        return {"n": 1}
+
+    d, m = staging.stage_once("t3", "/sf", winner_mid_build)
+    assert m == {"n": 99}  # the winner's ledger, not ours
+    assert not os.path.exists(os.path.join(d, "mine"))  # ours discarded
+    # our scratch dir was cleaned up
+    assert not [
+        x for x in os.listdir(tmp_path) if ".build-" in x
+    ]
+
+
+def test_stage_once_replaces_stale_unmarked_dest(tmp_path, monkeypatch):
+    _tag(tmp_path, monkeypatch)
+    dest = staging.fixture_path("t4", "/sf")
+    os.makedirs(dest)
+    with open(os.path.join(dest, "legacy"), "w") as f:
+        f.write("crashed or pre-staging build")
+    old = 10**9  # epoch 2001: well past STALE_AFTER_S
+    os.utime(dest, (old, old))
+
+    d, m = staging.stage_once(
+        "t4",
+        "/sf",
+        lambda p: open(os.path.join(p, "fresh"), "w").close() or {"v": 1},
+    )
+    assert m == {"v": 1}
+    assert os.path.exists(os.path.join(d, "fresh"))
+    assert not os.path.exists(os.path.join(d, "legacy"))
+
+
+def test_stage_once_waits_for_young_unmarked_dest(tmp_path, monkeypatch):
+    """A YOUNG marker-less dest is another process mid-finalize: the
+    loser must wait for the marker, not delete the dir under it."""
+    _tag(tmp_path, monkeypatch)
+    monkeypatch.setattr(staging, "WAIT_MARKER_S", 3)
+    dest = staging.fixture_path("t5", "/sf")
+    os.makedirs(dest)  # young, no marker yet
+    with open(os.path.join(dest, "half"), "w") as f:
+        f.write("mid-finalize")
+
+    import threading
+    import time
+
+    def commit_late():
+        time.sleep(1.0)
+        staging._write_marker(
+            os.path.join(dest, staging.MARKER), {"late": True}
+        )
+
+    t = threading.Thread(target=commit_late)
+    t.start()
+    d, m = staging.stage_once(
+        "t5", "/sf", lambda p: open(os.path.join(p, "x"), "w").close()
+    )
+    t.join()
+    assert m == {"late": True}
+    assert os.path.exists(os.path.join(d, "half"))  # never deleted

@@ -1208,9 +1208,6 @@ def dedup_compression_summary(
 # Incremental LSH index (probe + extend, never recompute the corpus)
 
 
-_LSH_INDEX_FOR: dict[str, tuple] = {}
-
-
 def _ensure_lsh_index(
     spark: SparkSession, sf_dir: str
 ) -> tuple[str, int, tuple[int, int, int]]:
@@ -1218,38 +1215,42 @@ def _ensure_lsh_index(
     persisted LSH index (`lsh_index_build`), the new half arrives later
     and `lsh_index_update` bands ONLY it; a full-table re-update must
     then be a pure no-op (everything covered). Returns
-    (index_dir, split, (n_corpus, n_new, n_again))."""
-    import os
-    import shutil
-    import tempfile
-
+    (index_dir, split, (n_corpus, n_new, n_again)); the counts ride the
+    staged ledger so every process replays the builder's numbers. The
+    whole index builds in the scratch dir — it stores doc ids and
+    parameters, never file paths, so the commit rename relocates it
+    safely (cross-process write-once via `staging.stage_once`; a bare
+    rmtree+rewrite here could delete the index under a concurrent
+    sweep/bench reader)."""
     from twitter_flink_spark.operators.dedup import (
         lsh_index_build,
         lsh_index_update,
     )
+    from twitter_flink_spark.sources.staging import stage_once
 
-    dest = os.path.join(
-        tempfile.gettempdir(),
-        "tfs-lshidx-" + sf_dir.strip("/").replace("/", "-"),
-    )
     docs = load_table(spark, sf_dir, "documents")
     b = docs.agg(
         F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
     ).first()
     split = (int(b["mn"]) + int(b["mx"])) // 2
-    if _LSH_INDEX_FOR.get("sf") == sf_dir and os.path.isdir(dest):
-        return dest, split, _LSH_INDEX_FOR["counts"]
-    shutil.rmtree(dest, ignore_errors=True)
-    n_corpus = lsh_index_build(
-        spark, docs.where(F.col("doc_id") <= split), dest
+
+    def _build(p: str) -> dict:
+        return {
+            "n_corpus": lsh_index_build(
+                spark, docs.where(F.col("doc_id") <= split), p
+            ),
+            "n_new": lsh_index_update(
+                spark, docs.where(F.col("doc_id") > split), p
+            ),
+            "n_again": lsh_index_update(spark, docs, p),
+        }
+
+    dest, meta = stage_once("lshidx", sf_dir, _build)
+    return dest, split, (
+        int(meta["n_corpus"]),
+        int(meta["n_new"]),
+        int(meta["n_again"]),
     )
-    n_new = lsh_index_update(
-        spark, docs.where(F.col("doc_id") > split), dest
-    )
-    n_again = lsh_index_update(spark, docs, dest)
-    _LSH_INDEX_FOR["sf"] = sf_dir
-    _LSH_INDEX_FOR["counts"] = (n_corpus, n_new, n_again)
-    return dest, split, (n_corpus, n_new, n_again)
 
 
 @register(

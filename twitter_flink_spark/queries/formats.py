@@ -132,19 +132,15 @@ def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: sf_dir the binary payload corpus was last staged from (one-time fixture,
-#: like a pre-existing media corpus on shared storage — not per-query work).
-_BINFILES_FOR: dict[str, str] = {}
-
-
 def _ensure_payload_files(spark: SparkSession, sf_dir: str) -> str:
     """Stage every 20th document's UTF-8 bytes as `<doc_id>.bin` files —
     the on-disk shape of a raw media corpus. Written executor-side via
     foreachPartition (no driver collect); on a cluster the destination
-    would be shared storage (HDFS/S3) instead of local tmp."""
+    would be shared storage (HDFS/S3) instead of local tmp.
+    Cross-process write-once via `staging.stage_once`."""
     import os
-    import shutil
-    import tempfile
+
+    from twitter_flink_spark.sources.staging import stage_once
 
     spark_master = spark.sparkContext.master
     if not spark_master.startswith("local"):
@@ -157,27 +153,22 @@ def _ensure_payload_files(spark: SparkSession, sf_dir: str) -> str:
             f"local master (got {spark_master!r}); configure a shared "
             "staging root for cluster deployments"
         )
-    dest = os.path.join(
-        tempfile.gettempdir(),
-        "tfs-binfiles-" + sf_dir.strip("/").replace("/", "-"),
-    )
-    if _BINFILES_FOR.get("sf") == sf_dir and os.path.isdir(dest):
-        return dest
-    shutil.rmtree(dest, ignore_errors=True)
-    os.makedirs(dest, exist_ok=True)
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.col("doc_id") % 20 == 0)
-        .select("doc_id", "text")
-    )
 
-    def _write_part(rows):
-        for r in rows:
-            with open(os.path.join(dest, f"{r.doc_id}.bin"), "wb") as fh:
-                fh.write(r.text.encode("utf-8"))
+    def _build(p: str) -> None:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 20 == 0)
+            .select("doc_id", "text")
+        )
 
-    docs.foreachPartition(_write_part)
-    _BINFILES_FOR["sf"] = sf_dir
+        def _write_part(rows):
+            for r in rows:
+                with open(os.path.join(p, f"{r.doc_id}.bin"), "wb") as fh:
+                    fh.write(r.text.encode("utf-8"))
+
+        docs.foreachPartition(_write_part)
+
+    dest, _ = stage_once("binfiles", sf_dir, _build)
     return dest
 
 

@@ -181,32 +181,23 @@ def shuffle_hash_join_lineitem_parts(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 #: sf_dir the time-sorted events layout was last written from.
-_SORTED_LAYOUT_FOR: dict[str, str] = {}
-
-
 def _ensure_time_sorted_layout(spark: SparkSession, sf_dir: str) -> str:
     """Write events range-partitioned + sorted by ts — the time-series
     layout that makes parquet min/max row-group statistics actually prune:
     a random layout scatters every hour across every file, so a time
     predicate reads everything; range-partitioning clusters each time slice
-    into few files."""
-    import os
-    import tempfile
+    into few files. Cross-process write-once (`staging.stage_once`)."""
+    from twitter_flink_spark.sources.staging import stage_once
 
-    dest = os.path.join(
-        tempfile.gettempdir(),
-        "tfs-tsorted-" + sf_dir.strip("/").replace("/", "-"),
-    )
-    if _SORTED_LAYOUT_FOR.get("sf") == sf_dir and os.path.isdir(dest):
-        return dest
-    e = load_table(spark, sf_dir, "events")
-    (
-        e.repartitionByRange(8, "ts")
+    dest, _ = stage_once(
+        "tsorted",
+        sf_dir,
+        lambda p: load_table(spark, sf_dir, "events")
+        .repartitionByRange(8, "ts")
         .sortWithinPartitions("ts")
         .write.mode("overwrite")
-        .parquet(dest)
+        .parquet(p),
     )
-    _SORTED_LAYOUT_FOR["sf"] = sf_dir
     return dest
 
 
@@ -2035,49 +2026,50 @@ def filestats_pruned_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ERA_STATS_FOR: dict[str, str] = {}
-
-
 def _ensure_two_era_stats_layout(
     spark: SparkSession, sf_dir: str
-) -> tuple[str, bool]:
+) -> tuple[str, int]:
     """events split at t0+15d into two appends of 4 ts-clustered files
     each — era 1 indexed by `skipping.build`, era 2 arriving AFTER the
-    first manifest commit, the append a streaming sink produces. Returns
-    (dest, freshly_built) so the caller knows whether era 2 is still
-    unindexed (fresh) or a prior call's update already absorbed it."""
+    first manifest commit (the append a streaming sink produces), then
+    absorbed by the builder's own first `skipping.update`, whose count
+    rides the staged ledger. Returns (dest, n_new_first): every process
+    — builder or reuser — replays the same number, so the query's
+    invariants cannot depend on WHO built the layout (the cross-process
+    flake the bare freshly_built flag had). Manifest steps run in the
+    finalize phase: stats manifests store absolute file paths, so they
+    must be built at the final path, never in the scratch dir."""
     import datetime
-    import os
-    import shutil
-    import tempfile
 
     from twitter_flink_spark.operators import skipping
+    from twitter_flink_spark.sources.staging import stage_once
 
-    dest = os.path.join(
-        tempfile.gettempdir(),
-        "tfs-erastats-" + sf_dir.strip("/").replace("/", "-"),
-    )
-    if _ERA_STATS_FOR.get("sf") == sf_dir and os.path.isdir(dest):
-        return dest, False
-    shutil.rmtree(dest, ignore_errors=True)
     e = load_table(spark, sf_dir, "events")
     t0 = e.agg(F.min("ts")).first()[0]
     split = t0 + datetime.timedelta(days=15)
-    for era_pred, mode in [
-        (F.col("ts") < F.lit(split), "overwrite"),
-        (F.col("ts") >= F.lit(split), "append"),
-    ]:
+
+    def _build(p: str) -> None:
         (
-            e.where(era_pred)
+            e.where(F.col("ts") < F.lit(split))
             .repartitionByRange(4, "ts")
             .sortWithinPartitions("ts")
-            .write.mode(mode)
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+
+    def _finalize(dest: str) -> dict:
+        skipping.build(spark, dest, ["ts"])  # indexes era 1 only
+        (
+            e.where(F.col("ts") >= F.lit(split))
+            .repartitionByRange(4, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("append")
             .parquet(dest)
         )
-        if mode == "overwrite":
-            skipping.build(spark, dest, ["ts"])
-    _ERA_STATS_FOR["sf"] = sf_dir
-    return dest, True
+        return {"n_new_first": skipping.update(spark, dest, ["ts"])}
+
+    dest, meta = stage_once("erastats", sf_dir, _build, _finalize)
+    return dest, int(meta["n_new_first"])
 
 
 @register(
@@ -2115,7 +2107,7 @@ def filestats_incremental_update(
 
     from twitter_flink_spark.operators import skipping
 
-    dest, fresh = _ensure_two_era_stats_layout(spark, sf_dir)
+    dest, n_new_first = _ensure_two_era_stats_layout(spark, sf_dir)
     n_new = skipping.update(spark, dest, ["ts"])
     n_again = skipping.update(spark, dest, ["ts"])
     t0 = spark.read.parquet(dest).agg(F.min("ts")).first()[0]  # 1-row
@@ -2124,9 +2116,11 @@ def filestats_incremental_update(
     sliced, files_read, files_total = skipping.read_between(
         spark, dest, "ts", lo, hi
     )
-    # fresh layout: the first update MUST index era 2 (>0 files); cached
-    # layout: a prior call absorbed it, so both updates must no-op
-    incremental_ok = (n_new > 0 if fresh else n_new == 0) and n_again == 0
+    # the builder's recorded first update indexed era 2 (>0 files); by
+    # now the ledger guarantees it is absorbed, so BOTH of this call's
+    # updates must be pure no-ops — identical invariants in every
+    # process, builder or reuser
+    incremental_ok = n_new_first > 0 and n_new == 0 and n_again == 0
     return sliced.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("value"), 2).alias("total_value"),
@@ -2137,23 +2131,16 @@ def filestats_incremental_update(
     )
 
 
-_CELL_LAYOUT_FOR: dict[str, str] = {}
-
-
 def _ensure_cell_clustered_layout(spark: SparkSession, sf_dir: str) -> str:
     """events clustered into 16 files by (user-quartile, time-quartile)
     cells — the space-filling-curve layout family (OPTIMIZE ZORDER's
     point): each file's (user_id, ts) envelopes are tight in BOTH
-    dimensions, so a 2-D predicate can prune on the conjunction."""
-    import os
-    import tempfile
+    dimensions, so a 2-D predicate can prune on the conjunction.
+    Cross-process write-once; the stats manifest is NOT part of the
+    staged layout (the consuming query rebuilds it per run at the final
+    path, where its stored file paths are valid)."""
+    from twitter_flink_spark.sources.staging import stage_once
 
-    dest = os.path.join(
-        tempfile.gettempdir(),
-        "tfs-cellstats-" + sf_dir.strip("/").replace("/", "-"),
-    )
-    if _CELL_LAYOUT_FOR.get("sf") == sf_dir and os.path.isdir(dest):
-        return dest
     e = load_table(spark, sf_dir, "events")
     b = e.agg(
         F.min("user_id").alias("u0"),
@@ -2190,14 +2177,15 @@ def _ensure_cell_clustered_layout(spark: SparkSession, sf_dir: str) -> str:
             ),
         )
     )
-    (
-        cells.repartitionByRange(16, "qx", "qy")
+    dest, _ = stage_once(
+        "cellstats",
+        sf_dir,
+        lambda p: cells.repartitionByRange(16, "qx", "qy")
         .sortWithinPartitions("qx", "qy")
         .drop("qx", "qy", "u0", "u1", "t0", "t1")
         .write.mode("overwrite")
-        .parquet(dest)
+        .parquet(p),
     )
-    _CELL_LAYOUT_FOR["sf"] = sf_dir
     return dest
 
 
@@ -2264,29 +2252,25 @@ def zorder_filestats_2d_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BLOOM_LAYOUT_FOR: dict[str, str] = {}
-
-
 def _ensure_bloom_indexed_orders(spark: SparkSession, sf_dir: str) -> str:
     """orders scattered RANDOMLY into 16 files (no key clustering — the
     layout where min/max envelopes are useless for a key lookup) with a
-    per-file Bloom manifest on o_orderkey."""
-    import os
-    import tempfile
-
+    per-file Bloom manifest on o_orderkey. Cross-process write-once; the
+    Bloom build runs in the finalize phase (its manifest stores absolute
+    file paths, so it must see the final path)."""
     from twitter_flink_spark.operators import skipping
+    from twitter_flink_spark.sources.staging import stage_once
 
-    dest = os.path.join(
-        tempfile.gettempdir(),
-        "tfs-bloomidx-" + sf_dir.strip("/").replace("/", "-"),
+    dest, _ = stage_once(
+        "bloomidx",
+        sf_dir,
+        lambda p: load_table(spark, sf_dir, "orders")
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(p),
+        finalize=lambda d: skipping.build_bloom(spark, d, "o_orderkey")
+        and None,
     )
-    if _BLOOM_LAYOUT_FOR.get("sf") == sf_dir and os.path.isdir(dest):
-        return dest
-    load_table(spark, sf_dir, "orders").repartition(16).write.mode(
-        "overwrite"
-    ).parquet(dest)
-    skipping.build_bloom(spark, dest, "o_orderkey")
-    _BLOOM_LAYOUT_FOR["sf"] = sf_dir
     return dest
 
 
@@ -2333,9 +2317,6 @@ def filebloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_VACUUM_LAYOUT_FOR: dict[str, tuple] = {}
-
-
 def _ensure_compacted_vacuumed_layout(
     spark: SparkSession, sf_dir: str
 ) -> tuple[str, int, int]:
@@ -2346,52 +2327,55 @@ def _ensure_compacted_vacuumed_layout(
     untouched — now referencing only dead paths); `skipping.update`
     indexes the 2 new files (old entries untouched), `skipping.vacuum_
     manifest` reconciles the 8 dead ones away. Returns (dest, n_new,
-    n_dead) from the FIRST run; cached calls replay the recorded counts
-    — the mutation already happened, idempotently."""
+    n_dead): the builder's counts ride the staged ledger, so cached AND
+    cross-process reuses replay identical numbers. The whole mutation
+    sequence runs in the finalize phase (manifests store absolute file
+    paths; the compaction swap must target the final path)."""
     import os
     import shutil
-    import tempfile
 
     from twitter_flink_spark.operators import skipping
+    from twitter_flink_spark.sources.staging import stage_once
 
-    dest = os.path.join(
-        tempfile.gettempdir(),
-        "tfs-vacstats-" + sf_dir.strip("/").replace("/", "-"),
-    )
-    if _VACUUM_LAYOUT_FOR.get("sf") == sf_dir and os.path.isdir(dest):
-        return dest, *_VACUUM_LAYOUT_FOR["counts"]
-    shutil.rmtree(dest, ignore_errors=True)
-    e = load_table(spark, sf_dir, "events")
-    (
-        e.repartitionByRange(8, "ts")
-        .sortWithinPartitions("ts")
-        .write.mode("overwrite")
-        .parquet(dest)
-    )
-    skipping.build(spark, dest, ["ts"])
-    # compactor: rewrite 8 -> 2 files, atomic dir swap, manifest carried
-    tmp, gc = dest + ".compact", dest + ".gc"
-    shutil.rmtree(tmp, ignore_errors=True)
-    (
-        spark.read.parquet(dest)
-        .repartitionByRange(2, "ts")
-        .sortWithinPartitions("ts")
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
-    shutil.rmtree(gc, ignore_errors=True)
-    os.rename(dest, gc)
-    os.rename(tmp, dest)
-    shutil.move(
-        os.path.join(gc, skipping.STATS_DIR),
-        os.path.join(dest, skipping.STATS_DIR),
-    )
-    shutil.rmtree(gc, ignore_errors=True)
-    n_new = skipping.update(spark, dest, ["ts"])
-    n_dead = skipping.vacuum_manifest(spark, dest)
-    _VACUUM_LAYOUT_FOR["sf"] = sf_dir
-    _VACUUM_LAYOUT_FOR["counts"] = (n_new, n_dead)
-    return dest, n_new, n_dead
+    def _build(p: str) -> None:
+        (
+            load_table(spark, sf_dir, "events")
+            .repartitionByRange(8, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+
+    def _finalize(dest: str) -> dict:
+        skipping.build(spark, dest, ["ts"])
+        # compactor: rewrite 8 -> 2 files, atomic dir swap, manifest
+        # carried across (now referencing only dead paths)
+        tmp, gc = dest + ".compact", dest + ".compact-gc"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            spark.read.parquet(dest)
+            .repartitionByRange(2, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        shutil.rmtree(gc, ignore_errors=True)
+        os.rename(dest, gc)
+        os.rename(tmp, dest)
+        # the staging marker does not exist yet (stage_once writes it
+        # after finalize returns, into the post-swap dest)
+        shutil.move(
+            os.path.join(gc, skipping.STATS_DIR),
+            os.path.join(dest, skipping.STATS_DIR),
+        )
+        shutil.rmtree(gc, ignore_errors=True)
+        return {
+            "n_new": skipping.update(spark, dest, ["ts"]),
+            "n_dead": skipping.vacuum_manifest(spark, dest),
+        }
+
+    dest, meta = stage_once("vacstats", sf_dir, _build, _finalize)
+    return dest, int(meta["n_new"]), int(meta["n_dead"])
 
 
 @register(
@@ -3087,29 +3071,26 @@ def filebloom_vacuum_after_compact(
     )
 
 
-_BLOOM2_LAYOUT_FOR: dict[str, str] = {}
-
-
 def _ensure_bloom2_layout(spark: SparkSession, sf_dir: str) -> str:
     """orders scattered into 16 files (every file's key range spans the
-    domain — envelopes useless) under the SHARDED Bloom index."""
-    import os
-    import tempfile
-
+    domain — envelopes useless) under the SHARDED Bloom index.
+    Cross-process write-once; the index build runs in the finalize
+    phase (its manifest stores absolute file paths)."""
     from twitter_flink_spark.operators import skipping
+    from twitter_flink_spark.sources.staging import stage_once
 
-    dest = os.path.join(
-        tempfile.gettempdir(),
-        "tfs-bloom2-" + sf_dir.strip("/").replace("/", "-"),
+    dest, _ = stage_once(
+        "bloom2",
+        sf_dir,
+        lambda p: load_table(spark, sf_dir, "orders")
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(p),
+        finalize=lambda d: skipping.build_bloom_two_level(
+            spark, d, "o_orderkey", n_shards=8
+        )
+        and None,
     )
-    if _BLOOM2_LAYOUT_FOR.get("sf") == sf_dir and os.path.isdir(dest):
-        return dest
-    o = load_table(spark, sf_dir, "orders")
-    o.repartition(16).write.mode("overwrite").parquet(dest)
-    skipping.build_bloom_two_level(
-        spark, dest, "o_orderkey", n_shards=8
-    )
-    _BLOOM2_LAYOUT_FOR["sf"] = sf_dir
     return dest
 
 

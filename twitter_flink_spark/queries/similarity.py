@@ -2357,9 +2357,6 @@ LIMIT {topk}
     )
 
 
-_IVF_INC_FOR: dict[str, tuple] = {}
-
-
 def _ensure_ivf_inc_index(
     spark: SparkSession, sf_dir: str
 ) -> tuple[str, int, tuple[int, int, int]]:
@@ -2367,80 +2364,77 @@ def _ensure_ivf_inc_index(
     (vec_id <= split) pays the Lloyd fit ONCE and its centroids +
     assignments commit to disk; the new half arrives later and is
     assigned to the EXISTING centroids (broadcast argmin, O(new)) with
-    the assignments appended via staged per-file renames — the
-    production cadence (refit weekly, assign streaming). Returns
-    (index_dir, split, (n_corpus, n_new, n_again))."""
+    the assignments appended — the production cadence (refit weekly,
+    assign streaming). The assignment table is PARTITIONED BY cid — the
+    IVF inverted-list layout: a probe routes to its cell by a broadcast
+    argmin on the probe vector alone and the candidate fetch opens
+    exactly ONE cid=<cell> dir, never a scan of all assignments (at
+    100 TB the assignment table is corpus-sized; cell dirs are
+    corpus/k). Returns (index_dir, split, (n_corpus, n_new, n_again));
+    counts ride the staged ledger (cross-process write-once via
+    `staging.stage_once` — the index stores ids and centroids, never
+    file paths, so the commit rename relocates it safely)."""
     import os
-    import shutil
-    import tempfile
-    import uuid
 
     from twitter_flink_spark.operators.clustering import (
         assign_clusters,
         kmeans_fit,
     )
+    from twitter_flink_spark.sources.staging import stage_once
     from twitter_flink_spark.sources.tables import spread
 
-    dest = os.path.join(
-        tempfile.gettempdir(),
-        "tfs-ivfinc-" + sf_dir.strip("/").replace("/", "-"),
-    )
     emb = load_table(spark, sf_dir, "embeddings")
     b = emb.agg(
         F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")
     ).first()
     split = (int(b["mn"]) + int(b["mx"])) // 2
-    if _IVF_INC_FOR.get("sf") == sf_dir and os.path.isdir(dest):
-        return dest, split, _IVF_INC_FOR["counts"]
-    shutil.rmtree(dest, ignore_errors=True)
-    os.makedirs(dest)
-    corpus = spread(emb, "vec_id").where(F.col("vec_id") <= split)
-    vecs = corpus.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    cents = kmeans_fit(corpus, k=_KM_K, iters=_KM_ITERS).select(
-        "cid", "cent"
-    )
-    cents.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(dest, "_centroids")
-    )
-    disk_cents = spark.read.parquet(os.path.join(dest, "_centroids"))
-    assign_clusters(vecs, disk_cents).write.mode("overwrite").parquet(
-        os.path.join(dest, "_assign")
-    )
-    n_corpus = spark.read.parquet(os.path.join(dest, "_assign")).count()
 
-    def _update(new_vecs) -> int:
-        assign_dir = os.path.join(dest, "_assign")
-        known = spark.read.parquet(assign_dir).select("vec_id")
-        todo = new_vecs.join(known, "vec_id", "left_anti")
-        n = todo.count()
-        if not n:
-            return 0
-        fresh = assign_clusters(
-            todo, spark.read.parquet(os.path.join(dest, "_centroids"))
+    def _build(p: str) -> dict:
+        corpus = spread(emb, "vec_id").where(F.col("vec_id") <= split)
+        vecs = corpus.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
-        stage = assign_dir + f".stage-{os.getpid()}"
-        shutil.rmtree(stage, ignore_errors=True)
-        fresh.write.mode("overwrite").parquet(stage)
-        tag = uuid.uuid4().hex[:8]
-        for f in os.listdir(stage):
-            if f.endswith(".parquet"):
-                os.rename(
-                    os.path.join(stage, f),
-                    os.path.join(assign_dir, f"inc-{tag}-{f}"),
-                )
-        shutil.rmtree(stage, ignore_errors=True)
-        return n
+        cents = kmeans_fit(corpus, k=_KM_K, iters=_KM_ITERS).select(
+            "cid", "cent"
+        )
+        cents.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(p, "_centroids")
+        )
+        disk_cents = spark.read.parquet(os.path.join(p, "_centroids"))
+        assign_dir = os.path.join(p, "_assign")
+        assign_clusters(vecs, disk_cents).write.mode(
+            "overwrite"
+        ).partitionBy("cid").parquet(assign_dir)
+        n_corpus = spark.read.parquet(assign_dir).count()
 
-    all_vecs = spread(emb, "vec_id").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        def _update(new_vecs) -> int:
+            known = spark.read.parquet(assign_dir).select("vec_id")
+            todo = new_vecs.join(known, "vec_id", "left_anti")
+            n = todo.count()
+            if not n:
+                return 0
+            fresh = assign_clusters(todo, disk_cents)
+            # partitioned append: only the touched cell dirs grow
+            fresh.write.mode("append").partitionBy("cid").parquet(
+                assign_dir
+            )
+            return n
+
+        all_vecs = spread(emb, "vec_id").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        return {
+            "n_corpus": n_corpus,
+            "n_new": _update(all_vecs.where(F.col("vec_id") > split)),
+            "n_again": _update(all_vecs),
+        }
+
+    dest, meta = stage_once("ivfinc", sf_dir, _build)
+    return dest, split, (
+        int(meta["n_corpus"]),
+        int(meta["n_new"]),
+        int(meta["n_again"]),
     )
-    n_new = _update(all_vecs.where(F.col("vec_id") > split))
-    n_again = _update(all_vecs)
-    _IVF_INC_FOR["sf"] = sf_dir
-    _IVF_INC_FOR["counts"] = (n_corpus, n_new, n_again)
-    return dest, split, (n_corpus, n_new, n_again)
 
 
 @register("ivf_index_incremental", oracle=_ivf_inc_oracle())
@@ -2459,22 +2453,33 @@ def ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cid tie-break make this exact). `incrementally_assigned` pins the
     ledger: corpus assignments committed, update assigned >0 new
     vectors, full-table re-update a pure no-op. At 100 TB this is the
-    vector-store maintenance cadence: refit weekly, assign streaming."""
+    vector-store maintenance cadence: refit weekly, assign streaming.
+    Serving is single-cell by LAYOUT: the assignment table is
+    partitioned by cid (the IVF inverted list), the probe's cell comes
+    from a broadcast argmin on the probe vector alone — no lookup scan
+    of the assignment table at all — and the candidate fetch reads
+    exactly ONE cid=<cell> directory (inputFiles-pinned in
+    tests/test_similarity.py)."""
     dest, split, (n0, n1, n2) = _ensure_ivf_inc_index(spark, sf_dir)
     import os
 
+    from twitter_flink_spark.operators.clustering import assign_clusters
+
     ok = n0 > 0 and n1 > 0 and n2 == 0
-    assign = spark.read.parquet(os.path.join(dest, "_assign"))
     emb = load_table(spark, sf_dir, "embeddings")
     probe_id = int(emb.agg(F.max("vec_id")).first()[0])
-    pcell = assign.where(F.col("vec_id") == probe_id).select(
-        F.col("cid").alias("pcid")
+    cents = spark.read.parquet(os.path.join(dest, "_centroids"))
+    probe = emb.where(F.col("vec_id") == probe_id).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    probe_vec = emb.where(F.col("vec_id") == probe_id).select(
-        F.col("embedding").cast("array<double>").alias("pe")
-    )
+    # route: k-row broadcast argmin on the ONE probe row — the same
+    # expression as the stored assignment, so the cell always agrees
+    pcid = int(assign_clusters(probe, cents).first()["cid"])
+    probe_vec = probe.select(F.col("e").alias("pe"))
     cands = (
-        assign.join(F.broadcast(pcell), assign.cid == F.col("pcid"))
+        spark.read.parquet(
+            os.path.join(dest, "_assign", f"cid={pcid}")
+        )  # ONE inverted-list dir, corpus/k bytes
         .where(F.col("vec_id") != probe_id)
         .select("vec_id")
         .join(emb, "vec_id")
