@@ -61,6 +61,81 @@ def _touched_module_files() -> set[str]:
         return set()
 
 
+def _affected_modules(touched_files: set[str]) -> set[str]:
+    """Close the touched set over the package's import graph: a query
+    defined in queries/X.py whose behavior lives in operators/Y.py must
+    sort as touched when Y changes (most rounds change operators/*, not
+    the defining query module — the rotation's blind spot otherwise).
+    Static regex scan of `from twitter_flink_spark.a.b import` /
+    `import twitter_flink_spark.a.b` per module, then a reverse-reachability
+    pass: a module is affected if it IS touched or (transitively)
+    imports a touched module. Cheap (one pass over ~30 files), no code
+    execution."""
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    pkg_root = os.path.join(here, "twitter_flink_spark")
+    # `from pkg.sub import a, b` can import MODULES as names (the
+    # dominant idiom here: `from twitter_flink_spark.operators import
+    # skipping`), so capture both the base and the imported names
+    pat_from = re.compile(
+        r"^\s*from\s+(twitter_flink_spark(?:\.\w+)*)\s+import\s+"
+        r"\(?\s*([\w][\w,\s]*)",
+        re.M,
+    )
+    pat_import = re.compile(
+        r"^\s*import\s+(twitter_flink_spark(?:\.\w+)*)", re.M
+    )
+    imports: dict[str, set[str]] = {}
+    for root, _dirs, files in os.walk(pkg_root):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(root, f)
+            rel = os.path.relpath(path, here)
+            try:
+                with open(path) as fh:
+                    src = fh.read()
+            except OSError:
+                continue
+            deps = set()
+
+            def _add(mod: str) -> bool:
+                for cand in (mod + ".py", mod + "/__init__.py"):
+                    if os.path.exists(os.path.join(here, cand)):
+                        deps.add(cand)
+                        return True
+                return False
+
+            for m in pat_import.finditer(src):
+                _add(m.group(1).replace(".", "/"))
+            for m in pat_from.finditer(src):
+                base = m.group(1).replace(".", "/")
+                _add(base)
+                for name in re.split(r"[,\s]+", m.group(2)):
+                    if name:  # symbol names resolve to no file: skipped
+                        _add(f"{base}/{name}")
+            # drop hub nodes (registration/aggregation only): the
+            # registry and package __init__s import or are imported by
+            # EVERYTHING, so traversing them marks the whole registry as
+            # touched and the priority signal dilutes to nothing
+            imports[rel] = {
+                d
+                for d in deps
+                if not d.endswith("__init__.py")
+                and d != "twitter_flink_spark/registry.py"
+            }
+    affected = set(touched_files)
+    changed = True
+    while changed:  # transitive closure, reversed (importers of touched)
+        changed = False
+        for rel, deps in imports.items():
+            if rel not in affected and deps & affected:
+                affected.add(rel)
+                changed = True
+    return affected
+
+
 def _verification_order(names: list[str]) -> list[str]:
     """Order queries so the driver's per-round correctness budget (r01 checked
     exactly the first 50 of 75) maximizes the VALUE of its 50 rows: queries
@@ -90,10 +165,11 @@ def _verification_order(names: list[str]) -> list[str]:
             ):
                 last_green[name] = path
     touched_files = _touched_module_files()
+    affected = _affected_modules(touched_files)
     touched = {
         n
         for n in names
-        if QUERIES[n].__module__.replace(".", "/") + ".py" in touched_files
+        if QUERIES[n].__module__.replace(".", "/") + ".py" in affected
     }
     return sorted(
         names,
