@@ -287,3 +287,84 @@ def test_ivf_inc_index_probe_reads_one_cell_dir(spark):
     )
     assert a == b
     assert probe_id in a  # the probe's own stored row is in its cell
+
+
+def test_ivf_refit_on_drift_fires_heals_and_noops(spark, tmp_path):
+    """`ivf_refit_on_drift`: below threshold it is a PURE no-op (index
+    untouched on disk); drifted data fires a full refit whose post state
+    self-reports ratio 1; a crash-torn cutover (new assignments, old
+    centroids) measures as inflated drift and the next run repairs it."""
+    import os
+    import shutil
+
+    from twitter_flink_spark.operators.clustering import (
+        assign_clusters,
+        assigned_mean_dist,
+        ivf_meta_df,
+        ivf_refit_on_drift,
+        kmeans_fit,
+    )
+
+    def vecs(lo, hi, shift=0.0):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *(
+                    (F.col("id") % m).cast("double") + F.lit(shift)
+                    for m in (3, 5, 7, 11)
+                )
+            ).alias("embedding"),
+        )
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx)
+    corpus = vecs(0, 60)
+    cents = kmeans_fit(corpus, k=4, iters=2).select("cid", "cent")
+    cents.coalesce(1).write.parquet(os.path.join(idx, "_centroids"))
+    disk = spark.read.parquet(os.path.join(idx, "_centroids"))
+    v = corpus.select("vec_id", F.col("embedding").alias("e"))
+    assign_clusters(v, disk).write.partitionBy("cid").parquet(
+        os.path.join(idx, "_assign")
+    )
+    base = assigned_mean_dist(
+        v, disk, spark.read.parquet(os.path.join(idx, "_assign"))
+    )
+    ivf_meta_df(spark, base, 4, 2).coalesce(1).write.parquet(
+        os.path.join(idx, "_meta")
+    )
+
+    # 1. healthy index: pure no-op, nothing rewritten
+    files_before = sorted(
+        spark.read.parquet(os.path.join(idx, "_assign")).inputFiles()
+    )
+    r = ivf_refit_on_drift(spark, idx, corpus, threshold=1.5)
+    assert r["fired"] is False and abs(r["ratio"] - 1.0) < 1e-9
+    assert (
+        sorted(spark.read.parquet(os.path.join(idx, "_assign")).inputFiles())
+        == files_before
+    )
+
+    # 2. drift: shifted arrivals against frozen centroids -> refit fires
+    newv = vecs(60, 100, shift=25.0).select(
+        "vec_id", F.col("embedding").alias("e")
+    )
+    assign_clusters(newv, disk).write.mode("append").partitionBy(
+        "cid"
+    ).parquet(os.path.join(idx, "_assign"))
+    allv = vecs(0, 60).union(vecs(60, 100, shift=25.0))
+    r2 = ivf_refit_on_drift(spark, idx, allv, threshold=1.5)
+    assert r2["fired"] is True and r2["ratio"] > 1.5
+    r3 = ivf_refit_on_drift(spark, idx, allv, threshold=1.5)
+    assert r3["fired"] is False and abs(r3["ratio"] - 1.0) < 1e-9
+
+    # 3. torn cutover: old centroids resurface under the new assignments
+    good = os.path.join(idx, "_centroids")
+    shutil.rmtree(good + ".save", ignore_errors=True)
+    shutil.copytree(good, good + ".save")
+    shutil.rmtree(good)
+    # rebuild STALE centroids (the pre-refit fit) in place
+    cents.coalesce(1).write.parquet(good)
+    r4 = ivf_refit_on_drift(spark, idx, allv, threshold=1.5)
+    assert r4["fired"] is True  # mixed generation reads as drift
+    r5 = ivf_refit_on_drift(spark, idx, allv, threshold=1.5)
+    assert r5["fired"] is False and abs(r5["ratio"] - 1.0) < 1e-9

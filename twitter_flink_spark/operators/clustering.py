@@ -164,3 +164,132 @@ def kmeans_fit(
         cents, cent_ids = new_cents, new_ids
     _unpersist_ids(sc, v_ids)
     return cents
+
+
+# -- drift-triggered refit (the incremental IVF index's weekly fit) ---------
+
+
+def ivf_meta_df(
+    spark, fit_mean_dist: float, k: int, iters: int
+) -> DataFrame:
+    """One-row `_meta` manifest for a persisted IVF index: the fit-time
+    mean assignment distance (the drift baseline) plus the fit
+    parameters, riding the index like the Bloom manifest's m/k so a
+    refit can never re-fit with skewed settings."""
+    return spark.createDataFrame(
+        [(float(fit_mean_dist), int(k), int(iters))],
+        "fit_mean_dist double, k int, iters int",
+    )
+
+
+def assigned_mean_dist(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> float:
+    """Mean squared-L2 distance of each vector to the centroid of its
+    STORED assignment — the serving-quality number a drift monitor
+    watches (measuring against the stored cid, not a fresh argmin, means
+    a stale assignment table reads as drift and triggers repair).
+    Distances are rounded to a fixed grain and summed in DECIMAL, so the
+    mean is bit-stable across engines and partition orders."""
+    d = (
+        vectors.select(id_col, vec_col)
+        .join(assigned.select(id_col, "cid"), id_col)
+        .join(F.broadcast(centroids.select("cid", "cent")), "cid")
+        .select(
+            (
+                dot(F.col(vec_col), F.col(vec_col))
+                - 2 * dot(F.col(vec_col), F.col("cent"))
+                + dot(F.col("cent"), F.col("cent"))
+            ).alias("dist")
+        )
+    )
+    row = d.agg(
+        F.sum(F.round("dist", 6).cast("decimal(38,6)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    if not row["n"]:
+        return 0.0
+    return float(row["s"]) / int(row["n"])
+
+
+def ivf_refit_on_drift(
+    spark,
+    index_dir: str,
+    vectors: DataFrame,
+    threshold: float = 4.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Close the loop the drift monitor opens: measure the index's
+    serving quality (mean distance of every indexed vector to its
+    STORED centroid, `assigned_mean_dist`) against the fit-time baseline
+    in `_meta`; if the ratio exceeds ``threshold``, refit the centroids
+    on ``vectors`` (the same deterministic Lloyd as the original build),
+    reassign everything, and atomically cut the index over — new
+    `_assign` (partitioned by cid), new `_centroids`, new `_meta`
+    baseline, each committed by the tmp-write + rename-swap protocol.
+    Below the threshold the call is a PURE no-op (no write, no swap).
+
+    The production cadence this encodes: assignments stream in against
+    frozen centroids (`O(new)` appends); this job runs on the weekly
+    timer and only pays the full refit when the data actually moved.
+
+    Crash posture: swaps run assign -> centroids -> meta. Any mixed
+    generation a crash leaves behind measures as INFLATED drift on the
+    next call (distances are taken against the stored cid through the
+    current centroids), so the refit simply refires — deterministic
+    Lloyd makes the redo idempotent — and the final meta swap restores
+    ratio ~1. Returns {fired, ratio, measured, baseline}."""
+    import os
+
+    from twitter_flink_spark.operators.skipping import _swap_dirs
+
+    meta = spark.read.parquet(os.path.join(index_dir, "_meta")).first()
+    k, iters = int(meta["k"]), int(meta["iters"])
+    baseline = float(meta["fit_mean_dist"])
+    cents = spark.read.parquet(os.path.join(index_dir, "_centroids"))
+    assigned = spark.read.parquet(os.path.join(index_dir, "_assign"))
+    v = vectors.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("e")
+    )
+    measured = assigned_mean_dist(v, cents, assigned, id_col=id_col)
+    ratio = (measured / baseline) if baseline > 0 else (
+        float("inf") if measured > 0 else 1.0
+    )
+    out = {"ratio": ratio, "measured": measured, "baseline": baseline}
+    if ratio <= threshold:
+        return {"fired": False, **out}
+
+    cents_dir = os.path.join(index_dir, "_centroids")
+    assign_dir = os.path.join(index_dir, "_assign")
+    meta_dir = os.path.join(index_dir, "_meta")
+    tmp_c, tmp_a, tmp_m = (
+        cents_dir + ".refit",
+        assign_dir + ".refit",
+        meta_dir + ".refit",
+    )
+    new_cents = kmeans_fit(
+        vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    ).select("cid", "cent")
+    import shutil
+
+    for t in (tmp_c, tmp_a, tmp_m):
+        shutil.rmtree(t, ignore_errors=True)
+    new_cents.coalesce(1).write.mode("overwrite").parquet(tmp_c)
+    disk_cents = spark.read.parquet(tmp_c)  # freeze doubles on disk
+    new_assign = assign_clusters(v, disk_cents, id_col=id_col)
+    new_assign.write.mode("overwrite").partitionBy("cid").parquet(tmp_a)
+    new_baseline = assigned_mean_dist(
+        v, disk_cents, spark.read.parquet(tmp_a), id_col=id_col
+    )
+    ivf_meta_df(spark, new_baseline, k, iters).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp_m)
+    _swap_dirs(tmp_a, assign_dir)
+    _swap_dirs(tmp_c, cents_dir)
+    _swap_dirs(tmp_m, meta_dir)
+    return {"fired": True, **out, "baseline_after": new_baseline}

@@ -2268,19 +2268,45 @@ def ann_rbo_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Incremental IVF index: persisted centroids + assignments, refit-free growth
 
 
-def _ivf_inc_oracle(k: int = _KM_K, iters: int = _KM_ITERS, topk: int = 5) -> str:
+def _ivf_inc_oracle(
+    k: int = _KM_K,
+    iters: int = _KM_ITERS,
+    topk: int = 5,
+    shift_new: float | None = None,
+    fit_full: bool = False,
+    flags_sql: str = "TRUE AS incrementally_assigned",
+) -> str:
     """Corpus-half Lloyd fit (same unrolled rounds as `_kmeans_ctes`, with
     the fit restricted to vec_id <= split), then assignment of EVERY
     vector to the fitted centroids, then the exact cosine top-k within
     the max-vec_id probe's cell — the full-rebuild twin of the
-    incremental index."""
+    incremental index. ``shift_new`` adds a constant to every dimension
+    of the NEW era's vectors (the deterministic drift injector the refit
+    query uses); ``fit_full`` fits the Lloyd rounds on ALL vectors (the
+    post-refit state) instead of the corpus half."""
+    v_cte = (
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"
+        if shift_new is None
+        else f"""v AS (
+  SELECT vec_id,
+         CASE WHEN vec_id <= sp.s THEN embedding::DOUBLE[]
+              ELSE list_transform(embedding::DOUBLE[],
+                                  x -> x + {shift_new}) END AS e
+  FROM embeddings, sp
+)"""
+    )
+    vc_cte = (
+        "vc AS (SELECT * FROM v)"
+        if fit_full
+        else "vc AS (SELECT v.* FROM v, sp WHERE v.vec_id <= sp.s)"
+    )
     parts = [
         f"""sp AS (
   SELECT CAST(floor((min(vec_id) + max(vec_id)) / 2.0) AS BIGINT) AS s
   FROM embeddings
 ),
-v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-vc AS (SELECT v.* FROM v, sp WHERE v.vec_id <= sp.s),
+{v_cte},
+{vc_cte},
 c0 AS (SELECT vec_id AS cid, e AS cent FROM vc WHERE vec_id < {k})"""
     ]
     for r in range(1, iters + 1):
@@ -2349,7 +2375,7 @@ scored AS (
         "WITH "
         + ",\n".join(parts)
         + f"""
-SELECT vec_id, cosine, TRUE AS incrementally_assigned
+SELECT vec_id, cosine, {flags_sql}
 FROM scored
 ORDER BY cosine DESC, vec_id
 LIMIT {topk}
@@ -2578,5 +2604,173 @@ def ivf_assignment_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vectors"),
             F.sum("dist6").cast("double").alias("total_dist"),
+        )
+    )
+
+
+# -- drift-triggered refit: the weekly job that closes the monitor loop ----
+
+_REFIT_SHIFT = 4.0  #: per-dimension drift injected into the new era
+_REFIT_THRESHOLD = 4.0  #: refit when measured/baseline exceeds this
+
+
+def _refit_vectors(emb, split: int):
+    """(vec_id, embedding array<double>) with the NEW era deterministically
+    drifted: +_REFIT_SHIFT on every dimension — double addition, the exact
+    twin of the oracle's list_transform(e, x -> x + shift)."""
+    e = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") <= F.lit(split), e)
+        .otherwise(F.transform(e, lambda x: x + F.lit(_REFIT_SHIFT)))
+        .alias("embedding"),
+    )
+
+
+def _ensure_ivf_refit_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, int, dict]:
+    """The refit lifecycle fixture: corpus-half fit with a `_meta`
+    baseline, DRIFTED new era streamed in against the frozen centroids
+    (`O(new)` appends), then the weekly `ivf_refit_on_drift` job run
+    twice — the first fires (measured drift far above threshold,
+    full-data refit atomically cut over), the second is a pure no-op
+    (post-refit ratio is exactly 1). The two outcomes ride the staged
+    ledger so every process replays the builder's lifecycle."""
+    import os
+
+    from twitter_flink_spark.operators.clustering import (
+        assign_clusters,
+        assigned_mean_dist,
+        ivf_meta_df,
+        ivf_refit_on_drift,
+        kmeans_fit,
+    )
+    from twitter_flink_spark.sources.staging import stage_once
+    from twitter_flink_spark.sources.tables import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.agg(
+        F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")
+    ).first()
+    split = (int(b["mn"]) + int(b["mx"])) // 2
+
+    def _build(p: str) -> dict:
+        allv = _refit_vectors(spread(emb, "vec_id"), split)
+        corpus = allv.where(F.col("vec_id") <= split)
+        cents = kmeans_fit(corpus, k=_KM_K, iters=_KM_ITERS).select(
+            "cid", "cent"
+        )
+        cents.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(p, "_centroids")
+        )
+        disk_cents = spark.read.parquet(os.path.join(p, "_centroids"))
+        vc = corpus.select("vec_id", F.col("embedding").alias("e"))
+        assign_dir = os.path.join(p, "_assign")
+        assign_clusters(vc, disk_cents).write.mode(
+            "overwrite"
+        ).partitionBy("cid").parquet(assign_dir)
+        baseline = assigned_mean_dist(
+            vc, disk_cents, spark.read.parquet(assign_dir)
+        )
+        ivf_meta_df(spark, baseline, _KM_K, _KM_ITERS).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(p, "_meta"))
+        # the streaming path: drifted arrivals assigned to the FROZEN
+        # centroids, appended into their cell dirs
+        newv = allv.where(F.col("vec_id") > split).select(
+            "vec_id", F.col("embedding").alias("e")
+        )
+        assign_clusters(newv, disk_cents).write.mode(
+            "append"
+        ).partitionBy("cid").parquet(assign_dir)
+        # the weekly job, twice: fire, then clean no-op
+        r1 = ivf_refit_on_drift(
+            spark, p, allv, threshold=_REFIT_THRESHOLD
+        )
+        r2 = ivf_refit_on_drift(
+            spark, p, allv, threshold=_REFIT_THRESHOLD
+        )
+        return {
+            "fired1": bool(r1["fired"]),
+            "ratio1": float(r1["ratio"]),
+            "fired2": bool(r2["fired"]),
+            "ratio2": float(r2["ratio"]),
+        }
+
+    dest, meta = stage_once("ivfrefit", sf_dir, _build)
+    return dest, split, meta
+
+
+@register(
+    "ivf_index_refit_on_drift",
+    oracle=_ivf_inc_oracle(
+        shift_new=_REFIT_SHIFT,
+        fit_full=True,
+        flags_sql="TRUE AS refit_fired, TRUE AS refit_clean",
+    ),
+)
+def ivf_index_refit_on_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-TRIGGERED refit (round-9 VERDICT item 1 — closing the loop
+    `ivf_assignment_drift` opened): the new era arrives with a
+    deterministic +4.0/dim drift, streamed against the frozen corpus
+    centroids; the weekly `ivf_refit_on_drift` job measures serving
+    quality against the `_meta` baseline, fires (ratio far above
+    threshold), refits on ALL vectors with the same deterministic
+    Lloyd, reassigns, and atomically cuts the index over (assign ->
+    centroids -> meta swaps; any crash-torn mix measures as inflated
+    drift and the next run refires — self-healing). `refit_fired` pins
+    that the first run fired above threshold; `refit_clean` that the
+    second run was a PURE no-op with ratio exactly 1 (the post-refit
+    baseline equals the post-refit measurement by construction).
+    Serving then routes the (drifted) max-vec_id probe through the
+    REFITTED index — broadcast-argmin cell routing, one cid dir read —
+    and the oracle refits from scratch in SQL on the same drifted data
+    (full-set Lloyd, same seeds/rounding), so a hash match proves the
+    cutover state equals a from-scratch rebuild. At 100 TB this is the
+    difference between re-fitting on a timer (wasted fits) and
+    re-fitting exactly when the data moved."""
+    import os
+
+    from twitter_flink_spark.operators.clustering import assign_clusters
+
+    dest, split, led = _ensure_ivf_refit_index(spark, sf_dir)
+    fired_ok = bool(led["fired1"]) and led["ratio1"] > _REFIT_THRESHOLD
+    clean_ok = (not led["fired2"]) and abs(led["ratio2"] - 1.0) < 1e-9
+    emb = load_table(spark, sf_dir, "embeddings")
+    allv = _refit_vectors(emb, split)
+    probe_id = int(emb.agg(F.max("vec_id")).first()[0])
+    cents = spark.read.parquet(os.path.join(dest, "_centroids"))
+    probe = allv.where(F.col("vec_id") == probe_id).select(
+        "vec_id", F.col("embedding").alias("e")
+    )
+    pcid = int(assign_clusters(probe, cents).first()["cid"])
+    probe_vec = probe.select(F.col("e").alias("pe"))
+    cands = (
+        spark.read.parquet(os.path.join(dest, "_assign", f"cid={pcid}"))
+        .where(F.col("vec_id") != probe_id)
+        .select("vec_id")
+        .join(allv, "vec_id")
+        .select("vec_id", F.col("embedding").alias("e"))
+    )
+    scored = cands.crossJoin(F.broadcast(probe_vec)).select(
+        "vec_id",
+        F.round(
+            dot(F.col("e"), F.col("pe"))
+            / (
+                F.sqrt(dot(F.col("e"), F.col("e")))
+                * F.sqrt(dot(F.col("pe"), F.col("pe")))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    return (
+        scored.orderBy(F.desc("cosine"), "vec_id")
+        .limit(5)
+        .select(
+            "vec_id",
+            "cosine",
+            F.lit(bool(fired_ok)).alias("refit_fired"),
+            F.lit(bool(clean_ok)).alias("refit_clean"),
         )
     )
