@@ -1308,3 +1308,84 @@ def doc_neardup_incremental_index(
         "jaccard",
         F.lit(bool(ok)).alias("incrementally_indexed"),
     )
+
+
+@register(
+    "lsh_band_occupancy_monitor",
+    oracle=f"""
+WITH {_minhash_pair_ctes()},
+sp AS (
+  SELECT CAST(floor((min(doc_id) + max(doc_id)) / 2.0) AS BIGINT) AS s
+  FROM documents
+),
+rows_ AS (
+  SELECT DISTINCT b.doc_id, b.band, b.band_hash,
+         CASE WHEN b.doc_id <= sp.s THEN 'corpus' ELSE 'new' END AS era
+  FROM bands b, sp
+),
+occ AS (
+  SELECT era, band, band_hash, count(*) AS sz
+  FROM rows_ GROUP BY era, band, band_hash
+)
+SELECT era,
+       band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(max(sz) AS BIGINT) AS max_bucket,
+       CAST(sum(sz * (sz - 1)) // 2 AS BIGINT) AS candidate_pairs,
+       round(sum(sz) * 1.0 / count(*), 6) AS mean_bucket,
+       TRUE AS monitored_from_index
+FROM occ
+GROUP BY era, band
+""",
+)
+def lsh_band_occupancy_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Band-occupancy monitor for the persisted LSH index — the
+    near-dup twin of `ivf_assignment_drift` (round-9 VERDICT item 2):
+    per (era, band), the bucket count, max bucket size, and the
+    candidate-pair load sum(sz*(sz-1)/2) that the (band, band_hash)
+    equi self-join will actually pay. This is the re-tune signal: a new
+    crawl whose text collapses into few buckets (boilerplate floods, a
+    shingle length too short for the domain) shows up as the new era's
+    max_bucket / candidate_pairs blowing past the corpus era's band —
+    BEFORE the next dedup run quadratically melts down inside a hot
+    bucket. Reads ONLY the index (hashes, no re-shingling — O(docs x
+    bands) rows, two aggregates); band rows are deduped first because a
+    torn `lsh_index_update` re-index can leave harmless duplicate band
+    rows (`operators/dedup.py::lsh_index_update` crash posture), which
+    a monitor must not count as occupancy. The oracle re-derives the
+    banding from raw text, so a hash match proves the INDEX's contents
+    (not a fresh computation) carry exactly the full-rebuild
+    distribution; `monitored_from_index` pins the coverage ledger."""
+    dest, split, (n_corpus, n_new, n_again) = _ensure_lsh_index(
+        spark, sf_dir
+    )
+    ok = n_corpus > 0 and n_new > 0 and n_again == 0
+    rows = (
+        spark.read.parquet(dest)
+        .select("doc_id", "band", "band_hash")
+        .distinct()
+        .withColumn(
+            "era",
+            F.when(
+                F.col("doc_id") <= F.lit(split), F.lit("corpus")
+            ).otherwise(F.lit("new")),
+        )
+    )
+    occ = rows.groupBy("era", "band", "band_hash").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return occ.groupBy("era", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.max("sz").cast("long").alias("max_bucket"),
+        (F.sum(F.col("sz") * (F.col("sz") - 1)) / 2)
+        .cast("long")
+        .alias("candidate_pairs"),
+        F.round(
+            F.sum("sz") / F.count(F.lit(1)), 6
+        ).alias("mean_bucket"),
+        F.lit(bool(ok)).alias("monitored_from_index"),
+    )
