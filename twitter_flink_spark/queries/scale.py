@@ -3192,3 +3192,147 @@ def twolevel_metadata_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_event timestamp, last_event timestamp, "
         "manifest_pruned boolean, boundary_only_scan boolean",
     )
+
+
+def _ensure_nightly_maintenance_layout(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, dict]:
+    """The WHOLE nightly maintenance story on one table, in order: 8
+    small ts-clustered files indexed twice (stats envelopes on ts, Bloom
+    on user_id); the skew-safe compactor (`binpack_write`) rewrites them
+    into exact per-event_type bins behind a dir swap that carries both
+    manifests across (now full of dead paths); then the index refresh
+    pair each family needs — incremental `update` (O(new files)) and
+    `vacuum` (drop dead rows) — and a final `stale_file_count` == 0
+    proof of full coverage. Counts ride the staged ledger."""
+    import os
+    import shutil
+
+    from twitter_flink_spark.operators import skipping
+    from twitter_flink_spark.sources.files import binpack_write
+    from twitter_flink_spark.sources.staging import stage_once
+
+    def _build(p: str) -> None:
+        (
+            load_table(spark, sf_dir, "events")
+            .repartitionByRange(8, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+
+    def _finalize(dest: str) -> dict:
+        skipping.build(spark, dest, ["ts"])
+        skipping.build_bloom(spark, dest, "user_id")
+        files_before = len(spark.read.parquet(dest).inputFiles())
+        # nightly compactor: exact bin packing, swap, manifests carried
+        tmp, gc = dest + ".compact", dest + ".compact-gc"
+        shutil.rmtree(tmp, ignore_errors=True)
+        binpack_write(
+            spark,
+            spark.read.parquet(dest),
+            "event_type",
+            200_000,
+            tmp,
+            order_col="ts",
+        )
+        shutil.rmtree(gc, ignore_errors=True)
+        os.rename(dest, gc)
+        os.rename(tmp, dest)
+        for carried in (skipping.STATS_DIR, "_filebloom_user_id"):
+            shutil.move(
+                os.path.join(gc, carried), os.path.join(dest, carried)
+            )
+        shutil.rmtree(gc, ignore_errors=True)
+        files_after = len(spark.read.parquet(dest).inputFiles())
+        return {
+            "files_before": files_before,
+            "files_after": files_after,
+            "n_new": skipping.update(spark, dest, ["ts"]),
+            "n_new_bloom": skipping.update_bloom(spark, dest, "user_id"),
+            "n_dead": skipping.vacuum_manifest(spark, dest),
+            "n_dead_bloom": skipping.vacuum_bloom(
+                spark, dest, "user_id"
+            ),
+            "stale_after": skipping.stale_file_count(spark, dest),
+        }
+
+    return stage_once("nightly", sf_dir, _build, _finalize)
+
+
+@register(
+    "nightly_maintenance_cycle",
+    oracle="""
+WITH bounds AS (SELECT min(ts) AS t0 FROM events),
+slice AS (
+  SELECT count(*) AS cnt, round(sum(e.value), 2) AS total_value
+  FROM events e, bounds b
+  WHERE e.ts >= b.t0 + INTERVAL 5 DAY AND e.ts < b.t0 + INTERVAL 12 DAY
+),
+pt AS (
+  SELECT count(*) AS point_rows FROM events
+  WHERE user_id = (SELECT min(user_id) FROM events)
+)
+SELECT CAST(s.cnt AS BIGINT) AS cnt,
+       s.total_value,
+       CAST(p.point_rows AS BIGINT) AS point_rows,
+       TRUE AS compacted,
+       TRUE AS incrementally_refreshed,
+       TRUE AS reconciled,
+       TRUE AS fully_covered
+FROM slice s, pt p
+""",
+)
+def nightly_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end index maintenance composition (round-9 VERDICT item
+    5): the pieces exist as separate queries — skew-safe compaction
+    (`compact_target_file_size`), incremental refresh
+    (`filestats_incremental_update`), reconciliation
+    (`filestats_vacuum_after_compact` and the Bloom twins) — and this
+    pins their COMPOSITION AND ORDERING as one nightly job: build both
+    index families -> binpack-compact behind a dir swap that carries
+    the manifests -> `update` exactly the new files on both -> `vacuum`
+    exactly the dead rows on both -> `stale_file_count` == 0. Serving
+    then goes through the refreshed indexes: a ts range via
+    `read_between` and a point lookup via `point_read`, both against
+    the post-compaction table, and the oracle over the original
+    single-parquet events proves the whole cycle lost nothing.
+    Flags pin the ledger: `compacted` (fewer, right-sized files),
+    `incrementally_refreshed` (each update indexed exactly the new
+    files), `reconciled` (each vacuum dropped exactly the old files),
+    `fully_covered` (zero stale files at the end). Post-compaction the
+    layout clusters by event_type, so the ts-range serve pins
+    LOSSLESSNESS through the refreshed manifest (ts pruning on a
+    ts-clustered layout is `filestats_pruned_time_slice`'s pin)."""
+    import datetime
+
+    from twitter_flink_spark.operators import skipping
+
+    dest, led = _ensure_nightly_maintenance_layout(spark, sf_dir)
+    ok_compact = led["files_after"] < led["files_before"]
+    ok_fresh = (
+        led["n_new"] == led["files_after"]
+        and led["n_new_bloom"] == led["files_after"]
+    )
+    ok_rec = (
+        led["n_dead"] == led["files_before"]
+        and led["n_dead_bloom"] == led["files_before"]
+    )
+    ok_cover = led["stale_after"] == 0
+
+    t0 = spark.read.parquet(dest).agg(F.min("ts")).first()[0]
+    lo = t0 + datetime.timedelta(days=5)
+    hi = t0 + datetime.timedelta(days=12)
+    sliced, _fr, _ft = skipping.read_between(spark, dest, "ts", lo, hi)
+    u = int(spark.read.parquet(dest).agg(F.min("user_id")).first()[0])
+    hit, _pfr, _pft = skipping.point_read(spark, dest, "user_id", u)
+    point_rows = hit.count()  # bounded driver read: one user's events
+    return sliced.agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.lit(point_rows).cast("long").alias("point_rows"),
+        F.lit(bool(ok_compact)).alias("compacted"),
+        F.lit(bool(ok_fresh)).alias("incrementally_refreshed"),
+        F.lit(bool(ok_rec)).alias("reconciled"),
+        F.lit(bool(ok_cover)).alias("fully_covered"),
+    )
