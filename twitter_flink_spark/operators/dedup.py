@@ -446,15 +446,15 @@ def lsh_index_build(
         F.lit(k).alias("k"),
         F.lit(bands).alias("bands"),
     )
-    tmp = index_dir + ".tmp"
+    from twitter_flink_spark.operators.skipping import (
+        _replace_dir,
+        _scratch_name,
+    )
+
+    tmp = _scratch_name(index_dir, "tmp")
     shutil.rmtree(tmp, ignore_errors=True)
     rows.write.mode("overwrite").parquet(tmp)
-    gc = index_dir + ".gc"
-    shutil.rmtree(gc, ignore_errors=True)
-    if os.path.isdir(index_dir):
-        os.rename(index_dir, gc)
-    os.rename(tmp, index_dir)
-    shutil.rmtree(gc, ignore_errors=True)
+    _replace_dir(tmp, index_dir)  # pid-unique scratch, last-commit-wins
     return (
         spark.read.parquet(index_dir).select("doc_id").distinct().count()
     )
@@ -500,7 +500,9 @@ def lsh_index_update(spark, docs: DataFrame, index_dir: str) -> int:
         F.lit(int(p["k"])).alias("k"),
         F.lit(int(p["bands"])).alias("bands"),
     )
-    stage = index_dir + f".stage-{os.getpid()}"
+    import threading
+
+    stage = index_dir + f".stage-{os.getpid()}-{threading.get_ident()}"
     shutil.rmtree(stage, ignore_errors=True)
     rows.write.mode("overwrite").parquet(stage)
     tag = uuid.uuid4().hex[:8]

@@ -58,20 +58,62 @@ BLOOM_DIR = "_filebloom"  #: per-column suffix appended: _filebloom_<col>
 AUTO_TWO_LEVEL_FILES = 65536
 
 
+def _scratch_name(dest: str, kind: str) -> str:
+    """Pid/thread-unique scratch sibling for ``dest`` (`.tmp-…`/`.gc-…`):
+    two processes maintaining one shared manifest must never write into
+    the same scratch dir. Crashed processes leave uniquely-named litter;
+    sweep it once it is unambiguously abandoned (>1 h old)."""
+    import glob
+    import threading
+    import time
+
+    for leftover in glob.glob(f"{dest}.tmp-*") + glob.glob(f"{dest}.gc-*"):
+        try:
+            if time.time() - os.path.getmtime(leftover) > 3600:
+                shutil.rmtree(leftover, ignore_errors=True)
+        except OSError:
+            pass
+    return f"{dest}.{kind}-{os.getpid()}-{threading.get_ident()}"
+
+
 def _commit_swap(df: DataFrame, dest: str) -> None:
     """Atomically replace ``dest`` with ``df``'s rows (tmp write, rename
-    swap, old generation to .gc then removed) — same crash-safe protocol
+    swap, old generation aside then removed) — same crash-safe protocol
     as the MV manifests: a reader sees the old or the new manifest, never
-    a mix, and a stranded .tmp/.gc is overwritten by the next commit."""
-    tmp = dest + ".tmp"
+    a mix, and stranded tmp/gc dirs are garbage a later commit ignores.
+    The scratch names are pid/thread-unique so two processes committing
+    the same manifest (a driver sweep and a bench run maintaining one
+    shared layout) can never write into each other's tmp dir; if both
+    race the final rename, the retry loop makes last-committer-win —
+    each candidate is a COMPLETE generation, so readers are safe under
+    either outcome."""
+    tmp = _scratch_name(dest, "tmp")
     shutil.rmtree(tmp, ignore_errors=True)
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    old = dest + ".gc"
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.isdir(dest):
-        os.rename(dest, old)
-    os.rename(tmp, dest)
-    shutil.rmtree(old, ignore_errors=True)
+    _replace_dir(tmp, dest)
+
+
+def _replace_dir(tmp: str, dest: str) -> None:
+    """Swap a COMPLETE generation at ``tmp`` into ``dest`` with
+    last-committer-wins semantics under concurrent swaps: readers see
+    some complete generation at every instant, never a mix."""
+    for attempt in range(5):
+        old = _scratch_name(dest, "gc") + f"-{attempt}"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(dest):
+            try:
+                os.rename(dest, old)
+            except OSError:
+                pass  # another committer moved it first
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            shutil.rmtree(old, ignore_errors=True)
+            continue  # dest reappeared (concurrent commit): retry
+        shutil.rmtree(old, ignore_errors=True)
+        return
+    shutil.rmtree(tmp, ignore_errors=True)
+    raise RuntimeError(f"commit to {dest} lost 5 swap races")
 
 
 def _file_stats(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -585,7 +627,7 @@ def build_two_level(
         "part", _bucket_expr(col, is_ts, lo_us, hi_us, n_parts)
     )
     parts_dest = os.path.join(root, PARTS_DIR)
-    tmp = parts_dest + ".tmp"
+    tmp = _scratch_name(parts_dest, "tmp")
     shutil.rmtree(tmp, ignore_errors=True)
     parted.write.mode("overwrite").partitionBy("part").parquet(tmp)
     _swap_dirs(tmp, parts_dest)
@@ -703,12 +745,7 @@ def update_two_level(spark: SparkSession, root: str, col: str) -> int:
 
 
 def _swap_dirs(tmp: str, dest: str) -> None:
-    old = dest + ".gc"
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.isdir(dest):
-        os.rename(dest, old)
-    os.rename(tmp, dest)
-    shutil.rmtree(old, ignore_errors=True)
+    _replace_dir(tmp, dest)
 
 
 def vacuum_two_level(spark: SparkSession, root: str, col: str) -> int:
@@ -785,8 +822,13 @@ def _vacuum_shards(
             _norm_sql("file") == F.col("path"),
             "left_semi",
         )
-        tmp = shard_dir + ".tmp"
+        tmp = _scratch_name(shard_dir, "tmp")
         shutil.rmtree(tmp, ignore_errors=True)
+        # coalesce(1): one task per shard REWRITE is deliberate — shard
+        # row counts are bounded by files/n_parts (metadata scale), and
+        # vacuum touches only dead-row shards; a pathological 1-shard
+        # index would serialize here, but such an index has already lost
+        # its reason to exist (build with a larger n_parts)
         keep.coalesce(1).write.mode("overwrite").parquet(tmp)
         _swap_dirs(tmp, shard_dir)
     return int(sum(dead_per_part.values()))
@@ -1226,7 +1268,7 @@ def build_bloom_two_level(
     total_files = len(df.inputFiles())
     rows = _bloom2_shard_rows(df, col, m, k, n_shards)
     parts_dest = _bloom2_parts_dir(root, col)
-    tmp = parts_dest + ".tmp"
+    tmp = _scratch_name(parts_dest, "tmp")
     shutil.rmtree(tmp, ignore_errors=True)
     rows.write.mode("overwrite").partitionBy("shard").parquet(tmp)
     _swap_dirs(tmp, parts_dest)
