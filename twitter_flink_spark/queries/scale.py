@@ -3336,3 +3336,95 @@ def nightly_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(ok_rec)).alias("reconciled"),
         F.lit(bool(ok_cover)).alias("fully_covered"),
     )
+
+
+def _ensure_twolevel_conjunction_layout(
+    spark: SparkSession, sf_dir: str
+) -> str:
+    """events as 8 ts-clustered files CUT OVER to the two-level manifest
+    (threshold 4 < 8 files), i.e. the flat manifest is gone — the state
+    a million-file table lives in permanently."""
+    from twitter_flink_spark.operators import skipping
+    from twitter_flink_spark.sources.staging import stage_once
+
+    def _build(p: str) -> None:
+        (
+            load_table(spark, sf_dir, "events")
+            .repartitionByRange(8, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+
+    dest, _ = stage_once(
+        "conjstats",
+        sf_dir,
+        _build,
+        finalize=lambda d: skipping.build(
+            spark, d, ["ts"], two_level_threshold=4
+        )
+        and None,
+    )
+    return dest
+
+
+@register(
+    "twolevel_conjunction_read",
+    oracle="""
+WITH bounds AS (SELECT min(ts) AS t0, min(user_id) AS u0,
+                       max(user_id) AS u1
+                FROM events)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(e.value), 2) AS total_value,
+       TRUE AS intersected,
+       TRUE AS index_pruned
+FROM events e, bounds b
+WHERE e.ts >= b.t0 + INTERVAL 6 DAY  AND e.ts < b.t0 + INTERVAL 14 DAY
+  AND e.ts >= b.t0 + INTERVAL 10 DAY AND e.ts < b.t0 + INTERVAL 20 DAY
+  AND e.user_id >= b.u0 AND e.user_id < b.u0 + (b.u1 - b.u0 + 1) // 2
+GROUP BY e.event_type
+""",
+)
+def twolevel_conjunction_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-range conjunction THROUGH the two-level manifest (the
+    select_files route a cut-over table serves): two overlapping ts
+    ranges intersect per-predicate shard selections — each range's
+    parent consult picks its shards, the file sets intersect to the
+    ~[t0+10d, t0+14d) overlap — while the user_id range has no stats on
+    a cut-over single-column index and prunes NOTHING (its files stay
+    candidates; the residual decides rows — the candidate-level
+    contract). Previously this conjunction crashed with path-not-found
+    on the deleted flat manifest. `index_pruned` pins that the
+    intersection read strictly fewer files than the table holds; the
+    oracle applies all three predicates to the original events table,
+    proving intersection + residual lost nothing."""
+    import datetime
+
+    from twitter_flink_spark.operators import skipping
+
+    dest = _ensure_twolevel_conjunction_layout(spark, sf_dir)
+    t = spark.read.parquet(dest).agg(
+        F.min("ts").alias("t0"),
+        F.min("user_id").alias("u0"),
+        F.max("user_id").alias("u1"),
+    ).first()
+    t0, u0, u1 = t["t0"], int(t["u0"]), int(t["u1"])
+    d = datetime.timedelta
+    sliced, files_read, files_total = skipping.read_where(
+        spark,
+        dest,
+        [
+            ("ts", t0 + d(days=6), t0 + d(days=14)),
+            ("ts", t0 + d(days=10), t0 + d(days=20)),
+            ("user_id", u0, u0 + (u1 - u0 + 1) // 2),
+        ],
+    )
+    return sliced.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.lit(True).alias("intersected"),
+        F.lit(files_total > 1 and files_read < files_total).alias(
+            "index_pruned"
+        ),
+    )
