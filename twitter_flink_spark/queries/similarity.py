@@ -2275,6 +2275,7 @@ def _ivf_inc_oracle(
     shift_new: float | None = None,
     fit_full: bool = False,
     flags_sql: str = "TRUE AS incrementally_assigned",
+    nprobe: int = 1,
 ) -> str:
     """Corpus-half Lloyd fit (same unrolled rounds as `_kmeans_ctes`, with
     the fit restricted to vec_id <= split), then assignment of EVERY
@@ -2337,6 +2338,22 @@ c{r} AS (
   FROM m{r} GROUP BY cid
 )"""
         )
+    if nprobe == 1:
+        # the probe's stored assignment IS its argmin cell
+        pcell_cte = (
+            "pcell AS (SELECT a.cid FROM aall a "
+            "JOIN probe p ON p.vec_id = a.vec_id)"
+        )
+    else:
+        # nprobe nearest cells of the probe VECTOR (dist, cid) — the
+        # query-side recall expansion; same arithmetic as assign_clusters
+        pcell_cte = f"""pcell AS (
+  SELECT c.cid
+  FROM c{iters} c CROSS JOIN probe p
+  ORDER BY list_dot_product(p.e, p.e) - 2 * list_dot_product(p.e, c.cent)
+             + list_dot_product(c.cent, c.cent), c.cid
+  LIMIT {nprobe}
+)"""
     parts.append(
         f"""dall AS (
   SELECT v.vec_id, c.cid,
@@ -2354,12 +2371,13 @@ probe AS (
   SELECT v.vec_id, v.e FROM v
   WHERE v.vec_id = (SELECT max(vec_id) FROM v)
 ),
-pcell AS (SELECT a.cid FROM aall a JOIN probe p ON p.vec_id = a.vec_id),
+{pcell_cte},
 cand AS (
   SELECT a.vec_id, v.e
-  FROM aall a JOIN v ON v.vec_id = a.vec_id, pcell
-  WHERE a.cid = pcell.cid
-    AND a.vec_id <> (SELECT vec_id FROM probe)
+  FROM aall a
+  JOIN v ON v.vec_id = a.vec_id
+  JOIN pcell ON a.cid = pcell.cid
+  WHERE a.vec_id <> (SELECT vec_id FROM probe)
 ),
 scored AS (
   SELECT c.vec_id,
@@ -2772,5 +2790,75 @@ def ivf_index_refit_on_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
             F.lit(bool(fired_ok)).alias("refit_fired"),
             F.lit(bool(clean_ok)).alias("refit_clean"),
+        )
+    )
+
+
+@register(
+    "ivf_inverted_nprobe_serving",
+    oracle=_ivf_inc_oracle(
+        nprobe=2, flags_sql="2 AS n_cells_probed"
+    ),
+)
+def ivf_inverted_nprobe_serving(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """nprobe > 1 serving through the inverted-list layout — the
+    recall-vs-cells knob every IVF store exposes: the probe vector's 2
+    NEAREST cells (broadcast argmin with top_n=2, ranked (dist, cid) —
+    no assignment-table lookup) are each read as exactly one cid=<cell>
+    directory, their members unioned, and exact cosine re-ranks the
+    union. Query-side only: the index on disk is byte-identical to the
+    nprobe=1 path's — recall tuning never rewrites the corpus. Reads
+    2/k of the assignment table instead of 1/k; the candidate set grows
+    the same way, which is the entire trade. The oracle expands its
+    probe cell the same (dist, cid)-ranked way over the
+    from-scratch-refit centroids, so a hash match proves routing,
+    layout, and scoring all agree with the full rebuild."""
+    import os
+
+    from twitter_flink_spark.operators.clustering import assign_clusters
+
+    dest, split, (n0, n1, n2) = _ensure_ivf_inc_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_id = int(emb.agg(F.max("vec_id")).first()[0])
+    cents = spark.read.parquet(os.path.join(dest, "_centroids"))
+    probe = emb.where(F.col("vec_id") == probe_id).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cells = [
+        int(r["cid"])
+        for r in assign_clusters(probe, cents, top_n=2).collect()
+    ]  # 2-row collect: the probed cell ids
+    probe_vec = probe.select(F.col("e").alias("pe"))
+    cands = (
+        spark.read.parquet(
+            *[os.path.join(dest, "_assign", f"cid={c}") for c in cells]
+        )  # exactly nprobe inverted-list dirs
+        .where(F.col("vec_id") != probe_id)
+        .select("vec_id")
+        .join(emb, "vec_id")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    )
+    scored = cands.crossJoin(F.broadcast(probe_vec)).select(
+        "vec_id",
+        F.round(
+            dot(F.col("e"), F.col("pe"))
+            / (
+                F.sqrt(dot(F.col("e"), F.col("e")))
+                * F.sqrt(dot(F.col("pe"), F.col("pe")))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    return (
+        scored.orderBy(F.desc("cosine"), "vec_id")
+        .limit(5)
+        .select(
+            "vec_id",
+            "cosine",
+            F.lit(2).cast("int").alias("n_cells_probed"),
         )
     )
