@@ -682,3 +682,125 @@ def expectations_quarantine_routing(
         [(r, a, n, bool(matches)) for r, a, n in rows],
         "rule string, action string, n long, persisted_matches boolean",
     )
+
+
+def _ensure_quarantine_replay(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, dict]:
+    """Quarantine REPLAY fixture: events routed through the ingest gate
+    (value <= 150 or quarantine), the good partition stats-indexed,
+    then the repair job — clamp the quarantined rows' value to the cap,
+    RE-GATE them through the same rule, append the now-passing rows to
+    the good table, refresh its skipping index incrementally. The
+    ledger carries every count the query's flags pin, so all processes
+    replay the builder's lifecycle. Routing output is path-free (safe
+    to build in scratch); the index steps run in finalize at the final
+    path."""
+    import os
+
+    from twitter_flink_spark.operators import skipping
+    from twitter_flink_spark.operators.expectations import (
+        ROUTE_COL,
+        Rule,
+        good_path,
+        route,
+    )
+    from twitter_flink_spark.sources.staging import stage_once
+
+    cap_rule = Rule("value_cap", "value <= 150.0", "quarantine")
+    rules = [cap_rule, Rule("value_at_least_1", "value >= 1", "warn")]
+
+    def _build(p: str) -> dict:
+        ledger, _ = route(load_table(spark, sf_dir, "events"), rules, p)
+        return {
+            "n_good": ledger["route_good"],
+            "n_quarantined": ledger["route_quarantined"],
+        }
+
+    def _finalize(dest: str) -> dict:
+        good = good_path(dest)
+        skipping.build(spark, good, ["ts"])
+        quarantined = spark.read.parquet(
+            os.path.join(dest, f"{ROUTE_COL}=quarantined")
+        )
+        repaired = quarantined.withColumn(
+            "value", F.least(F.col("value"), F.lit(150.0))
+        )
+        # RE-GATE: the repair must actually satisfy the contract before
+        # anything re-enters the table (a repair job must never become
+        # an expectations bypass)
+        still_bad = repaired.where(cap_rule.violated()).count()
+        n_repaired = 0
+        if still_bad == 0:
+            n_repaired = repaired.count()
+            repaired.write.mode("append").parquet(good)
+        return {
+            "still_bad": still_bad,
+            "n_repaired": n_repaired,
+            "n_new_files": skipping.update(spark, good, ["ts"]),
+            "stale_after": skipping.stale_file_count(spark, good),
+            "final_rows": spark.read.parquet(good).count(),
+        }
+
+    return stage_once("qreplay", sf_dir, _build, _finalize)
+
+
+@register(
+    "quarantine_repair_replay",
+    oracle="""
+WITH bounds AS (SELECT min(ts) AS t0 FROM events)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(least(e.value, 150.0)), 2) AS total_value,
+       TRUE AS quarantined_then_repaired,
+       TRUE AS nothing_lost,
+       TRUE AS index_fresh
+FROM events e, bounds b
+WHERE e.ts >= b.t0 + INTERVAL 8 DAY AND e.ts < b.t0 + INTERVAL 16 DAY
+GROUP BY e.event_type
+""",
+)
+def quarantine_repair_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantine REPLAY path — what `expectations_route_ledger`
+    gates, this repairs and re-ingests: rows failing the contract
+    (value over the cap) are quarantined aside, the repair job clamps
+    them, RE-GATES the repaired rows through the same rule (a repair
+    that still violates never re-enters), appends the passing rows to
+    the good table, and refreshes the table's skipping index
+    incrementally (`update`: exactly the appended files; zero stale
+    files after). Serving then reads a ts slice THROUGH the refreshed
+    index. The oracle applies the clamp to every row of the original
+    table (a no-op below the cap) — a hash match proves
+    quarantine + repair + replay + index refresh lost nothing and
+    changed exactly the violating rows. Flags:
+    `quarantined_then_repaired` (violations existed, all repaired rows
+    passed the re-gate, every one re-entered), `nothing_lost` (final
+    table rows == good + quarantined at route time), `index_fresh`
+    (incremental update indexed the appended files; stale count 0)."""
+    import datetime
+
+    from twitter_flink_spark.operators import skipping
+    from twitter_flink_spark.operators.expectations import good_path
+
+    dest, led = _ensure_quarantine_replay(spark, sf_dir)
+    repaired_ok = (
+        led["n_quarantined"] > 0
+        and led["still_bad"] == 0
+        and led["n_repaired"] == led["n_quarantined"]
+    )
+    nothing_lost = (
+        led["final_rows"] == led["n_good"] + led["n_quarantined"]
+    )
+    index_fresh = led["n_new_files"] > 0 and led["stale_after"] == 0
+    good = good_path(dest)
+    t0 = spark.read.parquet(good).agg(F.min("ts")).first()[0]
+    lo = t0 + datetime.timedelta(days=8)
+    hi = t0 + datetime.timedelta(days=16)
+    sliced, _fr, _ft = skipping.read_between(spark, good, "ts", lo, hi)
+    return sliced.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.lit(bool(repaired_ok)).alias("quarantined_then_repaired"),
+        F.lit(bool(nothing_lost)).alias("nothing_lost"),
+        F.lit(bool(index_fresh)).alias("index_fresh"),
+    )
