@@ -1546,3 +1546,83 @@ def test_binpack_write_non_file_backed_input(spark, tmp_path):
         if f.endswith(".parquet")
     }
     assert len(hot_tasks) >= 2  # skew spread survives the fallback
+
+
+def test_per_column_two_level_lifecycle(spark, tmp_path):
+    """Per-COLUMN two-level manifests: build one per column, intersect
+    selections at plan time (2-D pruning strictly tighter than either
+    column alone on a cell-clustered layout), serve losslessly with
+    unindexed predicates riding as residuals, refresh incrementally per
+    column, vacuum per column, and raise when no predicate is indexed."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    # 16 files clustered on (a-quartile, b-quartile) cells
+    df = spark.range(0, 1600).select(
+        F.col("id").alias("a"),
+        ((F.col("id") * 7) % 1600).alias("b"),
+        (F.col("id") % 5).alias("k"),
+    )
+    (
+        df.withColumn("qa", F.floor(F.col("a") / 400))
+        .withColumn("qb", F.floor(F.col("b") / 400))
+        .repartitionByRange(16, "qa", "qb")
+        .sortWithinPartitions("qa", "qb")
+        .drop("qa", "qb")
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    nfiles = len(spark.read.parquet(root).inputFiles())
+    assert nfiles >= 12  # range partitioner may emit a few empty ranges
+    built = skipping.build_two_level_columns(
+        spark, root, ["a", "b"], n_parts=4
+    )
+    assert set(built) == {"a", "b"}
+    assert set(skipping.two_level_columns(spark, root)) == {"a", "b"}
+
+    sel_a, total, _ = skipping.select_files_multi(
+        spark, root, [("a", 0, 400)]
+    )
+    sel_b, _, _ = skipping.select_files_multi(spark, root, [("b", 0, 400)])
+    both, _, used = skipping.select_files_multi(
+        spark, root, [("a", 0, 400), ("b", 0, 400)]
+    )
+    assert total == nfiles and used == 2
+    assert len(both) <= min(len(sel_a), len(sel_b))
+    assert len(both) < nfiles  # 2-D pruning bites
+
+    # lossless serve, unindexed k rides as residual
+    got, fr, ft = skipping.read_where_multi(
+        spark, root, [("a", 0, 400), ("b", 0, 400), ("k", 0, 2)]
+    )
+    want = df.where(
+        (F.col("a") < 400) & (F.col("b") < 400) & (F.col("k") < 2)
+    ).count()
+    assert got.count() == want and fr == len(both) and ft == nfiles
+
+    # incremental refresh per column
+    spark.range(1600, 1800).select(
+        F.col("id").alias("a"),
+        ((F.col("id") * 7) % 1600).alias("b"),
+        (F.col("id") % 5).alias("k"),
+    ).coalesce(1).write.mode("append").parquet(root)
+    upd = skipping.update_two_level_columns(spark, root)
+    assert upd == {"a": 1, "b": 1}
+    assert skipping.update_two_level_columns(spark, root) == {"a": 0, "b": 0}
+    _, total2, _ = skipping.select_files_multi(spark, root, [("a", 0, 1)])
+    assert total2 == nfiles + 1
+
+    # vacuum per column after a file disappears
+    victim = sorted(
+        f for f in os.listdir(root) if f.endswith(".parquet")
+    )[0]
+    os.remove(os.path.join(root, victim))
+    vac = skipping.vacuum_two_level_columns(spark, root)
+    assert vac["a"] == 1 and vac["b"] == 1
+    assert skipping.vacuum_two_level_columns(spark, root) == {"a": 0, "b": 0}
+
+    with pytest.raises(ValueError, match="no two-level manifest"):
+        skipping.select_files_multi(spark, root, [("k", 0, 2)])

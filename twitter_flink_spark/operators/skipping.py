@@ -614,6 +614,24 @@ def build_two_level(
     envelope is the union of CHILD envelopes, not of bucket bounds —
     the parent test is conservative by construction. Null-envelope
     files land in partition -1, whose parent row is always selected."""
+    return _build_two_level_at(
+        spark,
+        root,
+        col,
+        os.path.join(root, PARTS_DIR),
+        os.path.join(root, ROOT_MANIFEST),
+        n_parts,
+    )
+
+
+def _build_two_level_at(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    parts_dest: str,
+    root_dest: str,
+    n_parts: int,
+) -> tuple[str, str]:
     stats = _file_stats(spark.read.parquet(root), [col])
     b = stats.agg(
         F.min(f"min_{col}").alias("lo"), F.max(f"min_{col}").alias("hi")
@@ -626,7 +644,6 @@ def build_two_level(
     parted = stats.withColumn(
         "part", _bucket_expr(col, is_ts, lo_us, hi_us, n_parts)
     )
-    parts_dest = os.path.join(root, PARTS_DIR)
     tmp = _scratch_name(parts_dest, "tmp")
     shutil.rmtree(tmp, ignore_errors=True)
     parted.write.mode("overwrite").partitionBy("part").parquet(tmp)
@@ -634,7 +651,6 @@ def build_two_level(
     # bucketing params ride the parent (like Bloom's m/k) so incremental
     # maintenance can never re-bucket with different bounds
     parent = _parent_manifest(parted, col, lo_us, hi_us, n_parts)
-    root_dest = os.path.join(root, ROOT_MANIFEST)
     _commit_swap(parent, root_dest)
     return parts_dest, root_dest
 
@@ -700,8 +716,22 @@ def update_two_level(spark: SparkSession, root: str, col: str) -> int:
     this repair a crashed run's files would stay in shards the parent
     envelope never covers and selection would silently miss their rows
     forever."""
-    parent_path = os.path.join(root, ROOT_MANIFEST)
-    parts_path = os.path.join(root, PARTS_DIR)
+    return _update_two_level_at(
+        spark,
+        root,
+        col,
+        os.path.join(root, PARTS_DIR),
+        os.path.join(root, ROOT_MANIFEST),
+    )
+
+
+def _update_two_level_at(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    parts_path: str,
+    parent_path: str,
+) -> int:
     parent = spark.read.parquet(parent_path)
     meta = parent.select("bucket_lo", "bucket_hi", "n_parts").first()
     shards = spark.read.parquet(parts_path)
@@ -764,8 +794,22 @@ def vacuum_two_level(spark: SparkSession, root: str, col: str) -> int:
     ``update_two_level`` detects the shards/parent count disagreement
     and repairs the parent. Returns shard rows dropped; 0 is a pure
     no-op (no swap, no parent recommit)."""
-    parent_path = os.path.join(root, ROOT_MANIFEST)
-    parts_path = os.path.join(root, PARTS_DIR)
+    return _vacuum_two_level_at(
+        spark,
+        root,
+        col,
+        os.path.join(root, PARTS_DIR),
+        os.path.join(root, ROOT_MANIFEST),
+    )
+
+
+def _vacuum_two_level_at(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    parts_path: str,
+    parent_path: str,
+) -> int:
     meta = spark.read.parquet(parent_path).select(
         "bucket_lo", "bucket_hi", "n_parts"
     ).first()
@@ -845,7 +889,20 @@ def select_files_two_level(
     manifest shards. Returns (paths, files_total, parts_read,
     parts_total); files_total comes from the parent's counts, not a
     manifest scan."""
-    parent = spark.read.parquet(os.path.join(root, ROOT_MANIFEST))
+    return _select_two_level_at(
+        spark,
+        col,
+        lo,
+        hi,
+        os.path.join(root, PARTS_DIR),
+        os.path.join(root, ROOT_MANIFEST),
+    )
+
+
+def _select_two_level_at(
+    spark: SparkSession, col: str, lo, hi, parts_dir: str, parent_dir: str
+) -> tuple[list[str], int, int, int]:
+    parent = spark.read.parquet(parent_dir)
     rows = parent.collect()  # O(partitions), the planner's tiny read
     parts_total = len(rows)
     files_total = sum(r["n_files"] for r in rows)
@@ -857,9 +914,7 @@ def select_files_two_level(
     ]
     if not chosen:
         return [], files_total, 0, parts_total
-    dirs = [
-        os.path.join(root, PARTS_DIR, f"part={p}") for p in chosen
-    ]
+    dirs = [os.path.join(parts_dir, f"part={p}") for p in chosen]
     shard = spark.read.parquet(*dirs)
     keep = shard.where(
         (F.col(f"min_{col}").isNull())
@@ -996,6 +1051,150 @@ def read_between_two_level(
         (F.col(col) >= F.lit(lo)) & (F.col(col) < F.lit(hi))
     )
     return df, len(paths), files_total, parts_read, parts_total
+
+
+# -- per-COLUMN two-level manifests (multi-dimensional conjunctions) --------
+#
+# The fixed-name two-level manifest serves ONE column. A z-order/cell
+# layout keeps SEVERAL columns' per-file envelopes tight at once, and the
+# matching planning shape at millions of files is one two-level manifest
+# PER indexed column, intersected at plan time: each range predicate pays
+# its own KB parent read + touched shards, and the candidate set is the
+# intersection of the per-column selections — multi-dimensional skipping
+# whose planning cost never touches a flat O(files) manifest.
+
+
+def _col2_parts_dir(root: str, col: str) -> str:
+    return os.path.join(root, f"_filestats2_{col}_parts")
+
+
+def _col2_root_dir(root: str, col: str) -> str:
+    return os.path.join(root, f"_filestats2_{col}_root")
+
+
+def build_two_level_columns(
+    spark: SparkSession, root: str, cols: list[str], n_parts: int = 16
+) -> dict[str, tuple[str, str]]:
+    """One two-level manifest per column, each under its own
+    ``_filestats2_<col>_{parts,root}`` dirs (the fixed-name single-index
+    dirs stay untouched — both shapes can coexist). One build scan per
+    column, column-pruned to it."""
+    return {
+        c: _build_two_level_at(
+            spark,
+            root,
+            c,
+            _col2_parts_dir(root, c),
+            _col2_root_dir(root, c),
+            n_parts,
+        )
+        for c in cols
+    }
+
+
+def two_level_columns(spark: SparkSession, root: str) -> dict[str, tuple[str, str]]:
+    """Discover every two-level manifest on ``root``: the per-column
+    ``_filestats2_*`` family plus the legacy fixed-name single index
+    (its column recovered from the shard schema). Directory listing
+    only — no data read."""
+    out: dict[str, tuple[str, str]] = {}
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return out
+    for d in entries:
+        if d.startswith("_filestats2_") and d.endswith("_parts"):
+            col = d[len("_filestats2_") : -len("_parts")]
+            parent = _col2_root_dir(root, col)
+            if os.path.isdir(parent):
+                out[col] = (os.path.join(root, d), parent)
+    legacy_parts = os.path.join(root, PARTS_DIR)
+    legacy_parent = os.path.join(root, ROOT_MANIFEST)
+    if os.path.isdir(legacy_parts) and os.path.isdir(legacy_parent):
+        col = next(
+            (
+                f[4:]
+                for f in spark.read.parquet(legacy_parts).columns
+                if f.startswith("min_")
+            ),
+            None,
+        )
+        if col is not None and col not in out:
+            out[col] = (legacy_parts, legacy_parent)
+    return out
+
+
+def update_two_level_columns(
+    spark: SparkSession, root: str
+) -> dict[str, int]:
+    """Incremental refresh of EVERY discovered two-level manifest after
+    appends — per column, O(new files) each. Returns col -> new files."""
+    return {
+        c: _update_two_level_at(spark, root, c, parts, parent)
+        for c, (parts, parent) in two_level_columns(spark, root).items()
+    }
+
+
+def vacuum_two_level_columns(
+    spark: SparkSession, root: str
+) -> dict[str, int]:
+    """Per-shard reconciliation of EVERY discovered two-level manifest.
+    Returns col -> shard rows dropped."""
+    return {
+        c: _vacuum_two_level_at(spark, root, c, parts, parent)
+        for c, (parts, parent) in two_level_columns(spark, root).items()
+    }
+
+
+def select_files_multi(
+    spark: SparkSession, root: str, preds: list[tuple[str, object, object]]
+) -> tuple[list[str], int, int]:
+    """Files whose envelopes intersect EVERY ``(col, lo, hi)`` range,
+    resolved by INTERSECTING per-column two-level selections: each
+    predicate with an index pays one parent read + its touched shards;
+    predicates on unindexed columns prune nothing (no stats — the
+    caller's residual decides their rows, candidate-level as always).
+    Returns (paths, files_total, indexed_preds). Raises when NO
+    predicate column has a two-level manifest — that conjunction has no
+    index to serve it (build one, or use the flat ``select_files``)."""
+    indexes = two_level_columns(spark, root)
+    sel: dict[str, str] | None = None
+    total = 0
+    used = 0
+    for col, lo, hi in preds:
+        if col not in indexes:
+            continue
+        parts, parent = indexes[col]
+        paths, total, _, _ = _select_two_level_at(
+            spark, col, lo, hi, parts, parent
+        )
+        used += 1
+        cur = {_norm_path(p): p for p in paths}
+        sel = cur if sel is None else {
+            n: p for n, p in sel.items() if n in cur
+        }
+    if sel is None:
+        raise ValueError(
+            f"no two-level manifest on {root} covers any of "
+            f"{sorted({c for c, _, _ in preds})}; build_two_level_columns "
+            "first (or use the flat select_files)"
+        )
+    return list(sel.values()), total, used
+
+
+def read_where_multi(
+    spark: SparkSession, root: str, preds: list[tuple[str, object, object]]
+) -> tuple[DataFrame, int, int]:
+    """Reader over the intersection-selected files with every exact
+    range re-applied as the residual (lossless regardless of which
+    predicates had indexes). Returns (df, files_read, files_total)."""
+    paths, total, _ = select_files_multi(spark, root, preds)
+    if not paths:
+        return _empty_like(spark, root), 0, total
+    df = spark.read.parquet(*paths)
+    for col, lo, hi in preds:
+        df = df.where((F.col(col) >= F.lit(lo)) & (F.col(col) < F.lit(hi)))
+    return df, len(paths), total
 
 
 # -- per-file Bloom index (point lookups on unclustered keys) ---------------

@@ -3428,3 +3428,75 @@ def twolevel_conjunction_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "index_pruned"
         ),
     )
+
+
+@register(
+    "twolevel_multicol_conjunction",
+    oracle="""
+WITH b AS (SELECT min(user_id) AS u0, max(user_id) AS u1, min(ts) AS t0
+           FROM events)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(e.value), 2) AS total_value,
+       2 AS indexed_dimensions,
+       TRUE AS index_pruned
+FROM events e, b
+WHERE e.user_id >= b.u0 + (b.u1 - b.u0 + 1) // 2
+  AND e.user_id <  b.u0 + 3 * (b.u1 - b.u0 + 1) // 4
+  AND e.ts >= b.t0 + INTERVAL 16 DAY
+  AND e.ts <  b.t0 + INTERVAL 21 DAY
+GROUP BY e.event_type
+""",
+)
+def twolevel_multicol_conjunction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-COLUMN two-level manifests intersected at plan time — the
+    million-file answer to multi-dimensional predicates
+    (`zorder_filestats_2d_slice` proves a FLAT multi-column manifest
+    prunes 2-D on a cell layout; at millions of files that flat consult
+    is itself the bottleneck, so each column gets its own two-level
+    manifest and `select_files_multi` intersects the per-column
+    selections): a user-quartile AND a 5-day window each pay one KB
+    parent read + their touched shards, the file sets intersect, exact
+    bounds re-apply as residuals (lossless, candidate-level). The
+    layout is the shared cell-clustered copy — tight envelopes in BOTH
+    dimensions are what make the intersection strictly tighter than
+    either column alone. `indexed_dimensions` pins that both predicates
+    were actually served by an index; `index_pruned` that the
+    intersection scheduled strictly fewer files than the table holds."""
+    import datetime
+
+    from twitter_flink_spark.operators import skipping
+
+    dest = _ensure_cell_clustered_layout(spark, sf_dir)
+    skipping.build_two_level_columns(
+        spark, dest, ["user_id", "ts"], n_parts=4
+    )
+    b = (
+        spark.read.parquet(dest)
+        .agg(
+            F.min("user_id").alias("u0"),
+            F.max("user_id").alias("u1"),
+            F.min("ts").alias("t0"),
+        )
+        .first()
+    )
+    span = b["u1"] - b["u0"] + 1
+    ulo, uhi = b["u0"] + span // 2, b["u0"] + 3 * span // 4
+    tlo = b["t0"] + datetime.timedelta(days=16)
+    thi = b["t0"] + datetime.timedelta(days=21)
+    sliced, files_read, files_total = skipping.read_where_multi(
+        spark, dest, [("user_id", ulo, uhi), ("ts", tlo, thi)]
+    )
+    _, _, used = skipping.select_files_multi(
+        spark, dest, [("user_id", ulo, uhi), ("ts", tlo, thi)]
+    )
+    return sliced.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.lit(used).cast("int").alias("indexed_dimensions"),
+        F.lit(files_total > 1 and files_read < files_total).alias(
+            "index_pruned"
+        ),
+    )
