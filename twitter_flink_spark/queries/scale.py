@@ -2971,9 +2971,6 @@ def twolevel_vacuum_after_compact(
     )
 
 
-_BLOOM_VACUUM_FOR: dict[str, tuple] = {}
-
-
 def _ensure_bloom_vacuumed_layout(
     spark: SparkSession, sf_dir: str
 ) -> tuple[str, int, int]:
@@ -2982,41 +2979,53 @@ def _ensure_bloom_vacuumed_layout(
     compactor rewrites them into 2 files (atomic dir swap, manifest
     carried across); `update_bloom` hashes the 2 new files,
     `vacuum_bloom` reconciles the 8 dead rows. Returns
-    (dest, n_new, n_dead); cached calls replay the counts."""
+    (dest, n_new, n_dead), counts riding the staged ledger.
+
+    m is sized for the POST-compaction file size (~16 bits per key of a
+    half-table file): `update_bloom` inherits the build-time m by
+    design (probe/index parameter skew must be impossible), so an
+    undersized build saturates after compaction multiplies keys/file —
+    at sf0.1 the default 2^17-bit maps hit ~55% false positives and
+    point reads stopped pruning. At 100 TB this is a real operating
+    rule: size Bloom m for the file size your compaction TARGETS, not
+    the splinter files you ingest."""
     import os
     import shutil
-    import tempfile
 
     from twitter_flink_spark.operators import skipping
+    from twitter_flink_spark.sources.staging import stage_once
 
-    dest = os.path.join(
-        tempfile.gettempdir(),
-        "tfs-vacbloom-" + sf_dir.strip("/").replace("/", "-"),
-    )
-    if _BLOOM_VACUUM_FOR.get("sf") == sf_dir and os.path.isdir(dest):
-        return dest, *_BLOOM_VACUUM_FOR["counts"]
-    shutil.rmtree(dest, ignore_errors=True)
-    o = load_table(spark, sf_dir, "orders")
-    o.repartition(8).write.mode("overwrite").parquet(dest)
-    skipping.build_bloom(spark, dest, "o_orderkey")
-    tmp, gc = dest + ".compact", dest + ".gc"
-    shutil.rmtree(tmp, ignore_errors=True)
-    spark.read.parquet(dest).repartition(2).write.mode("overwrite").parquet(
-        tmp
-    )
-    shutil.rmtree(gc, ignore_errors=True)
-    os.rename(dest, gc)
-    os.rename(tmp, dest)
-    bloom_dir = os.path.basename(skipping._bloom_dir(dest, "o_orderkey"))
-    shutil.move(
-        os.path.join(gc, bloom_dir), os.path.join(dest, bloom_dir)
-    )
-    shutil.rmtree(gc, ignore_errors=True)
-    n_new = skipping.update_bloom(spark, dest, "o_orderkey")
-    n_dead = skipping.vacuum_bloom(spark, dest, "o_orderkey")
-    _BLOOM_VACUUM_FOR["sf"] = sf_dir
-    _BLOOM_VACUUM_FOR["counts"] = (n_new, n_dead)
-    return dest, n_new, n_dead
+    def _build(p: str) -> None:
+        load_table(spark, sf_dir, "orders").repartition(8).write.mode(
+            "overwrite"
+        ).parquet(p)
+
+    def _finalize(dest: str) -> dict:
+        n = spark.read.parquet(dest).count()
+        m = max(1 << 17, ((8 * n + 63) // 64) * 64)  # ~16 bits/key/2
+        skipping.build_bloom(spark, dest, "o_orderkey", m=m)
+        tmp, gc = dest + ".compact", dest + ".compact-gc"
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.read.parquet(dest).repartition(2).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        shutil.rmtree(gc, ignore_errors=True)
+        os.rename(dest, gc)
+        os.rename(tmp, dest)
+        bloom_dir = os.path.basename(
+            skipping._bloom_dir(dest, "o_orderkey")
+        )
+        shutil.move(
+            os.path.join(gc, bloom_dir), os.path.join(dest, bloom_dir)
+        )
+        shutil.rmtree(gc, ignore_errors=True)
+        return {
+            "n_new": skipping.update_bloom(spark, dest, "o_orderkey"),
+            "n_dead": skipping.vacuum_bloom(spark, dest, "o_orderkey"),
+        }
+
+    dest, led = stage_once("vacbloom", sf_dir, _build, _finalize)
+    return dest, int(led["n_new"]), int(led["n_dead"])
 
 
 @register(
