@@ -2016,3 +2016,110 @@ def streaming_sink_skipping_index(
             "index_pruned"
         ),
     )
+
+
+@register(
+    "streaming_sink_percolumn_indexes",
+    oracle="""
+WITH b AS (SELECT min(ts) AS t0, min(user_id) AS u0, max(user_id) AS u1
+           FROM events)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(e.value), 2) AS total_value,
+       TRUE AS incrementally_indexed,
+       TRUE AS index_pruned
+FROM events e, b
+WHERE e.ts >= b.t0 + INTERVAL 7 DAY
+  AND e.ts < b.t0 + INTERVAL 12 DAY
+  AND e.user_id >= b.u0 AND e.user_id < b.u0 + (b.u1 - b.u0 + 1) // 2
+GROUP BY e.event_type
+""",
+)
+def streaming_sink_percolumn_indexes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A streaming sink maintaining PER-COLUMN two-level manifests per
+    commit (`streaming_sink_skipping_index` composed with
+    `update_two_level_columns` — the round-10 per-column family): four
+    time-ordered micro-batches append files; the first builds a
+    two-level manifest for BOTH ts and user_id, every later commit
+    refreshes BOTH via one O(batch) incremental update each — the cost
+    of keeping N indexed dimensions fresh is N small updates per
+    commit, never a table re-profile. After the drain, a ts-window AND
+    user-range conjunction serves through `read_where_multi`
+    (intersected per-column selections; time-split ingest gives the ts
+    manifest tight envelopes, so the intersection prunes on ts while
+    the user predicate resolves via the residual — candidate-level as
+    always). `incrementally_indexed` pins the ledger: every post-build
+    commit refreshed BOTH columns with the same >0 file count, and a
+    final no-op update returned 0 for both (full coverage);
+    `index_pruned` pins the strict file subset. The oracle applies both
+    predicates to the original events table."""
+    import datetime
+    import os
+    import tempfile
+
+    from twitter_flink_spark.operators import skipping
+
+    staged = _ensure_time_split_events(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    dest = os.path.join(
+        tempfile.mkdtemp(prefix="tfs-streamidx2-"), "table"
+    )
+    ledger: list[dict[str, int]] = []
+
+    def sink(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(dest)
+        if skipping.two_level_columns(spark, dest):
+            ledger.append(skipping.update_two_level_columns(spark, dest))
+        else:
+            skipping.build_two_level_columns(
+                spark, dest, ["ts", "user_id"], n_parts=4
+            )
+            n = len(spark.read.parquet(dest).inputFiles())
+            ledger.append({"ts": n, "user_id": n})
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="tfs-streamidx2-ckpt-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 300)
+    final_noop = skipping.update_two_level_columns(spark, dest)
+    incremental_ok = (
+        len(ledger) == 4
+        and all(
+            d["ts"] == d["user_id"] and d["ts"] > 0 for d in ledger
+        )
+        and final_noop == {"ts": 0, "user_id": 0}
+    )
+    b = spark.read.parquet(dest).agg(
+        F.min("ts").alias("t0"),
+        F.min("user_id").alias("u0"),
+        F.max("user_id").alias("u1"),
+    ).first()
+    lo = b["t0"] + datetime.timedelta(days=7)
+    hi = b["t0"] + datetime.timedelta(days=12)
+    u0, u1 = int(b["u0"]), int(b["u1"])
+    sliced, files_read, files_total = skipping.read_where_multi(
+        spark,
+        dest,
+        [("ts", lo, hi), ("user_id", u0, u0 + (u1 - u0 + 1) // 2)],
+    )
+    return sliced.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.lit(bool(incremental_ok)).alias("incrementally_indexed"),
+        F.lit(files_total > 1 and 0 < files_read < files_total).alias(
+            "index_pruned"
+        ),
+    )
