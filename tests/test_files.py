@@ -1626,3 +1626,78 @@ def test_per_column_two_level_lifecycle(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no two-level manifest"):
         skipping.select_files_multi(spark, root, [("k", 0, 2)])
+
+
+def test_replace_dir_pointer_swap_atomic(tmp_path):
+    """Commits publish through a symlink pointer renamed in ONE atomic
+    step — dest exists (and resolves to a complete generation) at every
+    instant, fixing the between-renames window the old rename-aside
+    dance had. Legacy real-dir dests migrate on first commit; superseded
+    generations survive a reader grace; ``_rm_committed`` removes both
+    pointer and generation."""
+    import time
+
+    from twitter_flink_spark.operators import skipping as sk
+
+    dest = str(tmp_path / "man")
+    g1 = str(tmp_path / "g1")
+    os.makedirs(g1)
+    open(os.path.join(g1, "a"), "w").write("1")
+    sk._replace_dir(g1, dest)
+    assert os.path.islink(dest)
+    assert open(os.path.join(dest, "a")).read() == "1"
+    target1 = os.path.realpath(dest)
+
+    g2 = str(tmp_path / "g2")
+    os.makedirs(g2)
+    open(os.path.join(g2, "a"), "w").write("2")
+    sk._replace_dir(g2, dest)
+    assert os.path.islink(dest)
+    assert open(os.path.join(dest, "a")).read() == "2"
+    # the superseded generation outlives the swap (reader grace): a scan
+    # that resolved the pointer just before the commit can finish
+    assert os.path.isdir(target1)
+    # ...and is swept once aged past the grace
+    past = time.time() - sk._GEN_GRACE_S - 5
+    os.utime(target1, (past, past))
+    sk._sweep_gens(dest)
+    assert not os.path.isdir(target1)
+    assert open(os.path.join(dest, "a")).read() == "2"  # current untouched
+
+    # legacy real-dir dest migrates to the pointer shape on first commit
+    legacy = str(tmp_path / "legacy")
+    os.makedirs(legacy)
+    open(os.path.join(legacy, "a"), "w").write("0")
+    g3 = str(tmp_path / "g3")
+    os.makedirs(g3)
+    open(os.path.join(g3, "a"), "w").write("3")
+    sk._replace_dir(g3, legacy)
+    assert os.path.islink(legacy)
+    assert open(os.path.join(legacy, "a")).read() == "3"
+
+    # removal of a committed dest drops pointer AND generation
+    gen = os.path.realpath(dest)
+    sk._rm_committed(dest)
+    assert not os.path.lexists(dest) and not os.path.isdir(gen)
+
+
+def test_scratch_sweep_gated_on_dead_pid(tmp_path):
+    """The abandoned-scratch sweeper only deletes litter whose embedded
+    pid is DEAD — a live committer's hour-old scratch (a legitimately
+    long manifest write) is never rmtree'd from under it."""
+    import time
+
+    from twitter_flink_spark.operators import skipping as sk
+
+    dest = str(tmp_path / "man")
+    old = time.time() - 7200
+    live = f"{dest}.tmp-{os.getpid()}-1"
+    os.makedirs(live)
+    os.utime(live, (old, old))
+    # pid 2^22+ is above the default pid_max: unambiguously dead
+    dead = f"{dest}.tmp-99999999-1"
+    os.makedirs(dead)
+    os.utime(dead, (old, old))
+    sk._scratch_name(dest, "tmp")
+    assert os.path.isdir(live), "live committer's scratch must survive"
+    assert not os.path.isdir(dead), "dead pid's stale scratch is swept"

@@ -78,9 +78,9 @@ def test_incremental_index_recovers_torn_append(spark, tmp_path):
     )
     tmp = idx + ".rewrite"
     kept.write.mode("overwrite").parquet(tmp)
-    import shutil
+    from twitter_flink_spark.operators.skipping import _rm_committed
 
-    shutil.rmtree(idx)
+    _rm_committed(idx)  # the committed dest is a pointer symlink
     os.rename(tmp, idx)
     torn = spark.read.parquet(idx)
     assert torn.where(F.col("doc_id") == victim).count() == 1

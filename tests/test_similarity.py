@@ -359,9 +359,11 @@ def test_ivf_refit_on_drift_fires_heals_and_noops(spark, tmp_path):
 
     # 3. torn cutover: old centroids resurface under the new assignments
     good = os.path.join(idx, "_centroids")
+    from twitter_flink_spark.operators.skipping import _rm_committed
+
     shutil.rmtree(good + ".save", ignore_errors=True)
-    shutil.copytree(good, good + ".save")
-    shutil.rmtree(good)
+    shutil.copytree(good, good + ".save")  # follows the pointer symlink
+    _rm_committed(good)  # the committed dest is a pointer symlink
     # rebuild STALE centroids (the pre-refit fit) in place
     cents.coalesce(1).write.parquet(good)
     r4 = ivf_refit_on_drift(spark, idx, allv, threshold=1.5)

@@ -126,3 +126,54 @@ def test_stage_once_waits_for_young_unmarked_dest(tmp_path, monkeypatch):
     t.join()
     assert m == {"late": True}
     assert os.path.exists(os.path.join(d, "half"))  # never deleted
+
+
+def test_stage_once_heals_crashed_finalize_immediately(
+    tmp_path, monkeypatch
+):
+    """A marker-less dest whose _FINALIZING breadcrumb names a DEAD pid
+    is a crashed finalize: the next caller replaces it in ONE retry —
+    no wasted 900 s marker wait, no repeated RuntimeError runs."""
+    _tag(tmp_path, monkeypatch)
+    dest = staging.fixture_path("t6", "/sf")
+    os.makedirs(dest)  # young: age alone would have said "await"
+    with open(os.path.join(dest, "torn"), "w") as f:
+        f.write("crashed mid-finalize")
+    staging._write_marker(
+        os.path.join(dest, staging.FINALIZING), {"pid": 99999999}
+    )
+
+    import time
+
+    t0 = time.monotonic()
+    d, m = staging.stage_once(
+        "t6",
+        "/sf",
+        lambda p: open(os.path.join(p, "fresh"), "w").close() or {"v": 2},
+    )
+    assert time.monotonic() - t0 < 30  # healed now, not after a wait
+    assert m == {"v": 2}
+    assert os.path.exists(os.path.join(d, "fresh"))
+    assert not os.path.exists(os.path.join(d, "torn"))
+    # the healer finalized cleanly: breadcrumb gone, marker committed
+    assert not os.path.exists(os.path.join(d, staging.FINALIZING))
+    assert staging._read_marker(os.path.join(d, staging.MARKER)) == m
+
+
+def test_stage_once_cleans_scratch_when_build_raises(
+    tmp_path, monkeypatch
+):
+    """A build that raises (Spark error, ctrl-C) must not leak its
+    .build-* scratch dir in /tmp — nothing sweeps that prefix."""
+    _tag(tmp_path, monkeypatch)
+
+    def boom(p):
+        with open(os.path.join(p, "partial"), "w") as f:
+            f.write("x")
+        raise RuntimeError("spark died")
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="spark died"):
+        staging.stage_once("t7", "/sf", boom)
+    assert not [x for x in os.listdir(tmp_path) if ".build-" in x]

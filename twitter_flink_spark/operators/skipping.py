@@ -42,9 +42,12 @@ the scan-side pruning story a 100 TB engine needs.
 
 from __future__ import annotations
 
+import glob
 import os
 import re
 import shutil
+import threading
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,19 +60,35 @@ BLOOM_DIR = "_filebloom"  #: per-column suffix appended: _filebloom_<col>
 #: on the driver is the planning bottleneck the sharded form exists for.
 AUTO_TWO_LEVEL_FILES = 65536
 
+#: a superseded manifest generation outlives its pointer this long, so a
+#: reader that resolved the pointer just before a commit finishes its scan
+_GEN_GRACE_S = 120
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except OSError:
+        return True  # EPERM etc.: alive, just not ours
+    return True
+
 
 def _scratch_name(dest: str, kind: str) -> str:
     """Pid/thread-unique scratch sibling for ``dest`` (`.tmp-…`/`.gc-…`):
     two processes maintaining one shared manifest must never write into
     the same scratch dir. Crashed processes leave uniquely-named litter;
-    sweep it once it is unambiguously abandoned (>1 h old)."""
-    import glob
-    import threading
-    import time
-
+    sweep it only when it is unambiguously abandoned — the embedded pid
+    is DEAD *and* the dir is >1 h old — so a legitimately long-running
+    commit (a huge manifest write) can never lose its live scratch to an
+    unrelated committer."""
     for leftover in glob.glob(f"{dest}.tmp-*") + glob.glob(f"{dest}.gc-*"):
         try:
-            if time.time() - os.path.getmtime(leftover) > 3600:
+            m = re.search(r"\.(?:tmp|gc)-(\d+)-", leftover)
+            if m is not None and _pid_alive(int(m.group(1))):
+                continue
+            if time.time() - os.lstat(leftover).st_mtime > 3600:
                 shutil.rmtree(leftover, ignore_errors=True)
         except OSError:
             pass
@@ -93,26 +112,116 @@ def _commit_swap(df: DataFrame, dest: str) -> None:
     _replace_dir(tmp, dest)
 
 
+def _sweep_gens(dest: str) -> None:
+    """GC superseded generations of ``dest``: hidden gen dirs no longer
+    reachable through the pointer are removed once older than
+    ``_GEN_GRACE_S`` (a reader that resolved the pointer just before a
+    commit can still be mid-scan of the old generation); stranded
+    ``.lnk`` files from crashed commits age out the same way."""
+    d, base = os.path.split(dest)
+    current = os.path.realpath(dest) if os.path.islink(dest) else None
+    for g in glob.glob(os.path.join(d or ".", f".{base}.gen-*")):
+        try:
+            age = time.time() - os.lstat(g).st_mtime
+            if age <= _GEN_GRACE_S:
+                continue
+            if os.path.islink(g):
+                os.unlink(g)
+            elif current is None or os.path.realpath(g) != current:
+                shutil.rmtree(g, ignore_errors=True)
+        except OSError:
+            pass
+
+
+def _rm_committed(path: str) -> None:
+    """Remove a committed dest that may be a pointer symlink (the
+    ``_replace_dir`` protocol) or a legacy real dir.
+    ``shutil.rmtree(link, ignore_errors=True)`` silently no-ops on a
+    symlink, which would leak both the pointer and its generation."""
+    try:
+        if os.path.islink(path):
+            target = os.path.realpath(path)
+            os.unlink(path)
+            shutil.rmtree(target, ignore_errors=True)
+        else:
+            shutil.rmtree(path, ignore_errors=True)
+    except OSError:
+        pass
+
+
+def move_committed(src: str, dst: str) -> None:
+    """Relocate a committed manifest from ``src`` to ``dst`` — the
+    carry-across a data-dir-level compaction swap performs when it
+    renames the whole table dir aside and moves the manifests into the
+    rewritten dir. A committed dest is a pointer SYMLINK whose hidden
+    generation dir lives beside it (``_replace_dir``): moving only the
+    link (what ``shutil.move`` does) would strand the generation in the
+    swapped-aside dir and the subsequent ``rmtree`` would break the
+    pointer. Move the generation first, then the link — its relative
+    target stays valid. Legacy real dirs fall back to a plain move."""
+    if os.path.islink(src):
+        gen_name = os.readlink(src)
+        if not os.path.isabs(gen_name):
+            os.rename(
+                os.path.join(os.path.dirname(src), gen_name),
+                os.path.join(os.path.dirname(dst), gen_name),
+            )
+        os.rename(src, dst)
+    else:
+        shutil.move(src, dst)
+
+
 def _replace_dir(tmp: str, dest: str) -> None:
-    """Swap a COMPLETE generation at ``tmp`` into ``dest`` with
-    last-committer-wins semantics under concurrent swaps: readers see
-    some complete generation at every instant, never a mix."""
+    """Publish the COMPLETE generation at ``tmp`` as ``dest`` via a
+    POINTER SWAP: the generation is renamed to a hidden uniquely-named
+    sibling (``.{name}.gen-<pid>-<nonce>`` — the leading dot keeps
+    Spark's input listing blind to it) and ``dest`` becomes a symlink
+    renamed over in ONE atomic step. A reader opening ``dest`` therefore
+    sees the old or the new generation at every instant — there is no
+    between-renames window where ``dest`` does not exist (the
+    cross-process flake the old rename-aside dance allowed). Concurrent
+    commits are last-committer-wins: each writes its own generation and
+    the final pointer rename serializes in the kernel. Legacy real-dir
+    dests (pre-pointer layouts) migrate on first commit — that single
+    migration keeps the rename-aside window; every commit after it is
+    atomic. Superseded generations are swept after a reader grace
+    period (``_sweep_gens``).
+
+    On an object store (no symlinks, no atomic dir rename) this maps to
+    immutable generation prefixes plus a tiny pointer manifest updated
+    by conditional put — the layout ports unchanged."""
+    d, base = os.path.split(dest)
+    gen = os.path.join(
+        d or ".", f".{base}.gen-{os.getpid()}-{time.monotonic_ns():x}"
+    )
+    os.rename(tmp, gen)
+    lnk = f"{gen}.lnk"
+    try:
+        os.remove(lnk)
+    except OSError:
+        pass
+    os.symlink(os.path.basename(gen), lnk)
     for attempt in range(5):
-        old = _scratch_name(dest, "gc") + f"-{attempt}"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(dest):
+        try:
+            os.rename(lnk, dest)  # atomic over absent dest or a symlink
+            _sweep_gens(dest)
+            return
+        except OSError:
+            # dest is a legacy real dir: migrate it aside, then retry
+            # (the one-time window the pointer protocol removes)
+            old = _scratch_name(dest, "gc") + f"-{attempt}"
+            shutil.rmtree(old, ignore_errors=True)
             try:
-                os.rename(dest, old)
+                if os.path.isdir(dest) and not os.path.islink(dest):
+                    os.rename(dest, old)
             except OSError:
                 pass  # another committer moved it first
-        try:
-            os.rename(tmp, dest)
-        except OSError:
             shutil.rmtree(old, ignore_errors=True)
-            continue  # dest reappeared (concurrent commit): retry
-        shutil.rmtree(old, ignore_errors=True)
-        return
-    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        os.remove(lnk)
+    except OSError:
+        pass
+    shutil.rmtree(gen, ignore_errors=True)
     raise RuntimeError(f"commit to {dest} lost 5 swap races")
 
 
@@ -210,7 +319,7 @@ def build(
     reader = spark.read.parquet(root)
     if len(cols) == 1 and len(reader.inputFiles()) > threshold:
         _, parent = build_two_level(spark, root, cols[0])
-        shutil.rmtree(os.path.join(root, STATS_DIR), ignore_errors=True)
+        _rm_committed(os.path.join(root, STATS_DIR))
         return parent
     dest = os.path.join(root, STATS_DIR)
     _commit_swap(_file_stats(reader, cols), dest)
@@ -264,7 +373,7 @@ def update(
         # grown past flat viability: upgrade so the NEXT consult is
         # O(parent + touched shards), not O(files) on the driver
         build_two_level(spark, root, cols[0])
-        shutil.rmtree(dest, ignore_errors=True)
+        _rm_committed(dest)
     return len(new)
 
 
@@ -1239,7 +1348,7 @@ def build_bloom(
     reader = spark.read.parquet(root)
     if len(reader.inputFiles()) > threshold:
         _, parent = build_bloom_two_level(spark, root, col, m=m, k=k)
-        shutil.rmtree(_bloom_dir(root, col), ignore_errors=True)
+        _rm_committed(_bloom_dir(root, col))
         return parent
     dest = _bloom_dir(root, col)
     _commit_swap(_bloom_manifest(reader, col, m, k), dest)
@@ -1307,7 +1416,7 @@ def update_bloom(
         # grown past flat viability: upgrade so the NEXT probe reads one
         # shard dir instead of every file's word map
         build_bloom_two_level(spark, root, col, m=int(m), k=int(k))
-        shutil.rmtree(dest, ignore_errors=True)
+        _rm_committed(dest)
     return len(new)
 
 

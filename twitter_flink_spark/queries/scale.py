@@ -2364,7 +2364,7 @@ def _ensure_compacted_vacuumed_layout(
         os.rename(tmp, dest)
         # the staging marker does not exist yet (stage_once writes it
         # after finalize returns, into the post-swap dest)
-        shutil.move(
+        skipping.move_committed(
             os.path.join(gc, skipping.STATS_DIR),
             os.path.join(dest, skipping.STATS_DIR),
         )
@@ -2901,7 +2901,7 @@ def _ensure_twolevel_vacuumed_layout(
     os.rename(dest, gc)
     os.rename(tmp, dest)
     for d in (skipping.PARTS_DIR, skipping.ROOT_MANIFEST):
-        shutil.move(os.path.join(gc, d), os.path.join(dest, d))
+        skipping.move_committed(os.path.join(gc, d), os.path.join(dest, d))
     shutil.rmtree(gc, ignore_errors=True)
     n_new = skipping.update_two_level(spark, dest, "ts")
     n_dead = skipping.vacuum_two_level(spark, dest, "ts")
@@ -3015,7 +3015,7 @@ def _ensure_bloom_vacuumed_layout(
         bloom_dir = os.path.basename(
             skipping._bloom_dir(dest, "o_orderkey")
         )
-        shutil.move(
+        skipping.move_committed(
             os.path.join(gc, bloom_dir), os.path.join(dest, bloom_dir)
         )
         shutil.rmtree(gc, ignore_errors=True)
@@ -3249,7 +3249,7 @@ def _ensure_nightly_maintenance_layout(
         os.rename(dest, gc)
         os.rename(tmp, dest)
         for carried in (skipping.STATS_DIR, "_filebloom_user_id"):
-            shutil.move(
+            skipping.move_committed(
                 os.path.join(gc, carried), os.path.join(dest, carried)
             )
         shutil.rmtree(gc, ignore_errors=True)

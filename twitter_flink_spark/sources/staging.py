@@ -20,8 +20,13 @@ store the data files' paths) cannot be built in the scratch dir — the
 rename would orphan every stored path — so ``finalize(dest)`` runs those
 steps at the final path, after the rename, before the marker commit. The
 marker is therefore the completion contract: a dest without it is a
-crashed or mid-finalize build; young ones are awaited, stale ones
-replaced.
+crashed or mid-finalize build. To tell those apart WITHOUT waiting out a
+staleness clock, the winner drops a ``_FINALIZING.json`` breadcrumb
+(its pid) right after the commit rename: a marker-less dest whose
+finalizing pid is alive is awaited; one whose pid is dead is a crashed
+finalize and is replaced IMMEDIATELY — a crash heals in one retry
+instead of repeating wasted-build/900 s-wait/RuntimeError cycles until
+the dir ages past a 30-minute threshold.
 """
 
 from __future__ import annotations
@@ -34,13 +39,21 @@ import threading
 import time
 from collections.abc import Callable
 
+from twitter_flink_spark.operators.skipping import _pid_alive
+
 MARKER = "_STAGED.json"
 
-#: a dest without a marker younger than this is assumed mid-finalize by
-#: another process (awaited); older ones are crashed builds (replaced)
-STALE_AFTER_S = 1800
+#: the winner's pid breadcrumb, written between the commit rename and the
+#: marker commit — liveness of this pid is what separates "mid-finalize,
+#: await" from "crashed finalize, replace now"
+FINALIZING = "_FINALIZING.json"
 
-#: how long a losing builder waits for the winner's marker
+#: a marker-less dest with NO breadcrumb younger than this is assumed to
+#: be inside the (microseconds-wide) rename→breadcrumb window, or a
+#: concurrent legacy build — awaited; older ones are crashed builds
+STALE_AFTER_S = 60
+
+#: how long a losing builder waits for a LIVE winner's marker
 WAIT_MARKER_S = 900
 
 
@@ -66,6 +79,22 @@ def _write_marker(mark: str, meta: dict) -> None:
     os.rename(tmp, mark)  # atomic: readers see no marker, or a full one
 
 
+def _finalizing_alive(dest: str) -> bool:
+    """True while a marker-less ``dest`` should still be awaited: its
+    finalizing builder's pid is alive, or no breadcrumb exists yet and
+    the dir is young enough to be inside the rename→breadcrumb window."""
+    info = _read_marker(os.path.join(dest, FINALIZING))
+    if info is not None:
+        try:
+            return _pid_alive(int(info["pid"]))
+        except (KeyError, TypeError, ValueError):
+            return False
+    try:
+        return time.time() - os.path.getmtime(dest) < STALE_AFTER_S
+    except OSError:
+        return False
+
+
 def stage_once(
     tag: str,
     sf_dir: str,
@@ -84,39 +113,74 @@ def stage_once(
     meta = _read_marker(mark)
     if meta is not None:
         return dest, meta
+    if os.path.isdir(dest):
+        # marker-less dest: await a LIVE finalizer BEFORE paying a
+        # build; a dead one (crashed finalize) is replaced immediately
+        if _finalizing_alive(dest):
+            won = _wait_for_marker(mark)
+            if won is not None:
+                return dest, won
+        shutil.rmtree(dest, ignore_errors=True)
     tmp = f"{dest}.build-{os.getpid()}-{threading.get_ident()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    meta = dict(build(tmp) or {})
-    if os.path.isdir(dest) and not os.path.exists(mark):
-        # no marker: crashed/legacy build if stale, mid-finalize if young
-        age = time.time() - os.path.getmtime(dest)
-        if age > STALE_AFTER_S:
-            shutil.rmtree(dest, ignore_errors=True)
+    try:
+        meta = dict(build(tmp) or {})
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)  # never leak the scratch
+        raise
+    won = _read_marker(mark)
+    if won is not None:  # a winner committed while we built
+        shutil.rmtree(tmp, ignore_errors=True)
+        return dest, won
     try:
         os.rename(tmp, dest)
     except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # another builder won
+        # another builder won the rename; keep OUR completed scratch
+        # until the outcome is known — it heals a crashed winner
         won = _wait_for_marker(mark)
-        if won is None:
+        if won is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return dest, won
+        if _finalizing_alive(dest):
+            shutil.rmtree(tmp, ignore_errors=True)
             raise RuntimeError(
-                f"staged fixture {dest} exists without {MARKER} (builder "
-                "crashed mid-finalize?); remove the directory and retry"
+                f"staged fixture {dest} exists without {MARKER} and its "
+                "builder is still alive past the marker wait; remove the "
+                "directory and retry"
             )
-        return dest, won
+        shutil.rmtree(dest, ignore_errors=True)
+        try:
+            os.rename(tmp, dest)  # publish OUR build over the crash
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"staged fixture {dest} kept reappearing without "
+                f"{MARKER}; remove the directory and retry"
+            ) from None
+    _write_marker(os.path.join(dest, FINALIZING), {"pid": os.getpid()})
     if finalize is not None:
+        # on a raise the breadcrumb stays with our (soon dead) pid: the
+        # next caller replaces the torn dest immediately
         meta.update(finalize(dest) or {})
     _write_marker(mark, meta)
+    try:
+        os.remove(os.path.join(dest, FINALIZING))
+    except OSError:
+        pass
     return dest, meta
 
 
 def _wait_for_marker(mark: str) -> dict | None:
+    dest = os.path.dirname(mark)
     deadline = time.monotonic() + WAIT_MARKER_S
     while time.monotonic() < deadline:
         meta = _read_marker(mark)
         if meta is not None:
             return meta
-        if not os.path.isdir(os.path.dirname(mark)):
+        if not os.path.isdir(dest):
             return None  # winner's dir vanished: caller should not spin
+        if not _finalizing_alive(dest):
+            return None  # builder died mid-finalize: caller heals now
         time.sleep(0.5)
     return None
