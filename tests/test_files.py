@@ -1701,3 +1701,89 @@ def test_scratch_sweep_gated_on_dead_pid(tmp_path):
     sk._scratch_name(dest, "tmp")
     assert os.path.isdir(live), "live committer's scratch must survive"
     assert not os.path.isdir(dead), "dead pid's stale scratch is swept"
+
+
+def test_select_files_multi_selectivity_order_and_early_exit(
+    spark, tmp_path, monkeypatch
+):
+    """Multi-index consults run cheapest-parent-estimate FIRST and stop
+    reading manifest shards once the running intersection is empty: a
+    dead conjunction (disjoint ranges) pays O(columns) parent reads and
+    at most one cheap shard consult — at millions of files the later,
+    useless shard reads are the avoidable cost."""
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    # a-clustered layout: predicates on `a` prune to few parts (cheap),
+    # while every file spans all of `b` (expensive: all parts chosen)
+    df = spark.range(0, 1600).select(
+        F.col("id").alias("a"), ((F.col("id") * 7) % 1600).alias("b")
+    )
+    (
+        df.repartitionByRange(16, "a")
+        .sortWithinPartitions("a")
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    skipping.build_two_level_columns(spark, root, ["a", "b"], n_parts=4)
+
+    shard_reads = []
+    real = skipping._shard_select
+
+    def spy(spark_, col, lo, hi, parts_dir, chosen):
+        shard_reads.append(col)
+        return real(spark_, col, lo, hi, parts_dir, chosen)
+
+    monkeypatch.setattr(skipping, "_shard_select", spy)
+
+    # live conjunction: both consulted, cheap (a) first
+    plan = {}
+    paths, total, used = skipping.select_files_multi(
+        spark, root, [("b", 0, 1600), ("a", 0, 200)], plan_out=plan
+    )
+    assert used == 2 and paths
+    assert plan["consult_order"] == ["a", "b"]  # sorted, not declared
+    assert plan["est_files"]["a"] < plan["est_files"]["b"]
+    assert shard_reads == ["a", "b"]
+    assert plan["shards_skipped"] == 0
+
+    # dead conjunction: `a` selects nothing -> `b`'s shards never read
+    shard_reads.clear()
+    plan = {}
+    paths, _, used = skipping.select_files_multi(
+        spark, root, [("b", 0, 1600), ("a", 10_000, 20_000)],
+        plan_out=plan,
+    )
+    assert paths == [] and used == 2
+    assert plan["consult_order"] == ["a", "b"]
+    assert shard_reads == ["a"]  # early exit before b's consult
+    assert plan["shards_skipped"] > 0
+
+    # ordering is by estimate, not column name: flip the cheap side
+    shard_reads.clear()
+    plan = {}
+    skipping.select_files_multi(
+        spark, root, [("a", 0, 1600), ("b", 0, 1600)], plan_out=plan
+    )
+    assert plan["consult_order"][0] == min(
+        plan["est_files"], key=lambda c: (plan["est_files"][c], c)
+    )
+
+    # reported files_total is the max across per-column parents: append
+    # a file and refresh only ONE column's manifest — the total must not
+    # depend on predicate order
+    spark.range(1600, 1700).select(
+        F.col("id").alias("a"), ((F.col("id") * 7) % 1600).alias("b")
+    ).coalesce(1).write.mode("append").parquet(root)
+    parts, parent = skipping.two_level_columns(spark, root)["a"]
+    skipping._update_two_level_at(spark, root, "a", parts, parent)
+    _, t1, _ = skipping.select_files_multi(
+        spark, root, [("a", 0, 1600), ("b", 0, 1600)]
+    )
+    _, t2, _ = skipping.select_files_multi(
+        spark, root, [("b", 0, 1600), ("a", 0, 1600)]
+    )
+    n_live = len(spark.read.parquet(root).inputFiles())
+    assert t1 == t2 == n_live

@@ -1008,21 +1008,35 @@ def select_files_two_level(
     )
 
 
-def _select_two_level_at(
-    spark: SparkSession, col: str, lo, hi, parts_dir: str, parent_dir: str
-) -> tuple[list[str], int, int, int]:
-    parent = spark.read.parquet(parent_dir)
-    rows = parent.collect()  # O(partitions), the planner's tiny read
+def _parent_plan(
+    spark: SparkSession, parent_dir: str, lo, hi
+) -> tuple[list, int, int, int]:
+    """Phase 1 of a two-level consult — the O(partitions) parent read:
+    which manifest partitions can contain intersecting files. Returns
+    (chosen_parts, files_total, parts_total, est_files) where
+    ``est_files`` is the chosen partitions' file count — an upper bound
+    on the files this predicate can select, i.e. a sound selectivity
+    estimate available BEFORE any shard is read."""
+    rows = spark.read.parquet(parent_dir).collect()  # planner's tiny read
     parts_total = len(rows)
     files_total = sum(r["n_files"] for r in rows)
     chosen = [
-        r["part"]
+        r
         for r in rows
         if r["unknown"] == 1
         or (r["part_min"] is not None and r["part_min"] < hi and r["part_max"] >= lo)
     ]
+    est_files = sum(r["n_files"] for r in chosen)
+    return [r["part"] for r in chosen], files_total, parts_total, est_files
+
+
+def _shard_select(
+    spark: SparkSession, col: str, lo, hi, parts_dir: str, chosen: list
+) -> list[str]:
+    """Phase 2 of a two-level consult: read ONLY the chosen manifest
+    shards and apply the per-file envelope test."""
     if not chosen:
-        return [], files_total, 0, parts_total
+        return []
     dirs = [os.path.join(parts_dir, f"part={p}") for p in chosen]
     shard = spark.read.parquet(*dirs)
     keep = shard.where(
@@ -1030,7 +1044,16 @@ def _select_two_level_at(
         | (F.col(f"max_{col}").isNull())
         | ((F.col(f"min_{col}") < F.lit(hi)) & (F.col(f"max_{col}") >= F.lit(lo)))
     )
-    paths = [r["file"] for r in keep.select("file").collect()]
+    return [r["file"] for r in keep.select("file").collect()]
+
+
+def _select_two_level_at(
+    spark: SparkSession, col: str, lo, hi, parts_dir: str, parent_dir: str
+) -> tuple[list[str], int, int, int]:
+    chosen, files_total, parts_total, _ = _parent_plan(
+        spark, parent_dir, lo, hi
+    )
+    paths = _shard_select(spark, col, lo, hi, parts_dir, chosen)
     return paths, files_total, len(chosen), parts_total
 
 
@@ -1256,39 +1279,72 @@ def vacuum_two_level_columns(
 
 
 def select_files_multi(
-    spark: SparkSession, root: str, preds: list[tuple[str, object, object]]
+    spark: SparkSession,
+    root: str,
+    preds: list[tuple[str, object, object]],
+    plan_out: dict | None = None,
 ) -> tuple[list[str], int, int]:
     """Files whose envelopes intersect EVERY ``(col, lo, hi)`` range,
     resolved by INTERSECTING per-column two-level selections: each
     predicate with an index pays one parent read + its touched shards;
     predicates on unindexed columns prune nothing (no stats — the
     caller's residual decides their rows, candidate-level as always).
-    Returns (paths, files_total, indexed_preds). Raises when NO
-    predicate column has a two-level manifest — that conjunction has no
-    index to serve it (build one, or use the flat ``select_files``)."""
+
+    Consults are SELECTIVITY-ORDERED: every indexed predicate's parent
+    manifest (a KB read each) is consulted first, and the shard reads —
+    the part that costs real I/O at millions of files — run
+    cheapest-estimate-first, where the estimate is the parent-chosen
+    partitions' file count (an upper bound on that predicate's
+    selection). Once the running intersection is EMPTY the remaining
+    predicates' shard reads are skipped entirely — they cannot remove
+    anything from an empty set. At a million files a dead conjunction
+    (disjoint ranges) therefore costs O(columns) parent reads and ONE
+    cheap shard consult, not every column's shards.
+
+    Returns (paths, files_total, indexed_preds); ``files_total`` is the
+    MAX across the per-column parents, so the reported total (which
+    feeds callers' index-pruned flags) does not depend on predicate
+    order when per-column manifests were refreshed at different times —
+    refresh them together via ``update_two_level_columns``. Raises when
+    NO predicate column has a two-level manifest — that conjunction has
+    no index to serve it (build one, or use the flat ``select_files``).
+    ``plan_out``, when given, receives the consult plan for audit:
+    ``consult_order`` (cols, cheapest first), ``est_files`` per col,
+    and ``shards_skipped`` (count of parent-chosen shards never read
+    thanks to the empty-intersection early exit)."""
     indexes = two_level_columns(spark, root)
-    sel: dict[str, str] | None = None
-    total = 0
-    used = 0
+    consults = []
+    files_total = 0
     for col, lo, hi in preds:
         if col not in indexes:
             continue
         parts, parent = indexes[col]
-        paths, total, _, _ = _select_two_level_at(
-            spark, col, lo, hi, parts, parent
-        )
-        used += 1
-        cur = {_norm_path(p): p for p in paths}
-        sel = cur if sel is None else {
-            n: p for n, p in sel.items() if n in cur
-        }
-    if sel is None:
+        chosen, total, _, est = _parent_plan(spark, parent, lo, hi)
+        files_total = max(files_total, total)
+        consults.append((est, col, lo, hi, parts, chosen))
+    if not consults:
         raise ValueError(
             f"no two-level manifest on {root} covers any of "
             f"{sorted({c for c, _, _ in preds})}; build_two_level_columns "
             "first (or use the flat select_files)"
         )
-    return list(sel.values()), total, used
+    consults.sort(key=lambda t: (t[0], t[1]))  # ties break on col name
+    sel: dict[str, str] | None = None
+    shards_skipped = 0
+    for est, col, lo, hi, parts, chosen in consults:
+        if sel is not None and not sel:
+            shards_skipped += len(chosen)  # empty ∩ stays empty
+            continue
+        paths = _shard_select(spark, col, lo, hi, parts, chosen)
+        cur = {_norm_path(p): p for p in paths}
+        sel = cur if sel is None else {
+            n: p for n, p in sel.items() if n in cur
+        }
+    if plan_out is not None:
+        plan_out["consult_order"] = [c[1] for c in consults]
+        plan_out["est_files"] = {c[1]: c[0] for c in consults}
+        plan_out["shards_skipped"] = shards_skipped
+    return list(sel.values()), files_total, len(consults)
 
 
 def read_where_multi(
