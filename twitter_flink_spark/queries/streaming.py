@@ -2123,3 +2123,192 @@ def streaming_sink_percolumn_indexes(
             "index_pruned"
         ),
     )
+
+
+@register(
+    "streaming_quarantine_repair",
+    oracle="""
+WITH bounds AS (SELECT min(ts) AS t0 FROM events)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(least(e.value, 150.0)), 2) AS total_value,
+       TRUE AS batch_sums_match,
+       TRUE AS replay_noop,
+       TRUE AS index_fresh
+FROM events e, bounds b
+WHERE e.ts >= b.t0 + INTERVAL 5 DAY AND e.ts < b.t0 + INTERVAL 12 DAY
+GROUP BY e.event_type
+""",
+)
+def streaming_quarantine_repair(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The quarantine repair/replay cycle DRIVEN FROM A STREAMING GATE
+    (round-11 VERDICT item 1): what `quarantine_repair_replay` proves
+    once over the corpus, this runs per micro-batch — the shape a live
+    ingest gate actually is. Each of the four time-ordered batches:
+    (1) persists its contract violators (value over the cap) to a
+    batch-keyed quarantine dir — the audit/repair source; (2) repairs
+    them (clamp), RE-GATES the repaired rows through the same rule
+    inside the same plan (a pre-filter Observation counts `still_bad`,
+    the post-filter one counts what re-entered — a repair that still
+    violates never reaches the table), and lands gate-passing +
+    repaired rows in ONE observed write under `good/batch=<id>`;
+    (3) refreshes the good table's skipping index incrementally —
+    O(batch), `stale_file_count` 0 after every commit; (4) commits the
+    per-batch ledger LAST via atomic rename — the marker that makes a
+    REPLAYED batch (foreachBatch redelivery after recovery) a pure
+    no-op: the sink short-circuits before touching data, pinned after
+    the drain by redelivering the final batch and checking the good
+    table's file set byte-for-byte. Per-batch overwrite into batch-
+    keyed dirs keeps a crashed half-written batch re-runnable.
+
+    `batch_sums_match` pins the streaming/batch equivalence contract:
+    the four batch ledgers' quarantined/repaired/good counts sum to
+    exactly the corpus-wide counts (every batch's repairs all re-
+    entered, zero `still_bad`); `replay_noop` pins the redelivery;
+    `index_fresh` pins >0 newly indexed files per commit and zero
+    stale files. Serving reads a ts slice THROUGH the refreshed index;
+    the oracle applies the clamp to every row of the original events
+    table — the hash match proves the per-batch gate + repair + replay
+    + index lifecycle lost nothing and changed exactly the violating
+    rows. Extends `TopNHashtags.java:303`'s lossy in-memory state
+    story the same way the MV family does: operational state
+    (quarantine, ledgers, index) lives in storage, not the driver."""
+    import datetime
+    import json
+    import os
+    import tempfile
+
+    from pyspark.sql import Observation
+
+    from twitter_flink_spark.operators import skipping
+    from twitter_flink_spark.operators.expectations import Rule
+    from twitter_flink_spark.sources.tables import load_table
+
+    cap = Rule("value_cap", "value <= 150.0", "quarantine")
+    staged = _ensure_time_split_events(spark, sf_dir)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    base = tempfile.mkdtemp(prefix="tfs-squar-")
+    good = os.path.join(base, "good")
+    quar = os.path.join(base, "quarantine")
+    ledgers = os.path.join(base, "_ledger")
+    os.makedirs(ledgers)
+    batches: list[dict[str, int]] = []
+    replays: list[int] = []
+
+    def on_batch(batch_df, batch_id: int) -> None:
+        mark = os.path.join(ledgers, f"batch-{batch_id}.json")
+        if os.path.exists(mark):
+            replays.append(batch_id)  # committed batch: pure no-op
+            return
+        q_obs = Observation(f"quar-{batch_id}")
+        (
+            batch_df.where(cap.violated())
+            .observe(q_obs, F.count(F.lit(1)).alias("n_quarantined"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(quar, f"batch={batch_id}"))
+        )
+        gate = batch_df.where(~cap.violated()).withColumn(
+            "__src", F.lit("gate")
+        )
+        repaired = (
+            batch_df.where(cap.violated())
+            .withColumn("value", F.least(F.col("value"), F.lit(150.0)))
+            .withColumn("__src", F.lit("repair"))
+        )
+        pre = Observation(f"pre-{batch_id}")
+        post = Observation(f"post-{batch_id}")
+        is_rep = F.col("__src") == "repair"
+        regated = (
+            gate.unionByName(repaired)
+            .observe(
+                pre,
+                F.sum((cap.violated() & is_rep).cast("long")).alias(
+                    "still_bad"
+                ),
+            )
+            .where(~cap.violated())  # the RE-GATE, same rule
+            .observe(
+                post,
+                F.sum((~is_rep).cast("long")).alias("n_good"),
+                F.sum(is_rep.cast("long")).alias("n_repaired"),
+            )
+            .drop("__src")
+        )
+        regated.write.mode("overwrite").parquet(
+            os.path.join(good, f"batch={batch_id}")
+        )
+        led = {
+            k: int(v or 0)
+            for o in (q_obs, pre, post)
+            for k, v in o.get.items()
+        }
+        if os.path.isdir(os.path.join(good, skipping.STATS_DIR)):
+            led["n_new_files"] = skipping.update(spark, good, ["ts"])
+        else:
+            skipping.build(spark, good, ["ts"])
+            led["n_new_files"] = len(
+                spark.read.parquet(good).inputFiles()
+            )
+        led["stale_after"] = skipping.stale_file_count(spark, good)
+        tmp = f"{mark}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(led, f)
+        os.rename(tmp, mark)  # ledger commit = the batch's commit point
+        batches.append(led)
+
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="tfs-squar-ckpt-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 300)
+
+    # replay the final batch: the marker short-circuits everything
+    files_before = sorted(spark.read.parquet(good).inputFiles())
+    on_batch(spark.read.parquet(staged), len(batches) - 1)
+    replay_noop = (
+        replays == [len(batches) - 1]
+        and sorted(spark.read.parquet(good).inputFiles()) == files_before
+        and skipping.stale_file_count(spark, good) == 0
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    corpus = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cap.violated().cast("long")).alias("bad"),
+    ).first()
+    batch_sums_match = (
+        len(batches) == 4
+        and all(b["still_bad"] == 0 for b in batches)
+        and all(b["n_repaired"] == b["n_quarantined"] for b in batches)
+        and sum(b["n_quarantined"] for b in batches) == int(corpus["bad"])
+        and int(corpus["bad"]) > 0
+        and sum(b["n_good"] + b["n_repaired"] for b in batches)
+        == int(corpus["n"])
+    )
+    index_fresh = all(
+        b["n_new_files"] > 0 and b["stale_after"] == 0 for b in batches
+    )
+
+    t0 = spark.read.parquet(good).agg(F.min("ts")).first()[0]  # 1-row
+    lo = t0 + datetime.timedelta(days=5)
+    hi = t0 + datetime.timedelta(days=12)
+    sliced, _fr, _ft = skipping.read_between(spark, good, "ts", lo, hi)
+    return sliced.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.lit(bool(batch_sums_match)).alias("batch_sums_match"),
+        F.lit(bool(replay_noop)).alias("replay_noop"),
+        F.lit(bool(index_fresh)).alias("index_fresh"),
+    )
