@@ -718,7 +718,6 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number div target_rows) to cap file size). File-count columns
     come from the FileSystem listing, not assumptions — a staging change
     that fragments differently flips the row and the driver sees it."""
-    import glob as _glob
     import os
 
     from twitter_flink_spark.sources.files import scratch_dir
@@ -746,13 +745,16 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(compacted)
     )
 
+    from twitter_flink_spark.sources.files import partition_listing
+
     def _files_per_part(root: str) -> dict[str, int]:
-        out: dict[str, int] = {}
-        for d in _glob.glob(os.path.join(root, "event_type=*")):
-            out[d.rsplit("=", 1)[1]] = len(
-                [f for f in os.listdir(d) if f.endswith(".parquet")]
-            )
-        return out
+        # inputFiles-based listing: object-store safe, nothing read
+        return {
+            et: len(fs)
+            for et, fs in partition_listing(
+                spark, root, "event_type"
+            ).items()
+        }
 
     before, after = _files_per_part(staged), _files_per_part(compacted)
     stats = spark.createDataFrame(
@@ -1166,7 +1168,6 @@ def compact_target_file_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bin straddling tasks would flip the row. At 100 TB the target is
     set in bytes-per-file terms (rows x row width); rows are the
     deterministic proxy the fixture can assert exactly."""
-    import glob as _glob
     import os
 
     from twitter_flink_spark.sources.files import binpack_write, scratch_dir
@@ -1182,13 +1183,14 @@ def compact_target_file_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         compacted,
         order_col="event_id",
     )
-    observed = []
-    for d in _glob.glob(os.path.join(compacted, "event_type=*")):
-        et = d.rsplit("=", 1)[1]
-        n_files = len(
-            [f for f in os.listdir(d) if f.endswith(".parquet")]
-        )
-        observed.append((et, n_files))
+    from twitter_flink_spark.sources.files import partition_listing
+
+    observed = [
+        (et, len(fs))  # inputFiles listing: object-store safe
+        for et, fs in partition_listing(
+            spark, compacted, "event_type"
+        ).items()
+    ]
     obs_df = spark.createDataFrame(
         observed, "event_type string, files_after int"
     )
@@ -1862,11 +1864,10 @@ def _migrate_era_days(
     if os.path.isfile(manifest):
         with open(manifest) as fh:
             done = json.load(fh)
-    era0_days = sorted(
-        d.split("=", 1)[1]
-        for d in os.listdir(era0)
-        if d.startswith("day=")
-    )
+    from twitter_flink_spark.sources.files import partition_listing
+
+    # inputFiles-based day discovery: object-store safe, listing only
+    era0_days = sorted(partition_listing(spark, era0, "day"))
     todo = [d for d in era0_days if d not in done]
     if max_days is not None:
         todo = todo[:max_days]
@@ -1940,23 +1941,31 @@ def era_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest = _migrate_era_days(spark, era0, mig)
     incremental_ok = len(first) == 1 and not (set(first) & set(rest))
 
-    def _day_dirs(root: str) -> dict[str, str]:
-        return {
-            d.split("=", 1)[1]: os.path.join(root, d)
-            for d in os.listdir(root)
-            if d.startswith("day=")
-        }
+    def _day_info(root: str) -> dict[str, bool]:
+        """day -> every listed file under it sits in an event_type=
+        subdir (inputFiles-based: object-store safe; stricter than the
+        old listdir any(): a half-migrated day flips to False)."""
+        evolved: dict[str, bool] = {}
+        for f in spark.read.parquet(root).inputFiles():
+            segs = f.split("/")
+            day = next(
+                (
+                    s.split("=", 1)[1]
+                    for s in segs
+                    if s.startswith("day=")
+                ),
+                None,
+            )
+            if day is None:
+                continue
+            has_et = any(s.startswith("event_type=") for s in segs)
+            evolved[day] = evolved.get(day, True) and has_et
+        return evolved
 
-    serving = {**_day_dirs(mig), **_day_dirs(era1)}
+    serving = {**_day_info(mig), **_day_info(era1)}
     flags = [
-        (
-            day,
-            incremental_ok
-            and any(
-                s.startswith("event_type=") for s in os.listdir(path)
-            ),
-        )
-        for day, path in sorted(serving.items())
+        (day, incremental_ok and evolved)
+        for day, evolved in sorted(serving.items())
     ]
     flags_df = spark.createDataFrame(flags, "day string, evolved boolean")
     r0 = spark.read.parquet(mig).where(F.col("event_type") == "purchase")

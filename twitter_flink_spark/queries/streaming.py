@@ -1801,7 +1801,8 @@ def _ensure_late_staged(spark: SparkSession, sf_dir: str) -> str:
     for i, part in ((0, early), (1, rest), (2, replay)):
         tmp = os.path.join(dest, f"_b{i}")
         part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        # inputFiles-based pick of the single part file (no os.listdir)
+        src = os.path.basename(spark.read.parquet(tmp).inputFiles()[0])
         os.rename(
             os.path.join(tmp, src), os.path.join(dest, f"{i:02d}.parquet")
         )

@@ -214,3 +214,23 @@ def scratch_dir(tag: str) -> str:
     """Per-run scratch directory for sink round-trips (driver runs queries
     repeatedly in one process; each run writes fresh)."""
     return os.path.join(tempfile.mkdtemp(prefix=f"tfs-{tag}-"), tag)
+
+
+def partition_listing(
+    spark: SparkSession, root: str, part_col: str
+) -> dict[str, list[str]]:
+    """Partition-value -> data-file paths, derived from the scan
+    LISTING (``inputFiles`` — the Hadoop FileSystem API under the
+    session's configured filesystem), never ``os.listdir``: the
+    accounting ports to object stores unchanged, and nothing is read —
+    listing-only, the same cost class as a manifest consult. Fixture
+    queries that pin files-per-partition invariants (compaction targets,
+    migration completeness) count through this."""
+    out: dict[str, list[str]] = {}
+    prefix = f"{part_col}="
+    for f in spark.read.parquet(root).inputFiles():
+        for seg in f.split("/"):
+            if seg.startswith(prefix):
+                out.setdefault(seg[len(prefix):], []).append(f)
+                break
+    return out
