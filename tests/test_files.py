@@ -1787,3 +1787,61 @@ def test_select_files_multi_selectivity_order_and_early_exit(
     )
     n_live = len(spark.read.parquet(root).inputFiles())
     assert t1 == t2 == n_live
+
+
+def test_replace_dir_concurrent_reader_never_sees_missing(tmp_path):
+    """Cross-process pin of the pointer-swap guarantee: a subprocess
+    commits new generations in a tight loop while this process opens
+    dest and reads a file through it continuously — ZERO path-not-found
+    in hundreds of swaps (the exact flake class the old two-rename
+    window allowed under concurrent manifest rebuilds)."""
+    import subprocess
+    import sys
+    import time
+
+    from twitter_flink_spark.operators import skipping as sk
+
+    dest = str(tmp_path / "man")
+    g0 = str(tmp_path / "g0")
+    os.makedirs(g0)
+    open(os.path.join(g0, "payload"), "w").write("gen-0")
+    sk._replace_dir(g0, dest)
+
+    writer = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            f"""
+import os, time
+from twitter_flink_spark.operators import skipping as sk
+dest = {dest!r}
+deadline = time.monotonic() + 6
+i = 0
+while time.monotonic() < deadline:
+    i += 1
+    g = dest + f".next-{{i}}"
+    os.makedirs(g)
+    open(os.path.join(g, "payload"), "w").write(f"gen-{{i}}")
+    sk._replace_dir(g, dest)
+print(i)
+""",
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    reads = 0
+    misses = []
+    while writer.poll() is None:
+        try:
+            with open(os.path.join(dest, "payload")) as f:
+                assert f.read().startswith("gen-")
+            os.listdir(dest)
+            reads += 1
+        except (FileNotFoundError, NotADirectoryError) as e:
+            misses.append(repr(e))
+        time.sleep(0.001)
+    commits = int(writer.stdout.read().strip())
+    assert writer.returncode == 0
+    assert commits > 50, f"writer only committed {commits} generations"
+    assert reads > 100
+    assert misses == [], f"{len(misses)} reader misses: {misses[:3]}"

@@ -3518,3 +3518,72 @@ def twolevel_multicol_conjunction(
             "index_pruned"
         ),
     )
+
+
+@register(
+    "twolevel_dead_conjunction_early_exit",
+    oracle="""
+WITH bounds AS (SELECT min(ts) AS t0 FROM events)
+SELECT CAST(count(*) AS BIGINT) AS cnt,
+       TRUE AS consult_skipped,
+       TRUE AS zero_files_read
+FROM events e, bounds b
+WHERE e.ts >= b.t0 + INTERVAL 45 DAY
+  AND e.ts < b.t0 + INTERVAL 60 DAY
+  AND e.user_id >= (SELECT min(user_id) FROM events)
+""",
+)
+def twolevel_dead_conjunction_early_exit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The selectivity-ordered multi-index planner on a provably-dead
+    conjunction (round-11 VERDICT item 2, end-to-end): a ts range
+    entirely beyond the table's maximum ANDed with a live user range.
+    The ts parent consult (one KB read) chooses ZERO manifest
+    partitions, so its estimate sorts it first; the running
+    intersection is empty after that single consult and the user
+    column's shard reads are SKIPPED entirely — at millions of files a
+    dead conjunction costs O(columns) parent reads plus nothing, which
+    is the difference between a planner hiccup and a planner stampede
+    when a dashboard fires a mistyped date range at the table.
+    `consult_skipped` pins the plan (ts consulted first, >0 user
+    shards skipped via `plan_out`); `zero_files_read` pins that no
+    data file was ever scheduled. The oracle runs the same dead
+    predicate over the original table — cnt 0 proves losslessness of
+    an empty selection (the residual story's degenerate case)."""
+    import datetime
+
+    from twitter_flink_spark.operators import skipping
+
+    dest = _ensure_cell_clustered_layout(spark, sf_dir)
+    skipping.build_two_level_columns(
+        spark, dest, ["user_id", "ts"], n_parts=4
+    )
+    b = (
+        spark.read.parquet(dest)
+        .agg(F.min("user_id").alias("u0"), F.min("ts").alias("t0"))
+        .first()
+    )
+    tlo = b["t0"] + datetime.timedelta(days=45)
+    thi = b["t0"] + datetime.timedelta(days=60)
+    preds = [("user_id", b["u0"], b["u0"] + 10**9), ("ts", tlo, thi)]
+    plan: dict = {}
+    paths, _total, used = skipping.select_files_multi(
+        spark, dest, preds, plan_out=plan
+    )
+    sliced, files_read, _ft = skipping.read_where_multi(
+        spark, dest, preds
+    )
+    consult_skipped = (
+        used == 2
+        and plan["consult_order"][0] == "ts"
+        and plan["shards_skipped"] > 0
+        and paths == []
+    )
+    return sliced.agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).select(
+        "cnt",
+        F.lit(bool(consult_skipped)).alias("consult_skipped"),
+        F.lit(files_read == 0).alias("zero_files_read"),
+    )
