@@ -2335,3 +2335,52 @@ def streaming_quarantine_repair(
         F.lit(bool(replay_noop)).alias("replay_noop"),
         F.lit(bool(index_fresh)).alias("index_fresh"),
     )
+
+
+@register(
+    "streaming_repair_ledger_stateful",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cum_rows,
+       CAST(sum(CASE WHEN value > 150.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS cum_repaired,
+       round(sum(CASE WHEN value > 150.0 THEN value - 150.0 ELSE 0 END), 2)
+         AS repaired_excess
+FROM events
+GROUP BY event_type
+""",
+)
+def streaming_repair_ledger_stateful(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The repair gate's cumulative telemetry as a custom STATEFUL
+    operator (`applyInPandasWithState`, `streaming/stateful.py::
+    repair_ledger_stream`): per event_type, the managed state store
+    carries running (rows seen, rows over the value cap, total clamped
+    excess) across micro-batches — the dashboard ledger that rides
+    beside `streaming_quarantine_repair`'s foreachBatch repair loop
+    (the repair WRITES — quarantine dir, good table, index — so it
+    lives in foreachBatch; the LEDGER is pure keyed accumulation, so
+    it lives in the state store, checkpointed and restart-safe). The
+    emission history depends on source batching, so the query reduces
+    to the final row per key, which must equal the batch groupBy over
+    the whole corpus — the oracle computes exactly that."""
+    src = stream_table(spark, sf_dir, "events")
+    from twitter_flink_spark.streaming.stateful import (
+        repair_ledger_stream,
+    )
+
+    emitted = run_to_memory(
+        repair_ledger_stream(src), output_mode="update"
+    )
+    final = emitted.groupBy("event_type").agg(
+        F.max(
+            F.struct("cum_rows", "cum_repaired", "repaired_excess")
+        ).alias("f")
+    )
+    return final.select(
+        "event_type",
+        F.col("f.cum_rows").alias("cum_rows"),
+        F.col("f.cum_repaired").alias("cum_repaired"),
+        F.round(F.col("f.repaired_excess"), 2).alias("repaired_excess"),
+    )

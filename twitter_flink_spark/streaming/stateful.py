@@ -30,6 +30,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -75,4 +76,76 @@ def running_totals_stream(src: DataFrame, key_col: str = "user_id") -> DataFrame
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# -- repair ledger: cumulative gate telemetry in the managed store ----------
+
+REPAIR_CAP = 150.0  #: the ingest contract's value cap (quarantine rule)
+
+LEDGER_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("cum_rows", LongType()),
+        StructField("cum_repaired", LongType()),
+        StructField("repaired_excess", DoubleType()),
+    ]
+)
+
+LEDGER_STATE_SCHEMA = StructType(
+    [
+        StructField("rows", LongType()),
+        StructField("rep", LongType()),
+        StructField("exc", DoubleType()),
+    ]
+)
+
+
+def _update_repair_ledger(
+    key: tuple[Any, ...],
+    pdf_iter: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (event_type,) = key
+    rows, rep, exc = state.get if state.exists else (0, 0, 0.0)
+    for pdf in pdf_iter:
+        rows += len(pdf)
+        bad = pdf["value"] > REPAIR_CAP
+        rep += int(bad.sum())
+        exc += float((pdf.loc[bad, "value"] - REPAIR_CAP).sum())
+    state.update((rows, rep, exc))
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type],
+            "cum_rows": [rows],
+            "cum_repaired": [rep],
+            "repaired_excess": [exc],
+        }
+    )
+
+
+def repair_ledger_stream(
+    src: DataFrame, key_col: str = "event_type"
+) -> DataFrame:
+    """Cumulative repair-gate telemetry per key as EXPLICIT managed
+    state: every micro-batch, each key present emits one row with its
+    running (rows seen, rows over the cap = repaired, total clamped
+    excess). The sink-side repair itself lives in foreachBatch
+    (`streaming_quarantine_repair` — a repair must write quarantine,
+    good table, and index, which a stateful transform cannot);
+    this operator is the complementary always-on ledger the gate's
+    dashboard watches: checkpointed, key-partitioned, recovered on
+    restart — unlike the reference's lost per-task array
+    (`TopNHashtags.java:303`). Arrow moves each group's batch rows to
+    Python in one block; state is three scalars per key."""
+    return (
+        src.select(key_col, "value")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _update_repair_ledger,
+            outputStructType=LEDGER_OUTPUT_SCHEMA,
+            stateStructType=LEDGER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
