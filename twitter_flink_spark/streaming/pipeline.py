@@ -389,14 +389,15 @@ class TopNFeedback:
             .withColumn("max_ts", F.lit(frontier))
             .select(*[f.name for f in log_schema.fields])
         )
+        from twitter_flink_spark.operators.skipping import _replace_dir
+
         tmp = self._log_dir + ".compact"
         shutil.rmtree(tmp, ignore_errors=True)
         compacted.coalesce(1).write.mode("overwrite").parquet(tmp)
-        gc_dir = self._log_dir + ".gc"
-        shutil.rmtree(gc_dir, ignore_errors=True)
-        os.rename(self._log_dir, gc_dir)
-        os.rename(tmp, self._log_dir)
-        shutil.rmtree(gc_dir, ignore_errors=True)
+        # pointer swap (symlink renamed in one atomic step): a reader —
+        # or a restore racing this compaction — sees the old or the new
+        # log at every instant, never a missing dir
+        _replace_dir(tmp, self._log_dir)
 
     def _maybe_compact_in_run(self) -> None:
         """In-run WAL compaction (every ``compact_every`` micro-batches):
@@ -1057,14 +1058,14 @@ class IncrementalMV:
         )
         order = [f.name for f in log.schema.fields]
         out = net.select(*order).unionByName(keep.select(*order))
+        from twitter_flink_spark.operators.skipping import _replace_dir
+
         tmp = self.changelog_dir + ".compact"
         shutil.rmtree(tmp, ignore_errors=True)
         out.write.mode("overwrite").parquet(tmp)
-        gc_dir = self.changelog_dir + ".gc"
-        shutil.rmtree(gc_dir, ignore_errors=True)
-        os.rename(self.changelog_dir, gc_dir)
-        os.rename(tmp, self.changelog_dir)
-        shutil.rmtree(gc_dir, ignore_errors=True)
+        # pointer swap: CDF consumers reading the changelog concurrently
+        # never observe a missing dir between generations
+        _replace_dir(tmp, self.changelog_dir)
 
     def lookup(self, keys: list) -> "DataFrame":
         """Point lookup: serve specific keys by opening ONLY the bucket
