@@ -1845,3 +1845,54 @@ print(i)
     assert commits > 50, f"writer only committed {commits} generations"
     assert reads > 100
     assert misses == [], f"{len(misses)} reader misses: {misses[:3]}"
+
+
+def test_pin_generation_survives_post_grace_sweep(tmp_path):
+    """A pinned generation outlives the reader grace: long scans pin
+    their resolved snapshot so a commit + sweep during the scan cannot
+    delete it; dead-pid pins are litter the sweeper clears."""
+    import time
+
+    from twitter_flink_spark.operators import skipping as sk
+
+    dest = str(tmp_path / "man")
+    g1 = str(tmp_path / "g1")
+    os.makedirs(g1)
+    open(os.path.join(g1, "a"), "w").write("1")
+    sk._replace_dir(g1, dest)
+
+    with sk.pin_generation(dest) as snap:
+        assert open(os.path.join(snap, "a")).read() == "1"
+        g2 = str(tmp_path / "g2")
+        os.makedirs(g2)
+        open(os.path.join(g2, "a"), "w").write("2")
+        sk._replace_dir(g2, dest)  # concurrent commit mid-scan
+        # age the pinned generation well past the grace and sweep
+        past = time.time() - sk._GEN_GRACE_S - 5
+        os.utime(snap, (past, past))
+        sk._sweep_gens(dest)
+        assert os.path.isdir(snap)  # pin held it
+        assert open(os.path.join(snap, "a")).read() == "1"  # snapshot
+        assert open(os.path.join(dest, "a")).read() == "2"  # new current
+    # pin released: the next sweep reclaims it
+    os.utime(snap, (past, past))
+    sk._sweep_gens(dest)
+    assert not os.path.isdir(snap)
+
+    # a pin whose reader died is litter: swept, generation reclaimed
+    g3 = os.path.realpath(dest)
+    open(f"{g3}.pin-99999999-1", "w").close()
+    g4 = str(tmp_path / "g4")
+    os.makedirs(g4)
+    open(os.path.join(g4, "a"), "w").write("3")
+    sk._replace_dir(g4, dest)
+    os.utime(g3, (past, past))
+    sk._sweep_gens(dest)
+    assert not os.path.isdir(g3)
+    assert not os.path.exists(f"{g3}.pin-99999999-1")
+
+    # legacy real-dir dest: pin is a pass-through
+    legacy = str(tmp_path / "legacy")
+    os.makedirs(legacy)
+    with sk.pin_generation(legacy) as snap2:
+        assert snap2 == legacy

@@ -48,6 +48,7 @@ import re
 import shutil
 import threading
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -116,19 +117,67 @@ def _sweep_gens(dest: str) -> None:
     """GC superseded generations of ``dest``: hidden gen dirs no longer
     reachable through the pointer are removed once older than
     ``_GEN_GRACE_S`` (a reader that resolved the pointer just before a
-    commit can still be mid-scan of the old generation); stranded
-    ``.lnk`` files from crashed commits age out the same way."""
+    commit can still be mid-scan of the old generation) — unless a LIVE
+    ``pin_generation`` breadcrumb holds them; stranded ``.lnk`` files
+    from crashed commits and dead-pid pins age out the same way."""
     d, base = os.path.split(dest)
     current = os.path.realpath(dest) if os.path.islink(dest) else None
-    for g in glob.glob(os.path.join(d or ".", f".{base}.gen-*")):
+    entries = glob.glob(os.path.join(d or ".", f".{base}.gen-*"))
+    pinned: set[str] = set()
+    for g in entries:
+        m = re.match(r"^(.+\.gen-[^./]+)\.pin-(\d+)-\d+$", g)
+        if m is None:
+            continue
+        if _pid_alive(int(m.group(2))):
+            pinned.add(m.group(1))
+        else:
+            try:
+                os.remove(g)  # pin whose reader died: litter
+            except OSError:
+                pass
+    for g in entries:
+        if ".pin-" in g:
+            continue
         try:
             age = time.time() - os.lstat(g).st_mtime
             if age <= _GEN_GRACE_S:
                 continue
             if os.path.islink(g):
                 os.unlink(g)
-            elif current is None or os.path.realpath(g) != current:
+            elif (
+                g not in pinned
+                and (current is None or os.path.realpath(g) != current)
+            ):
                 shutil.rmtree(g, ignore_errors=True)
+        except OSError:
+            pass
+
+
+@contextmanager
+def pin_generation(dest: str):
+    """Hold the CURRENT generation of a committed dest alive for the
+    duration of a long scan: yields a stable path to read (the resolved
+    generation for a pointer dest; the dest itself for a legacy real
+    dir) and drops a ``.pin-<pid>-<tid>`` breadcrumb beside the
+    generation so ``_sweep_gens`` skips it past the reader grace while
+    this pid lives. Readers that finish inside ``_GEN_GRACE_S`` don't
+    need this; it exists for scans that legitimately outlive it — a
+    full-manifest audit at millions of files, a straggling executor —
+    where the post-grace sweep could otherwise delete the generation
+    mid-read. Concurrent commits keep publishing; the pinned reader
+    just keeps its own consistent snapshot (exactly the snapshot-
+    isolation posture a table format's pinned-version read gives)."""
+    if not os.path.islink(dest):
+        yield dest
+        return
+    gen = os.path.realpath(dest)
+    pin = f"{gen}.pin-{os.getpid()}-{threading.get_ident()}"
+    open(pin, "w").close()
+    try:
+        yield gen
+    finally:
+        try:
+            os.remove(pin)
         except OSError:
             pass
 
