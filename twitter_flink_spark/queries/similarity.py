@@ -3053,3 +3053,254 @@ def ann_recall_curve_ivf_inverted(
         "nprobe int, n_hits long, recall_at_5 double, rbo double, "
         "curve_monotone boolean",
     )
+
+
+@register(
+    "knn_label_vote_accuracy",
+    oracle="""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+p AS (SELECT * FROM v WHERE vec_id % 37 = 0),
+scored AS (
+  SELECT p.vec_id AS qid, p.label AS qlabel,
+         c.vec_id AS nid, c.label AS nlabel,
+         round(list_dot_product(p.e, c.e)
+               / (sqrt(list_dot_product(p.e, p.e))
+                  * sqrt(list_dot_product(c.e, c.e))), 6) AS cos
+  FROM p JOIN v c ON c.vec_id <> p.vec_id
+),
+top5 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+    FROM scored
+  ) WHERE rn <= 5
+),
+votes AS (
+  SELECT qid, qlabel, nlabel, count(*) AS cnt
+  FROM top5 GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT qid, qlabel, nlabel AS plabel FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY cnt DESC, nlabel) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT qlabel AS label,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(sum(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS accuracy
+FROM pred GROUP BY 1
+""",
+)
+def knn_label_vote_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weak-label quality audit via exact kNN voting — the eval a
+    training pipeline runs before trusting a labeled embedding corpus:
+    every 37th vector becomes a probe, its 5 nearest neighbors (exact
+    cosine over the whole corpus, probe excluded) vote by majority
+    (ties: smaller label), and per-label accuracy = how often the vote
+    reproduces the stored label. Low accuracy for one label = label
+    noise or an entangled region — the signal that routes a slice to
+    re-annotation. Plan: the probe set (n/37 rows) BROADCASTS against
+    the corpus — one corpus scan, no all-pairs; ranking is a per-probe
+    window; at 100 TB probes stay a sample and the scan parallelizes
+    per file. Cosines round to 6 dp before ranking so both engines
+    rank identical values (ties then break on neighbor id)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        "label",
+    )
+    probes = emb.where(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.join(F.broadcast(probes), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            F.col("vec_id").alias("nid"),
+            F.col("label").alias("nlabel"),
+            F.round(
+                dot(F.col("e"), F.col("qe"))
+                / (
+                    F.sqrt(dot(F.col("qe"), F.col("qe")))
+                    * F.sqrt(dot(F.col("e"), F.col("e")))
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col("nid"))
+    top5 = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 5
+    )
+    votes = top5.groupBy("qid", "qlabel", "nlabel").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.desc("cnt"), F.col("nlabel")
+    )
+    pred = votes.withColumn("rn", F.row_number().over(wv)).where(
+        F.col("rn") == 1
+    )
+    correct = (F.col("nlabel") == F.col("qlabel")).cast("long")
+    return pred.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        F.round(F.sum(correct) / F.count(F.lit(1)), 4).alias(
+            "accuracy"
+        ),
+    )
+
+
+@register(
+    "label_centroid_separation",
+    oracle="""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+ns AS (SELECT label, count(*) AS n FROM v GROUP BY 1),
+sums AS (
+  SELECT label, CAST(t.i AS BIGINT) AS dim,
+         sum(CAST(round(e[t.i], 7) AS DECIMAL(18,7))) AS s
+  FROM v CROSS JOIN unnest(range(1, 65)) AS t(i)
+  GROUP BY 1, 2
+),
+cent AS (
+  SELECT s.label, list(CAST(s.s AS DOUBLE) / ns.n ORDER BY s.dim) AS c
+  FROM sums s JOIN ns USING (label) GROUP BY s.label, ns.n
+),
+scat AS (
+  SELECT v.label,
+         sum(CAST(round(
+           list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c.c)
+             + list_dot_product(c.c, c.c), 7) AS DECIMAL(28,7))) AS sd2
+  FROM v JOIN cent c USING (label) GROUP BY 1
+),
+si AS (
+  SELECT ns.label, ns.n, sqrt(CAST(sd2 AS DOUBLE) / ns.n) AS s
+  FROM scat JOIN ns USING (label)
+),
+pd AS (
+  SELECT a.label AS la, b.label AS lb,
+         sqrt(list_dot_product(a.c, a.c) - 2 * list_dot_product(a.c, b.c)
+              + list_dot_product(b.c, b.c)) AS d
+  FROM cent a JOIN cent b ON a.label <> b.label
+),
+nearest AS (
+  SELECT la, lb, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY la ORDER BY d, lb) AS rn
+    FROM pd
+  ) WHERE rn = 1
+)
+SELECT si.label,
+       CAST(si.n AS BIGINT) AS n,
+       round(si.s, 6) AS scatter,
+       nearest.lb AS nearest_label,
+       round((si.s + sj.s) / nearest.d, 6) AS db_component
+FROM si JOIN nearest ON nearest.la = si.label
+JOIN si sj ON sj.label = nearest.lb
+""",
+)
+def label_centroid_separation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space health audit per label — the Davies-Bouldin-style
+    census a pipeline runs on a labeled corpus before training: per
+    label its intra-class scatter (RMS distance of members to their
+    centroid), the NEAREST other centroid, and the DB component
+    (s_i + s_j)/d(c_i, c_j) — high values flag entangled label pairs
+    (candidates for merging or re-annotation). Exactness discipline:
+    centroids are per-dim DECIMAL sums of 7-dp-rounded components
+    divided to double (partition-order independent, the `_kmeans_ctes`
+    machinery); member squared distances round to 7 dp and SUM IN
+    DECIMAL so the scatter is order-independent too; every remaining
+    double op (sqrt, the final divisions) runs on identical inputs in
+    both engines. Plan: one posexplode shuffle keyed (label, dim) for
+    centroids, one broadcast of 10 centroid rows back over the corpus
+    for scatter, and a 10x10 centroid cross pair — nothing all-pairs,
+    nothing member-vs-member; at 100 TB the corpus is scanned twice
+    and shuffled once at (labels x dims) grain."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        "label",
+    )
+    ns = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    sums = (
+        emb.select("label", F.posexplode("e").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(F.round("val", 7).cast("decimal(18,7)")).alias("s")
+        )
+    )
+    cent = (
+        sums.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("ss"))
+        .join(ns, "label")
+        .select(
+            "label",
+            "n",
+            F.expr("transform(ss, x -> cast(x.s as double) / n)").alias(
+                "c"
+            ),
+        )
+    )
+    d2 = (
+        dot(F.col("e"), F.col("e"))
+        - 2 * dot(F.col("e"), F.col("c"))
+        + dot(F.col("c"), F.col("c"))
+    )
+    scat = (
+        emb.join(F.broadcast(cent.select("label", "c")), "label")
+        .select("label", F.round(d2, 7).cast("decimal(28,7)").alias("d2"))
+        .groupBy("label")
+        .agg(F.sum("d2").alias("sd2"))
+    )
+    si = scat.join(ns, "label").select(
+        "label",
+        "n",
+        F.sqrt(F.col("sd2").cast("double") / F.col("n")).alias("s"),
+    )
+    a = cent.select(F.col("label").alias("la"), F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("lb"), F.col("c").alias("cb"))
+    pd_ = (
+        a.join(F.broadcast(b), F.col("la") != F.col("lb"))  # 10x10 pairs
+        .select(
+            "la",
+            "lb",
+            F.sqrt(
+                dot(F.col("ca"), F.col("ca"))
+                - 2 * dot(F.col("ca"), F.col("cb"))
+                + dot(F.col("cb"), F.col("cb"))
+            ).alias("d"),
+        )
+    )
+    wn = Window.partitionBy("la").orderBy("d", "lb")
+    nearest = pd_.withColumn("rn", F.row_number().over(wn)).where(
+        F.col("rn") == 1
+    )
+    sj = si.select(
+        F.col("label").alias("lb"), F.col("s").alias("s_j")
+    )
+    return (
+        si.join(
+            F.broadcast(nearest.select("la", "lb", "d")),
+            si["label"] == F.col("la"),
+        )
+        .join(F.broadcast(sj), "lb")
+        .select(
+            "label",
+            F.col("n").cast("long").alias("n"),
+            F.round("s", 6).alias("scatter"),
+            F.col("lb").alias("nearest_label"),
+            F.round((F.col("s") + F.col("s_j")) / F.col("d"), 6).alias(
+                "db_component"
+            ),
+        )
+    )
