@@ -370,3 +370,71 @@ def test_ivf_refit_on_drift_fires_heals_and_noops(spark, tmp_path):
     assert r4["fired"] is True  # mixed generation reads as drift
     r5 = ivf_refit_on_drift(spark, idx, allv, threshold=1.5)
     assert r5["fired"] is False and abs(r5["ratio"] - 1.0) < 1e-9
+
+
+def _labeled_embeddings_dir(spark, tmp_path, rows):
+    """Write a tiny embeddings.parquet a query's load_table can read."""
+    import os
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+    return d
+
+
+def test_knn_vote_flags_the_mislabeled_probe(spark, tmp_path):
+    """A probe whose stored label disagrees with its 5 nearest
+    neighbors' majority vote counts as incorrect; probes are exactly
+    the vec_id % 37 == 0 rows."""
+    from twitter_flink_spark.queries.similarity import (
+        knn_label_vote_accuracy,
+    )
+
+    # cluster A around (1, 0): ids 0-5. id 0 is a probe but carries
+    # the WRONG label b; its neighbors all vote a.
+    rows = [(i, [1.0 + 0.01 * i, 0.0], "a") for i in range(1, 6)]
+    rows.append((0, [1.0, 0.0], "b"))
+    # cluster B around (0, 1): ids 37 and 74 are probes, labels agree.
+    rows += [(37 + i, [0.01 * i, 1.0], "b") for i in range(1, 6)]
+    rows += [(37, [0.0, 1.0], "b"), (74, [0.05, 1.0], "b")]
+    sf = _labeled_embeddings_dir(spark, tmp_path, rows)
+
+    got = {
+        r["label"]: r
+        for r in knn_label_vote_accuracy(spark, sf).collect()
+    }
+    # all three probes carry qlabel b; only id 0's vote disagrees
+    assert set(got) == {"b"}
+    assert got["b"]["n_probes"] == 3
+    assert got["b"]["n_correct"] == 2
+    assert abs(got["b"]["accuracy"] - round(2 / 3, 4)) < 1e-9
+
+
+def test_centroid_separation_exact_on_two_clusters(spark, tmp_path):
+    """Hand-computable corpus: two labels on a line, unit scatter,
+    centroid distance 10 -> db_component 0.2 both ways."""
+    from twitter_flink_spark.queries.similarity import (
+        label_centroid_separation,
+    )
+
+    rows = [
+        (1, [0.0, 0.0], "a"),
+        (2, [2.0, 0.0], "a"),
+        (3, [10.0, 0.0], "b"),
+        (4, [12.0, 0.0], "b"),
+    ]
+    sf = _labeled_embeddings_dir(spark, tmp_path, rows)
+    got = {
+        r["label"]: r
+        for r in label_centroid_separation(spark, sf).collect()
+    }
+    assert set(got) == {"a", "b"}
+    for lab, other in (("a", "b"), ("b", "a")):
+        assert got[lab]["n"] == 2
+        assert abs(got[lab]["scatter"] - 1.0) < 1e-6
+        assert got[lab]["nearest_label"] == other
+        assert abs(got[lab]["db_component"] - 0.2) < 1e-6
