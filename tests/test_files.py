@@ -1896,3 +1896,86 @@ def test_pin_generation_survives_post_grace_sweep(tmp_path):
     os.makedirs(legacy)
     with sk.pin_generation(legacy) as snap2:
         assert snap2 == legacy
+
+
+def test_parent_histogram_orders_thin_slice_first(spark, tmp_path):
+    """The parent's 32-bucket value histogram tells a THIN slice of a
+    dense partition apart from a full sweep when chosen-partition file
+    counts cannot: both indexes here hold ONE manifest partition of 16
+    files (count bound: 16 each, a tie the old estimate broke
+    alphabetically), but the histogram prices the thin slice at a
+    couple of files, so it is consulted first despite sorting LAST by
+    name — and every estimate stays a sound upper bound on the actual
+    selection."""
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    # zslice-clustered (tight envelopes per file); wide spans all files
+    df = spark.range(0, 1600).select(
+        ((F.col("id") * 7) % 1600).alias("wide"),
+        F.col("id").alias("zslice"),
+    )
+    (
+        df.repartitionByRange(16, "zslice")
+        .sortWithinPartitions("zslice")
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    skipping.build_two_level_columns(
+        spark, root, ["wide", "zslice"], n_parts=1
+    )
+
+    plan: dict = {}
+    paths, _, used = skipping.select_files_multi(
+        spark,
+        root,
+        [("wide", 0, 1600), ("zslice", 0, 100)],
+        plan_out=plan,
+    )
+    assert used == 2 and paths
+    # count bounds tie at 16; the histogram breaks the tie correctly
+    assert plan["est_bound_files"] == {"wide": 16, "zslice": 16}
+    assert plan["est_files"]["zslice"] < plan["est_files"]["wide"]
+    assert plan["consult_order"] == ["zslice", "wide"]
+    # soundness: estimate >= actual selection, and never above the bound
+    for col in ("wide", "zslice"):
+        assert plan["est_files"][col] >= plan["selected_files"][col]
+        assert plan["est_files"][col] <= plan["est_bound_files"][col]
+    assert plan["selected_files"]["zslice"] <= 2  # thin slice: ~1 file
+
+    # maintenance: an append + update refreshes the histogram with the
+    # parent; out-of-span values fold into the open edge bucket and the
+    # estimate stays sound for a query over the appended region
+    spark.range(1600, 1700).select(
+        ((F.col("id") * 7) % 1600).alias("wide"),
+        F.col("id").alias("zslice"),
+    ).coalesce(1).write.mode("append").parquet(root)
+    parts, parent = skipping.two_level_columns(spark, root)["zslice"]
+    skipping._update_two_level_at(spark, root, "zslice", parts, parent)
+    plan = {}
+    paths, _, _ = skipping.select_files_multi(
+        spark, root, [("zslice", 1600, 1700)], plan_out=plan
+    )
+    assert len(paths) == 1  # exactly the appended file
+    est = plan["est_files"]["zslice"]
+    # sound (>= 1 actual) and still far tighter than the count bound:
+    # only the appended file plus the couple of old files reaching the
+    # open edge bucket (repartitionByRange samples boundaries, so the
+    # edge neighborhood is approximate — the bound is not)
+    assert 1 <= est <= 4
+    assert est < plan["est_bound_files"]["zslice"]
+
+    # legacy parents (written before histograms) fall back to the
+    # count bound — consult still works, estimate == bound
+    legacy = spark.read.parquet(parent).drop("hist_min", "hist_max")
+    skipping._commit_swap(legacy, parent)
+    plan = {}
+    paths, _, _ = skipping.select_files_multi(
+        spark, root, [("zslice", 0, 100)], plan_out=plan
+    )
+    assert len(paths) >= 1
+    assert (
+        plan["est_files"]["zslice"] == plan["est_bound_files"]["zslice"]
+    )

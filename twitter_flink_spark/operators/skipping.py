@@ -843,9 +843,64 @@ def _bucket_expr(
     )
 
 
+HIST_BUCKETS = 32
+
+
+def _hist_bucket_of(raw: F.Column, lo_us: int, hi_us: int) -> F.Column:
+    """Histogram bucket of a raw (micros-normalized) value over the
+    build bounds — same floor arithmetic as ``_bucket_expr``, clamped so
+    the edge buckets are OPEN (later values outside the original span
+    fold into buckets 0 / H-1, mirroring how bucketed files do)."""
+    span = hi_us - lo_us + 1
+    scaled = F.floor((raw - F.lit(lo_us)) * HIST_BUCKETS / F.lit(span))
+    return F.greatest(
+        F.lit(0), F.least(F.lit(HIST_BUCKETS - 1), scaled)
+    ).cast("int")
+
+
 def _parent_manifest(
     parted: DataFrame, col: str, lo_us: int, hi_us: int, n_parts: int
 ) -> DataFrame:
+    """One row per manifest partition: union envelope, file count, the
+    frozen bucketing params — and two fixed 32-bucket BOUNDARY
+    histograms over the BUILD bounds: ``hist_min`` counts each file
+    once in the bucket of its envelope MIN, ``hist_max`` in the bucket
+    of its envelope MAX. Boundary counts (not intersection counts)
+    make the derived estimate exact at bucket granularity with no
+    double counting: files missing a range [lo, hi) are exactly those
+    with min >= hi plus those with max < lo — two DISJOINT sets a
+    boundary histogram lower-bounds from whole buckets strictly
+    outside the range, so n_files minus both is a sound upper bound on
+    the selection (an intersection histogram, by contrast, counts a
+    wide-envelope file into every bucket it spans and its range-sum
+    degenerates to n_files). NULL boundaries fold conservatively to
+    the edge buckets (never subtracted). Recomputed with the parent at
+    every commit point (build / update / vacuum / crash repair), so
+    the histograms can never go stale independently of the envelopes
+    they refine."""
+    is_ts = str(parted.schema[f"min_{col}"].dataType).startswith(
+        "Timestamp"
+    )
+    raw_min, raw_max = (
+        (F.unix_micros(F.col(f"min_{col}")), F.unix_micros(F.col(f"max_{col}")))
+        if is_ts
+        else (F.col(f"min_{col}"), F.col(f"max_{col}"))
+    )
+    h_min = F.coalesce(
+        _hist_bucket_of(raw_min, lo_us, hi_us), F.lit(0)
+    )
+    h_max = F.coalesce(
+        _hist_bucket_of(raw_max, lo_us, hi_us), F.lit(HIST_BUCKETS - 1)
+    )
+
+    def counts(bucket_col, name):
+        return F.array(
+            *[
+                F.sum((bucket_col == F.lit(h)).cast("long"))
+                for h in range(HIST_BUCKETS)
+            ]
+        ).alias(name)
+
     return parted.groupBy("part").agg(
         F.min(f"min_{col}").alias("part_min"),
         F.max(f"max_{col}").alias("part_max"),
@@ -854,6 +909,8 @@ def _parent_manifest(
         F.lit(int(lo_us)).alias("bucket_lo"),
         F.lit(int(hi_us)).alias("bucket_hi"),
         F.lit(n_parts).alias("n_parts"),
+        counts(h_min, "hist_min"),
+        counts(h_max, "hist_max"),
     )
 
 
@@ -1057,15 +1114,58 @@ def select_files_two_level(
     )
 
 
+def _hist_estimate(r, lo, hi) -> int:
+    """Histogram refinement of one chosen parent row's file-count bound.
+    A file MISSES [lo, hi) iff its min >= hi or its max < lo — disjoint
+    sets; every file whose min falls in a bucket strictly above the
+    bucket containing hi-1 certainly has min >= hi, and every file
+    whose max falls in a bucket strictly below the bucket containing lo
+    certainly has max < lo, so ``n_files`` minus both whole-bucket
+    tails is a sound upper bound on the selection (exact when the
+    query boundaries align with bucket boundaries). Falls back to
+    ``n_files`` for unknown-envelope rows and legacy parents written
+    before histograms existed."""
+    fields = r.__fields__ if hasattr(r, "__fields__") else r.asDict()
+    if (
+        "hist_min" not in fields
+        or r["hist_min"] is None
+        or r["hist_max"] is None
+        or r["unknown"] == 1
+    ):
+        return int(r["n_files"])
+    import datetime
+
+    qlo, qhi = lo, hi
+    if isinstance(qlo, datetime.datetime):
+        qlo, qhi = _to_micros(qlo), _to_micros(qhi)
+    lo_us, hi_us = int(r["bucket_lo"]), int(r["bucket_hi"])
+    span = hi_us - lo_us + 1
+    h = HIST_BUCKETS
+
+    def bucket(v: int) -> int:
+        return max(0, min(h - 1, ((int(v) - lo_us) * h) // span))
+
+    # [qlo, qhi) on an integer/micros domain: last included value qhi-1
+    h_lo, h_hi = bucket(qlo), bucket(int(qhi) - 1)
+    min_above = sum(r["hist_min"][h_hi + 1 :])
+    max_below = sum(r["hist_max"][:h_lo])
+    return max(0, int(r["n_files"]) - int(min_above) - int(max_below))
+
+
 def _parent_plan(
     spark: SparkSession, parent_dir: str, lo, hi
-) -> tuple[list, int, int, int]:
+) -> tuple[list, int, int, int, int]:
     """Phase 1 of a two-level consult — the O(partitions) parent read:
     which manifest partitions can contain intersecting files. Returns
-    (chosen_parts, files_total, parts_total, est_files) where
-    ``est_files`` is the chosen partitions' file count — an upper bound
-    on the files this predicate can select, i.e. a sound selectivity
-    estimate available BEFORE any shard is read."""
+    (chosen_parts, files_total, parts_total, est_files, est_bound).
+    ``est_bound`` is the chosen partitions' file count — the coarse
+    upper bound on the files this predicate can select; ``est_files``
+    refines it through each chosen row's value histogram (how many of
+    the partition's files actually intersect the queried slice), still
+    a sound upper bound but sharp enough to order consults by real
+    selectivity when partition file counts alone cannot distinguish a
+    thin slice from a full sweep. Both are available BEFORE any shard
+    is read."""
     rows = spark.read.parquet(parent_dir).collect()  # planner's tiny read
     parts_total = len(rows)
     files_total = sum(r["n_files"] for r in rows)
@@ -1075,8 +1175,15 @@ def _parent_plan(
         if r["unknown"] == 1
         or (r["part_min"] is not None and r["part_min"] < hi and r["part_max"] >= lo)
     ]
-    est_files = sum(r["n_files"] for r in chosen)
-    return [r["part"] for r in chosen], files_total, parts_total, est_files
+    est_bound = sum(r["n_files"] for r in chosen)
+    est_files = sum(_hist_estimate(r, lo, hi) for r in chosen)
+    return (
+        [r["part"] for r in chosen],
+        files_total,
+        parts_total,
+        est_files,
+        est_bound,
+    )
 
 
 def _shard_select(
@@ -1099,7 +1206,7 @@ def _shard_select(
 def _select_two_level_at(
     spark: SparkSession, col: str, lo, hi, parts_dir: str, parent_dir: str
 ) -> tuple[list[str], int, int, int]:
-    chosen, files_total, parts_total, _ = _parent_plan(
+    chosen, files_total, parts_total, _, _ = _parent_plan(
         spark, parent_dir, lo, hi
     )
     paths = _shard_select(spark, col, lo, hi, parts_dir, chosen)
@@ -1343,8 +1450,12 @@ def select_files_multi(
     manifest (a KB read each) is consulted first, and the shard reads —
     the part that costs real I/O at millions of files — run
     cheapest-estimate-first, where the estimate is the parent-chosen
-    partitions' file count (an upper bound on that predicate's
-    selection). Once the running intersection is EMPTY the remaining
+    partitions' file count REFINED through each parent row's 32-bucket
+    envelope-boundary histograms (files provably missing the queried
+    slice subtract out — still a sound upper bound on that predicate's
+    selection, but it tells a thin slice of a dense partition apart
+    from a full sweep, which bare file counts cannot). Once the
+    running intersection is EMPTY the remaining
     predicates' shard reads are skipped entirely — they cannot remove
     anything from an empty set. At a million files a dead conjunction
     (disjoint ranges) therefore costs O(columns) parent reads and ONE
@@ -1358,8 +1469,11 @@ def select_files_multi(
     NO predicate column has a two-level manifest — that conjunction has
     no index to serve it (build one, or use the flat ``select_files``).
     ``plan_out``, when given, receives the consult plan for audit:
-    ``consult_order`` (cols, cheapest first), ``est_files`` per col,
-    and ``shards_skipped`` (count of parent-chosen shards never read
+    ``consult_order`` (cols, cheapest first), ``est_files`` per col
+    (histogram-refined), ``est_bound_files`` (the coarse chosen-
+    partition count bound the histogram sharpened), ``selected_files``
+    (actual per-col selections, for consults that ran), and
+    ``shards_skipped`` (count of parent-chosen shards never read
     thanks to the empty-intersection early exit)."""
     indexes = two_level_columns(spark, root)
     consults = []
@@ -1368,9 +1482,11 @@ def select_files_multi(
         if col not in indexes:
             continue
         parts, parent = indexes[col]
-        chosen, total, _, est = _parent_plan(spark, parent, lo, hi)
+        chosen, total, _, est, bound = _parent_plan(
+            spark, parent, lo, hi
+        )
         files_total = max(files_total, total)
-        consults.append((est, col, lo, hi, parts, chosen))
+        consults.append((est, col, lo, hi, parts, chosen, bound))
     if not consults:
         raise ValueError(
             f"no two-level manifest on {root} covers any of "
@@ -1380,11 +1496,13 @@ def select_files_multi(
     consults.sort(key=lambda t: (t[0], t[1]))  # ties break on col name
     sel: dict[str, str] | None = None
     shards_skipped = 0
-    for est, col, lo, hi, parts, chosen in consults:
+    selected: dict[str, int] = {}
+    for est, col, lo, hi, parts, chosen, _bound in consults:
         if sel is not None and not sel:
             shards_skipped += len(chosen)  # empty ∩ stays empty
             continue
         paths = _shard_select(spark, col, lo, hi, parts, chosen)
+        selected[col] = len(paths)
         cur = {_norm_path(p): p for p in paths}
         sel = cur if sel is None else {
             n: p for n, p in sel.items() if n in cur
@@ -1392,6 +1510,8 @@ def select_files_multi(
     if plan_out is not None:
         plan_out["consult_order"] = [c[1] for c in consults]
         plan_out["est_files"] = {c[1]: c[0] for c in consults}
+        plan_out["est_bound_files"] = {c[1]: c[6] for c in consults}
+        plan_out["selected_files"] = selected
         plan_out["shards_skipped"] = shards_skipped
     return list(sel.values()), files_total, len(consults)
 

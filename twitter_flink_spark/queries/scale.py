@@ -3587,3 +3587,90 @@ def twolevel_dead_conjunction_early_exit(
         F.lit(bool(consult_skipped)).alias("consult_skipped"),
         F.lit(files_read == 0).alias("zero_files_read"),
     )
+
+
+@register(
+    "twolevel_hist_thin_slice_order",
+    oracle="""
+WITH b AS (SELECT min(user_id) AS u0, max(user_id) AS u1, min(ts) AS t0
+           FROM events)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(e.value), 2) AS total_value,
+       TRUE AS hist_first,
+       TRUE AS hist_tightened,
+       TRUE AS est_sound
+FROM events e, b
+WHERE e.user_id >= b.u0 + (b.u1 - b.u0 + 1) // 2
+  AND e.user_id <  b.u0 + (b.u1 - b.u0 + 1) // 2 + (b.u1 - b.u0 + 1) // 8
+  AND e.ts >= b.t0
+GROUP BY e.event_type
+""",
+)
+def twolevel_hist_thin_slice_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Histogram-fed consult ordering, end-to-end (the round-11 verdict's
+    round-12 candidate): each parent manifest row carries a 32-bucket
+    value histogram (files-intersecting counts), so the planner's
+    selectivity estimate prices a THIN slice of a dense partition below
+    a full sweep even when chosen-partition file counts tie. Both
+    indexes here are built single-partition (n_parts=1) over the
+    cell-clustered layout, so the old count-only estimates tie at
+    n_files and the alphabetical tie-break would consult `ts` — the
+    FULL-RANGE predicate, whose shard consult prunes nothing — first;
+    the histogram prices the eighth-span user slice at ~a quarter of
+    the files and consults it first, so the running intersection is
+    small before the sweep-side consult runs. `hist_first` pins the
+    order, `hist_tightened` that the histogram estimate is strictly
+    below the count bound it refines, `est_sound` that every estimate
+    upper-bounds the consult's actual selection. The oracle applies
+    the same predicates to the raw table — ordering is a planning
+    concern and must never change results."""
+    import datetime
+
+    from twitter_flink_spark.operators import skipping
+
+    dest = _ensure_cell_clustered_layout(spark, sf_dir)
+    skipping.build_two_level_columns(
+        spark, dest, ["user_id", "ts"], n_parts=1
+    )
+    b = (
+        spark.read.parquet(dest)
+        .agg(
+            F.min("user_id").alias("u0"),
+            F.max("user_id").alias("u1"),
+            F.min("ts").alias("t0"),
+        )
+        .first()
+    )
+    span = b["u1"] - b["u0"] + 1
+    ulo = b["u0"] + span // 2
+    uhi = ulo + span // 8
+    tlo = b["t0"]
+    thi = b["t0"] + datetime.timedelta(days=999)
+    preds = [("ts", tlo, thi), ("user_id", ulo, uhi)]
+    plan: dict = {}
+    skipping.select_files_multi(spark, dest, preds, plan_out=plan)
+    sliced, _read, _total = skipping.read_where_multi(spark, dest, preds)
+    hist_first = (
+        plan["consult_order"][0] == "user_id"
+        and plan["est_files"]["user_id"] < plan["est_files"]["ts"]
+    )
+    hist_tightened = (
+        plan["est_bound_files"]["user_id"]
+        == plan["est_bound_files"]["ts"]  # the tie counts cannot break
+        and plan["est_files"]["user_id"]
+        < plan["est_bound_files"]["user_id"]
+    )
+    est_sound = all(
+        plan["est_files"][c] >= n
+        for c, n in plan["selected_files"].items()
+    )
+    return sliced.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.lit(bool(hist_first)).alias("hist_first"),
+        F.lit(bool(hist_tightened)).alias("hist_tightened"),
+        F.lit(bool(est_sound)).alias("est_sound"),
+    )
