@@ -131,3 +131,66 @@ def test_incremental_index_verified_pairs_cross_era(spark, tmp_path):
         ).collect()
     )
     assert got == exp and len(got) > 0
+
+
+def test_augmented_corpus_deterministic_prefixes(spark):
+    """The recall curve's corpus augmentation: every 4th doc survives,
+    each variant id is doc_id*10+level, and each variant text is the
+    first ceil(frac*n) tokens (floored at 3) of the original."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.queries.dedup import (
+        AUG_FRACS,
+        _augmented_corpus,
+    )
+
+    text = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(4, text), (5, "skipped doc")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r["text"] for r in _augmented_corpus(docs).collect()
+    }
+    # doc 5 is not a multiple of 4 -> dropped entirely
+    assert set(rows) == {40, 41, 42, 43, 44, 45}
+    assert rows[40] == text
+    for lvl, frac in enumerate(AUG_FRACS, start=1):
+        n = max(3, math.ceil(10 * frac))
+        assert rows[40 + lvl] == " ".join(f"w{i}" for i in range(n))
+
+
+def test_banding_recall_curve_bins_and_soundness(spark):
+    """On a hand-built corpus the curve reports sound bins: n_caught <=
+    n_true, recall = n_caught/n_true, and an exact-duplicate pair (the
+    banded join cannot miss J=1) lands caught in the top bin."""
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators.dedup import (
+        doc_shingles,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signature,
+        prefix_filter_jaccard_pairs,
+    )
+
+    words = [f"t{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(words)),
+            (2, " ".join(words)),  # exact dup of 1 -> J = 1.0
+            (3, " ".join(words[:20])),  # half prefix of 1 -> J ~ 0.47
+        ],
+        "doc_id long, text string",
+    )
+    truth = prefix_filter_jaccard_pairs(docs, threshold=0.35)
+    sh = doc_shingles(docs)
+    cand = lsh_candidate_pairs(lsh_bands(minhash_signature(sh)))
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for r in truth.collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert 0.4 <= got[(1, 3)] <= 0.5
+    caught = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    assert (1, 2) in caught  # identical signatures band together

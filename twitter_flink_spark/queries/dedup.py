@@ -1389,3 +1389,188 @@ def lsh_band_occupancy_monitor(
         ).alias("mean_bucket"),
         F.lit(bool(ok)).alias("monitored_from_index"),
     )
+
+
+def _banding_recall_oracle(
+    k: int = MINHASH_K, bands: int = 8, ngram: int = 3,
+    floor_j: float = 0.35,
+) -> str:
+    """Oracle for the banding recall curve over the AUGMENTED corpus
+    (every 4th document plus its five deterministic prefix truncations
+    at 50-90% — the mid-Jaccard pairs the raw corpus lacks): ground
+    truth is the naive all-pairs shingle join (exact Jaccard >= floor),
+    candidates are the identical md5 MinHash bands; per Jaccard
+    tenth-bin the empirical catch rate plus the closed-form
+    1-(1-s^r)^b S-curve at the bin midpoint, computed from the SAME
+    integer bin in both engines."""
+    r = k // bands
+    h_cols = ",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(k)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({concat}) AS band_hash FROM sig".format(
+            b=b,
+            concat=" || ".join(f"h{b * r + j}" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    variant_rows = "\n  UNION ALL\n".join(
+        f"""  SELECT doc_id * 10 + {lvl} AS doc_id,
+         array_to_string(
+           t[1:greatest(3, CAST(ceil(len(t) * {frac}) AS INT))], ' '
+         ) AS text
+  FROM btoks"""
+        for lvl, frac in enumerate(AUG_FRACS, start=1)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+),
+btoks AS (SELECT doc_id, str_split(text, ' ') AS t FROM base),
+corpus AS (
+  SELECT doc_id * 10 AS doc_id, text FROM base
+  UNION ALL
+{variant_rows}
+),
+tok AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM corpus
+  WHERE len(str_split(text, ' ')) >= {ngram}
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{ngram - 1}], ' ') AS shingle
+  FROM tok, unnest(range(1, len(toks) - {ngram - 2})) AS t(i)
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.doc_a, i.doc_b,
+         round(i.n_inter * 1.0 / (za.sz + zb.sz - i.n_inter), 6) AS j
+  FROM inter i
+  JOIN sz za ON za.doc_id = i.doc_a
+  JOIN sz zb ON zb.doc_id = i.doc_b
+  WHERE round(i.n_inter * 1.0 / (za.sz + zb.sz - i.n_inter), 6) >= {floor_j}
+),
+sig AS (
+  SELECT doc_id,
+         {h_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT CAST(floor(t.j * 10 + 1e-9) AS INT) AS bin_tenths,
+         CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS caught
+  FROM truth t
+  LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+)
+SELECT bin_tenths,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(caught) AS BIGINT) AS n_caught,
+       round(sum(caught) * 1.0 / count(*), 4) AS recall,
+       round(1 - pow(1 - pow(least(bin_tenths / 10.0 + 0.05, 1.0), {r}),
+                     {bands}), 4) AS expected_recall
+FROM scored GROUP BY bin_tenths
+"""
+
+
+#: deterministic prefix-truncation fractions for the recall curve's
+#: augmented corpus — chosen to drop one pair per Jaccard tenth-bin
+#: across the S-curve's bend (shingle Jaccard of a p-prefix ~ p)
+AUG_FRACS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _augmented_corpus(docs: DataFrame) -> DataFrame:
+    """Every 4th document plus five deterministic prefix truncations
+    (ids doc_id*10+level so originals and variants never collide) —
+    the mid-Jaccard ground-truth pairs the raw corpus lacks."""
+    base = docs.where(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    out = base.select(
+        (F.col("doc_id") * 10).alias("doc_id"), "text"
+    )
+    for lvl, frac in enumerate(AUG_FRACS, start=1):
+        n = F.greatest(
+            F.lit(3), F.ceil(F.size(toks) * F.lit(frac)).cast("int")
+        )
+        out = out.unionAll(
+            base.select(
+                (F.col("doc_id") * 10 + lvl).alias("doc_id"),
+                F.concat_ws(" ", F.slice(toks, 1, n)).alias("text"),
+            )
+        )
+    return out
+
+
+@register("minhash_banding_recall_curve", oracle=_banding_recall_oracle())
+def minhash_banding_recall_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MEASURED recall curve of MinHash(16)+LSH(8 bands) candidate
+    generation — the dedup twin of `ann_recall_curve_ivf_inverted`: the
+    banding knob (b x r) trades shuffle volume against recall by the
+    S-curve P(caught | J=s) = 1-(1-s^r)^b, and this query measures the
+    empirical curve against that closed form so re-tuning (say 4x4
+    bands after the occupancy monitor fires) is a read off a table, not
+    a guess. The corpus's own duplicates are all J~0.9, so the curve is
+    measured over an AUGMENTED corpus: every 4th document plus five
+    deterministic prefix truncations (50-90%), which plants ground-truth
+    pairs across the S-curve's bend. Ground truth is the PREFIX-FILTER
+    exact-Jaccard join (lossless by the pigeonhole bound — no recall
+    loss of its own to confound the measurement) at J >= 0.35;
+    candidates are the banded signature equi-join, UNVERIFIED (recall
+    of candidate GENERATION is what banding controls; verification
+    never adds pairs back). Per Jaccard tenth-bin: true pairs, caught
+    pairs, empirical recall, and the closed-form expectation at the bin
+    midpoint. Plan: both Spark-side pair generators are bounded
+    equi-joins (prefix-filtered resp. banded) — never all-pairs; the
+    oracle's naive shingle-share join is the sf0.01-only ground-truth
+    luxury that CANNOT ship at 100 TB, which is exactly why the
+    lossless prefix filter exists (`operators/dedup.py:265`)."""
+    from twitter_flink_spark.operators.dedup import (
+        doc_shingles,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signature,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = _augmented_corpus(load_table(spark, sf_dir, "documents"))
+    truth = prefix_filter_jaccard_pairs(docs, threshold=0.35)
+    sh = doc_shingles(spread(docs, "doc_id"))
+    cand = lsh_candidate_pairs(lsh_bands(minhash_signature(sh)))
+    scored = truth.join(
+        cand.withColumn("caught", F.lit(1)), ["doc_a", "doc_b"], "left"
+    ).select(
+        F.floor(F.col("jaccard") * 10 + F.lit(1e-9))
+        .cast("int")
+        .alias("bin_tenths"),
+        F.coalesce(F.col("caught"), F.lit(0)).alias("caught"),
+    )
+    r = MINHASH_K // 8
+    mid = F.least(F.col("bin_tenths") / 10.0 + 0.05, F.lit(1.0))
+    return (
+        scored.groupBy("bin_tenths")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum("caught").cast("long").alias("n_caught"),
+            F.round(F.sum("caught") / F.count(F.lit(1)), 4).alias(
+                "recall"
+            ),
+        )
+        .withColumn(
+            "expected_recall",
+            F.round(
+                1 - F.pow(1 - F.pow(mid, F.lit(r)), F.lit(8)), 4
+            ),
+        )
+    )
