@@ -2530,3 +2530,80 @@ def nb_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("accuracy"),
     )
+
+
+@register(
+    "inference_length_buckets_padding",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, len(str_split(text, ' ')) AS n_tokens FROM documents
+),
+g AS (SELECT max(n_tokens) AS max_len FROM t),
+b AS (
+  SELECT n_tokens,
+         CASE WHEN n_tokens <= 16 THEN 16
+              WHEN n_tokens <= 32 THEN 32
+              WHEN n_tokens <= 64 THEN 64
+              ELSE 128 END AS bucket
+  FROM t
+)
+SELECT b.bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(b.n_tokens) AS BIGINT) AS sum_tokens,
+       round(1.0 - sum(b.n_tokens) * 1.0 / (b.bucket * count(*)), 4)
+         AS waste_pct,
+       round(1.0 - sum(b.n_tokens) * 1.0 / (g.max_len * count(*)), 4)
+         AS naive_waste_pct
+FROM b, g
+GROUP BY b.bucket, g.max_len
+""",
+)
+def inference_length_buckets_padding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Length-bucketed batching audit — the padding-efficiency census a
+    batch-inference (or training-data packing) pipeline runs before
+    choosing bucket boundaries: documents group into power-of-two
+    token-length buckets (16/32/64/128 — an integer CASE ladder, no
+    float log2 at bucket boundaries), and each bucket reports its
+    padding waste (fraction of the bucket-capacity tokens that are pad)
+    next to the NAIVE waste of padding everything to the global max —
+    the delta is the memory/compute the bucketing recovers. Plan: one
+    scan, one partial+final aggregate on a derived int key; the global
+    max broadcasts as a scalar cross join (one row), never a shuffle;
+    at 100 TB this is the same single-pass shape as any groupBy census,
+    and the bucket key is computed, not stored, so no layout change is
+    ever needed to re-tune boundaries."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    bucket = (
+        F.when(F.col("n_tokens") <= 16, 16)
+        .when(F.col("n_tokens") <= 32, 32)
+        .when(F.col("n_tokens") <= 64, 64)
+        .otherwise(128)
+    )
+    g = t.agg(F.max("n_tokens").alias("max_len"))
+    return (
+        t.select(bucket.alias("bucket"), "n_tokens")
+        .crossJoin(F.broadcast(g))
+        .groupBy("bucket", "max_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.round(
+                1.0
+                - F.sum("n_tokens")
+                / (F.col("bucket") * F.count(F.lit(1))),
+                4,
+            ).alias("waste_pct"),
+            F.round(
+                1.0
+                - F.sum("n_tokens")
+                / (F.first("max_len") * F.count(F.lit(1))),
+                4,
+            ).alias("naive_waste_pct"),
+        )
+        .drop("max_len")
+    )
