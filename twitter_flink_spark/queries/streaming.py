@@ -2384,3 +2384,188 @@ def streaming_repair_ledger_stateful(
         F.col("f.cum_repaired").alias("cum_repaired"),
         F.round(F.col("f.repaired_excess"), 2).alias("repaired_excess"),
     )
+
+
+def _ensure_vecid_split_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> str:
+    """embeddings split into 3 vec_id-ordered parquet files — the
+    replayable arrival order for the streaming IVF maintenance query
+    (vectors arrive id-ordered the way an ingest assigns them).
+    Cross-process write-once."""
+    from twitter_flink_spark.sources.staging import stage_once
+    from twitter_flink_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.agg(
+        F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")
+    ).first()
+    split = (int(b["mn"]) + int(b["mx"])) // 2
+    q3 = (split + int(b["mx"])) // 2
+
+    def _build(p: str) -> None:
+        for lo, hi in (
+            (None, split),
+            (split, q3),
+            (q3, None),
+        ):
+            part = emb
+            if lo is not None:
+                part = part.where(F.col("vec_id") > lo)
+            if hi is not None:
+                part = part.where(F.col("vec_id") <= hi)
+            part.coalesce(1).write.mode("append").parquet(p)
+
+    dest, _ = stage_once("ivfstream3", sf_dir, _build)
+    return dest
+
+
+@register("streaming_ivf_assign_maintenance")  # oracle attached below
+def streaming_ivf_assign_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The vector-store ingest cadence END-TO-END: centroids refit
+    offline (here: fit once on the corpus half, frozen on disk), and a
+    STREAM of arriving vectors keeps the IVF inverted-list index fresh
+    per micro-batch — the ANN twin of `streaming_sink_skipping_index`.
+    Each foreachBatch anti-joins the batch against already-indexed ids
+    (redelivered batches become pure no-ops — pinned by re-delivering
+    the full table after the drain), assigns survivors to the FROZEN
+    centroids (k-row broadcast argmin, O(batch), the corpus is never
+    rescanned), and appends them partitioned by cid so only the touched
+    inverted-list dirs grow. Serving after the drain routes the
+    max-vec_id probe by the same argmin and reads exactly ONE
+    cid=<cell> dir. The oracle is full-rebuild equivalence: fit on the
+    corpus half, assign EVERYTHING in one batch, serve the same probe —
+    batch-by-batch maintenance must lose nothing. At 100 TB: the fit is
+    the weekly job, the assignment stream is O(arrivals/batch), and the
+    inverted-list append touches k dirs at most — no maintenance step
+    ever scales with the table."""
+    import os
+    import tempfile
+
+    from twitter_flink_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_fit,
+    )
+    from twitter_flink_spark.queries.similarity import (
+        _KM_ITERS,
+        _KM_K,
+        dot,
+    )
+    from twitter_flink_spark.sources.tables import load_table, spread
+
+    staged = _ensure_vecid_split_embeddings(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.agg(
+        F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")
+    ).first()
+    split = (int(b["mn"]) + int(b["mx"])) // 2
+
+    # the offline fit: corpus half, frozen to disk before the stream
+    work = tempfile.mkdtemp(prefix="tfs-ivfstream-")
+    corpus = spread(emb, "vec_id").where(F.col("vec_id") <= split)
+    kmeans_fit(corpus, k=_KM_K, iters=_KM_ITERS).select(
+        "cid", "cent"
+    ).coalesce(1).write.parquet(os.path.join(work, "_centroids"))
+    cents = spark.read.parquet(os.path.join(work, "_centroids"))
+    assign_dir = os.path.join(work, "_assign")
+
+    ledger: list[int] = []
+
+    def sink(batch_df, batch_id: int) -> None:
+        vecs = batch_df.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+        if os.path.isdir(assign_dir):
+            known = spark.read.parquet(assign_dir).select("vec_id")
+            vecs = vecs.join(known, "vec_id", "left_anti")
+        fresh = assign_clusters(vecs, cents)
+        n = fresh.count()
+        if n:
+            fresh.write.mode("append").partitionBy("cid").parquet(
+                assign_dir
+            )
+        ledger.append(n)
+
+    schema = spark.read.parquet(staged).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="tfs-ivfstream-ckpt-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 300)
+    n_streamed = sum(ledger)
+    streamed_ok = (
+        len(ledger) == 3
+        and all(n > 0 for n in ledger)
+        and n_streamed == emb.count()
+    )
+    # redeliver the whole table: the anti-join must make it a no-op
+    sink(emb, batch_id=-1)
+    redelivery_noop = ledger[-1] == 0
+
+    probe_id = int(b["mx"])
+    probe = emb.where(F.col("vec_id") == probe_id).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    pcid = int(assign_clusters(probe, cents).first()["cid"])
+    probe_vec = probe.select(F.col("e").alias("pe"))
+    cands = (
+        spark.read.parquet(os.path.join(assign_dir, f"cid={pcid}"))
+        .where(F.col("vec_id") != probe_id)
+        .select("vec_id")
+        .join(emb, "vec_id")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+    )
+    return (
+        cands.crossJoin(F.broadcast(probe_vec))
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("e"), F.col("pe"))
+                / (
+                    F.sqrt(dot(F.col("e"), F.col("e")))
+                    * F.sqrt(dot(F.col("pe"), F.col("pe")))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(5)
+        .select(
+            "vec_id",
+            "cosine",
+            F.lit(bool(streamed_ok)).alias("streamed_in_batches"),
+            F.lit(bool(redelivery_noop)).alias("redelivery_noop"),
+        )
+    )
+
+
+# the oracle is the incremental-IVF full-rebuild equivalence, composed
+# from the similarity module's generator (same corpus-half fit, same
+# argmin assignment, same single-cell serve) — streamed maintenance and
+# one-shot rebuild must produce the identical top-k
+def _attach_ivf_stream_oracle() -> None:
+    from twitter_flink_spark.queries.similarity import _ivf_inc_oracle
+    from twitter_flink_spark.registry import ORACLES
+
+    ORACLES["streaming_ivf_assign_maintenance"] = _ivf_inc_oracle(
+        flags_sql=(
+            "TRUE AS streamed_in_batches, TRUE AS redelivery_noop"
+        )
+    )
+
+
+_attach_ivf_stream_oracle()
