@@ -1979,3 +1979,57 @@ def test_parent_histogram_orders_thin_slice_first(spark, tmp_path):
     assert (
         plan["est_files"]["zslice"] == plan["est_bound_files"]["zslice"]
     )
+
+
+def test_sidecar_index_root_indexes_readonly_table(spark, tmp_path):
+    """``index_root`` detaches manifest location from data location: the
+    indexes land in a sidecar dir (the data dir stays byte-untouched,
+    the read-only-lake contract), discovery/selection only see them
+    through the same parameter, and selection through the sidecar
+    matches an embedded-index selection exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    side = str(tmp_path / "idx")
+    df = spark.range(0, 800).select(
+        F.col("id").alias("a"), (F.col("id") % 5).alias("b")
+    )
+    (
+        df.repartitionByRange(8, "a")
+        .sortWithinPartitions("a")
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    before = sorted(os.listdir(root))
+    os.makedirs(side)
+    skipping.build_two_level_columns(
+        spark, root, ["a"], n_parts=2, index_root=side
+    )
+    assert sorted(os.listdir(root)) == before  # data dir untouched
+    assert skipping.two_level_columns(spark, root) == {}
+    assert set(skipping.two_level_columns(spark, root, side)) == {"a"}
+
+    paths, total, used = skipping.select_files_multi(
+        spark, root, [("a", 0, 100)], index_root=side
+    )
+    assert used == 1 and 0 < len(paths) < total
+    sliced, files_read, _ = skipping.read_where_multi(
+        spark, root, [("a", 0, 100)], index_root=side
+    )
+    assert files_read == len(paths)
+    assert sliced.count() == 100
+
+    # append + sidecar refresh stays O(new) and keeps selection exact
+    spark.range(800, 900).select(
+        F.col("id").alias("a"), (F.col("id") % 5).alias("b")
+    ).coalesce(1).write.mode("append").parquet(root)
+    n = skipping.update_two_level_columns(spark, root, index_root=side)
+    assert n == {"a": 1}
+    sliced, _, _ = skipping.read_where_multi(
+        spark, root, [("a", 790, 810)], index_root=side
+    )
+    assert sliced.count() == 20

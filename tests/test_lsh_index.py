@@ -134,7 +134,7 @@ def test_incremental_index_verified_pairs_cross_era(spark, tmp_path):
 
 
 def test_augmented_corpus_deterministic_prefixes(spark):
-    """The recall curve's corpus augmentation: every 4th doc survives,
+    """The recall curve's corpus augmentation: every 8th doc survives,
     each variant id is doc_id*10+level, and each variant text is the
     first ceil(frac*n) tokens (floored at 3) of the original."""
     import math
@@ -148,17 +148,17 @@ def test_augmented_corpus_deterministic_prefixes(spark):
 
     text = " ".join(f"w{i}" for i in range(10))
     docs = spark.createDataFrame(
-        [(4, text), (5, "skipped doc")], "doc_id long, text string"
+        [(8, text), (5, "skipped doc")], "doc_id long, text string"
     )
     rows = {
         r["doc_id"]: r["text"] for r in _augmented_corpus(docs).collect()
     }
-    # doc 5 is not a multiple of 4 -> dropped entirely
-    assert set(rows) == {40, 41, 42, 43, 44, 45}
-    assert rows[40] == text
+    # doc 5 is not a multiple of 8 -> dropped entirely
+    assert set(rows) == {80, 81, 82, 83, 84, 85}
+    assert rows[80] == text
     for lvl, frac in enumerate(AUG_FRACS, start=1):
         n = max(3, math.ceil(10 * frac))
-        assert rows[40 + lvl] == " ".join(f"w{i}" for i in range(n))
+        assert rows[80 + lvl] == " ".join(f"w{i}" for i in range(n))
 
 
 def test_banding_recall_curve_bins_and_soundness(spark):

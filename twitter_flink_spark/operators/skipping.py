@@ -1361,43 +1361,62 @@ def _col2_root_dir(root: str, col: str) -> str:
 
 
 def build_two_level_columns(
-    spark: SparkSession, root: str, cols: list[str], n_parts: int = 16
+    spark: SparkSession,
+    root: str,
+    cols: list[str],
+    n_parts: int = 16,
+    index_root: str | None = None,
 ) -> dict[str, tuple[str, str]]:
     """One two-level manifest per column, each under its own
     ``_filestats2_<col>_{parts,root}`` dirs (the fixed-name single-index
     dirs stay untouched — both shapes can coexist). One build scan per
-    column, column-pruned to it."""
+    column, column-pruned to it.
+
+    ``index_root`` detaches the index LOCATION from the data: manifests
+    are written under it instead of ``root`` while their ``file``
+    entries still point at ``root``'s files — the shape for indexing a
+    table the indexer cannot (or must not) write into, e.g. a shared
+    read-only lake path whose serving team owns only a sidecar prefix.
+    Every consumer (`two_level_columns`, `select_files_multi`,
+    `read_where_multi`, the update/vacuum sweeps) takes the same
+    parameter; a sidecar index is otherwise indistinguishable from an
+    embedded one."""
+    at = index_root if index_root is not None else root
     return {
         c: _build_two_level_at(
             spark,
             root,
             c,
-            _col2_parts_dir(root, c),
-            _col2_root_dir(root, c),
+            _col2_parts_dir(at, c),
+            _col2_root_dir(at, c),
             n_parts,
         )
         for c in cols
     }
 
 
-def two_level_columns(spark: SparkSession, root: str) -> dict[str, tuple[str, str]]:
-    """Discover every two-level manifest on ``root``: the per-column
-    ``_filestats2_*`` family plus the legacy fixed-name single index
-    (its column recovered from the shard schema). Directory listing
-    only — no data read."""
+def two_level_columns(
+    spark: SparkSession, root: str, index_root: str | None = None
+) -> dict[str, tuple[str, str]]:
+    """Discover every two-level manifest on ``root`` (or the sidecar
+    ``index_root`` when the index lives beside a read-only table): the
+    per-column ``_filestats2_*`` family plus the legacy fixed-name
+    single index (its column recovered from the shard schema).
+    Directory listing only — no data read."""
+    at = index_root if index_root is not None else root
     out: dict[str, tuple[str, str]] = {}
     try:
-        entries = os.listdir(root)
+        entries = os.listdir(at)
     except OSError:
         return out
     for d in entries:
         if d.startswith("_filestats2_") and d.endswith("_parts"):
             col = d[len("_filestats2_") : -len("_parts")]
-            parent = _col2_root_dir(root, col)
+            parent = _col2_root_dir(at, col)
             if os.path.isdir(parent):
-                out[col] = (os.path.join(root, d), parent)
-    legacy_parts = os.path.join(root, PARTS_DIR)
-    legacy_parent = os.path.join(root, ROOT_MANIFEST)
+                out[col] = (os.path.join(at, d), parent)
+    legacy_parts = os.path.join(at, PARTS_DIR)
+    legacy_parent = os.path.join(at, ROOT_MANIFEST)
     if os.path.isdir(legacy_parts) and os.path.isdir(legacy_parent):
         col = next(
             (
@@ -1413,24 +1432,28 @@ def two_level_columns(spark: SparkSession, root: str) -> dict[str, tuple[str, st
 
 
 def update_two_level_columns(
-    spark: SparkSession, root: str
+    spark: SparkSession, root: str, index_root: str | None = None
 ) -> dict[str, int]:
     """Incremental refresh of EVERY discovered two-level manifest after
     appends — per column, O(new files) each. Returns col -> new files."""
     return {
         c: _update_two_level_at(spark, root, c, parts, parent)
-        for c, (parts, parent) in two_level_columns(spark, root).items()
+        for c, (parts, parent) in two_level_columns(
+            spark, root, index_root
+        ).items()
     }
 
 
 def vacuum_two_level_columns(
-    spark: SparkSession, root: str
+    spark: SparkSession, root: str, index_root: str | None = None
 ) -> dict[str, int]:
     """Per-shard reconciliation of EVERY discovered two-level manifest.
     Returns col -> shard rows dropped."""
     return {
         c: _vacuum_two_level_at(spark, root, c, parts, parent)
-        for c, (parts, parent) in two_level_columns(spark, root).items()
+        for c, (parts, parent) in two_level_columns(
+            spark, root, index_root
+        ).items()
     }
 
 
@@ -1439,6 +1462,7 @@ def select_files_multi(
     root: str,
     preds: list[tuple[str, object, object]],
     plan_out: dict | None = None,
+    index_root: str | None = None,
 ) -> tuple[list[str], int, int]:
     """Files whose envelopes intersect EVERY ``(col, lo, hi)`` range,
     resolved by INTERSECTING per-column two-level selections: each
@@ -1475,7 +1499,7 @@ def select_files_multi(
     (actual per-col selections, for consults that ran), and
     ``shards_skipped`` (count of parent-chosen shards never read
     thanks to the empty-intersection early exit)."""
-    indexes = two_level_columns(spark, root)
+    indexes = two_level_columns(spark, root, index_root)
     consults = []
     files_total = 0
     for col, lo, hi in preds:
@@ -1517,12 +1541,17 @@ def select_files_multi(
 
 
 def read_where_multi(
-    spark: SparkSession, root: str, preds: list[tuple[str, object, object]]
+    spark: SparkSession,
+    root: str,
+    preds: list[tuple[str, object, object]],
+    index_root: str | None = None,
 ) -> tuple[DataFrame, int, int]:
     """Reader over the intersection-selected files with every exact
     range re-applied as the residual (lossless regardless of which
     predicates had indexes). Returns (df, files_read, files_total)."""
-    paths, total, _ = select_files_multi(spark, root, preds)
+    paths, total, _ = select_files_multi(
+        spark, root, preds, index_root=index_root
+    )
     if not paths:
         return _empty_like(spark, root), 0, total
     df = spark.read.parquet(*paths)

@@ -1396,7 +1396,7 @@ def _banding_recall_oracle(
     floor_j: float = 0.35,
 ) -> str:
     """Oracle for the banding recall curve over the AUGMENTED corpus
-    (every 4th document plus its five deterministic prefix truncations
+    (every 8th document plus its five deterministic prefix truncations
     at 50-90% — the mid-Jaccard pairs the raw corpus lacks): ground
     truth is the naive all-pairs shingle join (exact Jaccard >= floor),
     candidates are the identical md5 MinHash bands; per Jaccard
@@ -1424,7 +1424,7 @@ def _banding_recall_oracle(
     )
     return f"""
 WITH base AS (
-  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+  SELECT doc_id, text FROM documents WHERE doc_id % 8 = 0
 ),
 btoks AS (SELECT doc_id, str_split(text, ' ') AS t FROM base),
 corpus AS (
@@ -1490,10 +1490,10 @@ AUG_FRACS = (0.5, 0.6, 0.7, 0.8, 0.9)
 
 
 def _augmented_corpus(docs: DataFrame) -> DataFrame:
-    """Every 4th document plus five deterministic prefix truncations
+    """Every 8th document plus five deterministic prefix truncations
     (ids doc_id*10+level so originals and variants never collide) —
     the mid-Jaccard ground-truth pairs the raw corpus lacks."""
-    base = docs.where(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 8 == 0).select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
     out = base.select(
         (F.col("doc_id") * 10).alias("doc_id"), "text"
@@ -1522,7 +1522,7 @@ def minhash_banding_recall_curve(
     empirical curve against that closed form so re-tuning (say 4x4
     bands after the occupancy monitor fires) is a read off a table, not
     a guess. The corpus's own duplicates are all J~0.9, so the curve is
-    measured over an AUGMENTED corpus: every 4th document plus five
+    measured over an AUGMENTED corpus: every 8th document plus five
     deterministic prefix truncations (50-90%), which plants ground-truth
     pairs across the S-curve's bend. Ground truth is the PREFIX-FILTER
     exact-Jaccard join (lossless by the pigeonhole bound — no recall

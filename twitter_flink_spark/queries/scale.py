@@ -3626,14 +3626,24 @@ def twolevel_hist_thin_slice_order(
     below the count bound it refines, `est_sound` that every estimate
     upper-bounds the consult's actual selection. The oracle applies
     the same predicates to the raw table — ordering is a planning
-    concern and must never change results."""
+    concern and must never change results. The single-partition indexes
+    are a SIDECAR (``index_root``) staged once per scale factor: they
+    index the shared cell layout without writing into it, so the
+    n_parts=4 indexes the sibling conjunction queries rebuild in-place
+    never thrash against this query's build."""
     import datetime
 
     from twitter_flink_spark.operators import skipping
+    from twitter_flink_spark.sources.staging import stage_once
 
     dest = _ensure_cell_clustered_layout(spark, sf_dir)
-    skipping.build_two_level_columns(
-        spark, dest, ["user_id", "ts"], n_parts=1
+    idx, _ = stage_once(
+        "cellhist1",
+        sf_dir,
+        lambda p: skipping.build_two_level_columns(
+            spark, dest, ["user_id", "ts"], n_parts=1, index_root=p
+        )
+        and None,
     )
     b = (
         spark.read.parquet(dest)
@@ -3651,8 +3661,12 @@ def twolevel_hist_thin_slice_order(
     thi = b["t0"] + datetime.timedelta(days=999)
     preds = [("ts", tlo, thi), ("user_id", ulo, uhi)]
     plan: dict = {}
-    skipping.select_files_multi(spark, dest, preds, plan_out=plan)
-    sliced, _read, _total = skipping.read_where_multi(spark, dest, preds)
+    skipping.select_files_multi(
+        spark, dest, preds, plan_out=plan, index_root=idx
+    )
+    sliced, _read, _total = skipping.read_where_multi(
+        spark, dest, preds, index_root=idx
+    )
     hist_first = (
         plan["consult_order"][0] == "user_id"
         and plan["est_files"]["user_id"] < plan["est_files"]["ts"]
