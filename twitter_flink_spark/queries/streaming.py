@@ -2569,3 +2569,130 @@ def _attach_ivf_stream_oracle() -> None:
 
 
 _attach_ivf_stream_oracle()
+
+
+def _ensure_docid_split_documents(
+    spark: SparkSession, sf_dir: str
+) -> str:
+    """documents split into 3 doc_id-ordered parquet files — the
+    replayable crawl-arrival order for the streaming LSH maintenance
+    query. Cross-process write-once."""
+    from twitter_flink_spark.sources.staging import stage_once
+    from twitter_flink_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    ).first()
+    split = (int(b["mn"]) + int(b["mx"])) // 2
+    q3 = (split + int(b["mx"])) // 2
+
+    def _build(p: str) -> None:
+        for lo, hi in ((None, split), (split, q3), (q3, None)):
+            part = docs
+            if lo is not None:
+                part = part.where(F.col("doc_id") > lo)
+            if hi is not None:
+                part = part.where(F.col("doc_id") <= hi)
+            part.coalesce(1).write.mode("append").parquet(p)
+
+    dest, _ = stage_once("docstream3", sf_dir, _build)
+    return dest
+
+
+@register("streaming_lsh_index_maintenance")  # oracle attached below
+def streaming_lsh_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The crawl-ingest dedup cadence END-TO-END — with this, every
+    index family in the engine (envelope skipping, Bloom, IVF, LSH) has
+    the full batch-build / incremental-extend / STREAMING-maintenance
+    triple: documents replay as three doc_id-ordered micro-batches;
+    the first `foreachBatch` builds the persisted banded-signature
+    index from its batch alone, every later one extends it via
+    `lsh_index_update` — which shingles/signs/bands ONLY docs the index
+    does not fully cover (O(batch)), with the index's own stored
+    ngram/k/bands so parameter skew can never split the banding, and
+    whose coverage anti-join makes a REDELIVERED batch a pure no-op
+    (pinned by redelivering the full table after the drain). After the
+    drain the index serves the corpus-wide verified near-dup pair set:
+    candidates from the persisted (band, band_hash) equi self-join —
+    zero re-shingling of old batches — exact-Jaccard verified at 0.5.
+    The oracle batch-bands EVERYTHING in one shot: streamed maintenance
+    and one-shot rebuild must produce the identical verified pairs
+    (md5-deterministic bands make this exact). At 100 TB: per-crawl
+    cost is O(crawl), the corpus is never re-signed, and the index
+    append is per-file renames, crash-safe by the all-bands-present
+    coverage rule."""
+    import os
+    import tempfile
+
+    from twitter_flink_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_verify,
+        lsh_index_build,
+        lsh_index_candidates,
+        lsh_index_update,
+    )
+    from twitter_flink_spark.sources.tables import load_table
+
+    staged = _ensure_docid_split_documents(spark, sf_dir)
+    index_dir = os.path.join(
+        tempfile.mkdtemp(prefix="tfs-lshstream-"), "index"
+    )
+    ledger: list[int] = []
+
+    def sink(batch_df, batch_id: int) -> None:
+        if os.path.isdir(index_dir):
+            ledger.append(
+                lsh_index_update(spark, batch_df, index_dir)
+            )
+        else:
+            ledger.append(
+                lsh_index_build(spark, batch_df, index_dir)
+            )
+
+    schema = spark.read.parquet(staged).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="tfs-lshstream-ckpt-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 300)
+    docs = load_table(spark, sf_dir, "documents")
+    streamed_ok = len(ledger) == 3 and all(n > 0 for n in ledger)
+    # redeliver the whole table: coverage anti-join makes it a no-op
+    sink(docs, batch_id=-1)
+    redelivery_noop = ledger[-1] == 0
+
+    cands = lsh_index_candidates(spark, index_dir)
+    verified = jaccard_verify(cands, doc_shingles(docs), threshold=0.5)
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.lit(bool(streamed_ok)).alias("streamed_in_batches"),
+        F.lit(bool(redelivery_noop)).alias("redelivery_noop"),
+    )
+
+
+def _attach_lsh_stream_oracle() -> None:
+    from twitter_flink_spark.queries.dedup import _minhash_pair_ctes
+    from twitter_flink_spark.registry import ORACLES
+
+    ORACLES["streaming_lsh_index_maintenance"] = f"""
+WITH {_minhash_pair_ctes()}
+SELECT doc_a, doc_b, jaccard,
+       TRUE AS streamed_in_batches, TRUE AS redelivery_noop
+FROM pairs
+"""
+
+
+_attach_lsh_stream_oracle()
