@@ -1818,6 +1818,7 @@ def build_bloom_two_level(
     m: int = 1 << 17,
     k: int = 3,
     n_shards: int = 16,
+    index_root: str | None = None,
 ) -> tuple[str, str]:
     """Commit the sharded Bloom manifest: per-(file, shard) word maps
     partitioned by shard (one build scan, everything distributed), plus
@@ -1829,12 +1830,13 @@ def build_bloom_two_level(
     df = spark.read.parquet(root)
     total_files = len(df.inputFiles())
     rows = _bloom2_shard_rows(df, col, m, k, n_shards)
-    parts_dest = _bloom2_parts_dir(root, col)
+    at = index_root if index_root is not None else root
+    parts_dest = _bloom2_parts_dir(at, col)
     tmp = _scratch_name(parts_dest, "tmp")
     shutil.rmtree(tmp, ignore_errors=True)
     rows.write.mode("overwrite").partitionBy("shard").parquet(tmp)
     _swap_dirs(tmp, parts_dest)
-    parent_dest = _bloom2_root_dir(root, col)
+    parent_dest = _bloom2_root_dir(at, col)
     _commit_swap(
         _bloom2_parent(
             spark.read.parquet(parts_dest), m, k, n_shards, total_files
@@ -1844,7 +1846,12 @@ def build_bloom_two_level(
     return parts_dest, parent_dest
 
 
-def update_bloom_two_level(spark: SparkSession, root: str, col: str) -> int:
+def update_bloom_two_level(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    index_root: str | None = None,
+) -> int:
     """Incrementally maintain the sharded Bloom manifest: hash ONLY
     manifest-absent files with the parent's stored m/k/n_shards, append
     into only the touched shard dirs, recommit the parent — the commit
@@ -1853,8 +1860,9 @@ def update_bloom_two_level(spark: SparkSession, root: str, col: str) -> int:
     crashed between append and parent swap) recommits the parent, since
     recovery derives ``known`` from the shards. Returns newly indexed
     files; 0 is a pure no-op."""
-    parent_path = _bloom2_root_dir(root, col)
-    parts_path = _bloom2_parts_dir(root, col)
+    at = index_root if index_root is not None else root
+    parent_path = _bloom2_root_dir(at, col)
+    parts_path = _bloom2_parts_dir(at, col)
     parent = spark.read.parquet(parent_path)
     meta = parent.select("m", "k", "n_shards").first()
     m, k, n_shards = int(meta["m"]), int(meta["k"]), int(meta["n_shards"])
@@ -1886,15 +1894,21 @@ def update_bloom_two_level(spark: SparkSession, root: str, col: str) -> int:
     return len(new)
 
 
-def vacuum_bloom_two_level(spark: SparkSession, root: str, col: str) -> int:
+def vacuum_bloom_two_level(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    index_root: str | None = None,
+) -> int:
     """Sharded-Bloom twin of ``vacuum_two_level``: reconcile dead shard
     rows away per shard (only touched shard dirs rewritten), recommit
     the parent. Same crash posture: a crash between shard swaps and the
     parent recommit leaves stale counts the next update repairs, and
     dead rows are never a correctness issue (candidate-level). Returns
     rows dropped; 0 is a pure no-op."""
-    parent_path = _bloom2_root_dir(root, col)
-    parts_path = _bloom2_parts_dir(root, col)
+    at = index_root if index_root is not None else root
+    parent_path = _bloom2_root_dir(at, col)
+    parts_path = _bloom2_parts_dir(at, col)
     parent = spark.read.parquet(parent_path)
     meta = parent.select("m", "k", "n_shards").first()
     if meta is None:  # nothing indexed (all shards already vacuumed away)
@@ -1925,7 +1939,11 @@ def vacuum_bloom_two_level(spark: SparkSession, root: str, col: str) -> int:
 
 
 def bloom2_select_files(
-    spark: SparkSession, root: str, col: str, value
+    spark: SparkSession,
+    root: str,
+    col: str,
+    value,
+    index_root: str | None = None,
 ) -> tuple[list[str], int, int, int]:
     """Candidate files for ``col = value`` through the sharded index:
     the parent (O(n_shards), KBs) supplies the probe parameters, the
@@ -1933,8 +1951,10 @@ def bloom2_select_files(
     per-file word maps are probed — computed through the same Spark
     hash expressions as the build, on a 1-row literal frame cast to the
     column type, so probe and index can never skew. Returns
-    (paths, total_files, shards_read, shards_total)."""
-    parent_rows = spark.read.parquet(_bloom2_root_dir(root, col)).collect()
+    (paths, total_files, shards_read, shards_total). ``index_root``
+    probes a sidecar index (see ``build_two_level_columns``)."""
+    at = index_root if index_root is not None else root
+    parent_rows = spark.read.parquet(_bloom2_root_dir(at, col)).collect()
     if not parent_rows:
         # an empty table, or every file vacuumed away: nothing can match
         return [], 0, 0, 0
@@ -1955,7 +1975,7 @@ def bloom2_select_files(
         .first()
     )  # 1-row collect: shard id + k positions
     shard_dir = os.path.join(
-        _bloom2_parts_dir(root, col), f"shard={int(row['s'])}"
+        _bloom2_parts_dir(at, col), f"shard={int(row['s'])}"
     )
     if not os.path.isdir(shard_dir):
         return [], total_files, 0, shards_total
@@ -1978,12 +1998,18 @@ def bloom2_select_files(
 
 
 def point_read_two_level(
-    spark: SparkSession, root: str, col: str, value
+    spark: SparkSession,
+    root: str,
+    col: str,
+    value,
+    index_root: str | None = None,
 ) -> tuple[DataFrame, int, int, int, int]:
     """Reader over the sharded-Bloom candidates for ``col = value``,
     exact equality re-applied as the residual. Returns
     (df, files_read, files_total, shards_read, shards_total)."""
-    paths, total, sr, st = bloom2_select_files(spark, root, col, value)
+    paths, total, sr, st = bloom2_select_files(
+        spark, root, col, value, index_root=index_root
+    )
     if not paths:
         return _empty_like(spark, root), 0, total, sr, st
     df = spark.read.parquet(*paths).where(F.col(col) == F.lit(value))

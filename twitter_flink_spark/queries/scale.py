@@ -3688,3 +3688,100 @@ def twolevel_hist_thin_slice_order(
         F.lit(bool(hist_tightened)).alias("hist_tightened"),
         F.lit(bool(est_sound)).alias("est_sound"),
     )
+
+
+@register(
+    "sidecar_index_readonly_serving",
+    oracle="""
+WITH b AS (SELECT min(ts) AS t0, min(user_id) AS u0, max(user_id) AS u1
+           FROM events),
+pc AS (
+  SELECT count(*) AS point_cnt FROM events e, b
+  WHERE e.user_id = b.u0 + (b.u1 - b.u0) // 2
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(e.value), 2) AS total_value,
+       CAST(pc.point_cnt AS BIGINT) AS point_cnt,
+       TRUE AS sidecar_only,
+       TRUE AS index_pruned
+FROM events e, b, pc
+WHERE e.ts >= b.t0 + INTERVAL 6 DAY AND e.ts < b.t0 + INTERVAL 11 DAY
+GROUP BY e.event_type, pc.point_cnt
+""",
+)
+def sidecar_index_readonly_serving(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Serving a table the indexer may NOT write into — the shared-lake
+    contract where the data prefix is another team's and the serving
+    team owns only a sidecar: both scale-path index families (per-column
+    two-level envelopes, sharded two-level Blooms) build under
+    ``index_root`` while the data dir stays byte-untouched (pinned:
+    zero index dirs inside it), and both serve through the same
+    parameter — a 5-day range slice through the envelope sidecar
+    (pruned: the time-split layout's tight ts envelopes) and a
+    user-equality point read through the Bloom sidecar (candidate-level
+    on this layout — every file holds every user, so Bloom keeps all
+    candidates and the residual decides, the honest no-pruning case).
+    The oracle applies both predicates to the raw table: sidecar
+    serving must lose nothing. At 100 TB this is how a serving team
+    indexes a lake path it has read-only credentials for."""
+    import datetime
+    import os
+
+    from twitter_flink_spark.operators import skipping
+    from twitter_flink_spark.queries.streaming import (
+        _ensure_time_split_events,
+    )
+    from twitter_flink_spark.sources.staging import stage_once
+
+    dest = _ensure_time_split_events(spark, sf_dir)
+
+    def _build(p: str) -> None:
+        skipping.build_two_level_columns(
+            spark, dest, ["ts"], n_parts=4, index_root=p
+        )
+        skipping.build_bloom_two_level(
+            spark, dest, "user_id", m=1 << 12, k=3, n_shards=4,
+            index_root=p,
+        )
+
+    idx, _ = stage_once("sidecaridx", sf_dir, _build)
+    data_untouched = not any(
+        d.startswith(("_filestats", "_filebloom"))
+        for d in os.listdir(dest)
+    )
+    b = (
+        spark.read.parquet(dest)
+        .agg(
+            F.min("ts").alias("t0"),
+            F.min("user_id").alias("u0"),
+            F.max("user_id").alias("u1"),
+        )
+        .first()
+    )
+    tlo = b["t0"] + datetime.timedelta(days=6)
+    thi = b["t0"] + datetime.timedelta(days=11)
+    sliced, files_read, files_total = skipping.read_where_multi(
+        spark, dest, [("ts", tlo, thi)], index_root=idx
+    )
+    uid = int(b["u0"]) + (int(b["u1"]) - int(b["u0"])) // 2
+    point, _pr, _pt, _sr, _st = skipping.point_read_two_level(
+        spark, dest, "user_id", uid, index_root=idx
+    )
+    point_cnt = point.where(F.col("user_id") == uid).count()
+    sidecar_only = (
+        data_untouched
+        and skipping.two_level_columns(spark, dest) == {}
+        and set(skipping.two_level_columns(spark, dest, idx)) == {"ts"}
+    )
+    return sliced.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.lit(int(point_cnt)).cast("long").alias("point_cnt"),
+        F.lit(bool(sidecar_only)).alias("sidecar_only"),
+        F.lit(files_total > 1 and files_read < files_total).alias(
+            "index_pruned"
+        ),
+    )
