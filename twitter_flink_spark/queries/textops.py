@@ -2607,3 +2607,97 @@ def inference_length_buckets_padding(
         )
         .drop("max_len")
     )
+
+
+@register(
+    "corpus_datacard_by_source",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, lang, n_chars, text,
+         len(str_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+lc AS (
+  SELECT source, lang, count(*) AS n FROM t GROUP BY 1, 2
+),
+toplang AS (
+  SELECT source, lang AS top_lang, n FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY source ORDER BY n DESC, lang) AS rn
+    FROM lc
+  ) WHERE rn = 1
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT t.lang) AS BIGINT) AS n_langs,
+       CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(t.n_tokens), 2) AS avg_tokens,
+       round(avg(t.n_chars), 2) AS avg_chars,
+       round(1.0 - count(DISTINCT t.text) * 1.0 / count(*), 4)
+         AS exact_dup_pct,
+       round(sum(CASE WHEN t.n_tokens < 20 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS short_doc_pct,
+       tl.top_lang,
+       round(tl.n * 1.0 / count(*), 4) AS top_lang_pct
+FROM t JOIN toplang tl ON tl.source = t.source
+GROUP BY t.source, tl.top_lang, tl.n
+""",
+)
+def corpus_datacard_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The per-source DATA CARD — the one-page census a curator ships
+    with a training corpus: volume (docs, tokens, chars), language
+    profile (distinct langs, dominant lang and its share — an argmax
+    with a deterministic tie-break, not an entropy whose float
+    summation order could differ across engines), exact-duplicate rate
+    (1 - distinct texts / docs, the groupBy-dedup headroom), and the
+    short-document share (the slice a length filter would drop). Every
+    number a mixture designer needs before weighting sources, in one
+    pass. Plan: one scan, one partial+final aggregate per grouping —
+    the distinct-count columns rewrite to expand-style partials
+    JVM-side; the top-lang argmax is a per-source window over the tiny
+    (source x lang) aggregate, broadcast back. At 100 TB this is a
+    single shuffle at source grain plus a KB-sized language table."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        "text",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    lc = t.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.col("lang"))
+    toplang = (
+        lc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "n")
+    )
+    agg = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(
+            1.0 - F.countDistinct("text") / F.count(F.lit(1)), 4
+        ).alias("exact_dup_pct"),
+        F.round(
+            F.sum((F.col("n_tokens") < 20).cast("long"))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("short_doc_pct"),
+    )
+    return agg.join(F.broadcast(toplang), "source").select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "total_tokens",
+        "avg_tokens",
+        "avg_chars",
+        "exact_dup_pct",
+        "short_doc_pct",
+        "top_lang",
+        F.round(F.col("n") / F.col("n_docs"), 4).alias("top_lang_pct"),
+    )
