@@ -194,3 +194,27 @@ def test_banding_recall_curve_bins_and_soundness(spark):
     assert 0.4 <= got[(1, 3)] <= 0.5
     caught = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
     assert (1, 2) in caught  # identical signatures band together
+
+
+def test_staged_pairs_equal_operator_recompute(spark):
+    """The staged signature tables must be a pure cache: the verified
+    pair set built from them is row-identical to the operator pipeline
+    recomputing signatures from the documents table."""
+    from twitter_flink_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+    from twitter_flink_spark.queries.dedup import _near_dup_pairs_staged
+    from twitter_flink_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    staged = {
+        tuple(r)
+        for r in _near_dup_pairs_staged(spark, sf).collect()
+    }
+    direct = {
+        tuple(r)
+        for r in minhash_near_dup_pairs(
+            load_table(spark, sf, "documents"), threshold=0.5, ngram=3
+        ).collect()
+    }
+    assert staged == direct and len(staged) > 0
