@@ -729,3 +729,68 @@ def test_binpack_exact_ceil_property(spark, tmp_path_factory, counts, target):
         )
         assert all(r["c"] <= target for r in per_file)
         assert sum(r["c"] for r in per_file) == n
+
+
+# ---------------------------------------------------------------------------
+# Histogram selectivity estimate: sound upper bound (pure python, no spark)
+
+_envelopes = st.lists(
+    st.tuples(
+        st.integers(0, 10_000), st.integers(0, 10_000)
+    ).map(lambda t: (min(t), max(t))),
+    min_size=1,
+    max_size=60,
+)
+_qrange = st.tuples(
+    st.integers(-2_000, 12_000), st.integers(1, 5_000)
+).map(lambda t: (t[0], t[0] + t[1]))
+
+
+@settings(**{**_SETTINGS, "max_examples": 300})
+@given(envs=_envelopes, q=_qrange)
+def test_hist_estimate_is_sound_upper_bound(envs, q):
+    """For ANY set of file envelopes and ANY query range, the boundary-
+    histogram refinement must upper-bound the true number of files
+    whose envelope intersects [lo, hi) — estimates feed consult
+    ORDERING, but an unsound one would also poison the plan audit
+    flags. Histograms are built with the same clamped floor bucketing
+    `_parent_manifest` uses; the build bounds come from the min values
+    (exactly like `_build_two_level_at`), so envelopes straddling or
+    exceeding the bounds exercise the open edge buckets."""
+    from twitter_flink_spark.operators.skipping import (
+        HIST_BUCKETS,
+        _hist_estimate,
+    )
+
+    lo_b = min(e[0] for e in envs)
+    hi_b = max(e[0] for e in envs)
+    span = hi_b - lo_b + 1
+    h = HIST_BUCKETS
+
+    def bucket(v):
+        return max(0, min(h - 1, ((v - lo_b) * h) // span))
+
+    hist_min = [0] * h
+    hist_max = [0] * h
+    for mn, mx in envs:
+        hist_min[bucket(mn)] += 1
+        hist_max[bucket(mx)] += 1
+
+    class Row(dict):
+        @property
+        def __fields__(self):
+            return list(self.keys())
+
+    row = Row(
+        hist_min=hist_min,
+        hist_max=hist_max,
+        unknown=0,
+        n_files=len(envs),
+        bucket_lo=lo_b,
+        bucket_hi=hi_b,
+    )
+    qlo, qhi = q
+    est = _hist_estimate(row, qlo, qhi)
+    true = sum(1 for mn, mx in envs if mn < qhi and mx >= qlo)
+    assert est >= true
+    assert est <= len(envs)
