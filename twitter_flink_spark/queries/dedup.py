@@ -1706,3 +1706,73 @@ def dedup_token_reduction_by_source(
             "token_reduction_pct"
         ),
     )
+
+
+@register(
+    "lsh_banding_retune",
+    oracle=f"""
+WITH {_minhash_pair_ctes(bands=16)},
+cand_br AS (
+  SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2), (16, 1)) AS t(b, r)
+),
+chosen AS (
+  SELECT min(b) AS b FROM cand_br
+  WHERE 1 - pow(1 - pow(0.4, r), b) >= 0.95
+)
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       CAST(chosen.b AS INT) AS chosen_bands,
+       TRUE AS retuned
+FROM pairs p, chosen
+""",
+)
+def lsh_banding_retune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOSE the re-tune loop the occupancy monitor and recall curve
+    open — the LSH twin of the IVF drift-refit: when the measured
+    recall at the operating point is judged too low (here: target 0.95
+    at J=0.4, where the default 8x2 banding's closed form gives only
+    0.75), the maintenance op picks the CHEAPEST banding from the
+    16-hash divisor family meeting the target by the S-curve
+    1-(1-s^r)^b (fewest bands = least shuffle volume; the scan is
+    ordered so the choice is deterministic), REBUILDS the persisted
+    index with the chosen parameters — which ride every row, so
+    serving and later extensions can never band with stale settings —
+    and serves the verified pair set from it. The oracle recomputes the
+    16-band md5 banding AND the closed-form choice in SQL: if either
+    the parameter selection or the rebuilt banding diverged between
+    engines, the hash compare catches it. At 100 TB the rebuild is the
+    O(corpus) re-sign the curve told you was worth paying; everything
+    after it is the normal O(new docs) maintenance cadence."""
+    import os
+    import tempfile
+
+    from twitter_flink_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_verify,
+        lsh_index_build,
+        lsh_index_candidates,
+    )
+
+    target, j_op = 0.95, 0.4
+    family = [(2, 8), (4, 4), (8, 2), (16, 1)]
+    chosen_b = min(
+        b for b, r in family if 1 - (1 - j_op**r) ** b >= target
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    idx = os.path.join(
+        tempfile.mkdtemp(prefix="tfs-lshretune-"), "index"
+    )
+    lsh_index_build(spark, docs, idx, bands=chosen_b)
+    stored = spark.read.parquet(idx).select("bands").first()["bands"]
+    retuned = int(stored) == chosen_b
+    pairs = jaccard_verify(
+        lsh_index_candidates(spark, idx),
+        doc_shingles(docs),
+        threshold=0.5,
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.lit(int(chosen_b)).cast("int").alias("chosen_bands"),
+        F.lit(bool(retuned)).alias("retuned"),
+    )
