@@ -3304,3 +3304,137 @@ def label_centroid_separation(
             ),
         )
     )
+
+
+def _nprobe_autoselect_oracle(target: float = 0.8) -> str:
+    """Oracle for the nprobe auto-select: recompute both serving lists
+    and the brute-force baseline (the recall-curve CTEs), derive the
+    chosen nprobe from the MEASURED recall with the same rule as the
+    engine (smallest nprobe meeting the target, else the max), and
+    emit the serving list of exactly that nprobe."""
+    from twitter_flink_spark.registry import ORACLES
+
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+probe AS (SELECT vec_id, e FROM v
+          WHERE vec_id = (SELECT max(vec_id) FROM v)),
+bt AS (
+  SELECT c.vec_id
+  FROM v c CROSS JOIN probe p
+  WHERE c.vec_id <> p.vec_id
+  ORDER BY round(list_dot_product(c.e, p.e)
+               / (sqrt(list_dot_product(c.e, c.e))
+                  * sqrt(list_dot_product(p.e, p.e))), 6) DESC, c.vec_id
+  LIMIT 5
+),
+s1 AS (SELECT vec_id, cosine FROM ( {ORACLES["ivf_index_incremental"]} )),
+s2 AS (SELECT vec_id, cosine
+       FROM ( {ORACLES["ivf_inverted_nprobe_serving"]} )),
+r1 AS (SELECT count(*) AS hits FROM s1 JOIN bt USING (vec_id)),
+chosen AS (
+  SELECT CASE WHEN r1.hits >= {target} * 5 THEN 1 ELSE 2 END AS np
+  FROM r1
+)
+SELECT s.vec_id, s.cosine,
+       CAST(chosen.np AS INT) AS chosen_nprobe,
+       TRUE AS measured_selection
+FROM s1 s, chosen WHERE chosen.np = 1
+UNION ALL
+SELECT s.vec_id, s.cosine,
+       CAST(chosen.np AS INT), TRUE
+FROM s2 s, chosen WHERE chosen.np = 2
+"""
+
+
+@register("ivf_nprobe_autoselect", oracle=_nprobe_autoselect_oracle())
+def ivf_nprobe_autoselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACT on the measured recall curve — the ANN twin of
+    `lsh_banding_retune`, closing the loop `ann_recall_curve_ivf_
+    inverted` opens: measure recall@5 against exact brute force for
+    nprobe=1 (stored-assignment cell) and pick the SMALLEST nprobe
+    meeting the target (0.8), falling back to the max probed depth —
+    the serve-path knob chosen from data, not faith, exactly how a
+    vector store tunes after a refit. Serving then runs at the chosen
+    depth: the probe routes by broadcast argmin, reads exactly
+    chosen-nprobe cid=<cell> dirs, and re-ranks exact cosine. The
+    oracle recomputes both serving lists, the brute baseline, AND the
+    selection rule, so a divergence in measurement or choice — not
+    just in the final list — is a hash mismatch. The measurement cost
+    is one extra brute pass over the index corpus (the price of a
+    measured knob; amortized over every query served at the chosen
+    depth until the next refit)."""
+    import os
+
+    from twitter_flink_spark.operators.clustering import assign_clusters
+
+    target = 0.8
+    dest, _split, _counts = _ensure_ivf_inc_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_id = int(emb.agg(F.max("vec_id")).first()[0])
+    probe = emb.where(F.col("vec_id") == probe_id).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    probe_vec = probe.select(F.col("e").alias("pe"))
+
+    def scored_topk(cands: DataFrame) -> DataFrame:
+        return (
+            cands.crossJoin(F.broadcast(probe_vec))
+            .select(
+                "vec_id",
+                F.round(
+                    dot(F.col("e"), F.col("pe"))
+                    / (
+                        F.sqrt(dot(F.col("e"), F.col("e")))
+                        * F.sqrt(dot(F.col("pe"), F.col("pe")))
+                    ),
+                    6,
+                ).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), "vec_id")
+            .limit(5)
+        )
+
+    brute_ids = {
+        r["vec_id"]
+        for r in scored_topk(
+            emb.where(F.col("vec_id") != probe_id).select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("e"),
+            )
+        ).collect()  # k=5 rows
+    }
+    cents = spark.read.parquet(os.path.join(dest, "_centroids"))
+
+    def serve(nprobe: int) -> DataFrame:
+        cells = [
+            int(r["cid"])
+            for r in assign_clusters(
+                probe, cents, top_n=nprobe
+            ).collect()  # nprobe rows
+        ]
+        return scored_topk(
+            spark.read.parquet(
+                *[
+                    os.path.join(dest, "_assign", f"cid={c}")
+                    for c in cells
+                ]
+            )
+            .where(F.col("vec_id") != probe_id)
+            .select("vec_id")
+            .join(emb, "vec_id")
+            .select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("e"),
+            )
+        )
+
+    hits1 = sum(
+        1 for r in serve(1).collect() if r["vec_id"] in brute_ids
+    )  # k=5 driver read: the measurement
+    chosen = 1 if hits1 >= target * 5 else 2
+    return serve(chosen).select(
+        "vec_id",
+        "cosine",
+        F.lit(int(chosen)).cast("int").alias("chosen_nprobe"),
+        F.lit(True).alias("measured_selection"),
+    )
