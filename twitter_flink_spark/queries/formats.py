@@ -300,3 +300,53 @@ def schema_evolution_merged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_quality"
         ),
     )
+
+
+@register(
+    "multimodal_content_dedup",
+    oracle="""
+SELECT md5(text) AS payload_md5,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST((count(*) - 1) * octet_length(encode(text)) AS BIGINT)
+         AS bytes_reclaimed
+FROM documents
+WHERE doc_id % 20 = 0
+GROUP BY md5(text), octet_length(encode(text))
+""",
+)
+def multimodal_content_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Content-hash dedup over OPAQUE binary payloads — the first dedup
+    pass of every multimodal pipeline (images/audio dedup by bytes long
+    before any decoder runs): hash each `binaryFile` row's content
+    (md5 computed JVM-side during the scan — the raw bytes never
+    shuffle, only the 16-byte digest does), group by digest, keep the
+    lowest doc_id as the deterministic survivor, and report copies and
+    bytes reclaimed per group. The oracle recomputes the digests from
+    the source texts the payload files were staged from, so a pass
+    proves bytes survived the file round-trip AND the dedup grouping
+    exactly. At 100 TB the shuffle is digests + counts (GBs for
+    billions of files), never payloads — the reason content-hash dedup
+    is the one dedup that costs a scan, not a join."""
+    dest = _ensure_payload_files(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(dest)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.md5("content").alias("payload_md5"),
+            F.col("length").alias("n_bytes"),
+        )
+    )
+    return files.groupBy("payload_md5", "n_bytes").agg(
+        F.min("doc_id").cast("long").alias("keep_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        (
+            (F.count(F.lit(1)) - 1) * F.first("n_bytes")
+        ).cast("long").alias("bytes_reclaimed"),
+    ).drop("n_bytes")
