@@ -2033,3 +2033,184 @@ def test_sidecar_index_root_indexes_readonly_table(spark, tmp_path):
         spark, root, [("a", 790, 810)], index_root=side
     )
     assert sliced.count() == 20
+
+
+def test_bucket_math_exact_at_large_magnitudes(spark):
+    """Build-side bucketing must use EXACT long arithmetic: the old
+    ``F.floor((off * 32) / span)`` cast the product to double, and for
+    products above 2^53 the rounding can cross an integer boundary.
+    This offset/span pair is such a case — double math says bucket 23,
+    exact integer math (and the query side's Python ``//``) says 22.
+    A build-side overshoot counts a file's envelope MIN one bucket too
+    high, which silently breaks the histogram's sound-upper-bound
+    contract."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators.skipping import (
+        HIST_BUCKETS,
+        _int_floor_div,
+    )
+
+    off, span = 718750000000005, 1000000000000007
+    assert (off * HIST_BUCKETS) // span == 22  # exact
+    assert math.floor(float(off * HIST_BUCKETS) / float(span)) == 23
+
+    got = (
+        spark.range(1)
+        .select(
+            _int_floor_div(
+                F.lit(off).cast("long"), 0, HIST_BUCKETS, span
+            ).alias("b")
+        )
+        .first()["b"]
+    )
+    assert got == 22
+
+
+def test_flat_index_root_sidecar_readonly_table(spark, tmp_path):
+    """The FLAT families (stats manifest + per-file Bloom) honor
+    ``index_root`` like the two-level ones: build/update/vacuum land
+    every index byte in the sidecar (data dir byte-untouched), every
+    reader consults through the same parameter, and selection through
+    the sidecar matches what an embedded index would pick."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    side = str(tmp_path / "idx")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("a"), (F.col("id") % 7).alias("b")
+    )
+    (
+        df.repartitionByRange(4, "a")
+        .sortWithinPartitions("a")
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    before = sorted(os.listdir(root))
+    os.makedirs(side)
+    skipping.build(spark, root, ["a"], index_root=side)
+    skipping.build_bloom(spark, root, "a", m=1 << 12, index_root=side)
+    assert sorted(os.listdir(root)) == before  # data dir untouched
+
+    paths, total = skipping.select_files(
+        spark, root, [("a", 0, 100)], index_root=side
+    )
+    assert 0 < len(paths) < total
+    sliced, files_read, _ = skipping.read_where(
+        spark, root, [("a", 0, 100)], index_root=side
+    )
+    assert files_read == len(paths) and sliced.count() == 100
+    cnt, _, _ = skipping.count_between(
+        spark, root, "a", 0, 100, index_root=side
+    )
+    assert cnt == 100
+    mn, mx, _, _ = skipping.minmax_between(
+        spark, root, "a", 10, 50, index_root=side
+    )
+    assert (mn, mx) == (10, 49)
+    hit, fr, ft = skipping.point_read(
+        spark, root, "a", 123, index_root=side
+    )
+    assert hit.count() == 1 and 0 < fr < ft
+    assert skipping.stale_file_count(spark, root, index_root=side) == 0
+
+    # append + sidecar refresh is O(new); vacuum reconciles in-place
+    spark.range(400, 500).select(
+        F.col("id").alias("a"), (F.col("id") % 7).alias("b")
+    ).coalesce(1).write.mode("append").parquet(root)
+    assert skipping.update(spark, root, ["a"], index_root=side) == 1
+    assert skipping.update_bloom(spark, root, "a", index_root=side) == 1
+    assert sorted(os.listdir(root)) != before  # only the data append
+    assert skipping.vacuum_manifest(spark, root, index_root=side) == 0
+    assert skipping.vacuum_bloom(spark, root, "a", index_root=side) == 0
+    sliced, _, _ = skipping.read_where(
+        spark, root, [("a", 390, 410)], index_root=side
+    )
+    assert sliced.count() == 20
+
+
+def test_flat_index_root_cutover_lands_in_sidecar(spark, tmp_path):
+    """A sidecar flat index that grows past the two-level threshold
+    upgrades IN THE SIDECAR: the data dir stays untouched through the
+    cutover and the two-level reader serves through the same
+    ``index_root``."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    side = str(tmp_path / "idx")
+    spark.range(0, 300).select(F.col("id").alias("a")).repartitionByRange(
+        6, "a"
+    ).write.mode("overwrite").parquet(root)
+    before = sorted(os.listdir(root))
+    os.makedirs(side)
+    skipping.build(
+        spark, root, ["a"], two_level_threshold=4, index_root=side
+    )  # 6 files > 4: builds two-level directly, in the sidecar
+    assert sorted(os.listdir(root)) == before
+    assert os.path.isdir(os.path.join(side, skipping.ROOT_MANIFEST))
+    paths, total = skipping.select_files(
+        spark, root, [("a", 0, 50)], index_root=side
+    )
+    assert 0 < len(paths) < total
+    cnt, _, _ = skipping.count_between(
+        spark, root, "a", 0, 50, index_root=side
+    )
+    assert cnt == 50
+    # update routes through the two-level sidecar path
+    spark.range(300, 350).select(F.col("id").alias("a")).coalesce(
+        1
+    ).write.mode("append").parquet(root)
+    assert skipping.update(spark, root, ["a"], index_root=side) == 1
+    assert sorted(os.listdir(root)) != before  # only the data append
+    assert skipping.vacuum_manifest(spark, root, index_root=side) == 0
+
+
+def test_point_multi_keycount_order_and_early_exit(spark, tmp_path):
+    """`point_select_files_multi` orders probes by the parent key-count
+    sketches (high-cardinality column first when per-shard file counts
+    tie), intersects losslessly, and skips remaining shard scans once
+    the intersection is empty."""
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 5).alias("ev")
+    )
+    df.repartitionByRange(8, "user_id").write.mode("overwrite").parquet(
+        root
+    )
+    skipping.build_bloom_two_level(
+        spark, root, "user_id", m=1 << 14, n_shards=4
+    )
+    skipping.build_bloom_two_level(spark, root, "ev", m=1 << 14, n_shards=4)
+
+    plan: dict = {}
+    hit, fr, ft = skipping.point_read_multi(
+        spark, root, [("ev", 3), ("user_id", 1238)], plan_out=plan
+    )
+    assert plan["consult_order"][0] == "user_id"
+    assert plan["est_files"]["user_id"] < plan["est_files"]["ev"]
+    assert plan["bound_files"]["user_id"] == plan["bound_files"]["ev"]
+    rows = hit.collect()  # 1238 % 5 == 3: exactly the one true row
+    assert len(rows) == 1 and rows[0]["user_id"] == 1238
+    assert 0 < fr < ft
+
+    dead: dict = {}
+    paths, _, used = skipping.point_select_files_multi(
+        spark, root, [("ev", 3), ("user_id", 99999)], plan_out=dead
+    )
+    assert paths == [] and used == 2
+    assert dead["shards_skipped"] == 1  # ev probe never ran
+    assert "ev" not in dead["selected_files"]

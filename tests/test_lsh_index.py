@@ -196,6 +196,30 @@ def test_banding_recall_curve_bins_and_soundness(spark):
     assert (1, 2) in caught  # identical signatures band together
 
 
+def test_update_converges_with_subngram_docs(spark, tmp_path):
+    """A doc with fewer than ``ngram`` tokens can never produce a band,
+    so it must not count as "new" on every redelivery: the second
+    update of the SAME batch (containing a 2-token doc) must return 0,
+    or streaming redelivery-no-op flags would never converge."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta eta theta iota kappa"),
+            (3, "too short"),  # 2 tokens < ngram=3: band-ineligible
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "lshidx")
+    lsh_index_build(spark, docs.where(F.col("doc_id") == 1), idx)
+    n1 = lsh_index_update(spark, docs, idx)
+    assert n1 == 1  # doc 2 only; doc 3 is ineligible, not "new"
+    assert lsh_index_update(spark, docs, idx) == 0  # redelivery no-op
+    # the ineligible doc never entered the index
+    assert (
+        spark.read.parquet(idx).where(F.col("doc_id") == 3).count() == 0
+    )
+
+
 def test_staged_pairs_equal_operator_recompute(spark):
     """The staged signature tables must be a pure cache: the verified
     pair set built from them is row-identical to the operator pipeline

@@ -469,8 +469,13 @@ def lsh_index_update(spark, docs: DataFrame, index_dir: str) -> int:
     present (a torn multi-file move leaves it re-indexable, and the
     duplicate band rows a re-index creates are harmless — candidate
     pairs are distinct); a crash therefore leaves new docs merely
-    not-yet-indexed, never wrong, never permanently skipped. Returns
-    the number of newly indexed docs; 0 is a pure no-op."""
+    not-yet-indexed, never wrong, never permanently skipped. Docs with
+    fewer than ``ngram`` tokens can never produce a shingle, hence
+    never a band, hence would never become "covered" — they are
+    excluded from the new-doc count up front, otherwise a redelivered
+    batch containing one would be recounted (and re-signed) forever and
+    redelivery would never converge to a no-op. Returns the number of
+    newly indexed docs; 0 is a pure no-op."""
     import os
     import shutil
     import uuid
@@ -483,7 +488,10 @@ def lsh_index_update(spark, docs: DataFrame, index_dir: str) -> int:
         .where(F.col("nb") >= p["bands"])
         .select("doc_id")
     )
-    new_docs = docs.join(fully, "doc_id", "left_anti")
+    eligible = docs.where(
+        F.size(F.split(F.col("text"), " ")) >= int(p["ngram"])
+    )
+    new_docs = eligible.join(fully, "doc_id", "left_anti")
     n_new = new_docs.select("doc_id").distinct().count()
     if not n_new:
         return 0

@@ -348,6 +348,7 @@ def build(
     root: str,
     cols: list[str],
     two_level_threshold: int | None = None,
+    index_root: str | None = None,
 ) -> str:
     """Compute and commit the per-file stats manifest for ``cols`` in ONE
     column-pruned scan (hash aggregate on ``input_file_name()`` — as many
@@ -360,17 +361,24 @@ def build(
     ASYMMETRY: a multi-column build NEVER cuts over (the two-level
     shape range-buckets one column); past the threshold it stays flat
     by design — split the columns into per-column indexes if the flat
-    consult becomes the bottleneck."""
+    consult becomes the bottleneck. ``index_root`` writes the manifest
+    under a SIDECAR prefix instead of ``root`` (the read-only-lake
+    contract of ``build_two_level_columns``); every reader and the
+    update/vacuum sweeps take the same parameter, and an auto-cutover
+    lands its two-level dirs under the same sidecar."""
     threshold = (
         AUTO_TWO_LEVEL_FILES if two_level_threshold is None
         else two_level_threshold
     )
+    at = index_root if index_root is not None else root
     reader = spark.read.parquet(root)
     if len(cols) == 1 and len(reader.inputFiles()) > threshold:
-        _, parent = build_two_level(spark, root, cols[0])
-        _rm_committed(os.path.join(root, STATS_DIR))
+        _, parent = build_two_level(
+            spark, root, cols[0], index_root=index_root
+        )
+        _rm_committed(os.path.join(at, STATS_DIR))
         return parent
-    dest = os.path.join(root, STATS_DIR)
+    dest = os.path.join(at, STATS_DIR)
     _commit_swap(_file_stats(reader, cols), dest)
     return dest
 
@@ -380,6 +388,7 @@ def update(
     root: str,
     cols: list[str],
     two_level_threshold: int | None = None,
+    index_root: str | None = None,
 ) -> int:
     """Incrementally maintain the stats manifest after appends: scan ONLY
     files absent from the committed manifest (O(new data), not O(table)),
@@ -395,10 +404,11 @@ def update(
         AUTO_TWO_LEVEL_FILES if two_level_threshold is None
         else two_level_threshold
     )
-    dest = os.path.join(root, STATS_DIR)
+    at = index_root if index_root is not None else root
+    dest = os.path.join(at, STATS_DIR)
     reader = spark.read.parquet(root)
     if not os.path.isdir(dest) and os.path.isdir(
-        os.path.join(root, ROOT_MANIFEST)
+        os.path.join(at, ROOT_MANIFEST)
     ):
         if len(cols) != 1:
             raise ValueError(
@@ -406,7 +416,9 @@ def update(
                 "(single-column by construction); update it with its "
                 "one indexed column, not a multi-column refresh"
             )
-        return update_two_level(spark, root, cols[0])
+        return update_two_level(
+            spark, root, cols[0], index_root=index_root
+        )
     known = {
         _norm_path(r["file"])
         for r in spark.read.parquet(dest).select("file").collect()
@@ -421,13 +433,16 @@ def update(
     if len(cols) == 1 and len(live) > threshold:
         # grown past flat viability: upgrade so the NEXT consult is
         # O(parent + touched shards), not O(files) on the driver
-        build_two_level(spark, root, cols[0])
+        build_two_level(spark, root, cols[0], index_root=index_root)
         _rm_committed(dest)
     return len(new)
 
 
 def select_files(
-    spark: SparkSession, root: str, preds: list[tuple[str, object, object]]
+    spark: SparkSession,
+    root: str,
+    preds: list[tuple[str, object, object]],
+    index_root: str | None = None,
 ) -> tuple[list[str], int]:
     """Files whose envelopes intersect EVERY ``(col, lo, hi)`` half-open
     range in ``preds`` (a conjunction), plus the total file count. Files
@@ -444,14 +459,16 @@ def select_files(
     index serves an INDEXED VIEW of the table: files appended since the
     last ``build``/``update`` are invisible to selection until
     refreshed — run ``update`` after appends (or check
-    ``stale_file_count``)."""
+    ``stale_file_count``). ``index_root`` consults a sidecar index
+    (see ``build``)."""
+    at = index_root if index_root is not None else root
     if not os.path.isdir(
-        os.path.join(root, STATS_DIR)
-    ) and os.path.isdir(os.path.join(root, ROOT_MANIFEST)):
+        os.path.join(at, STATS_DIR)
+    ) and os.path.isdir(os.path.join(at, ROOT_MANIFEST)):
         indexed = next(
             f[4:]
             for f in spark.read.parquet(
-                os.path.join(root, PARTS_DIR)
+                os.path.join(at, PARTS_DIR)
             ).columns
             if f.startswith("min_")
         )
@@ -468,7 +485,7 @@ def select_files(
         total = 0
         for col, lo, hi in on_index:
             paths, total, _, _ = select_files_two_level(
-                spark, root, col, lo, hi
+                spark, root, col, lo, hi, index_root=index_root
             )
             cur = {_norm_path(p): p for p in paths}
             sel = (
@@ -477,7 +494,7 @@ def select_files(
                 else {n: p for n, p in sel.items() if n in cur}
             )
         return list(sel.values()), total
-    manifest = spark.read.parquet(os.path.join(root, STATS_DIR))
+    manifest = spark.read.parquet(os.path.join(at, STATS_DIR))
     total = manifest.count()
     keep = manifest
     for col, lo, hi in preds:
@@ -498,13 +515,16 @@ def _empty_like(spark: SparkSession, root: str) -> DataFrame:
 
 
 def read_where(
-    spark: SparkSession, root: str, preds: list[tuple[str, object, object]]
+    spark: SparkSession,
+    root: str,
+    preds: list[tuple[str, object, object]],
+    index_root: str | None = None,
 ) -> tuple[DataFrame, int, int]:
     """Reader over only the index-selected files for a CONJUNCTION of
     range predicates, with the exact residual already applied (the index
     is candidate-level; the residual makes it lossless). Returns
     (df, files_read, files_total)."""
-    paths, total = select_files(spark, root, preds)
+    paths, total = select_files(spark, root, preds, index_root=index_root)
     if not paths:
         return _empty_like(spark, root), 0, total
     df = spark.read.parquet(*paths)
@@ -514,14 +534,24 @@ def read_where(
 
 
 def read_between(
-    spark: SparkSession, root: str, col: str, lo, hi
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    index_root: str | None = None,
 ) -> tuple[DataFrame, int, int]:
     """Single-column form of ``read_where``."""
-    return read_where(spark, root, [(col, lo, hi)])
+    return read_where(spark, root, [(col, lo, hi)], index_root=index_root)
 
 
 def count_between(
-    spark: SparkSession, root: str, col: str, lo, hi
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    index_root: str | None = None,
 ) -> tuple[int, int, int]:
     """COUNT(*) over ``lo <= col < hi`` answered mostly from METADATA:
     files whose envelope is fully contained in the range contribute
@@ -538,14 +568,15 @@ def count_between(
     appends. On a two-level-cutover table this routes through
     ``count_between_two_level``. Returns
     (count, files_scanned, files_total)."""
-    if not os.path.isdir(os.path.join(root, STATS_DIR)) and os.path.isdir(
-        os.path.join(root, ROOT_MANIFEST)
+    at = index_root if index_root is not None else root
+    if not os.path.isdir(os.path.join(at, STATS_DIR)) and os.path.isdir(
+        os.path.join(at, ROOT_MANIFEST)
     ):
         cnt, scanned, files_total, _, _ = count_between_two_level(
-            spark, root, col, lo, hi
+            spark, root, col, lo, hi, index_root=index_root
         )
         return cnt, scanned, files_total
-    manifest = spark.read.parquet(os.path.join(root, STATS_DIR))
+    manifest = spark.read.parquet(os.path.join(at, STATS_DIR))
     total = manifest.count()
     known = F.col(f"min_{col}").isNotNull() & F.col(f"max_{col}").isNotNull()
     contained = (
@@ -576,7 +607,12 @@ def count_between(
 
 
 def minmax_between(
-    spark: SparkSession, root: str, col: str, lo, hi
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    index_root: str | None = None,
 ) -> tuple[object, object, int, int]:
     """MIN/MAX of ``col`` over ``lo <= col < hi`` with the same
     containment split as ``count_between``: a CONTAINED file's envelope
@@ -588,14 +624,15 @@ def minmax_between(
     ``minmax_between_two_level``. Returns
     (min, max, files_scanned, files_total);
     (None, None, ...) when the range is empty."""
-    if not os.path.isdir(os.path.join(root, STATS_DIR)) and os.path.isdir(
-        os.path.join(root, ROOT_MANIFEST)
+    at = index_root if index_root is not None else root
+    if not os.path.isdir(os.path.join(at, STATS_DIR)) and os.path.isdir(
+        os.path.join(at, ROOT_MANIFEST)
     ):
         mn, mx, scanned, files_total, _, _ = minmax_between_two_level(
-            spark, root, col, lo, hi
+            spark, root, col, lo, hi, index_root=index_root
         )
         return mn, mx, scanned, files_total
-    manifest = spark.read.parquet(os.path.join(root, STATS_DIR))
+    manifest = spark.read.parquet(os.path.join(at, STATS_DIR))
     total = manifest.count()
     known = F.col(f"min_{col}").isNotNull() & F.col(f"max_{col}").isNotNull()
     contained = (
@@ -646,7 +683,9 @@ def _keep_live(
     return keep, manifest.count() - keep.count()
 
 
-def stale_file_count(spark: SparkSession, root: str) -> int:
+def stale_file_count(
+    spark: SparkSession, root: str, index_root: str | None = None
+) -> int:
     """How many data files under ``root`` the committed envelope index
     does NOT cover — the cheap guard for the indexed-view semantics:
     every read entry point serves only files indexed at the last
@@ -655,9 +694,10 @@ def stale_file_count(spark: SparkSession, root: str) -> int:
     monitoring job asserts this is 0, or a cautious reader calls
     ``update`` when it isn't. Costs the same O(files) listing a scan
     plan pays. Counts ALL files as stale when no index exists."""
+    at = index_root if index_root is not None else root
     live = {_norm_path(f) for f in spark.read.parquet(root).inputFiles()}
-    flat = os.path.join(root, STATS_DIR)
-    parts = os.path.join(root, PARTS_DIR)
+    flat = os.path.join(at, STATS_DIR)
+    parts = os.path.join(at, PARTS_DIR)
     if os.path.isdir(flat):
         src = spark.read.parquet(flat)
     elif os.path.isdir(parts):
@@ -670,7 +710,9 @@ def stale_file_count(spark: SparkSession, root: str) -> int:
     return len(live - known)
 
 
-def vacuum_manifest(spark: SparkSession, root: str) -> int:
+def vacuum_manifest(
+    spark: SparkSession, root: str, index_root: str | None = None
+) -> int:
     """Drop stats-manifest rows whose data files no longer exist (left
     behind by compaction/rewrite — harmless to correctness since
     selection is candidate-level, but they cost dead-path read attempts
@@ -682,15 +724,16 @@ def vacuum_manifest(spark: SparkSession, root: str) -> int:
     ``vacuum_two_level`` on a table that has cut over to the sharded
     manifest (the indexed column is recovered from the shard schema).
     Returns the number of rows dropped; 0 is a pure no-op (no swap)."""
-    dest = os.path.join(root, STATS_DIR)
+    at = index_root if index_root is not None else root
+    dest = os.path.join(at, STATS_DIR)
     if not os.path.isdir(dest) and os.path.isdir(
-        os.path.join(root, ROOT_MANIFEST)
+        os.path.join(at, ROOT_MANIFEST)
     ):
         shard_fields = spark.read.parquet(
-            os.path.join(root, PARTS_DIR)
+            os.path.join(at, PARTS_DIR)
         ).columns
         col = next(f[4:] for f in shard_fields if f.startswith("min_"))
-        return vacuum_two_level(spark, root, col)
+        return vacuum_two_level(spark, root, col, index_root=index_root)
     manifest = spark.read.parquet(dest)
     keep, dropped = _keep_live(
         spark, manifest, spark.read.parquet(root).inputFiles()
@@ -701,7 +744,12 @@ def vacuum_manifest(spark: SparkSession, root: str) -> int:
     return dropped
 
 
-def vacuum_bloom(spark: SparkSession, root: str, col: str) -> int:
+def vacuum_bloom(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    index_root: str | None = None,
+) -> int:
     """Bloom-manifest twin of ``vacuum_manifest``: drop per-file Bloom
     rows whose data files a compactor rewrote away. Dead Bloom rows are
     worse than dead envelopes — every point read probes them and any
@@ -710,11 +758,14 @@ def vacuum_bloom(spark: SparkSession, root: str, col: str) -> int:
     Routes to ``vacuum_bloom_two_level`` on a table that has cut over
     to the sharded manifest. Returns rows dropped; 0 is a pure no-op
     (no swap)."""
-    dest = _bloom_dir(root, col)
+    at = index_root if index_root is not None else root
+    dest = _bloom_dir(at, col)
     if not os.path.isdir(dest) and os.path.isdir(
-        _bloom2_root_dir(root, col)
+        _bloom2_root_dir(at, col)
     ):
-        return vacuum_bloom_two_level(spark, root, col)
+        return vacuum_bloom_two_level(
+            spark, root, col, index_root=index_root
+        )
     manifest = spark.read.parquet(dest)
     keep, dropped = _keep_live(
         spark, manifest, spark.read.parquet(root).inputFiles()
@@ -757,7 +808,11 @@ ROOT_MANIFEST = "_filestats_root"
 
 
 def build_two_level(
-    spark: SparkSession, root: str, col: str, n_parts: int = 16
+    spark: SparkSession,
+    root: str,
+    col: str,
+    n_parts: int = 16,
+    index_root: str | None = None,
 ) -> tuple[str, str]:
     """The scale-out shape for the manifest ITSELF: at millions of files
     a flat manifest is GBs, and reading all of it per query planning is
@@ -771,13 +826,16 @@ def build_two_level(
     bucket's nominal range); correctness holds because the parent
     envelope is the union of CHILD envelopes, not of bucket bounds —
     the parent test is conservative by construction. Null-envelope
-    files land in partition -1, whose parent row is always selected."""
+    files land in partition -1, whose parent row is always selected.
+    ``index_root`` writes both levels under a sidecar prefix (see
+    ``build_two_level_columns``)."""
+    at = index_root if index_root is not None else root
     return _build_two_level_at(
         spark,
         root,
         col,
-        os.path.join(root, PARTS_DIR),
-        os.path.join(root, ROOT_MANIFEST),
+        os.path.join(at, PARTS_DIR),
+        os.path.join(at, ROOT_MANIFEST),
         n_parts,
     )
 
@@ -821,6 +879,22 @@ def _to_micros(v) -> int:
     )
 
 
+def _int_floor_div(
+    raw: F.Column, lo_us: int, n_buckets: int, span: int
+) -> F.Column:
+    """``((raw - lo) * n) div span`` in EXACT long arithmetic. The
+    old ``F.floor(x * n / span)`` cast the long product to double; for
+    micros-domain offsets large enough that ``offset * n`` exceeds
+    2^53 the cast can round across an integer boundary, misplacing a
+    boundary value by one bucket — which on the histogram path breaks
+    the "sound upper bound" contract (the query side buckets with
+    Python ``//``). ``div`` is Spark's integral divide: it truncates
+    toward zero where ``//`` floors, but they differ only for negative
+    numerators and every caller clamps those to bucket 0 anyway."""
+    num = ((raw - F.lit(lo_us)) * F.lit(n_buckets)).cast("long")
+    return F.call_function("div", num, F.lit(span).cast("long"))
+
+
 def _bucket_expr(
     col: str, is_ts: bool, lo_us: int, hi_us: int, n_parts: int
 ) -> F.Column:
@@ -835,7 +909,7 @@ def _bucket_expr(
         else F.col(f"min_{col}")
     )
     span = hi_us - lo_us + 1
-    scaled = F.floor((raw - F.lit(lo_us)) * n_parts / F.lit(span))
+    scaled = _int_floor_div(raw, lo_us, n_parts, span)
     return F.when(F.col(f"min_{col}").isNull(), F.lit(-1)).otherwise(
         F.greatest(
             F.lit(0), F.least(F.lit(n_parts - 1), scaled)
@@ -848,11 +922,12 @@ HIST_BUCKETS = 32
 
 def _hist_bucket_of(raw: F.Column, lo_us: int, hi_us: int) -> F.Column:
     """Histogram bucket of a raw (micros-normalized) value over the
-    build bounds — same floor arithmetic as ``_bucket_expr``, clamped so
+    build bounds — same floor arithmetic as ``_bucket_expr`` (exact
+    long ``div``, matching the query side's Python ``//``), clamped so
     the edge buckets are OPEN (later values outside the original span
     fold into buckets 0 / H-1, mirroring how bucketed files do)."""
     span = hi_us - lo_us + 1
-    scaled = F.floor((raw - F.lit(lo_us)) * HIST_BUCKETS / F.lit(span))
+    scaled = _int_floor_div(raw, lo_us, HIST_BUCKETS, span)
     return F.greatest(
         F.lit(0), F.least(F.lit(HIST_BUCKETS - 1), scaled)
     ).cast("int")
@@ -914,7 +989,12 @@ def _parent_manifest(
     )
 
 
-def update_two_level(spark: SparkSession, root: str, col: str) -> int:
+def update_two_level(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    index_root: str | None = None,
+) -> int:
     """Incrementally maintain the two-level manifest after appends: stat
     ONLY manifest-absent files (O(new data)), bucket them with the
     parent's STORED bounds (re-bucketing with fresh bounds would scatter
@@ -931,12 +1011,13 @@ def update_two_level(spark: SparkSession, root: str, col: str) -> int:
     this repair a crashed run's files would stay in shards the parent
     envelope never covers and selection would silently miss their rows
     forever."""
+    at = index_root if index_root is not None else root
     return _update_two_level_at(
         spark,
         root,
         col,
-        os.path.join(root, PARTS_DIR),
-        os.path.join(root, ROOT_MANIFEST),
+        os.path.join(at, PARTS_DIR),
+        os.path.join(at, ROOT_MANIFEST),
     )
 
 
@@ -993,7 +1074,12 @@ def _swap_dirs(tmp: str, dest: str) -> None:
     _replace_dir(tmp, dest)
 
 
-def vacuum_two_level(spark: SparkSession, root: str, col: str) -> int:
+def vacuum_two_level(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    index_root: str | None = None,
+) -> int:
     """Two-level twin of ``vacuum_manifest``: after a compactor rewrite,
     shard rows referencing dead paths are reconciled away PER SHARD —
     only shards that actually contain dead rows are rewritten (their
@@ -1009,12 +1095,13 @@ def vacuum_two_level(spark: SparkSession, root: str, col: str) -> int:
     ``update_two_level`` detects the shards/parent count disagreement
     and repairs the parent. Returns shard rows dropped; 0 is a pure
     no-op (no swap, no parent recommit)."""
+    at = index_root if index_root is not None else root
     return _vacuum_two_level_at(
         spark,
         root,
         col,
-        os.path.join(root, PARTS_DIR),
-        os.path.join(root, ROOT_MANIFEST),
+        os.path.join(at, PARTS_DIR),
+        os.path.join(at, ROOT_MANIFEST),
     )
 
 
@@ -1094,7 +1181,12 @@ def _vacuum_shards(
 
 
 def select_files_two_level(
-    spark: SparkSession, root: str, col: str, lo, hi
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    index_root: str | None = None,
 ) -> tuple[list[str], int, int, int]:
     """Two-phase selection: the PARENT manifest (O(partitions)) picks
     which manifest partitions can contain intersecting files; only those
@@ -1104,13 +1196,14 @@ def select_files_two_level(
     manifest shards. Returns (paths, files_total, parts_read,
     parts_total); files_total comes from the parent's counts, not a
     manifest scan."""
+    at = index_root if index_root is not None else root
     return _select_two_level_at(
         spark,
         col,
         lo,
         hi,
-        os.path.join(root, PARTS_DIR),
-        os.path.join(root, ROOT_MANIFEST),
+        os.path.join(at, PARTS_DIR),
+        os.path.join(at, ROOT_MANIFEST),
     )
 
 
@@ -1214,7 +1307,12 @@ def _select_two_level_at(
 
 
 def count_between_two_level(
-    spark: SparkSession, root: str, col: str, lo, hi
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    index_root: str | None = None,
 ) -> tuple[int, int, int, int, int]:
     """The full 100 TB composition: COUNT(*) over a range with the
     parent manifest picking manifest shards, the touched shards
@@ -1224,7 +1322,8 @@ def count_between_two_level(
     manifest shards + only the boundary data files; neither the flat
     manifest nor any interior file is ever read. Returns
     (count, files_scanned, files_total, parts_read, parts_total)."""
-    parent = spark.read.parquet(os.path.join(root, ROOT_MANIFEST))
+    at = index_root if index_root is not None else root
+    parent = spark.read.parquet(os.path.join(at, ROOT_MANIFEST))
     rows = parent.collect()  # O(partitions)
     parts_total = len(rows)
     files_total = sum(r["n_files"] for r in rows)
@@ -1237,7 +1336,7 @@ def count_between_two_level(
     if not chosen:
         return 0, 0, files_total, 0, parts_total
     shard = spark.read.parquet(
-        *[os.path.join(root, PARTS_DIR, f"part={p}") for p in chosen]
+        *[os.path.join(at, PARTS_DIR, f"part={p}") for p in chosen]
     )
     known = F.col(f"min_{col}").isNotNull() & F.col(f"max_{col}").isNotNull()
     contained = (
@@ -1268,7 +1367,12 @@ def count_between_two_level(
 
 
 def minmax_between_two_level(
-    spark: SparkSession, root: str, col: str, lo, hi
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    index_root: str | None = None,
 ) -> tuple[object, object, int, int, int, int]:
     """Two-level twin of ``minmax_between``: the parent picks manifest
     shards, the touched shards split files into CONTAINED (their
@@ -1278,7 +1382,8 @@ def minmax_between_two_level(
     read + touched shards + only boundary data files. Returns
     (min, max, files_scanned, files_total, parts_read, parts_total);
     (None, None, ...) when the range is empty."""
-    parent = spark.read.parquet(os.path.join(root, ROOT_MANIFEST))
+    at = index_root if index_root is not None else root
+    parent = spark.read.parquet(os.path.join(at, ROOT_MANIFEST))
     rows = parent.collect()  # O(partitions)
     parts_total = len(rows)
     files_total = sum(r["n_files"] for r in rows)
@@ -1291,7 +1396,7 @@ def minmax_between_two_level(
     if not chosen:
         return None, None, 0, files_total, 0, parts_total
     shard = spark.read.parquet(
-        *[os.path.join(root, PARTS_DIR, f"part={p}") for p in chosen]
+        *[os.path.join(at, PARTS_DIR, f"part={p}") for p in chosen]
     )
     known = F.col(f"min_{col}").isNotNull() & F.col(f"max_{col}").isNotNull()
     contained = (
@@ -1326,12 +1431,17 @@ def minmax_between_two_level(
 
 
 def read_between_two_level(
-    spark: SparkSession, root: str, col: str, lo, hi
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    index_root: str | None = None,
 ) -> tuple[DataFrame, int, int, int, int]:
     """Reader over the two-level-selected files with the exact residual.
     Returns (df, files_read, files_total, parts_read, parts_total)."""
     paths, files_total, parts_read, parts_total = select_files_two_level(
-        spark, root, col, lo, hi
+        spark, root, col, lo, hi, index_root=index_root
     )
     if not paths:
         return _empty_like(spark, root), 0, files_total, parts_read, parts_total
@@ -1573,6 +1683,24 @@ def _positions(col: F.Column, m: int, k: int) -> list[F.Column]:
     ]
 
 
+def _bloom_bit_cond(positions) -> F.Column:
+    """ALL-k-bits-set test over a manifest row's ``bloom`` word map for
+    the probe's precomputed positions. Java longs are signed
+    two's-complement, so bit 63's mask rewraps negative."""
+    cond = None
+    for p in positions:
+        w, bit = int(p) >> 6, int(p) & 63
+        mask = (1 << bit) - (1 << 64) if bit == 63 else (1 << bit)
+        c = (
+            F.coalesce(F.element_at("bloom", F.lit(w)), F.lit(0)).bitwiseAND(
+                F.lit(mask).cast("long")
+            )
+            != 0
+        )
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
 def build_bloom(
     spark: SparkSession,
     root: str,
@@ -1580,6 +1708,7 @@ def build_bloom(
     m: int = 1 << 17,
     k: int = 3,
     two_level_threshold: int | None = None,
+    index_root: str | None = None,
 ) -> str:
     """Commit a per-file Bloom manifest for ``col``: each file's keys set
     k xxhash64 positions in an m-bit set, packed DISTRIBUTED into 64-bit
@@ -1599,12 +1728,15 @@ def build_bloom(
         AUTO_TWO_LEVEL_FILES if two_level_threshold is None
         else two_level_threshold
     )
+    at = index_root if index_root is not None else root
     reader = spark.read.parquet(root)
     if len(reader.inputFiles()) > threshold:
-        _, parent = build_bloom_two_level(spark, root, col, m=m, k=k)
-        _rm_committed(_bloom_dir(root, col))
+        _, parent = build_bloom_two_level(
+            spark, root, col, m=m, k=k, index_root=index_root
+        )
+        _rm_committed(_bloom_dir(at, col))
         return parent
-    dest = _bloom_dir(root, col)
+    dest = _bloom_dir(at, col)
     _commit_swap(_bloom_manifest(reader, col, m, k), dest)
     return dest
 
@@ -1635,6 +1767,7 @@ def update_bloom(
     root: str,
     col: str,
     two_level_threshold: int | None = None,
+    index_root: str | None = None,
 ) -> int:
     """Incrementally maintain the Bloom manifest after appends: hash ONLY
     files absent from the committed manifest (O(new data), not O(table))
@@ -1649,11 +1782,14 @@ def update_bloom(
         AUTO_TWO_LEVEL_FILES if two_level_threshold is None
         else two_level_threshold
     )
-    dest = _bloom_dir(root, col)
+    at = index_root if index_root is not None else root
+    dest = _bloom_dir(at, col)
     if not os.path.isdir(dest) and os.path.isdir(
-        _bloom2_root_dir(root, col)
+        _bloom2_root_dir(at, col)
     ):
-        return update_bloom_two_level(spark, root, col)
+        return update_bloom_two_level(
+            spark, root, col, index_root=index_root
+        )
     manifest = spark.read.parquet(dest)
     m, k = manifest.select("m", "k").first()
     known = {
@@ -1669,13 +1805,19 @@ def update_bloom(
     if len(live) > threshold:
         # grown past flat viability: upgrade so the NEXT probe reads one
         # shard dir instead of every file's word map
-        build_bloom_two_level(spark, root, col, m=int(m), k=int(k))
+        build_bloom_two_level(
+            spark, root, col, m=int(m), k=int(k), index_root=index_root
+        )
         _rm_committed(dest)
     return len(new)
 
 
 def bloom_select_files(
-    spark: SparkSession, root: str, col: str, value
+    spark: SparkSession,
+    root: str,
+    col: str,
+    value,
+    index_root: str | None = None,
 ) -> tuple[list[str], int]:
     """Candidate files for ``col = value``: probe every file's Bloom map
     with the k positions of ``value``. Positions are computed through the
@@ -1684,12 +1826,15 @@ def bloom_select_files(
     (the bucket-routing idiom of `IncrementalMV.lookup`). On a table that
     has cut over to the sharded Bloom manifest, routes through the
     one-shard probe transparently."""
-    if not os.path.isdir(_bloom_dir(root, col)) and os.path.isdir(
-        _bloom2_root_dir(root, col)
+    at = index_root if index_root is not None else root
+    if not os.path.isdir(_bloom_dir(at, col)) and os.path.isdir(
+        _bloom2_root_dir(at, col)
     ):
-        paths, total, _, _ = bloom2_select_files(spark, root, col, value)
+        paths, total, _, _ = bloom2_select_files(
+            spark, root, col, value, index_root=index_root
+        )
         return paths, total
-    manifest = spark.read.parquet(_bloom_dir(root, col))
+    manifest = spark.read.parquet(_bloom_dir(at, col))
     total = manifest.count()
     m, k = manifest.select("m", "k").first()
     dtype = spark.read.parquet(root).schema[col].dataType
@@ -1699,32 +1844,27 @@ def bloom_select_files(
         .select(F.array(*_positions(probe, m, k)).alias("ps"))
         .first()["ps"]
     )  # k ints, 1-row collect
-    cond = None
-    for p in pos:
-        w, bit = int(p) >> 6, int(p) & 63
-        # Java longs are signed two's-complement; rewrap bit 63
-        mask = (1 << bit) - (1 << 64) if bit == 63 else (1 << bit)
-        c = (
-            F.coalesce(F.element_at("bloom", F.lit(w)), F.lit(0)).bitwiseAND(
-                F.lit(mask).cast("long")
-            )
-            != 0
-        )
-        cond = c if cond is None else (cond & c)
     paths = [
-        r["file"] for r in manifest.where(cond).select("file").collect()
+        r["file"]
+        for r in manifest.where(_bloom_bit_cond(pos)).select("file").collect()
     ]
     return paths, total
 
 
 def point_read(
-    spark: SparkSession, root: str, col: str, value
+    spark: SparkSession,
+    root: str,
+    col: str,
+    value,
+    index_root: str | None = None,
 ) -> tuple[DataFrame, int, int]:
     """Reader over only the Bloom-candidate files for ``col = value``,
     exact equality re-applied as the residual (false positives die here —
     no false negatives by Bloom construction). Returns
     (df, files_read, files_total)."""
-    paths, total = bloom_select_files(spark, root, col, value)
+    paths, total = bloom_select_files(
+        spark, root, col, value, index_root=index_root
+    )
     if not paths:
         return _empty_like(spark, root), 0, total
     df = spark.read.parquet(*paths).where(F.col(col) == F.lit(value))
@@ -1800,14 +1940,54 @@ def _bloom2_shard_rows(
 def _bloom2_parent(
     shards: DataFrame, m: int, k: int, n_shards: int, total_files: int
 ) -> DataFrame:
+    """Per-shard parent rows, including two KEY-COUNT sketches derived
+    purely from the shard word maps (never a data re-scan — the parent
+    is recomputed at every commit point, vacuum and crash repair
+    included, so the sketches can only depend on what those paths
+    already read): ``est_sum_file_keys`` sums the Swamidass–Baldi
+    cardinality estimate ``-(m/k)·ln(1 − X/m)`` (X = set bits) over
+    each file's map, and ``est_shard_keys`` applies the same estimator
+    to the shard's UNION map (bit_or across files per word) — distinct
+    keys in the shard. Their ratio is the expected number of files
+    containing a random key, which is what orders multi-point consults
+    by real selectivity when per-shard file counts tie (an ESTIMATE for
+    ordering, not a bound — ``n_files`` stays the sound bound)."""
     # shard -1 holds coverage rows, not probeable word maps
     shards = shards.where(F.col("shard") >= 0)
-    return shards.groupBy("shard").agg(
+    mk = float(m) / float(k)
+
+    def _cardinality(x: F.Column) -> F.Column:
+        # clamp X to m-1: a saturated filter still yields a finite
+        # (huge) estimate instead of -inf
+        frac = F.least(x, F.lit(m - 1)).cast("double") / F.lit(float(m))
+        return -F.lit(mk) * F.log(F.lit(1.0) - frac)
+
+    x_file = F.aggregate(
+        F.map_values("bloom"),
+        F.lit(0).cast("long"),
+        lambda acc, bits: acc + F.bit_count(bits).cast("long"),
+    )
+    per_shard = shards.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_files"),
+        F.sum(_cardinality(x_file)).alias("est_sum_file_keys"),
+    )
+    union_bits = (
+        shards.select("shard", F.explode(F.map_entries("bloom")).alias("e"))
+        .groupBy("shard", F.col("e.key").alias("w"))
+        .agg(F.bit_or(F.col("e.value")).alias("bits"))
+        .groupBy("shard")
+        .agg(F.sum(F.bit_count("bits").cast("long")).alias("xu"))
+        .select("shard", _cardinality(F.col("xu")).alias("est_shard_keys"))
+    )
+    return per_shard.join(union_bits, "shard", "left").select(
+        "shard",
+        "n_files",
         F.lit(m).alias("m"),
         F.lit(k).alias("k"),
         F.lit(n_shards).alias("n_shards"),
         F.lit(total_files).alias("total_files"),
+        "est_sum_file_keys",
+        "est_shard_keys",
     )
 
 
@@ -1930,9 +2110,10 @@ def vacuum_bloom_two_level(
         # which ride the parent — survive to re-anchor the next update;
         # probes see zero probeable shards and select nothing
         new_parent = spark.createDataFrame(
-            [(-1, 0, m, k, n_shards, total_files)],
+            [(-1, 0, m, k, n_shards, total_files, 0.0, 0.0)],
             "shard int, n_files long, m int, k int, n_shards int, "
-            "total_files long",
+            "total_files long, est_sum_file_keys double, "
+            "est_shard_keys double",
         )
     _commit_swap(new_parent, parent_path)
     return dropped
@@ -1980,19 +2161,11 @@ def bloom2_select_files(
     if not os.path.isdir(shard_dir):
         return [], total_files, 0, shards_total
     manifest = spark.read.parquet(shard_dir)
-    cond = None
-    for p in row["ps"]:
-        w, bit = int(p) >> 6, int(p) & 63
-        mask = (1 << bit) - (1 << 64) if bit == 63 else (1 << bit)
-        c = (
-            F.coalesce(F.element_at("bloom", F.lit(w)), F.lit(0)).bitwiseAND(
-                F.lit(mask).cast("long")
-            )
-            != 0
-        )
-        cond = c if cond is None else (cond & c)
     paths = [
-        r["file"] for r in manifest.where(cond).select("file").collect()
+        r["file"]
+        for r in manifest.where(_bloom_bit_cond(row["ps"]))
+        .select("file")
+        .collect()
     ]
     return paths, total_files, 1, shards_total
 
@@ -2014,3 +2187,144 @@ def point_read_two_level(
         return _empty_like(spark, root), 0, total, sr, st
     df = spark.read.parquet(*paths).where(F.col(col) == F.lit(value))
     return df, len(paths), total, sr, st
+
+def point_select_files_multi(
+    spark: SparkSession,
+    root: str,
+    eq_preds: list[tuple[str, object]],
+    plan_out: dict | None = None,
+    index_root: str | None = None,
+) -> tuple[list[str], int, int]:
+    """Candidate files for a CONJUNCTION of point-equality predicates,
+    each served by its column's SHARDED Bloom index, with consults
+    ordered by the parent's per-shard KEY-COUNT sketches — the
+    point-lookup twin of ``select_files_multi``'s histogram ordering
+    (round-11 verdict item 2): shard file counts alone cannot tell a
+    high-cardinality key column (each key in ~1 file — probing it first
+    shrinks the running intersection to almost nothing) from a
+    low-cardinality one (each key in every file — its probe prunes
+    nothing), but ``est_sum_file_keys / est_shard_keys`` — the expected
+    number of files containing a random key, derived at maintenance
+    time purely from the Bloom word maps (Swamidass–Baldi on per-file
+    and union fill) — can. The estimate orders consults; it is NOT a
+    bound (``n_files`` stays the sound bound, reported as
+    ``bound_files``). Once the running intersection is EMPTY the
+    remaining columns' shard scans are skipped — a point conjunction
+    with one absent key costs O(columns) KB parent reads plus ONE shard
+    probe. Per-column planning work is one parent collect (O(n_shards)
+    rows) and one 1-row shard/positions job — independent of file
+    count. Columns with no sharded-Bloom index are skipped (the
+    caller's residual decides their rows, candidate-level as always);
+    raises when NO predicate column has one. Returns
+    (paths, files_total, indexed_preds). ``plan_out`` receives
+    ``consult_order`` / ``est_files`` / ``bound_files`` /
+    ``selected_files`` / ``shards_skipped`` for audit."""
+    import math
+
+    at = index_root if index_root is not None else root
+    schema = spark.read.parquet(root).schema
+    consults = []
+    files_total = 0
+    for col, value in eq_preds:
+        parent_dir = _bloom2_root_dir(at, col)
+        if not os.path.isdir(parent_dir):
+            continue
+        parent_rows = spark.read.parquet(parent_dir).collect()
+        if not parent_rows:
+            consults.append((0, col, -1, [], 0))
+            continue
+        meta = parent_rows[0]  # every row (sentinel included) carries m/k
+        m, k = int(meta["m"]), int(meta["k"])
+        n_shards = int(meta["n_shards"])
+        files_total = max(files_total, int(meta["total_files"]))
+        probe = F.lit(value).cast(schema[col].dataType)
+        row = (
+            spark.range(1)
+            .select(
+                _bloom_shard_expr(probe, n_shards).alias("s"),
+                F.array(*_positions(probe, m, k)).alias("ps"),
+            )
+            .first()
+        )  # 1-row collect: shard id + k positions
+        sid = int(row["s"])
+        srow = next(
+            (r for r in parent_rows if int(r["shard"]) == sid), None
+        )
+        if srow is None:
+            # the key's shard holds no files: the key cannot exist
+            consults.append((0, col, sid, row["ps"], 0))
+            continue
+        n_files = int(srow["n_files"])
+        fields = srow.asDict()
+        sum_keys = fields.get("est_sum_file_keys")
+        shard_keys = fields.get("est_shard_keys")
+        if sum_keys and shard_keys:
+            est = min(
+                n_files,
+                max(1, math.ceil(float(sum_keys) / float(shard_keys))),
+            )
+        else:  # legacy parent written before the key sketches existed
+            est = n_files
+        consults.append((est, col, sid, row["ps"], n_files))
+    if not consults:
+        raise ValueError(
+            f"no sharded Bloom manifest on {root} covers any of "
+            f"{sorted({c for c, _ in eq_preds})}; build_bloom_two_level "
+            "first (or probe flat with bloom_select_files)"
+        )
+    consults.sort(key=lambda t: (t[0], t[1]))  # ties break on col name
+    sel: dict[str, str] | None = None
+    shards_skipped = 0
+    selected: dict[str, int] = {}
+    for est, col, sid, ps, n_files in consults:
+        if sel is not None and not sel:
+            shards_skipped += 1  # empty ∩ stays empty
+            continue
+        shard_dir = os.path.join(
+            _bloom2_parts_dir(at, col), f"shard={sid}"
+        )
+        if sid < 0 or not os.path.isdir(shard_dir):
+            selected[col] = 0
+            sel = {}
+            continue
+        manifest = spark.read.parquet(shard_dir)
+        paths = [
+            r["file"]
+            for r in manifest.where(_bloom_bit_cond(ps))
+            .select("file")
+            .collect()
+        ]
+        selected[col] = len(paths)
+        cur = {_norm_path(p): p for p in paths}
+        sel = cur if sel is None else {
+            n: p for n, p in sel.items() if n in cur
+        }
+    if plan_out is not None:
+        plan_out["consult_order"] = [c[1] for c in consults]
+        plan_out["est_files"] = {c[1]: c[0] for c in consults}
+        plan_out["bound_files"] = {c[1]: c[4] for c in consults}
+        plan_out["selected_files"] = selected
+        plan_out["shards_skipped"] = shards_skipped
+    return list(sel.values()), files_total, len(consults)
+
+
+def point_read_multi(
+    spark: SparkSession,
+    root: str,
+    eq_preds: list[tuple[str, object]],
+    plan_out: dict | None = None,
+    index_root: str | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Reader over the intersection of per-column sharded-Bloom
+    candidates with every exact equality re-applied as the residual
+    (false positives die here; lossless regardless of which columns had
+    indexes). Returns (df, files_read, files_total)."""
+    paths, total, _ = point_select_files_multi(
+        spark, root, eq_preds, plan_out=plan_out, index_root=index_root
+    )
+    if not paths:
+        return _empty_like(spark, root), 0, total
+    df = spark.read.parquet(*paths)
+    for col, value in eq_preds:
+        df = df.where(F.col(col) == F.lit(value))
+    return df, len(paths), total

@@ -150,8 +150,6 @@ def _staged_minhash(spark: SparkSession, sf_dir: str):
         ).parquet(os.path.join(p, "bands"))
         sh.unpersist()
 
-    import os
-
     dest, _ = stage_once("minhashprof", sf_dir, _build)
     return (
         spark.read.parquet(os.path.join(dest, "bands")),

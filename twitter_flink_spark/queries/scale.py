@@ -2198,6 +2198,31 @@ def _ensure_cell_clustered_layout(spark: SparkSession, sf_dir: str) -> str:
     return dest
 
 
+def _ensure_conjunction_sidecar(
+    spark: SparkSession, sf_dir: str, dest: str
+) -> str:
+    """n_parts=4 per-column two-level manifests over the staged cell
+    layout, as a SIDECAR (``index_root``) staged once per scale factor.
+    The manifests are a pure function of the static layout, so the
+    conjunction queries that consult them must not pay a per-run
+    rebuild (that priced ~5 s of index BUILD into queries about index
+    CONSULT — the round-11 verdict's watch item), and a sidecar keeps
+    them from thrashing against the n_parts=1 histogram sidecar the
+    thin-slice query stages over the same data dir."""
+    from twitter_flink_spark.operators import skipping
+    from twitter_flink_spark.sources.staging import stage_once
+
+    idx, _ = stage_once(
+        "cellconj4",
+        sf_dir,
+        lambda p: skipping.build_two_level_columns(
+            spark, dest, ["user_id", "ts"], n_parts=4, index_root=p
+        )
+        and None,
+    )
+    return idx
+
+
 @register(
     "zorder_filestats_2d_slice",
     oracle="""
@@ -3482,15 +3507,17 @@ def twolevel_multicol_conjunction(
     dimensions are what make the intersection strictly tighter than
     either column alone. `indexed_dimensions` pins that both predicates
     were actually served by an index; `index_pruned` that the
-    intersection scheduled strictly fewer files than the table holds."""
+    intersection scheduled strictly fewer files than the table holds.
+    The n_parts=4 indexes are a SIDECAR staged once per scale factor
+    (`_ensure_conjunction_sidecar`): they are a pure function of the
+    static cell layout, so rebuilding them per run priced index BUILD
+    into a query about index CONSULT (round-11 verdict watch item)."""
     import datetime
 
     from twitter_flink_spark.operators import skipping
 
     dest = _ensure_cell_clustered_layout(spark, sf_dir)
-    skipping.build_two_level_columns(
-        spark, dest, ["user_id", "ts"], n_parts=4
-    )
+    idx = _ensure_conjunction_sidecar(spark, sf_dir, dest)
     b = (
         spark.read.parquet(dest)
         .agg(
@@ -3505,10 +3532,12 @@ def twolevel_multicol_conjunction(
     tlo = b["t0"] + datetime.timedelta(days=16)
     thi = b["t0"] + datetime.timedelta(days=21)
     sliced, files_read, files_total = skipping.read_where_multi(
-        spark, dest, [("user_id", ulo, uhi), ("ts", tlo, thi)]
+        spark, dest, [("user_id", ulo, uhi), ("ts", tlo, thi)],
+        index_root=idx,
     )
     _, _, used = skipping.select_files_multi(
-        spark, dest, [("user_id", ulo, uhi), ("ts", tlo, thi)]
+        spark, dest, [("user_id", ulo, uhi), ("ts", tlo, thi)],
+        index_root=idx,
     )
     return sliced.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("cnt"),
@@ -3550,15 +3579,16 @@ def twolevel_dead_conjunction_early_exit(
     shards skipped via `plan_out`); `zero_files_read` pins that no
     data file was ever scheduled. The oracle runs the same dead
     predicate over the original table — cnt 0 proves losslessness of
-    an empty selection (the residual story's degenerate case)."""
+    an empty selection (the residual story's degenerate case). The
+    n_parts=4 indexes come from the staged sidecar shared with
+    `twolevel_multicol_conjunction` — this query prices the dead
+    CONSULT, never the build."""
     import datetime
 
     from twitter_flink_spark.operators import skipping
 
     dest = _ensure_cell_clustered_layout(spark, sf_dir)
-    skipping.build_two_level_columns(
-        spark, dest, ["user_id", "ts"], n_parts=4
-    )
+    idx = _ensure_conjunction_sidecar(spark, sf_dir, dest)
     b = (
         spark.read.parquet(dest)
         .agg(F.min("user_id").alias("u0"), F.min("ts").alias("t0"))
@@ -3569,10 +3599,10 @@ def twolevel_dead_conjunction_early_exit(
     preds = [("user_id", b["u0"], b["u0"] + 10**9), ("ts", tlo, thi)]
     plan: dict = {}
     paths, _total, used = skipping.select_files_multi(
-        spark, dest, preds, plan_out=plan
+        spark, dest, preds, plan_out=plan, index_root=idx
     )
     sliced, files_read, _ft = skipping.read_where_multi(
-        spark, dest, preds
+        spark, dest, preds, index_root=idx
     )
     consult_skipped = (
         used == 2
@@ -3628,9 +3658,9 @@ def twolevel_hist_thin_slice_order(
     the same predicates to the raw table — ordering is a planning
     concern and must never change results. The single-partition indexes
     are a SIDECAR (``index_root``) staged once per scale factor: they
-    index the shared cell layout without writing into it, so the
-    n_parts=4 indexes the sibling conjunction queries rebuild in-place
-    never thrash against this query's build."""
+    index the shared cell layout without writing into it, so they never
+    thrash against the sibling conjunction queries' own staged
+    n_parts=4 sidecar (`_ensure_conjunction_sidecar`)."""
     import datetime
 
     from twitter_flink_spark.operators import skipping
@@ -3781,6 +3811,128 @@ def sidecar_index_readonly_serving(
         F.round(F.sum("value"), 2).alias("total_value"),
         F.lit(int(point_cnt)).cast("long").alias("point_cnt"),
         F.lit(bool(sidecar_only)).alias("sidecar_only"),
+        F.lit(files_total > 1 and files_read < files_total).alias(
+            "index_pruned"
+        ),
+    )
+
+
+def _ensure_keycount_sidecar(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Sharded Bloom indexes on BOTH o_orderkey (high-cardinality: each
+    key in ~1 file) and o_orderpriority (5 values: each in EVERY file)
+    over the shared scattered-orders layout, as a sidecar
+    (``index_root``) staged once per scale factor — the fixture for
+    key-count-sketch consult ordering. Sidecar so the layout's embedded
+    o_orderkey index (`_ensure_bloom2_layout` finalize) is never
+    touched."""
+    from twitter_flink_spark.operators import skipping
+    from twitter_flink_spark.sources.staging import stage_once
+
+    dest = _ensure_bloom2_layout(spark, sf_dir)
+
+    def _build(p: str) -> None:
+        skipping.build_bloom_two_level(
+            spark, dest, "o_orderkey", n_shards=8, index_root=p
+        )
+        skipping.build_bloom_two_level(
+            spark, dest, "o_orderpriority", n_shards=8, index_root=p
+        )
+
+    idx, _ = stage_once("bloom2keysk", sf_dir, _build)
+    return dest, idx
+
+
+@register(
+    "bloom_keycount_consult_order",
+    oracle="""
+WITH t AS (SELECT max(o_orderkey) AS k FROM orders)
+SELECT o.o_orderkey,
+       o.o_custkey,
+       round(o.o_totalprice, 2) AS total,
+       TRUE AS sketch_first,
+       TRUE AS sketch_calibrated,
+       TRUE AS dead_key_early_exit,
+       TRUE AS index_pruned
+FROM orders o, t
+WHERE o.o_orderkey = t.k
+""",
+)
+def bloom_keycount_consult_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Key-count-sketch consult ordering for POINT conjunctions (the
+    round-11 verdict's item 2, end-to-end): both columns' sharded Bloom
+    parents report the same per-shard file count on the scattered
+    layout (every file holds every priority and a slice of every key
+    shard), so a count-only estimate cannot order the probes — but the
+    parent's Swamidass–Baldi key sketches price an o_orderkey probe at
+    ~1 file (each key lives in one file) and an o_orderpriority probe
+    at ~all files, so `point_select_files_multi` probes o_orderkey
+    FIRST and the running intersection is one file before the
+    low-cardinality probe runs. `sketch_first` pins the order AND that
+    the estimate (not the tied file-count bound) drove it;
+    `sketch_calibrated` that the key column's estimate is strictly
+    below its bound while the low-cardinality column's is not; a
+    second, ABSENT-key conjunction pins the empty-intersection early
+    exit (`dead_key_early_exit`: zero files selected, the priority
+    shard scan skipped entirely — a dead point lookup costs O(columns)
+    KB parent reads plus one shard probe at any file count). The
+    oracle's exact max-orderkey row proves the intersected candidate
+    set lost nothing (the priority predicate is satisfied by that row
+    by construction — both residuals re-apply exactly)."""
+    from twitter_flink_spark.operators import skipping
+
+    dest, idx = _ensure_keycount_sidecar(spark, sf_dir)
+    top = (
+        spark.read.parquet(dest)
+        .orderBy(F.desc("o_orderkey"))
+        .select("o_orderkey", "o_orderpriority")
+        .first()
+    )
+    key, prio = int(top["o_orderkey"]), top["o_orderpriority"]
+    plan: dict = {}
+    hit, files_read, files_total = skipping.point_read_multi(
+        spark,
+        dest,
+        [("o_orderpriority", prio), ("o_orderkey", key)],
+        plan_out=plan,
+        index_root=idx,
+    )
+    sketch_first = (
+        plan["consult_order"][0] == "o_orderkey"
+        and plan["est_files"]["o_orderkey"]
+        < plan["est_files"]["o_orderpriority"]
+        and plan["bound_files"]["o_orderkey"]
+        == plan["bound_files"]["o_orderpriority"]  # counts tie
+    )
+    sketch_calibrated = (
+        plan["est_files"]["o_orderkey"]
+        < plan["bound_files"]["o_orderkey"]
+        and plan["selected_files"]["o_orderkey"]
+        <= plan["est_files"]["o_orderkey"] * 4  # est is in range, not off
+    )
+    dead: dict = {}
+    dead_paths, _dt, _du = skipping.point_select_files_multi(
+        spark,
+        dest,
+        [("o_orderpriority", prio), ("o_orderkey", key + 1)],
+        plan_out=dead,
+        index_root=idx,
+    )
+    dead_key_early_exit = (
+        dead_paths == []
+        and dead["shards_skipped"] >= 1
+        and "o_orderpriority" not in dead["selected_files"]
+    )
+    return hit.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total"),
+        F.lit(bool(sketch_first)).alias("sketch_first"),
+        F.lit(bool(sketch_calibrated)).alias("sketch_calibrated"),
+        F.lit(bool(dead_key_early_exit)).alias("dead_key_early_exit"),
         F.lit(files_total > 1 and files_read < files_total).alias(
             "index_pruned"
         ),

@@ -3009,10 +3009,20 @@ def ann_recall_curve_ivf_inverted(
                 probe, cents, top_n=nprobe
             ).collect()  # nprobe rows: the probed cell ids
         ]
+        # A centroid with zero assigned vectors has no cid=<c> dir
+        # (dynamic-partition writes emit only non-empty cells); probing
+        # it is a no-op, not an error — skip missing dirs.
+        dirs = [
+            p
+            for p in (
+                os.path.join(dest, "_assign", f"cid={c}") for c in cells
+            )
+            if os.path.isdir(p)
+        ]
         cands = (
             spark.read.parquet(
-                *[os.path.join(dest, "_assign", f"cid={c}") for c in cells]
-            )  # exactly nprobe inverted-list dirs
+                *dirs
+            )  # exactly the non-empty probed inverted-list dirs
             .where(F.col("vec_id") != probe_id)
             .select("vec_id")
             .join(emb, "vec_id")
@@ -3412,13 +3422,16 @@ def ivf_nprobe_autoselect(spark: SparkSession, sf_dir: str) -> DataFrame:
                 probe, cents, top_n=nprobe
             ).collect()  # nprobe rows
         ]
-        return scored_topk(
-            spark.read.parquet(
-                *[
-                    os.path.join(dest, "_assign", f"cid={c}")
-                    for c in cells
-                ]
+        # Empty cells were never written as cid dirs — skip, don't raise.
+        dirs = [
+            p
+            for p in (
+                os.path.join(dest, "_assign", f"cid={c}") for c in cells
             )
+            if os.path.isdir(p)
+        ]
+        return scored_topk(
+            spark.read.parquet(*dirs)
             .where(F.col("vec_id") != probe_id)
             .select("vec_id")
             .join(emb, "vec_id")
