@@ -132,6 +132,27 @@ def main() -> None:
         codebook_fit_ok = False
         print(f"bench: codebook pre-warm FAILED: {exc}", file=sys.stderr)
     codebook_fit_s = round(time.perf_counter() - t_fit0, 3)
+    # ...and the shared streaming-sink index drain: one 3-micro-batch
+    # foreachBatch run maintaining BOTH sink index families per commit,
+    # consumed by streaming_sink_skipping_index AND
+    # streaming_sink_percolumn_indexes (round-11 verdict item 3). Like
+    # the codebook fits it is a fixture-BUILD cost paid once per
+    # session; charging it to whichever consumer the bench order hits
+    # first made that query's number meaningless round-over-round. The
+    # drain is charged to its own prewarm line below; the consumers
+    # then time their serving reads.
+    t_drain0 = time.perf_counter()
+    sink_drain_ok = True
+    try:
+        from twitter_flink_spark.queries.streaming import (
+            _drained_sink_indexes,
+        )
+
+        _drained_sink_indexes(spark, sf_dir)
+    except Exception as exc:
+        sink_drain_ok = False
+        print(f"bench: sink-drain pre-warm FAILED: {exc}", file=sys.stderr)
+    sink_drain_s = round(time.perf_counter() - t_drain0, 3)
 
     queries = entrymod.queries()
     # headline first (fixed order), then the rest alphabetically — a
@@ -176,7 +197,11 @@ def main() -> None:
     # round-over-round per-query diffs never see a phantom entry. A pre-warm
     # failure is recorded in the JSON (not just stderr) because in that case
     # the fit cost silently shifts onto the first ANN consumer query.
-    prewarm = {"codebook_fit_s": codebook_fit_s, "ok": codebook_fit_ok}
+    prewarm = {
+        "codebook_fit_s": codebook_fit_s,
+        "sink_drain_s": sink_drain_s,
+        "ok": codebook_fit_ok and sink_drain_ok,
+    }
     # Full per-query map → file (the 245-entry map is ~9 KB and overflows the
     # driver's stdout tail); compact summary (10 slowest) → the stdout line.
     here = os.path.dirname(os.path.abspath(__file__))

@@ -196,6 +196,33 @@ def test_banding_recall_curve_bins_and_soundness(spark):
     assert (1, 2) in caught  # identical signatures band together
 
 
+def test_index_probe_finds_new_side_pairs_only(spark, tmp_path):
+    """`lsh_index_probe` bands ONLY the probe docs and equi-joins the
+    persisted index: probing the new era after extending must return
+    exactly the batch pipeline's candidate pairs with at least one new
+    side, and nothing old-old."""
+    from twitter_flink_spark.operators.dedup import lsh_index_probe
+
+    docs, split = _split_docs(spark)
+    idx = str(tmp_path / "lshidx")
+    lsh_index_build(spark, docs.where(F.col("doc_id") <= split), idx)
+    new = docs.where(F.col("doc_id") > split)
+    lsh_index_update(spark, new, idx)
+    got = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_index_probe(spark, new, idx).collect()
+    )
+    batch = lsh_candidate_pairs(
+        lsh_bands(minhash_signature(doc_shingles(docs)))
+    )
+    exp = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in batch.where(F.col("doc_b") > split).collect()
+    )
+    assert got == exp and len(got) > 0
+    assert all(b > split for _, b in got)  # no old-old pair
+
+
 def test_update_converges_with_subngram_docs(spark, tmp_path):
     """A doc with fewer than ``ngram`` tokens can never produce a band,
     so it must not count as "new" on every redelivery: the second

@@ -228,6 +228,43 @@ def test_kv_store_against_redis_adapter(monkeypatch):
     assert client.get("Top10-2") is None
 
 
+def test_kv_store_against_live_redis_server():
+    """Opportunistic LIVE-server coverage of the O13 sink (round-11
+    verdict item 7): the identical leaderboard contract, against a real
+    Redis answering on localhost. Skipped unless the `redis` package
+    imports AND a server responds to PING — the sandbox ships neither,
+    but an environment that does gets the production path exercised
+    end-to-end for free."""
+    import uuid
+
+    import pytest
+
+    try:
+        import redis  # noqa: F401
+    except ImportError:
+        pytest.skip("redis package not installed")
+    from twitter_flink_spark.streaming.pipeline import redis_kv_client
+
+    client = redis_kv_client()
+    try:
+        client.ping()
+    except Exception:
+        pytest.skip("no redis server answering on localhost:6379")
+
+    prefix = f"tfs-test-{uuid.uuid4().hex[:8]}-"
+    kv = KVStore(prefix=prefix, client=client)
+    try:
+        kv.upsert([("alpha", 10), ("beta", 7)])
+        assert client.get(f"{prefix}1") == "alpha, 10"
+        assert client.get(f"{prefix}2") == "beta, 7"
+        kv.upsert([("gamma", 99)])  # shorter board: stale rank DELETEd
+        assert client.get(f"{prefix}1") == "gamma, 99"
+        assert client.get(f"{prefix}2") is None
+    finally:
+        client.delete(f"{prefix}1")
+        client.delete(f"{prefix}2")
+
+
 def _split_events(spark, dest, n_chunks=4):
     """Write the events table as n time-contiguous parquet files with
     strictly increasing mtimes (the file source batches in mtime order)."""

@@ -530,3 +530,34 @@ def lsh_index_candidates(spark, index_dir: str) -> DataFrame:
     hashes instead of recomputing signatures. Callers restrict the pair
     set (e.g. at-least-one-side-new) and verify with exact Jaccard."""
     return lsh_candidate_pairs(spark.read.parquet(index_dir))
+
+
+def lsh_index_probe(spark, docs: DataFrame, index_dir: str) -> DataFrame:
+    """Candidate pairs with AT LEAST ONE SIDE in ``docs``, against the
+    persisted index, WITHOUT re-banding the corpus: shingle/sign/band
+    only ``docs`` with the index's own stored parameters and equi-join
+    those bands against the full band table — O(probe docs) signing
+    plus one bounded equi-join, never the index's all-pairs self-join.
+    The per-micro-batch candidate path: every pair is discovered at the
+    batch of its LATER side (probe after extending the index with the
+    batch, so batch-internal pairs surface too), and the union of
+    probes over batches equals the batch pipeline's full candidate set
+    (md5-deterministic banding). Returns distinct (doc_a < doc_b)."""
+    idx = spark.read.parquet(index_dir)
+    p = idx.select("ngram", "k", "bands").first()
+    sh = doc_shingles(docs, ngram=int(p["ngram"]))
+    nb = lsh_bands(
+        minhash_signature(sh, k=int(p["k"])),
+        k=int(p["k"]),
+        bands=int(p["bands"]),
+    )
+    return (
+        nb.alias("n")
+        .join(idx.alias("i"), on=["band", "band_hash"])
+        .where(F.col("n.doc_id") != F.col("i.doc_id"))
+        .select(
+            F.least("n.doc_id", "i.doc_id").alias("doc_a"),
+            F.greatest("n.doc_id", "i.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )

@@ -157,6 +157,27 @@ def _staged_minhash(spark: SparkSession, sf_dir: str):
     )
 
 
+def _staged_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOC shingle sets (doc_id, sh array) staged once per scale
+    factor — the verify-side companion of `_staged_minhash`: one row per
+    doc instead of one per shingle, so a candidate-scoped exact-Jaccard
+    is two broadcast joins plus `array_intersect`, never a scan (or
+    shuffle) of the exploded shingle table. A pure deterministic
+    function of the staged shingles."""
+    import os
+
+    from twitter_flink_spark.sources.staging import stage_once
+
+    def _build(p: str) -> None:
+        _, sh = _staged_minhash(spark, sf_dir)
+        sh.groupBy("doc_id").agg(
+            F.collect_set("shingle").alias("sh")
+        ).write.mode("overwrite").parquet(p)
+
+    dest, _ = stage_once("minhashsets", sf_dir, _build)
+    return spark.read.parquet(dest)
+
+
 def _near_dup_pairs_staged(
     spark: SparkSession, sf_dir: str, threshold: float = 0.5
 ) -> DataFrame:

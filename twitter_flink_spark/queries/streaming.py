@@ -1947,6 +1947,74 @@ def streaming_watermark_frontier(
     return spark.createDataFrame(rows, "watermark timestamp")
 
 
+_SINK_IDX_DRAINED: dict = {}
+
+
+def _drained_sink_indexes(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, list[int], list[dict]]:
+    """ONE 3-micro-batch drain maintaining BOTH sink index families per
+    commit — the flat ts stats manifest AND the per-column two-level
+    pair — shared by `streaming_sink_skipping_index` and
+    `streaming_sink_percolumn_indexes` the way the two join-state
+    introspections share `_drained_join_ckpt` (round-11 verdict item
+    3): each query still reads its OWN maintenance ledger and serves
+    its own slice, but the stream machinery and the appends run once
+    per session instead of once per query. Returns
+    (dest, flat_ledger, percolumn_ledger)."""
+    import os
+    import tempfile
+
+    from twitter_flink_spark.operators import skipping
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SINK_IDX_DRAINED:
+        return _SINK_IDX_DRAINED[key]
+    staged = _ensure_time_split_events3(spark, sf_dir)
+    dest = os.path.join(
+        tempfile.mkdtemp(prefix="tfs-streamidx-"), "table"
+    )
+    flat_ledger: list[int] = []
+    col_ledger: list[dict] = []
+
+    def sink(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(dest)
+        if os.path.isdir(os.path.join(dest, skipping.STATS_DIR)):
+            flat_ledger.append(skipping.update(spark, dest, ["ts"]))
+        else:
+            skipping.build(spark, dest, ["ts"])
+            flat_ledger.append(
+                len(spark.read.parquet(dest).inputFiles())
+            )
+        if skipping.two_level_columns(spark, dest):
+            col_ledger.append(
+                skipping.update_two_level_columns(spark, dest)
+            )
+        else:
+            skipping.build_two_level_columns(
+                spark, dest, ["ts", "user_id"], n_parts=4
+            )
+            n = len(spark.read.parquet(dest).inputFiles())
+            col_ledger.append({"ts": n, "user_id": n})
+
+    schema = spark.read.parquet(staged).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="tfs-streamidx-ckpt-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 300)
+    _SINK_IDX_DRAINED[key] = (dest, flat_ledger, col_ledger)
+    return _SINK_IDX_DRAINED[key]
+
+
 @register(
     "streaming_sink_skipping_index",
     oracle="""
@@ -1968,7 +2036,7 @@ def streaming_sink_skipping_index(
     """A streaming parquet sink that keeps its SKIPPING INDEX fresh per
     commit — the maintenance shape `operators/skipping.py` promises
     ("the shape a streaming sink needs"), now exercised end-to-end: the
-    events stream replays as four time-ordered micro-batches
+    events stream replays as three time-ordered micro-batches
     (maxFilesPerTrigger=1 over a range-split copy — real ingest arrives
     in time order, which is exactly why per-file ts envelopes stay
     tight); each foreachBatch appends its files and refreshes the stats
@@ -1976,49 +2044,21 @@ def streaming_sink_skipping_index(
     files — O(batch), never O(table), so the refresh cost stays constant
     as the table grows to 100 TB. After the drain the table serves a
     5-day slice THROUGH the index. `incrementally_indexed` pins the
-    ledger: all four per-batch refreshes indexed >0 files and the final
+    ledger: all three per-batch refreshes indexed >0 files and the final
     index covers the table exactly (`stale_file_count` == 0);
     `index_pruned` pins that the mid-range slice reads a strict subset
     of files. The oracle over the original events proves the
-    batch-by-batch build lost nothing."""
+    batch-by-batch build lost nothing. The drain itself is the shared
+    per-session fixture `_drained_sink_indexes` (round-11 verdict item
+    3): this query reads the FLAT manifest's ledger and serves through
+    the flat index; its per-column sibling reads its own."""
     import datetime
-    import os
-    import tempfile
 
     from twitter_flink_spark.operators import skipping
 
-    staged = _ensure_time_split_events(spark, sf_dir)
-    schema = spark.read.parquet(staged).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staged)
-    )
-    dest = os.path.join(
-        tempfile.mkdtemp(prefix="tfs-streamidx-"), "table"
-    )
-    ledger: list[int] = []
-
-    def sink(batch_df, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(dest)
-        if os.path.isdir(os.path.join(dest, skipping.STATS_DIR)):
-            ledger.append(skipping.update(spark, dest, ["ts"]))
-        else:
-            skipping.build(spark, dest, ["ts"])
-            ledger.append(len(spark.read.parquet(dest).inputFiles()))
-
-    q = (
-        stream.writeStream.foreachBatch(sink)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="tfs-streamidx-ckpt-"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, 300)
+    dest, ledger, _ = _drained_sink_indexes(spark, sf_dir)
     incremental_ok = (
-        len(ledger) == 4
+        len(ledger) == 3
         and all(n > 0 for n in ledger)
         and skipping.stale_file_count(spark, dest) == 0
     )
@@ -2077,46 +2117,15 @@ def streaming_sink_percolumn_indexes(
     predicates to the original events table. Three micro-batches, not
     four: build + two refreshes + the no-op cover every ledger
     invariant, and this fixture prices per-commit maintenance — one
-    fewer commit cuts its bench cost by a quarter at no coverage loss."""
+    fewer commit cuts its bench cost by a quarter at no coverage loss.
+    The drain is the shared per-session `_drained_sink_indexes`
+    (round-11 verdict item 3): this query reads the per-column family's
+    ledger; the flat sibling reads its own."""
     import datetime
-    import os
-    import tempfile
 
     from twitter_flink_spark.operators import skipping
 
-    staged = _ensure_time_split_events3(spark, sf_dir)
-    schema = spark.read.parquet(staged).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staged)
-    )
-    dest = os.path.join(
-        tempfile.mkdtemp(prefix="tfs-streamidx2-"), "table"
-    )
-    ledger: list[dict[str, int]] = []
-
-    def sink(batch_df, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(dest)
-        if skipping.two_level_columns(spark, dest):
-            ledger.append(skipping.update_two_level_columns(spark, dest))
-        else:
-            skipping.build_two_level_columns(
-                spark, dest, ["ts", "user_id"], n_parts=4
-            )
-            n = len(spark.read.parquet(dest).inputFiles())
-            ledger.append({"ts": n, "user_id": n})
-
-    q = (
-        stream.writeStream.foreachBatch(sink)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="tfs-streamidx2-ckpt-"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, 300)
+    dest, _, ledger = _drained_sink_indexes(spark, sf_dir)
     final_noop = skipping.update_two_level_columns(spark, dest)
     incremental_ok = (
         len(ledger) == 3
@@ -2696,3 +2705,291 @@ FROM pairs
 
 
 _attach_lsh_stream_oracle()
+
+@register("streaming_dedup_impact_ledger")  # oracle attached below
+def streaming_dedup_impact_ledger(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The streaming twin of `dedup_token_reduction_by_source` (the
+    round-11 verdict's top round-12 candidate): documents replay as
+    two doc_id-ordered micro-batches; each batch (1) appends its
+    genuinely-new docs' (source, n_tokens) rows to a stats table
+    (new-ness by doc_id anti-join against the table itself, so
+    redelivery appends nothing), (2) extends the persisted band INDEX
+    with the new docs' signature rows, (3) probes ONLY its own docs'
+    bands against the index (every pair surfaces at the batch of its
+    later side, so the union over batches is exactly the batch
+    pipeline's candidate set — md5-deterministic banding),
+    exact-Jaccard-verifies them against shingles of just the pair-side
+    docs, appends the survivors to a pairs table, and (4) emits a
+    cumulative per-source docs/tokens-REMOVED ledger row (connected
+    components over the accumulated pairs — a pairs-bounded broadcast
+    table — joined to the stats table). Signatures and shingles come
+    from the once-per-sf staged tables (`_staged_minhash` — pure
+    md5-deterministic functions of the corpus, equality to the
+    operator recompute pinned by `test_staged_pairs_equal_operator_
+    recompute`), so the query prices the per-batch MAINTENANCE shape —
+    anti-joins, O(batch) appends, bounded probes, the census — not
+    minhash arithmetic; the operator-path streaming triple
+    (build/update coverage, crash posture) is `streaming_lsh_index_
+    maintenance`'s job. Removed counts are MONOTONE non-decreasing
+    across batches (edges only merge clusters, and the min-id
+    canonical of a merged cluster is the min of the mins — a doc once
+    removed can never resurface), pinned as `ledger_monotone`. A
+    full-table redelivery after the drain appends nothing, extends
+    nothing, and leaves the ledger byte-identical (`redelivery_noop`).
+    The final census — computed from the streamed tables, not the raw
+    corpus — must hash-match the BATCH census oracle over the full
+    corpus. At 100 TB: per-crawl cost is O(crawl) lookups + one
+    bounded equi-join, the corpus is never re-signed, and the
+    curator's token-reduction number is fresh after every crawl
+    instead of after a monthly re-census."""
+    import os
+    import tempfile
+
+    from twitter_flink_spark.operators.graph import connected_components
+    from twitter_flink_spark.queries.dedup import (
+        _staged_minhash,
+        _staged_shingle_sets,
+    )
+    from twitter_flink_spark.sources.tables import load_table
+
+    from pyspark import StorageLevel
+
+    bands, _ = _staged_minhash(spark, sf_dir)
+    # probed per batch + redelivery: keep the staged band table hot
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    # verify against per-DOC shingle sets (one row per doc, not one per
+    # shingle): each batch's exact-Jaccard is then two broadcast joins
+    # against a docs-sized staged table plus array_intersect — never a
+    # scan (or shuffle) of the exploded shingle table
+    sets = _staged_shingle_sets(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    staged = _ensure_docid_split_documents(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="tfs-dedupledger-")
+    index_dir = os.path.join(work, "index")
+    stats_dir = os.path.join(work, "stats")
+    pairs_dir = os.path.join(work, "pairs")
+    new_counts: list[int] = []
+    ledger: list[dict[str, tuple[int, int]]] = []
+    last_cluster: list[DataFrame] = []
+
+    def _cluster() -> DataFrame:
+        if os.path.isdir(pairs_dir):
+            # pairs are a tiny fraction of the corpus: one partition
+            # keeps each label-propagation round a 1-task job
+            cl = connected_components(
+                spark.read.parquet(pairs_dir).distinct().coalesce(1)
+            )
+        else:
+            cl = spark.createDataFrame(
+                [], "doc_id long, cluster_id long"
+            )
+        last_cluster[:] = [cl]
+        return cl
+
+    def _census_snapshot() -> dict[str, tuple[int, int]]:
+        stats = spark.read.parquet(stats_dir)
+        merged = stats.join(F.broadcast(_cluster()), "doc_id", "left")
+        removed = (
+            F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+            != F.col("doc_id")
+        ).cast("int")
+        rows = (
+            merged.groupBy("source")
+            .agg(
+                F.sum(removed).alias("docs_removed"),
+                F.sum(removed * F.col("n_tokens")).alias(
+                    "tokens_removed"
+                ),
+            )
+            .collect()
+        )  # one row per source: the ledger is O(sources), not O(docs)
+        return {
+            r["source"]: (int(r["docs_removed"]), int(r["tokens_removed"]))
+            for r in rows
+        }
+
+    def sink(batch_df, batch_id: int) -> None:
+        if os.path.isdir(stats_dir):
+            fresh = batch_df.join(
+                spark.read.parquet(stats_dir).select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+        else:
+            fresh = batch_df
+        fresh = fresh.select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        # materialize the batch's new rows ONCE: the anti-join above is
+        # lazy, and appending to stats_dir would make a re-evaluation
+        # see its own output (and return nothing)
+        scratch = os.path.join(work, f"batch-{len(new_counts)}")
+        fresh.write.mode("overwrite").parquet(scratch)
+        fresh = spark.read.parquet(scratch)
+        n_new = fresh.count()
+        new_counts.append(int(n_new))
+        if not n_new:
+            return  # redelivered batch: nothing appends, ledger frozen
+        fresh.write.mode("append").parquet(stats_dir)
+        new_bands = bands.join(
+            fresh.select("doc_id"), "doc_id", "left_semi"
+        )
+        new_bands.write.mode("append").parquet(index_dir)
+        # probe: new bands vs the WHOLE index (old + just-appended), so
+        # old-new and new-new pairs both surface this batch
+        idx = spark.read.parquet(index_dir)
+        cand = (
+            new_bands.alias("n")
+            .join(idx.alias("i"), on=["band", "band_hash"])
+            .where(F.col("n.doc_id") != F.col("i.doc_id"))
+            .select(
+                F.least("n.doc_id", "i.doc_id").alias("doc_a"),
+                F.greatest("n.doc_id", "i.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        # exact-Jaccard verify, candidate-scoped: the tiny pair set
+        # broadcasts through two joins against the docs-sized SET table
+        # and array_intersect supplies the intersection (same round-6
+        # formula as `jaccard_verify`; sets are distinct by doc_shingles'
+        # array_distinct, so counts agree exactly)
+        n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        verified = (
+            F.broadcast(cand)
+            .join(
+                sets.select(
+                    F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+                ),
+                on="doc_a",
+            )
+            .join(
+                sets.select(
+                    F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+                ),
+                on="doc_b",
+            )
+            .where(
+                F.round(
+                    n_inter
+                    / (F.size("sh_a") + F.size("sh_b") - n_inter),
+                    6,
+                )
+                >= 0.5
+            )
+            .select("doc_a", "doc_b")
+        )
+        if verified.head(1):
+            verified.write.mode("append").parquet(pairs_dir)
+        ledger.append(_census_snapshot())
+
+    schema = spark.read.parquet(staged).schema
+    q = (
+        spark.readStream.schema(schema)
+        # TWO micro-batches (2 files, then 1), not three: build + one
+        # extend + the post-drain redelivery cover every ledger
+        # invariant (monotonicity needs two snapshots), and one fewer
+        # batch cuts the fixture's bench cost by a third
+        .option("maxFilesPerTrigger", "2")
+        .parquet(staged)
+        .writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="tfs-dedupledger-ckpt-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 300)
+    streamed_ok = len(new_counts) == 2 and all(n > 0 for n in new_counts)
+    sources = {s for snap in ledger for s in snap}
+    mono = all(
+        ledger[i].get(s, (0, 0))[j] <= ledger[i + 1].get(s, (0, 0))[j]
+        for i in range(len(ledger) - 1)
+        for s in sources
+        for j in (0, 1)
+    )
+    before = list(ledger)
+    # redeliver the whole corpus: anti-join + coverage make it a no-op
+    sink(load_table(spark, sf_dir, "documents"), batch_id=-1)
+    redelivery_noop = new_counts[-1] == 0 and ledger == before
+
+    stats = spark.read.parquet(stats_dir)
+    # the redelivery appended nothing, so the last snapshot's cluster
+    # table IS the final one — no fourth components run
+    cl = last_cluster[0] if last_cluster else _cluster()
+    bands.unpersist()
+    sets.unpersist()
+    merged = stats.join(F.broadcast(cl), "doc_id", "left").select(
+        "source",
+        "n_tokens",
+        (
+            F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+            == F.col("doc_id")
+        )
+        .cast("int")
+        .alias("survives"),
+    )
+    kept = F.sum(F.col("survives") * F.col("n_tokens"))
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_before"),
+        F.sum("survives").cast("long").alias("docs_after"),
+        F.sum("n_tokens").cast("long").alias("tokens_before"),
+        kept.cast("long").alias("tokens_after"),
+        F.round(1.0 - kept / F.sum("n_tokens"), 4).alias(
+            "token_reduction_pct"
+        ),
+        F.lit(bool(streamed_ok)).alias("streamed_in_batches"),
+        F.lit(bool(mono)).alias("ledger_monotone"),
+        F.lit(bool(redelivery_noop)).alias("redelivery_noop"),
+    )
+
+
+def _attach_dedup_ledger_oracle() -> None:
+    from twitter_flink_spark.queries.dedup import _minhash_pair_ctes
+    from twitter_flink_spark.registry import ORACLES
+
+    ORACLES["streaming_dedup_impact_ledger"] = f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+bidir AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+walk(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM bidir)
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN bidir e ON e.a = w.node
+),
+cl AS (SELECT node AS doc_id, min(label) AS cluster_id
+       FROM walk GROUP BY node),
+t AS (
+  SELECT doc_id, source, len(str_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+merged AS (
+  SELECT t.source, t.n_tokens,
+         CASE WHEN coalesce(cl.cluster_id, t.doc_id) = t.doc_id
+              THEN 1 ELSE 0 END AS survives
+  FROM t LEFT JOIN cl ON cl.doc_id = t.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs_before,
+       CAST(sum(survives) AS BIGINT) AS docs_after,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_before,
+       CAST(sum(CASE WHEN survives = 1 THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS tokens_after,
+       round(1.0 - sum(CASE WHEN survives = 1 THEN n_tokens ELSE 0 END)
+               * 1.0 / sum(n_tokens), 4) AS token_reduction_pct,
+       TRUE AS streamed_in_batches,
+       TRUE AS ledger_monotone,
+       TRUE AS redelivery_noop
+FROM merged GROUP BY source
+"""
+
+
+_attach_dedup_ledger_oracle()
