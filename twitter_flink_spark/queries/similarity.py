@@ -2849,10 +2849,16 @@ def ivf_inverted_nprobe_serving(
         for r in assign_clusters(probe, cents, top_n=2).collect()
     ]  # 2-row collect: the probed cell ids
     probe_vec = probe.select(F.col("e").alias("pe"))
+    # empty cells were never written as cid dirs — skip, don't raise
+    dirs = [
+        p
+        for p in (os.path.join(dest, "_assign", f"cid={c}") for c in cells)
+        if os.path.isdir(p)
+    ]
     cands = (
         spark.read.parquet(
-            *[os.path.join(dest, "_assign", f"cid={c}") for c in cells]
-        )  # exactly nprobe inverted-list dirs
+            *dirs
+        )  # exactly the non-empty probed inverted-list dirs
         .where(F.col("vec_id") != probe_id)
         .select("vec_id")
         .join(emb, "vec_id")
