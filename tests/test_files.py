@@ -2214,3 +2214,43 @@ def test_point_multi_keycount_order_and_early_exit(spark, tmp_path):
     assert paths == [] and used == 2
     assert dead["shards_skipped"] == 1  # ev probe never ran
     assert "ev" not in dead["selected_files"]
+
+
+def test_mixed_consult_orders_and_early_exits(spark, tmp_path):
+    """`select_files_mixed` puts a point probe and a range consult on
+    one estimate scale, runs the cheaper first, intersects losslessly,
+    and skips the range shard read entirely when a dead point probe
+    empties the intersection."""
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 1600).select(
+        F.col("id").alias("a"), (F.col("id") % 9).alias("u")
+    )
+    # a-clustered: a-ranges prune well; u scattered: only Bloom helps
+    df.repartitionByRange(8, "a").write.mode("overwrite").parquet(root)
+    skipping.build_two_level_columns(spark, root, ["a"], n_parts=4)
+    skipping.build_bloom_two_level(spark, root, "u", m=1 << 14, n_shards=4)
+
+    plan: dict = {}
+    sliced, fr, ft = skipping.read_where_mixed(
+        spark, root, [("a", 0, 200)], [("u", 3)], plan_out=plan
+    )
+    assert plan["consult_order"] == ["a", "u="]  # thin range wins here
+    assert set(plan["selected_files"]) == {"a", "u="}
+    rows = sliced.collect()
+    assert all(0 <= r["a"] < 200 and r["u"] == 3 for r in rows)
+    assert len(rows) == sum(1 for i in range(200) if i % 9 == 3)
+    assert 0 < fr < ft
+
+    dead: dict = {}
+    paths, _, used = skipping.select_files_mixed(
+        spark, root, [("a", 0, 200)], [("u", 99)], plan_out=dead
+    )
+    assert paths == [] and used == 2
+    # u=99 was never inserted: its probe selects nothing; whichever
+    # consult ran second must have been skipped if the first emptied
+    # the intersection, or selected nothing itself
+    assert dead["shards_skipped"] + len(dead["selected_files"]) == 2

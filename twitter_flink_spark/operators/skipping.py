@@ -2353,3 +2353,162 @@ def point_read_multi(
     for col, value in eq_preds:
         df = df.where(F.col(col) == F.lit(value))
     return df, len(paths), total
+
+def select_files_mixed(
+    spark: SparkSession,
+    root: str,
+    range_preds: list[tuple[str, object, object]],
+    eq_preds: list[tuple[str, object]],
+    plan_out: dict | None = None,
+    index_root: str | None = None,
+) -> tuple[list[str], int, int]:
+    """ONE selectivity-ordered consult over a conjunction that mixes
+    RANGE predicates (served by per-column two-level envelope
+    manifests) and POINT-equality predicates (served by sharded Bloom
+    manifests): every index family's parent is read first (KBs each),
+    each predicate gets a files-upper-bound estimate in the same unit —
+    histogram-refined chosen-partition counts for ranges
+    (`_parent_plan`), key-count-sketch expected-files-per-key for
+    points (`_bloom2_parent`) — and the real I/O (envelope shard reads,
+    Bloom shard probes) runs cheapest-estimate-first with the
+    empty-intersection early exit. This is the planner a real
+    dashboard predicate needs (`WHERE user_id = ? AND ts BETWEEN ...`):
+    neither family alone serves it, and consulting them in a fixed
+    order wastes shard reads whenever the other side is the selective
+    one. Predicates on unindexed columns are skipped (the caller's
+    residual decides their rows); raises when NO predicate has an
+    index. Returns (paths, files_total, indexed_preds); ``plan_out``
+    gets ``consult_order`` (col names, ``=``-suffixed for point
+    consults), ``est_files``, ``bound_files``, ``selected_files``,
+    ``shards_skipped``."""
+    import math
+
+    at = index_root if index_root is not None else root
+    consults = []  # (est, key, bound, runner)
+    files_total = 0
+    indexes = two_level_columns(spark, root, index_root)
+    for col, lo, hi in range_preds:
+        if col not in indexes:
+            continue
+        parts, parent = indexes[col]
+        chosen, total, _, est, bound = _parent_plan(spark, parent, lo, hi)
+        files_total = max(files_total, total)
+
+        def run_range(c=col, l=lo, h=hi, p=parts, ch=chosen):
+            return _shard_select(spark, c, l, h, p, ch)
+
+        consults.append((est, col, bound, run_range))
+    schema = None
+    for col, value in eq_preds:
+        parent_dir = _bloom2_root_dir(at, col)
+        if not os.path.isdir(parent_dir):
+            continue
+        parent_rows = spark.read.parquet(parent_dir).collect()
+        if not parent_rows:
+            consults.append((0, f"{col}=", 0, lambda: []))
+            continue
+        meta = parent_rows[0]
+        m, k = int(meta["m"]), int(meta["k"])
+        n_shards = int(meta["n_shards"])
+        files_total = max(files_total, int(meta["total_files"]))
+        if schema is None:
+            schema = spark.read.parquet(root).schema
+        probe = F.lit(value).cast(schema[col].dataType)
+        row = (
+            spark.range(1)
+            .select(
+                _bloom_shard_expr(probe, n_shards).alias("s"),
+                F.array(*_positions(probe, m, k)).alias("ps"),
+            )
+            .first()
+        )  # 1-row collect
+        sid = int(row["s"])
+        srow = next(
+            (r for r in parent_rows if int(r["shard"]) == sid), None
+        )
+        if srow is None:
+            consults.append((0, f"{col}=", 0, lambda: []))
+            continue
+        n_files = int(srow["n_files"])
+        fields = srow.asDict()
+        sk, uk = fields.get("est_sum_file_keys"), fields.get(
+            "est_shard_keys"
+        )
+        est = (
+            min(n_files, max(1, math.ceil(float(sk) / float(uk))))
+            if sk and uk
+            else n_files
+        )
+
+        def run_point(c=col, s=sid, ps=row["ps"]):
+            shard_dir = os.path.join(
+                _bloom2_parts_dir(at, c), f"shard={s}"
+            )
+            if not os.path.isdir(shard_dir):
+                return []
+            return [
+                r["file"]
+                for r in spark.read.parquet(shard_dir)
+                .where(_bloom_bit_cond(ps))
+                .select("file")
+                .collect()
+            ]
+
+        consults.append((est, f"{col}=", n_files, run_point))
+    if not consults:
+        raise ValueError(
+            f"no two-level or sharded-Bloom index on {root} covers any "
+            f"of {sorted({c for c, *_ in range_preds})} / "
+            f"{sorted({c for c, _ in eq_preds})}"
+        )
+    consults.sort(key=lambda t: (t[0], t[1]))
+    sel: dict[str, str] | None = None
+    shards_skipped = 0
+    selected: dict[str, int] = {}
+    for est, key, bound, run in consults:
+        if sel is not None and not sel:
+            shards_skipped += 1
+            continue
+        paths = run()
+        selected[key] = len(paths)
+        cur = {_norm_path(p): p for p in paths}
+        sel = cur if sel is None else {
+            n: p for n, p in sel.items() if n in cur
+        }
+    if plan_out is not None:
+        plan_out["consult_order"] = [c[1] for c in consults]
+        plan_out["est_files"] = {c[1]: c[0] for c in consults}
+        plan_out["bound_files"] = {c[1]: c[2] for c in consults}
+        plan_out["selected_files"] = selected
+        plan_out["shards_skipped"] = shards_skipped
+    return list(sel.values()), files_total, len(consults)
+
+
+def read_where_mixed(
+    spark: SparkSession,
+    root: str,
+    range_preds: list[tuple[str, object, object]],
+    eq_preds: list[tuple[str, object]],
+    plan_out: dict | None = None,
+    index_root: str | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Reader over the mixed-consult intersection with EVERY exact
+    predicate (ranges and equalities) re-applied as the residual —
+    lossless regardless of which predicates had indexes. Returns
+    (df, files_read, files_total)."""
+    paths, total, _ = select_files_mixed(
+        spark,
+        root,
+        range_preds,
+        eq_preds,
+        plan_out=plan_out,
+        index_root=index_root,
+    )
+    if not paths:
+        return _empty_like(spark, root), 0, total
+    df = spark.read.parquet(*paths)
+    for col, lo, hi in range_preds:
+        df = df.where((F.col(col) >= F.lit(lo)) & (F.col(col) < F.lit(hi)))
+    for col, value in eq_preds:
+        df = df.where(F.col(col) == F.lit(value))
+    return df, len(paths), total

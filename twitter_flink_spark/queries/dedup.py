@@ -1795,3 +1795,219 @@ def lsh_banding_retune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(chosen_b)).cast("int").alias("chosen_bands"),
         F.lit(bool(retuned)).alias("retuned"),
     )
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle=f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+bidir AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+walk(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM bidir)
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN bidir e ON e.a = w.node
+),
+cl AS (SELECT node AS doc_id, min(label) AS cluster_id
+       FROM walk GROUP BY node),
+t AS (
+  SELECT d.doc_id, d.source,
+         len(str_split(d.text, ' ')) AS n_tokens,
+         coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY cluster_id
+           ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+         CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS is_minid
+  FROM t
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs_before,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_after,
+       CAST(sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS tokens_after_best,
+       CAST(sum(CASE WHEN is_minid = 1 THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS tokens_after_minid,
+       CAST(sum(CASE WHEN rn = 1 AND is_minid = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS survivor_changed,
+       TRUE AS best_never_worse
+FROM ranked GROUP BY source
+""",
+)
+def dedup_keep_best_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """QUALITY-canonical near-dup survivorship — what a curator
+    actually ships: instead of the arbitrary min-doc_id survivor per
+    MinHash-LSH cluster (the bookkeeping canonical every cluster query
+    pins), keep the cluster's BEST document, here the longest
+    (n_tokens desc, doc_id asc tie-break — a deterministic stand-in
+    for any quality score; truncated crawl variants lose to their full
+    originals). Per source: docs before/after (identical to the min-id
+    rule — survivor CHOICE never changes cluster count), tokens kept
+    under both rules, and `survivor_changed` — in how many clusters the
+    quality rule actually picked a different doc (the curator's "what
+    did this rule buy" number). `best_never_worse` pins the invariant
+    the rule exists for: GLOBALLY, tokens_after_best >=
+    tokens_after_minid (the longest member is picked per cluster, so
+    the corpus-wide sum dominates term-by-term; per SOURCE it can dip
+    when a cluster spans sources and the rule moves the surviving
+    tokens into another source's column). Plan: banded equi-join pairs ->
+    O(log n) components -> ONE window over documents LEFT-joined to the
+    broadcast cluster table (clusters are pairs-bounded); the window
+    partitions by cluster_id — at 100 TB that is a shuffle keyed on a
+    column whose groups are tiny (cluster sizes), never a global sort.
+    The oracle reaches the same fixed point by recursive reachability
+    and ranks with the identical window."""
+    from pyspark.sql import Window
+
+    from twitter_flink_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _near_dup_pairs_staged(spark, sf_dir)
+    cl = connected_components(pairs)  # (doc_id, cluster_id)
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    ).join(F.broadcast(cl), "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+            "cluster_id"
+        ),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    ranked = t.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        (F.col("doc_id") == F.col("cluster_id"))
+        .cast("int")
+        .alias("is_minid"),
+    )
+    best = F.sum(F.when(F.col("rn") == 1, F.col("n_tokens")).otherwise(0))
+    minid = F.sum(
+        F.when(F.col("is_minid") == 1, F.col("n_tokens")).otherwise(0)
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_before"),
+        F.sum((F.col("rn") == 1).cast("int"))
+        .cast("long")
+        .alias("docs_after"),
+        best.cast("long").alias("tokens_after_best"),
+        minid.cast("long").alias("tokens_after_minid"),
+        F.sum(
+            ((F.col("rn") == 1) & (F.col("is_minid") == 0)).cast("int")
+        )
+        .cast("long")
+        .alias("survivor_changed"),
+    )
+    tot = agg.agg(
+        F.sum("tokens_after_best").alias("b"),
+        F.sum("tokens_after_minid").alias("m"),
+    ).first()  # 1-row driver read: the global invariant pin
+    never_worse = int(tot["b"]) >= int(tot["m"])
+    return agg.select(
+        "*", F.lit(bool(never_worse)).alias("best_never_worse")
+    )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+bidir AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+walk(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM bidir)
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN bidir e ON e.a = w.node
+),
+cl AS (SELECT node AS doc_id, min(label) AS cluster_id
+       FROM walk GROUP BY node),
+sizes AS (
+  SELECT cluster_id, count(*) AS sz FROM cl GROUP BY cluster_id
+),
+hist AS (
+  SELECT sz AS cluster_size,
+         CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(sz * count(*) AS BIGINT) AS n_docs,
+         CAST(((sz - 1) * count(*)) AS BIGINT) AS docs_removed
+  FROM sizes GROUP BY sz
+),
+singles AS (
+  SELECT CAST(1 AS BIGINT) AS cluster_size,
+         CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(0 AS BIGINT) AS docs_removed
+  FROM documents d
+  WHERE NOT EXISTS (SELECT 1 FROM cl WHERE cl.doc_id = d.doc_id)
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size, n_clusters, n_docs,
+       docs_removed, TRUE AS mass_conserved
+FROM (SELECT * FROM hist UNION ALL SELECT * FROM singles)
+""",
+)
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup CLUSTER-SIZE histogram — the telemetry a curator reads
+    before choosing a survivorship rule: one row per cluster size with
+    the cluster count, docs covered, and docs a keep-one rule removes
+    (size-1 per cluster). A corpus whose mass sits in 2-doc clusters
+    wants near-dup dedup; one with a few giant clusters wants to
+    inspect those clusters first (boilerplate? mirror sites?) — the
+    histogram is how you tell. Size-1 row = docs in NO pair (they
+    survive trivially; counted by anti-join, not by materializing
+    singleton clusters). `mass_conserved` pins sum(n_docs) ==
+    corpus size — every doc in exactly one histogram row. Plan: banded
+    pairs -> components -> two tiny groupBys (cluster table is
+    pairs-bounded) + one anti-join count; at 100 TB the only
+    corpus-sized op is the anti-join, keyed on doc_id."""
+    from twitter_flink_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _near_dup_pairs_staged(spark, sf_dir)
+    cl = connected_components(pairs)  # (doc_id, cluster_id)
+    sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    hist = sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+    ).select(
+        F.col("cluster_size").cast("long"),
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters"))
+        .cast("long")
+        .alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+        .cast("long")
+        .alias("docs_removed"),
+    )
+    n_single = (
+        docs.select("doc_id")
+        .join(F.broadcast(cl.select("doc_id")), "doc_id", "left_anti")
+        .count()
+    )
+    singles = spark.createDataFrame(
+        [(1, n_single, n_single, 0)],
+        "cluster_size long, n_clusters long, n_docs long, "
+        "docs_removed long",
+    )
+    out = hist.unionByName(singles)
+    total = out.agg(F.sum("n_docs")).first()[0]  # 1-row pin read
+    conserved = int(total) == docs.count()
+    return out.select(
+        "*", F.lit(bool(conserved)).alias("mass_conserved")
+    )

@@ -3937,3 +3937,108 @@ def bloom_keycount_consult_order(
             "index_pruned"
         ),
     )
+
+
+def _ensure_mixed_sidecar(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """A two-level envelope manifest on ts AND a sharded Bloom on
+    user_id over the shared cell-clustered layout, in one sidecar
+    staged once per scale factor — the fixture for the mixed
+    point+range planner."""
+    from twitter_flink_spark.operators import skipping
+    from twitter_flink_spark.sources.staging import stage_once
+
+    dest = _ensure_cell_clustered_layout(spark, sf_dir)
+
+    def _build(p: str) -> None:
+        skipping.build_two_level_columns(
+            spark, dest, ["ts"], n_parts=4, index_root=p
+        )
+        skipping.build_bloom_two_level(
+            spark, dest, "user_id", n_shards=8, index_root=p
+        )
+
+    idx, _ = stage_once("cellmixed", sf_dir, _build)
+    return dest, idx
+
+
+@register(
+    "mixed_conjunction_point_range",
+    oracle="""
+WITH b AS (SELECT min(user_id) AS u0, max(user_id) AS u1, min(ts) AS t0
+           FROM events)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(e.value), 2) AS total_value,
+       TRUE AS mixed_consult,
+       TRUE AS point_first,
+       TRUE AS index_pruned
+FROM events e, b
+WHERE e.user_id = b.u0 + (b.u1 - b.u0 + 1) // 3
+  AND e.ts >= b.t0 + INTERVAL 5 DAY
+  AND e.ts <  b.t0 + INTERVAL 15 DAY
+GROUP BY e.event_type
+""",
+)
+def mixed_conjunction_point_range(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A MIXED conjunction — `user_id = ? AND ts BETWEEN ?` — served by
+    one selectivity-ordered consult across TWO index families
+    (`select_files_mixed`): the user equality probes the sharded Bloom
+    (one shard dir, key-count-sketch estimate), the ts range consults
+    the two-level envelope manifest (parent + touched shards,
+    histogram estimate), both estimates land in the same
+    files-upper-bound unit, and the cheaper consult runs first so the
+    running intersection is small before the expensive one. On the
+    cell-clustered layout a single user lives in ~4 of 16 files while
+    a 10-day window spans ~8, so the POINT probe must order first
+    (`point_first` pins the order AND that the sketch — not a tie-break
+    — drove it); `mixed_consult` pins that both families actually
+    served (indexed_preds == 2); `index_pruned` the strict subset. Both
+    predicates re-apply as residuals (candidate-level, lossless — the
+    oracle over the raw table proves it). At 100 TB this is the
+    dashboard predicate shape: neither family alone serves it, and
+    fixed consult order wastes whichever side happens to be the
+    selective one that day."""
+    import datetime
+
+    from twitter_flink_spark.operators import skipping
+
+    dest, idx = _ensure_mixed_sidecar(spark, sf_dir)
+    b = (
+        spark.read.parquet(dest)
+        .agg(
+            F.min("user_id").alias("u0"),
+            F.max("user_id").alias("u1"),
+            F.min("ts").alias("t0"),
+        )
+        .first()
+    )
+    u = int(b["u0"]) + (int(b["u1"]) - int(b["u0"]) + 1) // 3
+    tlo = b["t0"] + datetime.timedelta(days=5)
+    thi = b["t0"] + datetime.timedelta(days=15)
+    plan: dict = {}
+    sliced, files_read, files_total = skipping.read_where_mixed(
+        spark,
+        dest,
+        [("ts", tlo, thi)],
+        [("user_id", u)],
+        plan_out=plan,
+        index_root=idx,
+    )
+    point_first = (
+        plan["consult_order"][0] == "user_id="
+        and plan["est_files"]["user_id="] < plan["est_files"]["ts"]
+    )
+    mixed = len(plan["consult_order"]) == 2 and "ts" in plan["est_files"]
+    return sliced.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.lit(bool(mixed)).alias("mixed_consult"),
+        F.lit(bool(point_first)).alias("point_first"),
+        F.lit(files_total > 1 and files_read < files_total).alias(
+            "index_pruned"
+        ),
+    )

@@ -2294,6 +2294,7 @@ def _ivf_inc_oracle(
     fit_full: bool = False,
     flags_sql: str = "TRUE AS incrementally_assigned",
     nprobe: int = 1,
+    label_filter: bool = False,
 ) -> str:
     """Corpus-half Lloyd fit (same unrolled rounds as `_kmeans_ctes`, with
     the fit restricted to vec_id <= split), then assignment of EVERY
@@ -2302,7 +2303,9 @@ def _ivf_inc_oracle(
     incremental index. ``shift_new`` adds a constant to every dimension
     of the NEW era's vectors (the deterministic drift injector the refit
     query uses); ``fit_full`` fits the Lloyd rounds on ALL vectors (the
-    post-refit state) instead of the corpus half."""
+    post-refit state) instead of the corpus half. ``label_filter``
+    restricts candidates to rows sharing the PROBE's label — the
+    metadata-filtered (pre-filter-as-residual) search twin."""
     v_cte = (
         "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"
         if shift_new is None
@@ -2372,6 +2375,14 @@ c{r} AS (
              + list_dot_product(c.cent, c.cent), c.cid
   LIMIT {nprobe}
 )"""
+    label_pred = (
+        """
+    AND (SELECT label FROM embeddings x WHERE x.vec_id = a.vec_id)
+        = (SELECT label FROM embeddings x, probe p
+           WHERE x.vec_id = p.vec_id)"""
+        if label_filter
+        else ""
+    )
     parts.append(
         f"""dall AS (
   SELECT v.vec_id, c.cid,
@@ -2395,7 +2406,7 @@ cand AS (
   FROM aall a
   JOIN v ON v.vec_id = a.vec_id
   JOIN pcell ON a.cid = pcell.cid
-  WHERE a.vec_id <> (SELECT vec_id FROM probe)
+  WHERE a.vec_id <> (SELECT vec_id FROM probe){label_pred}
 ),
 scored AS (
   SELECT c.vec_id,
@@ -2883,6 +2894,99 @@ def ivf_inverted_nprobe_serving(
         .select(
             "vec_id",
             "cosine",
+            F.lit(2).cast("int").alias("n_cells_probed"),
+        )
+    )
+
+
+@register(
+    "ivf_filtered_ann_topk",
+    oracle=_ivf_inc_oracle(
+        nprobe=2,
+        label_filter=True,
+        flags_sql=(
+            "TRUE AS filter_as_residual, 2 AS n_cells_probed"
+        ),
+    ),
+)
+def ivf_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED vector search — the retrieval shape every RAG /
+    curation pipeline actually runs ("nearest neighbors WHERE label =
+    X"), which naive ANN stores get wrong in one of two ways: filtering
+    BEFORE the index (a per-label index explosion) or filtering the
+    final top-k (returns < k rows whenever the filter is selective).
+    The scale-correct composition: route the probe to its nprobe=2
+    nearest cells (query-side over-fetch — the standard compensation
+    for filter selectivity, same byte-identical index on disk), read
+    exactly those cid dirs, apply the label predicate to the CANDIDATES
+    (a broadcast 1-row literal filter riding the same scan — the
+    pre-filter-as-residual posture; at 100 TB the label column prunes
+    parquet pages inside the probed cells, never a second index), and
+    exact-cosine re-rank the survivors. The filter value is the probe's
+    OWN label (data-derived, deterministic). The oracle refits the
+    index from scratch in SQL, expands the same 2 cells, and applies
+    the same label equality — a hash match proves candidate routing,
+    filtering, and scoring all agree with a full rebuild.
+    `filter_as_residual` pins that every returned row actually carries
+    the probe's label while the on-disk index stayed label-agnostic."""
+    import os
+
+    from twitter_flink_spark.operators.clustering import assign_clusters
+
+    dest, split, _led = _ensure_ivf_inc_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_id = int(emb.agg(F.max("vec_id")).first()[0])
+    prow = (
+        emb.where(F.col("vec_id") == probe_id)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("e"),
+            "label",
+        )
+        .first()
+    )  # 1-row: probe vector + its label (the filter literal)
+    probe = spark.createDataFrame(
+        [(prow["vec_id"], prow["e"])], "vec_id long, e array<double>"
+    )
+    cents = spark.read.parquet(os.path.join(dest, "_centroids"))
+    cells = [
+        int(r["cid"])
+        for r in assign_clusters(probe, cents, top_n=2).collect()
+    ]  # 2-row collect: over-fetch cells for the filtered search
+    dirs = [
+        p
+        for p in (os.path.join(dest, "_assign", f"cid={c}") for c in cells)
+        if os.path.isdir(p)
+    ]
+    probe_vec = probe.select(F.col("e").alias("pe"))
+    cands = (
+        spark.read.parquet(*dirs)
+        .where(F.col("vec_id") != probe_id)
+        .select("vec_id")
+        .join(emb, "vec_id")
+        .where(F.col("label") == F.lit(prow["label"]))  # the residual
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    )
+    scored = cands.crossJoin(F.broadcast(probe_vec)).select(
+        "vec_id",
+        F.round(
+            dot(F.col("e"), F.col("pe"))
+            / (
+                F.sqrt(dot(F.col("e"), F.col("e")))
+                * F.sqrt(dot(F.col("pe"), F.col("pe")))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    return (
+        scored.orderBy(F.desc("cosine"), "vec_id")
+        .limit(5)
+        .select(
+            "vec_id",
+            "cosine",
+            F.lit(True).alias("filter_as_residual"),
             F.lit(2).cast("int").alias("n_cells_probed"),
         )
     )
