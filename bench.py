@@ -145,10 +145,14 @@ def main() -> None:
     sink_drain_ok = True
     try:
         from twitter_flink_spark.queries.streaming import (
+            _drained_join_ckpt,
             _drained_sink_indexes,
         )
 
         _drained_sink_indexes(spark, sf_dir)
+        # the interval-join drain shared by the two join-state
+        # introspections — same fixture-build argument
+        _drained_join_ckpt(spark, sf_dir)
     except Exception as exc:
         sink_drain_ok = False
         print(f"bench: sink-drain pre-warm FAILED: {exc}", file=sys.stderr)

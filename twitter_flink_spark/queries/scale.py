@@ -2795,7 +2795,12 @@ def _ensure_two_level_era_layout(
 ) -> tuple[str, bool]:
     """events split at t0+15d: era 1 (32 ts-clustered files) gets the
     TWO-LEVEL manifest; era 2 (32 more files) appends after the build.
-    Returns (dest, freshly_built)."""
+    Returns (dest, freshly_built). "Fresh" means era 2 is still
+    UNINDEXED (stale files exist) — derived from DISK, not a process
+    dict, so a layout whose index an earlier process already refreshed
+    is correctly reported un-fresh and the consumer query pays only the
+    update it is about, never a per-process table rebuild (~5 s that
+    was charged to the bench as query time)."""
     import datetime
     import os
     import shutil
@@ -2809,6 +2814,13 @@ def _ensure_two_level_era_layout(
     )
     if _TWOLEVEL_ERA_FOR.get("sf") == sf_dir and os.path.isdir(dest):
         return dest, False
+    done = dest + ".done"  # atomic-rename marker: build completed
+    if os.path.exists(done) and os.path.isdir(
+        os.path.join(dest, skipping.ROOT_MANIFEST)
+    ):
+        # built by an earlier process: fresh iff era 2 is unindexed
+        _TWOLEVEL_ERA_FOR["sf"] = sf_dir
+        return dest, skipping.stale_file_count(spark, dest) > 0
     shutil.rmtree(dest, ignore_errors=True)
     e = load_table(spark, sf_dir, "events")
     t0 = e.agg(F.min("ts")).first()[0]
@@ -2826,6 +2838,10 @@ def _ensure_two_level_era_layout(
         )
         if mode == "overwrite":
             skipping.build_two_level(spark, dest, "ts", n_parts=8)
+    tmp = done + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write("ok")
+    os.rename(tmp, done)
     _TWOLEVEL_ERA_FOR["sf"] = sf_dir
     return dest, True
 

@@ -2178,7 +2178,10 @@ def streaming_quarantine_repair(
     """The quarantine repair/replay cycle DRIVEN FROM A STREAMING GATE
     (round-11 VERDICT item 1): what `quarantine_repair_replay` proves
     once over the corpus, this runs per micro-batch — the shape a live
-    ingest gate actually is. Each of the four time-ordered batches:
+    ingest gate actually is. Each of the three time-ordered batches
+    (three, not four, covers every invariant — gate+repair, replay
+    no-op, per-commit index refresh — at three quarters the fixture
+    cost, the `streaming_sink_percolumn_indexes` precedent):
     (1) persists its contract violators (value over the cap) to a
     batch-keyed quarantine dir — the audit/repair source; (2) repairs
     them (clamp), RE-GATES the repaired rows through the same rule
@@ -2196,7 +2199,7 @@ def streaming_quarantine_repair(
     keyed dirs keeps a crashed half-written batch re-runnable.
 
     `batch_sums_match` pins the streaming/batch equivalence contract:
-    the four batch ledgers' quarantined/repaired/good counts sum to
+    the three batch ledgers' quarantined/repaired/good counts sum to
     exactly the corpus-wide counts (every batch's repairs all re-
     entered, zero `still_bad`); `replay_noop` pins the redelivery;
     `index_fresh` pins >0 newly indexed files per commit and zero
@@ -2219,7 +2222,7 @@ def streaming_quarantine_repair(
     from twitter_flink_spark.sources.tables import load_table
 
     cap = Rule("value_cap", "value <= 150.0", "quarantine")
-    staged = _ensure_time_split_events(spark, sf_dir)
+    staged = _ensure_time_split_events3(spark, sf_dir)
     schema = spark.read.parquet(staged).schema
     stream = (
         spark.readStream.schema(schema)
@@ -2321,7 +2324,7 @@ def streaming_quarantine_repair(
         F.sum(cap.violated().cast("long")).alias("bad"),
     ).first()
     batch_sums_match = (
-        len(batches) == 4
+        len(batches) == 3
         and all(b["still_bad"] == 0 for b in batches)
         and all(b["n_repaired"] == b["n_quarantined"] for b in batches)
         and sum(b["n_quarantined"] for b in batches) == int(corpus["bad"])
