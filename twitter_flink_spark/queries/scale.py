@@ -3778,11 +3778,11 @@ def sidecar_index_readonly_serving(
 
     from twitter_flink_spark.operators import skipping
     from twitter_flink_spark.queries.streaming import (
-        _ensure_time_split_events,
+        _ensure_time_split_events3,
     )
     from twitter_flink_spark.sources.staging import stage_once
 
-    dest = _ensure_time_split_events(spark, sf_dir)
+    dest = _ensure_time_split_events3(spark, sf_dir)
 
     def _build(p: str) -> None:
         skipping.build_two_level_columns(
@@ -3793,7 +3793,9 @@ def sidecar_index_readonly_serving(
             index_root=p,
         )
 
-    idx, _ = stage_once("sidecaridx", sf_dir, _build)
+    # key bumped with the 3-file layout move: a staged sidecar's
+    # manifests reference the layout they were built against
+    idx, _ = stage_once("sidecaridx3", sf_dir, _build)
     data_untouched = not any(
         d.startswith(("_filestats", "_filebloom"))
         for d in os.listdir(dest)

@@ -412,31 +412,14 @@ def _ensure_split_events(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
-def _ensure_time_split_events(spark: SparkSession, sf_dir: str) -> str:
-    """4-file events copy split by TIME RANGE — each replayed micro-batch
-    is one contiguous time quarter, the arrival order of a real
-    time-ordered ingest (and the layout whose per-batch files have
-    tight ts envelopes, so a per-commit skipping index actually
-    prunes)."""
-    return _stage_events_once(
-        spark,
-        sf_dir,
-        "evtsplit",
-        lambda df, p: (
-            df.repartitionByRange(4, "ts")
-            .sortWithinPartitions("ts")
-            .write.mode("overwrite")
-            .parquet(p)
-        ),
-    )
-
-
 def _ensure_time_split_events3(spark: SparkSession, sf_dir: str) -> str:
-    """3-file time-split twin of `_ensure_time_split_events` for the
-    heaviest per-commit maintenance fixtures: the ledger invariants
-    those queries pin (build, >1 incremental refresh, final no-op) need
-    three commits, not four — one fewer drain + two fewer manifest
-    maintenances per run at identical coverage."""
+    """3-file events copy split by TIME RANGE — each replayed
+    micro-batch is one contiguous time third, the arrival order of a
+    real time-ordered ingest (and the layout whose per-batch files have
+    tight ts envelopes, so a per-commit skipping index actually
+    prunes). Three commits, not four: the ledger invariants the
+    per-commit maintenance fixtures pin (build, >1 incremental refresh,
+    final no-op) need exactly three."""
     return _stage_events_once(
         spark,
         sf_dir,
