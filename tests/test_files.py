@@ -2254,3 +2254,44 @@ def test_mixed_consult_orders_and_early_exits(spark, tmp_path):
     # consult ran second must have been skipped if the first emptied
     # the intersection, or selected nothing itself
     assert dead["shards_skipped"] + len(dead["selected_files"]) == 2
+
+
+def test_point_multi_no_false_negatives_every_key(spark, tmp_path):
+    """Soundness sweep: for EVERY live key value, the sharded-Bloom
+    point consult must select a superset of the files actually
+    containing the key (false positives allowed, false negatives
+    never), and the key-count estimate must be positive. Exercises all
+    shards and both sides of the estimate."""
+    import os
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators import skipping
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 900).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    df.repartitionByRange(6, "k").write.mode("overwrite").parquet(root)
+    skipping.build_bloom_two_level(spark, root, "v", m=1 << 13, n_shards=4)
+
+    truth: dict[int, set[str]] = defaultdict(set)
+    rows = (
+        spark.read.parquet(root)
+        .select("v", F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    for r in rows:
+        truth[int(r["v"])].add(skipping._norm_path(r["f"]))
+
+    for key in range(7):
+        plan: dict = {}
+        paths, total, used = skipping.point_select_files_multi(
+            spark, root, [("v", key)], plan_out=plan
+        )
+        got = {skipping._norm_path(p) for p in paths}
+        assert truth[key] <= got, f"false negative for v={key}"
+        assert plan["est_files"]["v"] >= 1
+        assert used == 1 and total == 6

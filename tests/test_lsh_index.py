@@ -196,6 +196,28 @@ def test_banding_recall_curve_bins_and_soundness(spark):
     assert (1, 2) in caught  # identical signatures band together
 
 
+def test_jaccard_verify_sets_equals_exploded_verify(spark):
+    """`jaccard_verify_sets` (per-doc set table + array_intersect) must
+    return row-identical verified pairs — jaccard values included — to
+    `jaccard_verify` over the exploded shingle table, for the full LSH
+    candidate set of the real corpus."""
+    from twitter_flink_spark.operators.dedup import jaccard_verify_sets
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sh = doc_shingles(docs)
+    cands = lsh_candidate_pairs(lsh_bands(minhash_signature(sh)))
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh")
+    )
+    got = sorted(
+        tuple(r) for r in jaccard_verify_sets(cands, sets, 0.5).collect()
+    )
+    exp = sorted(
+        tuple(r) for r in jaccard_verify(cands, sh, 0.5).collect()
+    )
+    assert got == exp and len(got) > 0
+
+
 def test_index_probe_finds_new_side_pairs_only(spark, tmp_path):
     """`lsh_index_probe` bands ONLY the probe docs and equi-joins the
     persisted index: probing the new era after extending must return

@@ -135,6 +135,42 @@ def jaccard_verify(pairs: DataFrame, shingled: DataFrame,
     )
 
 
+def jaccard_verify_sets(pairs: DataFrame, sets: DataFrame,
+                        threshold: float = 0.5) -> DataFrame:
+    """`jaccard_verify` against a per-doc shingle-SET table (one row per
+    doc: ``(doc_id, sh array)``, e.g. the staged
+    `queries.dedup._staged_shingle_sets`): the candidate side broadcasts
+    through two joins and ``array_intersect`` supplies the intersection
+    — same round-6 formula and identical results (sets are distinct by
+    `doc_shingles`' array_distinct), but never a scan or shuffle of the
+    exploded shingle table. Right shape when candidates are few and the
+    corpus is large — every post-LSH verification."""
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        F.broadcast(pairs.select("doc_a", "doc_b"))
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+            ),
+            on="doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+            ),
+            on="doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_near_dup_pairs(docs: DataFrame, threshold: float = 0.5,
                            ngram: int = 3) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate

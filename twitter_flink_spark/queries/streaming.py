@@ -2623,12 +2623,12 @@ def streaming_lsh_index_maintenance(
     import tempfile
 
     from twitter_flink_spark.operators.dedup import (
-        doc_shingles,
-        jaccard_verify,
+        jaccard_verify_sets,
         lsh_index_build,
         lsh_index_candidates,
         lsh_index_update,
     )
+    from twitter_flink_spark.queries.dedup import _staged_shingle_sets
     from twitter_flink_spark.sources.tables import load_table
 
     staged = _ensure_docid_split_documents(spark, sf_dir)
@@ -2668,7 +2668,12 @@ def streaming_lsh_index_maintenance(
     redelivery_noop = ledger[-1] == 0
 
     cands = lsh_index_candidates(spark, index_dir)
-    verified = jaccard_verify(cands, doc_shingles(docs), threshold=0.5)
+    # verification (not maintenance — that part stays operator-path) is
+    # candidate-scoped: the staged per-doc set table beats re-shingling
+    # the corpus for a bounded pair set
+    verified = jaccard_verify_sets(
+        cands, _staged_shingle_sets(spark, sf_dir), threshold=0.5
+    )
     return verified.select(
         "doc_a",
         "doc_b",
@@ -2733,6 +2738,7 @@ def streaming_dedup_impact_ledger(
     import os
     import tempfile
 
+    from twitter_flink_spark.operators.dedup import jaccard_verify_sets
     from twitter_flink_spark.operators.graph import connected_components
     from twitter_flink_spark.queries.dedup import (
         _staged_minhash,
@@ -2839,35 +2845,9 @@ def streaming_dedup_impact_ledger(
             )
             .distinct()
         )
-        # exact-Jaccard verify, candidate-scoped: the tiny pair set
-        # broadcasts through two joins against the docs-sized SET table
-        # and array_intersect supplies the intersection (same round-6
-        # formula as `jaccard_verify`; sets are distinct by doc_shingles'
-        # array_distinct, so counts agree exactly)
-        n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        verified = (
-            F.broadcast(cand)
-            .join(
-                sets.select(
-                    F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
-                ),
-                on="doc_a",
-            )
-            .join(
-                sets.select(
-                    F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
-                ),
-                on="doc_b",
-            )
-            .where(
-                F.round(
-                    n_inter
-                    / (F.size("sh_a") + F.size("sh_b") - n_inter),
-                    6,
-                )
-                >= 0.5
-            )
-            .select("doc_a", "doc_b")
+        # exact-Jaccard verify, candidate-scoped (`jaccard_verify_sets`)
+        verified = jaccard_verify_sets(cand, sets, threshold=0.5).select(
+            "doc_a", "doc_b"
         )
         if verified.head(1):
             verified.write.mode("append").parquet(pairs_dir)
