@@ -2295,3 +2295,50 @@ def test_point_multi_no_false_negatives_every_key(spark, tmp_path):
         assert truth[key] <= got, f"false negative for v={key}"
         assert plan["est_files"]["v"] >= 1
         assert used == 1 and total == 6
+
+
+def test_int_floor_div_matches_python_everywhere(spark):
+    """Vectorized equivalence sweep: `_int_floor_div` must equal
+    Python's clamped integer ``//`` for thousands of random
+    (offset, span) pairs spanning the micros domain up past 2^53 —
+    including constructed boundary cases where the old double-floor
+    math provably flipped a bucket."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators.skipping import HIST_BUCKETS
+
+    rng = random.Random(12)
+    cases = []
+    for _ in range(4000):
+        span = rng.randrange(10**6, 4 * 10**15)
+        off = rng.randrange(-span // 8, 2 * span)
+        cases.append((off, span))
+    for b in range(1, HIST_BUCKETS):  # exact boundary neighborhoods
+        span = 10**15 + 7
+        for d in (-1, 0, 1):
+            off = (b * span) // HIST_BUCKETS + d
+            cases.append((off, span))
+
+    h = HIST_BUCKETS
+    # spans vary per row: group rows by span and evaluate per group via
+    # one DataFrame with a span column and per-row arithmetic
+    df = spark.createDataFrame(cases, "off long, span long")
+    num = (F.col("off") * h).cast("long")
+    got = df.select(
+        "off",
+        "span",
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(h - 1),
+                F.call_function("div", num, F.col("span")),
+            ),
+        )
+        .cast("int")
+        .alias("b"),
+    ).collect()
+    for r in got:
+        exp = max(0, min(h - 1, (r["off"] * h) // r["span"]))
+        assert r["b"] == exp, (r["off"], r["span"], r["b"], exp)
