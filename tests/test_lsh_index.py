@@ -85,11 +85,12 @@ def test_incremental_index_recovers_torn_append(spark, tmp_path):
     torn = spark.read.parquet(idx)
     assert torn.where(F.col("doc_id") == victim).count() == 1
 
-    # recovery: the victim is not FULLY covered, so update re-indexes it
+    # recovery: the victim lost its coverage marker with the tear, so
+    # the update re-indexes it (bands + a fresh marker)
     assert lsh_index_update(spark, docs, idx) == 1
     after = spark.read.parquet(idx)
     assert (
-        after.where(F.col("doc_id") == victim)
+        after.where((F.col("doc_id") == victim) & (F.col("band") >= 0))
         .select("band")
         .distinct()
         .count()

@@ -452,6 +452,34 @@ def prefix_filter_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # Incremental LSH index: probe + extend without recomputing the corpus
 
+#: coverage-marker band id: one ``(doc_id, -1, str(doc_id))`` row per
+#: fully-indexed doc, written/renamed AFTER the doc's band rows, so
+#: "covered" is a pushed-filter scan of 1/(bands+1) of the index instead
+#: of an O(index) count_distinct groupBy per update. The marker hash is
+#: the doc's own id (unique), so even an unfiltered (band, band_hash)
+#: self-join can never pair two markers.
+COVER_BAND = -1
+
+
+def _coverage_rows(
+    docs: DataFrame, ngram: int, k: int, bands: int
+) -> DataFrame:
+    """One marker row per BAND-ELIGIBLE doc (>= ngram tokens — banding
+    is deterministic and total for eligible docs, so eligibility IS
+    full coverage once the band rows land); derived from the doc list,
+    never a recompute of the banding branch."""
+    eligible = docs.where(
+        F.size(F.split(F.col("text"), " ")) >= ngram
+    ).select("doc_id").distinct()
+    return eligible.select(
+        "doc_id",
+        F.lit(COVER_BAND).alias("band"),
+        F.col("doc_id").cast("string").alias("band_hash"),
+        F.lit(ngram).alias("ngram"),
+        F.lit(k).alias("k"),
+        F.lit(bands).alias("bands"),
+    )
+
 
 def lsh_index_build(
     spark,
@@ -468,8 +496,10 @@ def lsh_index_build(
     is O(docs x bands) rows of hashes, appended to incrementally
     (`lsh_index_update`). Parameters (ngram/k/bands) ride every row so
     an update can never band with skewed settings — the Bloom-manifest
-    m/k principle. Commits via tmp write + atomic rename. Returns the
-    number of indexed docs."""
+    m/k principle. Each fully-banded doc also gets a COVERAGE-MARKER
+    row (`COVER_BAND`), the cheap "is it indexed" bit updates consult.
+    Commits via tmp write + atomic rename. Returns the number of
+    indexed docs."""
     import os
     import shutil
 
@@ -482,6 +512,7 @@ def lsh_index_build(
         F.lit(k).alias("k"),
         F.lit(bands).alias("bands"),
     )
+    rows = rows.unionByName(_coverage_rows(docs, ngram, k, bands))
     from twitter_flink_spark.operators.skipping import (
         _replace_dir,
         _scratch_name,
@@ -492,7 +523,9 @@ def lsh_index_build(
     rows.write.mode("overwrite").parquet(tmp)
     _replace_dir(tmp, index_dir)  # pid-unique scratch, last-commit-wins
     return (
-        spark.read.parquet(index_dir).select("doc_id").distinct().count()
+        spark.read.parquet(index_dir)
+        .where(F.col("band") == COVER_BAND)
+        .count()
     )
 
 
@@ -501,13 +534,18 @@ def lsh_index_update(spark, docs: DataFrame, index_dir: str) -> int:
     shingle + sign + band ONLY those docs with the index's own stored
     parameters, stage the new rows, and move the staged part files into
     the index dir (rename per file). O(new docs), never O(corpus).
-    Crash posture: a doc counts as indexed only when ALL its bands are
-    present (a torn multi-file move leaves it re-indexable, and the
-    duplicate band rows a re-index creates are harmless — candidate
-    pairs are distinct); a crash therefore leaves new docs merely
-    not-yet-indexed, never wrong, never permanently skipped. Docs with
-    fewer than ``ngram`` tokens can never produce a shingle, hence
-    never a band, hence would never become "covered" — they are
+    Crash posture: a doc counts as indexed only when its COVERAGE
+    MARKER (`COVER_BAND` row) is present, and markers rename strictly
+    AFTER the doc's band rows — a torn move therefore leaves the doc
+    marker-less and re-indexable (the duplicate band rows a re-index
+    creates are harmless — candidate pairs are distinct); a crash
+    leaves new docs merely not-yet-indexed, never wrong, never
+    permanently skipped. The coverage consult is a pushed-filter scan
+    of the marker rows — 1/(bands+1) of the index and NO shuffle, where
+    the previous count-distinct-bands rule paid an O(index) groupBy per
+    crawl (a legacy marker-less index falls back to that rule once).
+    Docs with fewer than ``ngram`` tokens can never produce a shingle,
+    hence never a band, hence would never become "covered" — they are
     excluded from the new-doc count up front, otherwise a redelivered
     batch containing one would be recounted (and re-signed) forever and
     redelivery would never converge to a no-op. Returns the number of
@@ -518,12 +556,19 @@ def lsh_index_update(spark, docs: DataFrame, index_dir: str) -> int:
 
     idx = spark.read.parquet(index_dir)
     p = idx.select("ngram", "k", "bands").first()
-    fully = (
-        idx.groupBy("doc_id")
-        .agg(F.count_distinct("band").alias("nb"))
-        .where(F.col("nb") >= p["bands"])
-        .select("doc_id")
-    )
+    markers = idx.where(F.col("band") == COVER_BAND).select("doc_id")
+    if markers.head(1):
+        fully = markers
+    else:
+        # legacy index written before coverage markers: derive coverage
+        # from the all-bands-present rule once; this update's appends
+        # add markers, so the next update takes the cheap path
+        fully = (
+            idx.groupBy("doc_id")
+            .agg(F.count_distinct("band").alias("nb"))
+            .where(F.col("nb") >= p["bands"])
+            .select("doc_id")
+        )
     eligible = docs.where(
         F.size(F.split(F.col("text"), " ")) >= int(p["ngram"])
     )
@@ -546,26 +591,43 @@ def lsh_index_update(spark, docs: DataFrame, index_dir: str) -> int:
     )
     import threading
 
-    stage = index_dir + f".stage-{os.getpid()}-{threading.get_ident()}"
-    shutil.rmtree(stage, ignore_errors=True)
-    rows.write.mode("overwrite").parquet(stage)
+    ident = f"{os.getpid()}-{threading.get_ident()}"
     tag = uuid.uuid4().hex[:8]
-    for f in os.listdir(stage):
-        if f.endswith(".parquet"):
-            os.rename(
-                os.path.join(stage, f),
-                os.path.join(index_dir, f"inc-{tag}-{f}"),
-            )
-    shutil.rmtree(stage, ignore_errors=True)
+
+    def _move_in(df, label: str) -> None:
+        stage = index_dir + f".stage-{label}-{ident}"
+        shutil.rmtree(stage, ignore_errors=True)
+        df.write.mode("overwrite").parquet(stage)
+        for f in os.listdir(stage):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(stage, f),
+                    os.path.join(index_dir, f"{label}-{tag}-{f}"),
+                )
+        shutil.rmtree(stage, ignore_errors=True)
+
+    _move_in(rows, "inc")
+    # markers land LAST: their rename is the per-doc commit point
+    _move_in(
+        _coverage_rows(
+            new_docs, int(p["ngram"]), int(p["k"]), int(p["bands"])
+        ),
+        "cov",
+    )
     return n_new
 
 
 def lsh_index_candidates(spark, index_dir: str) -> DataFrame:
     """Candidate pairs straight from the persisted index: the same
     (band, band_hash) equi self-join as `lsh_candidate_pairs`, reading
-    hashes instead of recomputing signatures. Callers restrict the pair
-    set (e.g. at-least-one-side-new) and verify with exact Jaccard."""
-    return lsh_candidate_pairs(spark.read.parquet(index_dir))
+    hashes instead of recomputing signatures (coverage-marker rows are
+    filtered out — they carry per-doc unique hashes and could never
+    pair anyway, but they are bookkeeping, not signal). Callers
+    restrict the pair set (e.g. at-least-one-side-new) and verify with
+    exact Jaccard."""
+    return lsh_candidate_pairs(
+        spark.read.parquet(index_dir).where(F.col("band") >= 0)
+    )
 
 
 def lsh_index_probe(spark, docs: DataFrame, index_dir: str) -> DataFrame:
@@ -589,7 +651,10 @@ def lsh_index_probe(spark, docs: DataFrame, index_dir: str) -> DataFrame:
     )
     return (
         nb.alias("n")
-        .join(idx.alias("i"), on=["band", "band_hash"])
+        .join(
+            idx.where(F.col("band") >= 0).alias("i"),
+            on=["band", "band_hash"],
+        )
         .where(F.col("n.doc_id") != F.col("i.doc_id"))
         .select(
             F.least("n.doc_id", "i.doc_id").alias("doc_a"),
