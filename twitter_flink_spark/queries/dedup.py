@@ -806,63 +806,6 @@ def duplicate_ngram_span_fraction(
     )
 
 
-def _cluster_histogram_oracle() -> str:
-    return f"""
-WITH RECURSIVE {_minhash_pair_ctes()},
-bidir AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION
-  SELECT doc_b AS a, doc_a AS b FROM pairs
-),
-walk(node, label) AS (
-  SELECT a, a FROM (SELECT DISTINCT a FROM bidir)
-  UNION
-  SELECT e.b, w.label FROM walk w JOIN bidir e ON e.a = w.node
-),
-cl AS (
-  SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
-),
-sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
-SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
-       CAST(count(*) AS BIGINT) AS n_clusters,
-       CAST(count(*) * (cluster_size - 1) AS BIGINT) AS n_removable
-FROM sizes GROUP BY cluster_size
-"""
-
-
-@register("dedup_cluster_size_histogram", oracle=_cluster_histogram_oracle())
-def dedup_cluster_size_histogram(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Dedup survivorship report: the histogram of near-dup CLUSTER
-    SIZES plus, per size, how many documents dedup would remove
-    (size - 1 per cluster, keeping the canonical min-id survivor) — the
-    one-page answer to "how much does near-dedup shrink this corpus?",
-    derived from the same MinHash-LSH pair graph and connected
-    components as `dedup_cluster_components`. Two tiny aggregates on
-    top of the CC fixed point (cluster grain, then size grain — both
-    bounded far below corpus size); the histogram never touches the
-    documents table again."""
-    from twitter_flink_spark.operators.graph import connected_components
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = _near_dup_pairs_staged(spark, sf_dir)
-    cl = connected_components(pairs)
-    sizes = cl.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return sizes.groupBy("cluster_size").agg(
-        F.count(F.lit(1)).cast("long").alias("n_clusters"),
-        (F.count(F.lit(1)) * (F.col("cluster_size") - 1))
-        .cast("long")
-        .alias("n_removable"),
-    ).select(
-        F.col("cluster_size").cast("long").alias("cluster_size"),
-        "n_clusters",
-        "n_removable",
-    )
-
-
 # ---------------------------------------------------------------------------
 # SimHash Hamming-distance near-dup JOIN (band index over the fingerprints)
 

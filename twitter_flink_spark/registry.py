@@ -26,6 +26,10 @@ def register(
     name: str, oracle: str | None = None
 ) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable[[SparkSession, str], DataFrame]]:
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            # A silent overwrite hides one of the two definitions from the
+            # driver sweep forever; fail loudly at import time instead.
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
