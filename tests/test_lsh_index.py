@@ -292,3 +292,55 @@ def test_staged_pairs_equal_operator_recompute(spark):
         ).collect()
     }
     assert staged == direct and len(staged) > 0
+
+
+def test_legacy_index_backfills_markers_once(spark, tmp_path):
+    """A marker-less legacy index must fall back to the all-bands rule
+    exactly ONCE: the first update backfills a coverage marker for
+    every legacy-covered doc, so the next update's fast path sees the
+    whole corpus — not just the batch — and never re-indexes the legacy
+    corpus (the r12 ADVICE defect: batch-only markers made every legacy
+    doc look new, an O(corpus) re-append that doubled the index)."""
+    from twitter_flink_spark.operators.dedup import COVER_BAND
+
+    docs, split = _split_docs(spark)
+    old = docs.where(F.col("doc_id") <= split)
+    new = docs.where(F.col("doc_id") > split)
+    idx = str(tmp_path / "lshidx")
+    n_old = lsh_index_build(spark, old, idx)
+
+    # strip the markers: simulate an index written before COVER_BAND
+    legacy = spark.read.parquet(idx).where(F.col("band") != COVER_BAND)
+    tmp = idx + ".rewrite"
+    legacy.write.mode("overwrite").parquet(tmp)
+    from twitter_flink_spark.operators.skipping import _rm_committed
+
+    _rm_committed(idx)
+    os.rename(tmp, idx)
+    band_rows_before = spark.read.parquet(idx).count()
+
+    # update #1 on the legacy index: counts ONLY the new docs, appends
+    # their bands, and backfills markers for the legacy corpus
+    n1 = lsh_index_update(spark, docs, idx)
+    n_new = new.where(F.size(F.split("text", " ")) >= 3).count()
+    assert n1 == n_new
+    after = spark.read.parquet(idx)
+    assert (
+        after.where(F.col("band") == COVER_BAND).count() == n_old + n_new
+    )
+    # legacy band rows were NOT duplicated: every legacy doc still has
+    # exactly LSH_BANDS band rows
+    legacy_per_doc = (
+        after.where((F.col("doc_id") <= split) & (F.col("band") >= 0))
+        .groupBy("doc_id")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert legacy_per_doc == LSH_BANDS
+
+    # update #2: pure no-op on the fast (marker) path
+    total_rows = after.count()
+    assert total_rows == band_rows_before + n_new * (LSH_BANDS) + n_old + n_new
+    assert lsh_index_update(spark, docs, idx) == 0
+    assert spark.read.parquet(idx).count() == total_rows

@@ -461,6 +461,22 @@ def prefix_filter_jaccard_pairs(
 COVER_BAND = -1
 
 
+def _marker_rows(
+    ids: DataFrame, ngram: int, k: int, bands: int
+) -> DataFrame:
+    """Marker rows from a bare ``doc_id`` frame (callers guarantee the
+    ids are fully banded — either band-eligible new docs whose band
+    rows land first, or legacy docs whose bands are already on disk)."""
+    return ids.select(
+        "doc_id",
+        F.lit(COVER_BAND).alias("band"),
+        F.col("doc_id").cast("string").alias("band_hash"),
+        F.lit(ngram).alias("ngram"),
+        F.lit(k).alias("k"),
+        F.lit(bands).alias("bands"),
+    )
+
+
 def _coverage_rows(
     docs: DataFrame, ngram: int, k: int, bands: int
 ) -> DataFrame:
@@ -471,14 +487,7 @@ def _coverage_rows(
     eligible = docs.where(
         F.size(F.split(F.col("text"), " ")) >= ngram
     ).select("doc_id").distinct()
-    return eligible.select(
-        "doc_id",
-        F.lit(COVER_BAND).alias("band"),
-        F.col("doc_id").cast("string").alias("band_hash"),
-        F.lit(ngram).alias("ngram"),
-        F.lit(k).alias("k"),
-        F.lit(bands).alias("bands"),
-    )
+    return _marker_rows(eligible, ngram, k, bands)
 
 
 def lsh_index_build(
@@ -557,38 +566,31 @@ def lsh_index_update(spark, docs: DataFrame, index_dir: str) -> int:
     idx = spark.read.parquet(index_dir)
     p = idx.select("ngram", "k", "bands").first()
     markers = idx.where(F.col("band") == COVER_BAND).select("doc_id")
+    legacy_fully = None
     if markers.head(1):
         fully = markers
     else:
         # legacy index written before coverage markers: derive coverage
-        # from the all-bands-present rule once; this update's appends
-        # add markers, so the next update takes the cheap path
+        # from the all-bands-present rule once, and BACKFILL a marker
+        # row for every legacy-covered doc below — without the backfill
+        # the next update would see markers exist (just this batch's)
+        # and treat the whole legacy corpus as new: an O(corpus)
+        # re-shingle/re-sign/re-append that roughly doubles the index
+        # and miscounts the return value.
         fully = (
             idx.groupBy("doc_id")
             .agg(F.count_distinct("band").alias("nb"))
             .where(F.col("nb") >= p["bands"])
             .select("doc_id")
         )
+        legacy_fully = fully
     eligible = docs.where(
         F.size(F.split(F.col("text"), " ")) >= int(p["ngram"])
     )
     new_docs = eligible.join(fully, "doc_id", "left_anti")
     n_new = new_docs.select("doc_id").distinct().count()
-    if not n_new:
+    if not n_new and legacy_fully is None:
         return 0
-    sh = doc_shingles(new_docs, ngram=int(p["ngram"]))
-    rows = lsh_bands(
-        minhash_signature(sh, k=int(p["k"])),
-        k=int(p["k"]),
-        bands=int(p["bands"]),
-    ).select(
-        "doc_id",
-        "band",
-        "band_hash",
-        F.lit(int(p["ngram"])).alias("ngram"),
-        F.lit(int(p["k"])).alias("k"),
-        F.lit(int(p["bands"])).alias("bands"),
-    )
     import threading
 
     ident = f"{os.getpid()}-{threading.get_ident()}"
@@ -606,14 +608,43 @@ def lsh_index_update(spark, docs: DataFrame, index_dir: str) -> int:
                 )
         shutil.rmtree(stage, ignore_errors=True)
 
-    _move_in(rows, "inc")
-    # markers land LAST: their rename is the per-doc commit point
-    _move_in(
-        _coverage_rows(
-            new_docs, int(p["ngram"]), int(p["k"]), int(p["bands"])
-        ),
-        "cov",
-    )
+    if n_new:
+        sh = doc_shingles(new_docs, ngram=int(p["ngram"]))
+        rows = lsh_bands(
+            minhash_signature(sh, k=int(p["k"])),
+            k=int(p["k"]),
+            bands=int(p["bands"]),
+        ).select(
+            "doc_id",
+            "band",
+            "band_hash",
+            F.lit(int(p["ngram"])).alias("ngram"),
+            F.lit(int(p["k"])).alias("k"),
+            F.lit(int(p["bands"])).alias("bands"),
+        )
+        _move_in(rows, "inc")
+        # markers land LAST: their rename is the per-doc commit point
+        _move_in(
+            _coverage_rows(
+                new_docs, int(p["ngram"]), int(p["k"]), int(p["bands"])
+            ),
+            "cov",
+        )
+    if legacy_fully is not None:
+        # one-time legacy repair: backfill a marker per legacy-covered
+        # doc so the NEXT update's markers.head(1) fast path sees the
+        # whole corpus, not just this batch. Safe ordering for free —
+        # these docs' band rows are already on disk (that is how
+        # `fully` found them). A crash mid-backfill leaves some legacy
+        # docs marker-less; they get harmlessly re-indexed next update
+        # (duplicate band rows never change distinct candidate pairs),
+        # and the backfill then completes for the rest.
+        _move_in(
+            _marker_rows(
+                legacy_fully, int(p["ngram"]), int(p["k"]), int(p["bands"])
+            ),
+            "covfill",
+        )
     return n_new
 
 
