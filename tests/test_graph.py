@@ -181,3 +181,30 @@ def test_k_core_peel_is_monotone(spark):
     two = {r.v for r in k_core_peel(edges, k=2, rounds=2).collect()}
     assert two <= one
     assert two == {"a", "b", "c"}
+
+
+def test_ledger_adaptive_cc_switches_to_star_past_threshold(spark):
+    """The streaming dedup ledger's clustering must route through the
+    O(log n)-round star CC once accumulated pairs pass
+    LEDGER_CC_STAR_THRESHOLD (a high-dup crawl makes pairs O(docs) and
+    a coalesce(1) label propagation a driver-adjacent bottleneck), stay
+    on the 1-task path below it, and produce IDENTICAL labels on both
+    paths."""
+    from twitter_flink_spark.queries.streaming import (
+        LEDGER_CC_STAR_THRESHOLD,
+        _cluster_pairs_adaptive,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    used: list[bool] = []
+    small = _labels(_cluster_pairs_adaptive(pairs, 6, used_star=used))
+    big = _labels(
+        _cluster_pairs_adaptive(
+            pairs, LEDGER_CC_STAR_THRESHOLD + 1, used_star=used
+        )
+    )
+    assert used == [False, True]
+    assert small == big == _labels(connected_components(pairs))

@@ -210,13 +210,17 @@ def test_jaccard_verify_sets_equals_exploded_verify(spark):
     sets = sh.groupBy("doc_id").agg(
         F.collect_set("shingle").alias("sh")
     )
-    got = sorted(
-        tuple(r) for r in jaccard_verify_sets(cands, sets, 0.5).collect()
-    )
-    exp = sorted(
-        tuple(r) for r in jaccard_verify(cands, sh, 0.5).collect()
-    )
-    assert got == exp and len(got) > 0
+    for thr in (0.5, 0.0):  # 0.0 pins the zero-overlap guard: the
+        # exploded verify drops no-intersection pairs structurally, so
+        # the sets variant must too, even when the threshold keeps 0.0
+        got = sorted(
+            tuple(r)
+            for r in jaccard_verify_sets(cands, sets, thr).collect()
+        )
+        exp = sorted(
+            tuple(r) for r in jaccard_verify(cands, sh, thr).collect()
+        )
+        assert got == exp and len(got) > 0
 
 
 def test_index_probe_finds_new_side_pairs_only(spark, tmp_path):

@@ -144,7 +144,11 @@ def jaccard_verify_sets(pairs: DataFrame, sets: DataFrame,
     — same round-6 formula and identical results (sets are distinct by
     `doc_shingles`' array_distinct), but never a scan or shuffle of the
     exploded shingle table. Right shape when candidates are few and the
-    corpus is large — every post-LSH verification."""
+    corpus is large — every post-LSH verification. Zero-overlap pairs
+    are dropped BEFORE the threshold filter (``n_inter > 0``) so the
+    equivalence holds unconditionally: `jaccard_verify`'s shingle
+    inner-join loses such pairs structurally, and without the guard a
+    ``threshold <= 0`` caller would see them here but not there."""
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         F.broadcast(pairs.select("doc_a", "doc_b"))
@@ -160,6 +164,7 @@ def jaccard_verify_sets(pairs: DataFrame, sets: DataFrame,
             ),
             on="doc_b",
         )
+        .where(n_inter > 0)
         .select(
             "doc_a",
             "doc_b",

@@ -961,14 +961,15 @@ def _parent_manifest(
         if is_ts
         else (F.col(f"min_{col}"), F.col(f"max_{col}"))
     )
-    # project each row's bucket ONCE, collect the bucket lists, and
-    # expand them to fixed 32-slot count arrays with ONE higher-order
-    # expression per histogram. The original shape — 64 separate
-    # F.sum(bucket == h) aggregates, each inlining the full bucket
-    # expression tree — cost ~1 s of Catalyst/codegen overhead PER
-    # parent recommit on KB-sized data, paid at every streaming-sink
-    # commit; this shape plans in ~0.4 s with identical counts (buckets
-    # are coalesced non-null, so collect_list drops nothing).
+    # project each row's bucket ONCE, then count with 32 constant-space
+    # sum aggregates per histogram. The original planning blowup — 64
+    # aggregates each INLINING the full bucket expression tree — cost
+    # ~1 s of Catalyst/codegen per parent recommit on KB-sized data;
+    # the fix is the one-shot projection (each aggregate now references
+    # a tiny precomputed int), NOT list-buffering: a collect_list here
+    # would hold one element per file in a single aggregation buffer,
+    # i.e. hundreds of thousands of ints per parent group at the
+    # millions-of-files design point, where these sums stay O(1).
     pre = parted.withColumn(
         "__hb_min",
         F.coalesce(_hist_bucket_of(raw_min, lo_us, hi_us), F.lit(0)),
@@ -987,19 +988,19 @@ def _parent_manifest(
         F.lit(int(lo_us)).alias("bucket_lo"),
         F.lit(int(hi_us)).alias("bucket_hi"),
         F.lit(n_parts).alias("n_parts"),
-        F.collect_list("__hb_min").alias("__l_min"),
-        F.collect_list("__hb_max").alias("__l_max"),
+        *[
+            F.sum((F.col("__hb_min") == h).cast("long")).alias(
+                f"__c_min_{h}"
+            )
+            for h in range(HIST_BUCKETS)
+        ],
+        *[
+            F.sum((F.col("__hb_max") == h).cast("long")).alias(
+                f"__c_max_{h}"
+            )
+            for h in range(HIST_BUCKETS)
+        ],
     )
-    idxs = F.sequence(F.lit(0), F.lit(HIST_BUCKETS - 1))
-
-    def counts(lst: str) -> F.Column:
-        return F.transform(
-            idxs,
-            lambda h: F.size(
-                F.filter(F.col(lst), lambda b: b == h)
-            ).cast("long"),
-        )
-
     return grouped.select(
         "part",
         "part_min",
@@ -1009,8 +1010,12 @@ def _parent_manifest(
         "bucket_lo",
         "bucket_hi",
         "n_parts",
-        counts("__l_min").alias("hist_min"),
-        counts("__l_max").alias("hist_max"),
+        F.array(
+            *[F.col(f"__c_min_{h}") for h in range(HIST_BUCKETS)]
+        ).alias("hist_min"),
+        F.array(
+            *[F.col(f"__c_max_{h}") for h in range(HIST_BUCKETS)]
+        ).alias("hist_max"),
     )
 
 

@@ -2821,6 +2821,15 @@ def _ensure_two_level_era_layout(
         # built by an earlier process: fresh iff era 2 is unindexed
         _TWOLEVEL_ERA_FOR["sf"] = sf_dir
         return dest, skipping.stale_file_count(spark, dest) > 0
+    # drop any stale done marker BEFORE tearing dest down: a rebuild
+    # that crashes between the era-1 build (which recreates
+    # ROOT_MANIFEST) and the era-2 append must not leave marker +
+    # manifest coexisting, or the next process early-returns a
+    # half-built layout as complete
+    try:
+        os.remove(done)
+    except FileNotFoundError:
+        pass
     shutil.rmtree(dest, ignore_errors=True)
     e = load_table(spark, sf_dir, "events")
     t0 = e.agg(F.min("ts")).first()[0]

@@ -2697,6 +2697,40 @@ FROM pairs
 
 _attach_lsh_stream_oracle()
 
+#: accumulated verified-pair count above which the ledger's clustering
+#: switches from 1-partition min-label propagation to the O(log n)-round
+#: large-star/small-star CC on normal parallelism. Below it, pairs are a
+#: tiny fraction of the corpus and a 1-task fixed point beats per-round
+#: shuffle setup; above it (a high-dup crawl makes pairs O(docs)), a
+#: single-partition label propagation is a driver-adjacent bottleneck.
+LEDGER_CC_STAR_THRESHOLD = 100_000
+
+
+def _cluster_pairs_adaptive(
+    pairs: DataFrame, n_pairs: int, used_star: list | None = None
+) -> DataFrame:
+    """(doc_id, cluster_id) for the dedup ledger, picking the CC
+    formulation by accumulated pair count: both return min-node labels
+    for every node in the pair set, so the census downstream is
+    identical either way — only the physical strategy changes.
+    ``used_star``, if given, receives which path ran (tests pin the
+    switchover)."""
+    from twitter_flink_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    if n_pairs > LEDGER_CC_STAR_THRESHOLD:
+        if used_star is not None:
+            used_star.append(True)
+        return connected_components_star(pairs)
+    if used_star is not None:
+        used_star.append(False)
+    # pairs are a tiny fraction of the corpus: one partition keeps each
+    # label-propagation round a 1-task job
+    return connected_components(pairs.coalesce(1))
+
+
 @register("streaming_dedup_impact_ledger")  # oracle attached below
 def streaming_dedup_impact_ledger(
     spark: SparkSession, sf_dir: str
@@ -2739,7 +2773,6 @@ def streaming_dedup_impact_ledger(
     import tempfile
 
     from twitter_flink_spark.operators.dedup import jaccard_verify_sets
-    from twitter_flink_spark.operators.graph import connected_components
     from twitter_flink_spark.queries.dedup import (
         _staged_minhash,
         _staged_shingle_sets,
@@ -2764,15 +2797,14 @@ def streaming_dedup_impact_ledger(
     stats_dir = os.path.join(work, "stats")
     pairs_dir = os.path.join(work, "pairs")
     new_counts: list[int] = []
+    pair_total = [0]  # appended verified-pair rows (threshold trigger)
     ledger: list[dict[str, tuple[int, int]]] = []
     last_cluster: list[DataFrame] = []
 
     def _cluster() -> DataFrame:
         if os.path.isdir(pairs_dir):
-            # pairs are a tiny fraction of the corpus: one partition
-            # keeps each label-propagation round a 1-task job
-            cl = connected_components(
-                spark.read.parquet(pairs_dir).distinct().coalesce(1)
+            cl = _cluster_pairs_adaptive(
+                spark.read.parquet(pairs_dir).distinct(), pair_total[0]
             )
         else:
             cl = spark.createDataFrame(
@@ -2849,8 +2881,10 @@ def streaming_dedup_impact_ledger(
         verified = jaccard_verify_sets(cand, sets, threshold=0.5).select(
             "doc_a", "doc_b"
         )
-        if verified.head(1):
+        n_pairs = verified.count()
+        if n_pairs:
             verified.write.mode("append").parquet(pairs_dir)
+            pair_total[0] += int(n_pairs)
         ledger.append(_census_snapshot())
 
     schema = spark.read.parquet(staged).schema
