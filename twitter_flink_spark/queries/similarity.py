@@ -2295,6 +2295,8 @@ def _ivf_inc_oracle(
     flags_sql: str = "TRUE AS incrementally_assigned",
     nprobe: int = 1,
     label_filter: bool = False,
+    rare_mod: int | None = None,
+    escalate: bool = False,
 ) -> str:
     """Corpus-half Lloyd fit (same unrolled rounds as `_kmeans_ctes`, with
     the fit restricted to vec_id <= split), then assignment of EVERY
@@ -2305,7 +2307,13 @@ def _ivf_inc_oracle(
     query uses); ``fit_full`` fits the Lloyd rounds on ALL vectors (the
     post-refit state) instead of the corpus half. ``label_filter``
     restricts candidates to rows sharing the PROBE's label — the
-    metadata-filtered (pre-filter-as-residual) search twin."""
+    metadata-filtered (pre-filter-as-residual) search twin;
+    ``rare_mod`` further restricts to ``vec_id % rare_mod`` matching
+    the probe's (the deliberately-rare compound predicate).
+    ``escalate`` replaces the fixed nprobe with the serving rule
+    "probe the MINIMAL prefix of distance-ranked cells whose cumulative
+    filtered-candidate count reaches topk, else every cell" — the SQL
+    twin of the Spark query's nprobe-escalation loop."""
     v_cte = (
         "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"
         if shift_new is None
@@ -2359,7 +2367,47 @@ c{r} AS (
   FROM m{r} GROUP BY cid
 )"""
         )
-    if nprobe == 1:
+    label_pred = (
+        """
+    AND (SELECT label FROM embeddings x WHERE x.vec_id = a.vec_id)
+        = (SELECT label FROM embeddings x, probe p
+           WHERE x.vec_id = p.vec_id)"""
+        if label_filter
+        else ""
+    )
+    if rare_mod is not None:
+        label_pred += f"""
+    AND a.vec_id % {rare_mod}
+        = (SELECT p.vec_id % {rare_mod} FROM probe p)"""
+    if escalate:
+        # minimal distance-ranked cell prefix reaching topk filtered
+        # candidates (else all cells): the escalation loop's fixed point
+        pcell_cte = f"""cellrank AS (
+  SELECT c.cid,
+         row_number() OVER (
+           ORDER BY list_dot_product(p.e, p.e)
+                      - 2 * list_dot_product(p.e, c.cent)
+                      + list_dot_product(c.cent, c.cent), c.cid) AS rnk
+  FROM c{iters} c CROSS JOIN probe p
+),
+cellmatch AS (
+  SELECT cr.rnk, count(*) AS n
+  FROM aall a JOIN cellrank cr USING (cid)
+  WHERE a.vec_id <> (SELECT vec_id FROM probe){label_pred}
+  GROUP BY cr.rnk
+),
+cellcum AS (
+  SELECT cr.rnk,
+         sum(coalesce(m.n, 0)) OVER (ORDER BY cr.rnk) AS cum_n
+  FROM cellrank cr LEFT JOIN cellmatch m USING (rnk)
+),
+pick AS (
+  SELECT coalesce(min(rnk) FILTER (WHERE cum_n >= {topk}),
+                  (SELECT max(rnk) FROM cellrank)) AS r
+  FROM cellcum
+),
+pcell AS (SELECT cr.cid FROM cellrank cr, pick WHERE cr.rnk <= pick.r)"""
+    elif nprobe == 1:
         # the probe's stored assignment IS its argmin cell
         pcell_cte = (
             "pcell AS (SELECT a.cid FROM aall a "
@@ -2375,14 +2423,6 @@ c{r} AS (
              + list_dot_product(c.cent, c.cent), c.cid
   LIMIT {nprobe}
 )"""
-    label_pred = (
-        """
-    AND (SELECT label FROM embeddings x WHERE x.vec_id = a.vec_id)
-        = (SELECT label FROM embeddings x, probe p
-           WHERE x.vec_id = p.vec_id)"""
-        if label_filter
-        else ""
-    )
     parts.append(
         f"""dall AS (
   SELECT v.vec_id, c.cid,
@@ -2988,6 +3028,127 @@ def ivf_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
             F.lit(True).alias("filter_as_residual"),
             F.lit(2).cast("int").alias("n_cells_probed"),
+        )
+    )
+
+
+@register(
+    "ivf_filtered_ann_escalating",
+    oracle=_ivf_inc_oracle(
+        label_filter=True,
+        rare_mod=7,
+        escalate=True,
+        flags_sql=(
+            "(SELECT CAST(r AS INT) FROM pick) AS n_cells_probed, "
+            "TRUE AS filter_as_residual"
+        ),
+    ),
+)
+def ivf_filtered_ann_escalating(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Filtered ANN with NPROBE ESCALATION — the real serving knob a
+    fixed over-fetch (`ivf_filtered_ann_topk`'s nprobe=2) lacks: a rare
+    predicate can starve candidates below k no matter which constant
+    you pick, so serve by escalating nprobe one distance-ranked cell at
+    a time until k FILTERED survivors exist or every cell is probed,
+    then exact-cosine re-rank. The filter here is deliberately rare —
+    probe's label AND vec_id ≡ probe (mod 7), ~1/70 selectivity — so
+    escalation genuinely fires (one cell holds < k matches at every
+    sf), and at the smallest sf the corpus-wide match count is < k,
+    exercising the cells-exhausted cap too. Each escalation step is one
+    more cid=<cell> dir opened plus a count — never a scan of cells
+    already rejected, never a second index; the index on disk stays
+    byte-identical and label-agnostic. The oracle refits from scratch
+    and computes the SAME fixed point in SQL (minimal distance-ranked
+    cell prefix whose cumulative filtered-candidate count reaches k,
+    else all cells), so a hash match proves routing, the escalation
+    stopping rule, filtering, and scoring all agree with a full
+    rebuild. `n_cells_probed` returns the escalated count — the
+    observable the serving dashboard would alert on."""
+    import os
+
+    from twitter_flink_spark.operators.clustering import assign_clusters
+
+    dest, split, _led = _ensure_ivf_inc_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_id = int(emb.agg(F.max("vec_id")).first()[0])
+    prow = (
+        emb.where(F.col("vec_id") == probe_id)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("e"),
+            "label",
+        )
+        .first()
+    )  # 1-row: probe vector + its label (the filter literal)
+    probe = spark.createDataFrame(
+        [(prow["vec_id"], prow["e"])], "vec_id long, e array<double>"
+    )
+    cents = spark.read.parquet(os.path.join(dest, "_centroids"))
+    n_cells = cents.count()  # tiny: the codebook
+    ranked = assign_clusters(
+        probe, cents, top_n=n_cells, keep_dist=True
+    ).collect()  # k rows: every cell, distance-ranked below
+    order = [
+        int(r["cid"])
+        for r in sorted(ranked, key=lambda r: (r["dist"], r["cid"]))
+    ]
+    residual = (F.col("label") == F.lit(prow["label"])) & (
+        F.col("vec_id") % 7 == F.lit(probe_id % 7)
+    )
+
+    def _cands(cids: list[int]) -> DataFrame | None:
+        dirs = [
+            p
+            for p in (
+                os.path.join(dest, "_assign", f"cid={c}") for c in cids
+            )
+            if os.path.isdir(p)  # empty cells never wrote a dir
+        ]
+        if not dirs:
+            return None
+        return (
+            spark.read.parquet(*dirs)
+            .where(F.col("vec_id") != probe_id)
+            .select("vec_id")
+            .join(emb, "vec_id")
+            .where(residual)
+            .select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("e"),
+            )
+        )
+
+    nprobe = 1
+    while True:
+        cands = _cands(order[:nprobe])
+        n_match = cands.count() if cands is not None else 0
+        if n_match >= 5 or nprobe >= len(order):
+            break
+        nprobe += 1  # one more cell dir, never a rescan of rejects
+    if cands is None:
+        cands = spark.createDataFrame([], "vec_id long, e array<double>")
+    probe_vec = probe.select(F.col("e").alias("pe"))
+    scored = cands.crossJoin(F.broadcast(probe_vec)).select(
+        "vec_id",
+        F.round(
+            dot(F.col("e"), F.col("pe"))
+            / (
+                F.sqrt(dot(F.col("e"), F.col("e")))
+                * F.sqrt(dot(F.col("pe"), F.col("pe")))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    return (
+        scored.orderBy(F.desc("cosine"), "vec_id")
+        .limit(5)
+        .select(
+            "vec_id",
+            "cosine",
+            F.lit(int(nprobe)).cast("int").alias("n_cells_probed"),
+            F.lit(True).alias("filter_as_residual"),
         )
     )
 
