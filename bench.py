@@ -206,6 +206,9 @@ def main() -> None:
         "sink_drain_s": sink_drain_s,
         "ok": codebook_fit_ok and sink_drain_ok,
     }
+    # like-for-like round-over-round total: query wall + the prewarm costs
+    # (index fits / sink drains) that earlier rounds charged to queries
+    all_in_s = round(total + codebook_fit_s + sink_drain_s, 3)
     # Full per-query map → file (the 245-entry map is ~9 KB and overflows the
     # driver's stdout tail); compact summary (10 slowest) → the stdout line.
     here = os.path.dirname(os.path.abspath(__file__))
@@ -219,6 +222,7 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "prewarm": prewarm,
+                "all_in_s": all_in_s,
                 "headline_total_s": headline_total,
                 "headline": headline,
                 "canary_s": canary_s,
@@ -240,6 +244,7 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "prewarm": prewarm,
+                "all_in_s": all_in_s,
                 "headline_total_s": headline_total,
                 "canary_s": canary_s,
                 "failed": sorted(n for n, t in timings.items() if t < 0),
