@@ -177,3 +177,35 @@ def test_stage_once_cleans_scratch_when_build_raises(
     with pytest.raises(RuntimeError, match="spark died"):
         staging.stage_once("t7", "/sf", boom)
     assert not [x for x in os.listdir(tmp_path) if ".build-" in x]
+
+
+def test_scratch_dir_sweeps_only_abandoned_ephemerals(tmp_path, monkeypatch):
+    """`scratch_dir` must (a) mint unique dirs, (b) sweep a dead-pid
+    tfs-eph-* leftover older than the TTL, and (c) never touch a live
+    process's dir, a young dir, or the deterministic staged fixtures."""
+    import os
+    import time
+
+    from twitter_flink_spark.sources import staging
+
+    monkeypatch.setattr(staging.tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(staging, "_eph_swept", False)
+
+    old = time.time() - 7200
+    dead = tmp_path / "tfs-eph-x-999999999-1-0"  # dead pid, stale
+    live = tmp_path / f"tfs-eph-x-{os.getpid()}-1-0"  # live pid, stale
+    young = tmp_path / "tfs-eph-x-999999998-1-0"  # dead pid, young
+    fixture = tmp_path / "tfs-twolevelera-root-testdata-sf0.001"
+    for d in (dead, live, young, fixture):
+        d.mkdir()
+    os.utime(dead, (old, old))
+    os.utime(live, (old, old))
+    os.utime(fixture, (old, old))
+
+    a = staging.scratch_dir("t")
+    b = staging.scratch_dir("t")
+    assert a != b and os.path.isdir(a) and os.path.isdir(b)
+    assert not dead.exists()  # swept: dead + stale
+    assert live.exists()  # live pid: kept
+    assert young.exists()  # young: kept
+    assert fixture.exists()  # staged fixture namespace: never touched

@@ -9,6 +9,7 @@ from pyspark.storagelevel import StorageLevel
 
 from twitter_flink_spark.operators.dedup import MINHASH_K, simhash16
 from twitter_flink_spark.registry import register
+from twitter_flink_spark.sources.staging import scratch_dir
 from twitter_flink_spark.sources.tables import load_table, spread
 
 # ---------------------------------------------------------------------------
@@ -1721,7 +1722,7 @@ def lsh_banding_retune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents")
     idx = os.path.join(
-        tempfile.mkdtemp(prefix="tfs-lshretune-"), "index"
+        scratch_dir("lshretune"), "index"
     )
     lsh_index_build(spark, docs, idx, bands=chosen_b)
     stored = spark.read.parquet(idx).select("bands").first()["bands"]

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from twitter_flink_spark.registry import register
+from twitter_flink_spark.sources.staging import scratch_dir
 from twitter_flink_spark.sources.tables import load_table
 
 
@@ -655,7 +656,7 @@ def expectations_quarantine_routing(
         Rule("user_present", "user_id IS NOT NULL", "drop"),
     ]
     e = load_table(spark, sf_dir, "events")
-    dest = tempfile.mkdtemp(prefix="tfs-expect-") + "/routed"
+    dest = scratch_dir("expect") + "/routed"
     ledger, _ = route(e, rules, dest)
     on_disk = {
         r[ROUTE_COL]: r["n"]

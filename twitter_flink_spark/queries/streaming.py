@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from twitter_flink_spark.registry import register
+from twitter_flink_spark.sources.staging import scratch_dir
 from twitter_flink_spark.streaming.pipeline import (
     TopNFeedback,
     await_or_raise,
@@ -466,7 +467,7 @@ def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv = IncrementalMV(spark, key_col="user_id")
     q = (
         stream.writeStream.foreachBatch(mv.merge_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="tfs-mv-ckpt-"))
+        .option("checkpointLocation", scratch_dir("mv-ckpt"))
         .trigger(availableNow=True)
         .start()
     )
@@ -498,7 +499,7 @@ def streaming_statestore_introspect(
     a queryable, checkpointed table."""
     import tempfile
 
-    ckpt = tempfile.mkdtemp(prefix="tfs-ssread-ck-")
+    ckpt = scratch_dir("ssread-ck")
     src = stream_table(spark, sf_dir, "events")
     agg = src.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
     q = (
@@ -1072,7 +1073,7 @@ def _drained_presence_mv(spark: SparkSession, sf_dir: str):
     q = (
         stream.writeStream.foreachBatch(mv.merge_batch)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="tfs-crmv-ckpt-")
+            "checkpointLocation", scratch_dir("crmv-ckpt")
         )
         .trigger(availableNow=True)
         .start()
@@ -1160,7 +1161,7 @@ def streaming_topk_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         stream.writeStream.foreachBatch(mv.merge_batch)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="tfs-topkmv-ckpt-")
+            "checkpointLocation", scratch_dir("topkmv-ckpt")
         )
         .trigger(availableNow=True)
         .start()
@@ -1245,11 +1246,11 @@ def streaming_mv_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(staged)
     )
-    cdf_dir = tempfile.mkdtemp(prefix="tfs-cdf-") + "/log"
+    cdf_dir = scratch_dir("cdf") + "/log"
     mv = IncrementalMV(spark, key_col="user_id", changelog_dir=cdf_dir)
     q = (
         stream.writeStream.foreachBatch(mv.merge_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="tfs-cdf-ck-"))
+        .option("checkpointLocation", scratch_dir("cdf-ck"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1302,12 +1303,12 @@ def streaming_mv_cdf_compacted(
         .option("maxFilesPerTrigger", "1")
         .parquet(staged)
     )
-    cdf_dir = tempfile.mkdtemp(prefix="tfs-cdfc-") + "/log"
+    cdf_dir = scratch_dir("cdfc") + "/log"
     mv = IncrementalMV(spark, key_col="user_id", changelog_dir=cdf_dir)
     q = (
         stream.writeStream.foreachBatch(mv.merge_batch)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="tfs-cdfc-ck-")
+            "checkpointLocation", scratch_dir("cdfc-ck")
         )
         .trigger(availableNow=True)
         .start()
@@ -1369,12 +1370,12 @@ def streaming_mv_cdf_checkpointed(
         .option("maxFilesPerTrigger", "1")
         .parquet(staged)
     )
-    cdf_dir = tempfile.mkdtemp(prefix="tfs-cdfk-") + "/log"
+    cdf_dir = scratch_dir("cdfk") + "/log"
     mv = IncrementalMV(spark, key_col="user_id", changelog_dir=cdf_dir)
     q = (
         stream.writeStream.foreachBatch(mv.merge_batch)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="tfs-cdfk-ck-")
+            "checkpointLocation", scratch_dir("cdfk-ck")
         )
         .trigger(availableNow=True)
         .start()
@@ -1453,12 +1454,12 @@ def streaming_mv_cdf_consumer_lag(
         .option("maxFilesPerTrigger", "1")
         .parquet(staged)
     )
-    cdf_dir = tempfile.mkdtemp(prefix="tfs-cdlag-") + "/log"
+    cdf_dir = scratch_dir("cdlag") + "/log"
     mv = IncrementalMV(spark, key_col="user_id", changelog_dir=cdf_dir)
     q = (
         stream.writeStream.foreachBatch(mv.merge_batch)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="tfs-cdlag-ck-")
+            "checkpointLocation", scratch_dir("cdlag-ck")
         )
         .trigger(availableNow=True)
         .start()
@@ -1575,7 +1576,7 @@ def streaming_expectations_gate(
         .option("maxFilesPerTrigger", "1")
         .parquet(staged)
     )
-    dest = tempfile.mkdtemp(prefix="tfs-sexpect-") + "/routed"
+    dest = scratch_dir("sexpect") + "/routed"
     totals: Counter = Counter()
     batches = []
 
@@ -1587,7 +1588,7 @@ def streaming_expectations_gate(
     q = (
         stream.writeStream.foreachBatch(on_batch)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="tfs-sexpect-ck-")
+            "checkpointLocation", scratch_dir("sexpect-ck")
         )
         .trigger(availableNow=True)
         .start()
@@ -1665,7 +1666,7 @@ def streaming_hll_actives_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         stream.writeStream.foreachBatch(mv.merge_batch)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="tfs-hllmv-ckpt-")
+            "checkpointLocation", scratch_dir("hllmv-ckpt")
         )
         .trigger(availableNow=True)
         .start()
@@ -1913,7 +1914,7 @@ def streaming_watermark_frontier(
         agg.writeStream.format("noop")
         .outputMode("append")
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="tfs-wmf-ckpt-")
+            "checkpointLocation", scratch_dir("wmf-ckpt")
         )
         .trigger(availableNow=True)
         .start()
@@ -1955,7 +1956,7 @@ def _drained_sink_indexes(
         return _SINK_IDX_DRAINED[key]
     staged = _ensure_time_split_events3(spark, sf_dir)
     dest = os.path.join(
-        tempfile.mkdtemp(prefix="tfs-streamidx-"), "table"
+        scratch_dir("streamidx"), "table"
     )
     flat_ledger: list[int] = []
     col_ledger: list[dict] = []
@@ -1988,7 +1989,7 @@ def _drained_sink_indexes(
         .writeStream.foreachBatch(sink)
         .option(
             "checkpointLocation",
-            tempfile.mkdtemp(prefix="tfs-streamidx-ckpt-"),
+            scratch_dir("streamidx-ckpt"),
         )
         .trigger(availableNow=True)
         .start()
@@ -2212,7 +2213,7 @@ def streaming_quarantine_repair(
         .option("maxFilesPerTrigger", "1")
         .parquet(staged)
     )
-    base = tempfile.mkdtemp(prefix="tfs-squar-")
+    base = scratch_dir("squar")
     good = os.path.join(base, "good")
     quar = os.path.join(base, "quarantine")
     ledgers = os.path.join(base, "_ledger")
@@ -2285,7 +2286,7 @@ def streaming_quarantine_repair(
         stream.writeStream.foreachBatch(on_batch)
         .option(
             "checkpointLocation",
-            tempfile.mkdtemp(prefix="tfs-squar-ckpt-"),
+            scratch_dir("squar-ckpt"),
         )
         .trigger(availableNow=True)
         .start()
@@ -2458,7 +2459,7 @@ def streaming_ivf_assign_maintenance(
     split = (int(b["mn"]) + int(b["mx"])) // 2
 
     # the offline fit: corpus half, frozen to disk before the stream
-    work = tempfile.mkdtemp(prefix="tfs-ivfstream-")
+    work = scratch_dir("ivfstream")
     corpus = spread(emb, "vec_id").where(F.col("vec_id") <= split)
     kmeans_fit(corpus, k=_KM_K, iters=_KM_ITERS).select(
         "cid", "cent"
@@ -2492,7 +2493,7 @@ def streaming_ivf_assign_maintenance(
         .writeStream.foreachBatch(sink)
         .option(
             "checkpointLocation",
-            tempfile.mkdtemp(prefix="tfs-ivfstream-ckpt-"),
+            scratch_dir("ivfstream-ckpt"),
         )
         .trigger(availableNow=True)
         .start()
@@ -2633,7 +2634,7 @@ def streaming_lsh_index_maintenance(
 
     staged = _ensure_docid_split_documents(spark, sf_dir)
     index_dir = os.path.join(
-        tempfile.mkdtemp(prefix="tfs-lshstream-"), "index"
+        scratch_dir("lshstream"), "index"
     )
     ledger: list[int] = []
 
@@ -2655,7 +2656,7 @@ def streaming_lsh_index_maintenance(
         .writeStream.foreachBatch(sink)
         .option(
             "checkpointLocation",
-            tempfile.mkdtemp(prefix="tfs-lshstream-ckpt-"),
+            scratch_dir("lshstream-ckpt"),
         )
         .trigger(availableNow=True)
         .start()
@@ -2792,7 +2793,7 @@ def streaming_dedup_impact_ledger(
         StorageLevel.MEMORY_AND_DISK
     )
     staged = _ensure_docid_split_documents(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="tfs-dedupledger-")
+    work = scratch_dir("dedupledger")
     index_dir = os.path.join(work, "index")
     stats_dir = os.path.join(work, "stats")
     pairs_dir = os.path.join(work, "pairs")
@@ -2899,7 +2900,7 @@ def streaming_dedup_impact_ledger(
         .writeStream.foreachBatch(sink)
         .option(
             "checkpointLocation",
-            tempfile.mkdtemp(prefix="tfs-dedupledger-ckpt-"),
+            scratch_dir("dedupledger-ckpt"),
         )
         .trigger(availableNow=True)
         .start()

@@ -64,6 +64,50 @@ def fixture_path(tag: str, sf_dir: str) -> str:
     )
 
 
+_EPH_TTL_S = 3600
+_eph_swept = False
+
+
+def scratch_dir(tag: str) -> str:
+    """Ephemeral per-run scratch dir (streaming checkpoints, sink work
+    dirs): ``tfs-eph-<tag>-<pid>-<tid>-<seq>`` under the system tempdir.
+    Unlike `fixture_path` layouts — deterministic names, cross-process,
+    kept on purpose — these are single-process garbage the moment the
+    run ends, and bare ``mkdtemp`` left ~30 of them per bench run with
+    nothing ever sweeping. First call per process sweeps abandoned
+    siblings the same way `operators.skipping._scratch_name` sweeps
+    manifest scratch: only the ``tfs-eph-`` namespace (never the staged
+    fixtures), only when the embedded pid is DEAD *and* the dir is over
+    an hour old — a live concurrent bench or a legitimately slow drain
+    can never lose its checkpoint."""
+    import glob
+    import itertools
+    import re
+
+    global _eph_swept
+    tmp = tempfile.gettempdir()
+    if not _eph_swept:
+        _eph_swept = True
+        for leftover in glob.glob(os.path.join(tmp, "tfs-eph-*")):
+            try:
+                m = re.search(r"-(\d+)-\d+-\d+$", leftover)
+                if m is not None and _pid_alive(int(m.group(1))):
+                    continue
+                if time.time() - os.lstat(leftover).st_mtime > _EPH_TTL_S:
+                    shutil.rmtree(leftover, ignore_errors=True)
+            except OSError:
+                pass
+    if not hasattr(scratch_dir, "_seq"):
+        scratch_dir._seq = itertools.count()
+    d = os.path.join(
+        tmp,
+        f"tfs-eph-{tag}-{os.getpid()}-{threading.get_ident()}"
+        f"-{next(scratch_dir._seq)}",
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def _read_marker(mark: str) -> dict | None:
     try:
         with open(mark) as f:
