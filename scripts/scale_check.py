@@ -118,6 +118,77 @@ def time_queries(spark: SparkSession, sf_dir: str) -> dict:
     return res
 
 
+def maintenance_check(spark: SparkSession, big_dir: str) -> dict:
+    """Round-13 VERDICT item 5: the incremental-LSH-maintenance claim —
+    per-batch update cost is O(batch), not O(index) — measured instead
+    of argued. Three timed `lsh_index_update` calls:
+
+    - batch B1 (~1/8 of the sf0.1 corpus) against a SMALL index
+      (1 replica) and against a BIG index (all replicas): the
+      `index_size_ratio` should sit near 1 — the update re-signs only
+      the batch, and its coverage consult is a pushed-filter scan of
+      the marker slice, the only index-proportional touch.
+    - batch B4 (~4x B1) against the same big index: `batch_size_ratio`
+      should grow toward 4 — the cost lives with the batch.
+    """
+    import shutil
+
+    from twitter_flink_spark.operators.dedup import (
+        lsh_index_build,
+        lsh_index_update,
+    )
+
+    docs_all = spark.read.parquet(
+        os.path.join(big_dir, "documents.parquet")
+    )
+    docs_base = spark.read.parquet(
+        os.path.join(BASE_SF, "documents.parquet")
+    )
+    max_doc = docs_base.agg(F.max("doc_id")).first()[0] + 1
+    rep0 = docs_all.where(F.col("doc_id") < max_doc)
+    # ~1/8 and ~4/8 of the replica: big enough that per-batch work
+    # (shingle+sign+band the batch) dominates fixed job overhead
+    b1 = F.col("doc_id") % 8 == 0
+    b4 = (F.col("doc_id") % 8 >= 1) & (F.col("doc_id") % 8 <= 4)
+    batch1 = rep0.where(b1)
+    batch4 = rep0.where(b4)
+    n1, n4 = batch1.count(), batch4.count()
+
+    work = os.path.join(tempfile.gettempdir(), "tfs-scalecheck-maint")
+    shutil.rmtree(work, ignore_errors=True)
+    small_idx = os.path.join(work, "small")
+    big_idx = os.path.join(work, "big")
+    rep0_pred = F.col("doc_id") < max_doc
+    n_small = lsh_index_build(spark, rep0.where(~b1), small_idx)
+    # exclude ONLY replica 0's held-out batches: the big index keeps all
+    # other replicas whole, so it is a genuine ~10x of the small one
+    n_big = lsh_index_build(
+        spark, docs_all.where(~(rep0_pred & (b1 | b4))), big_idx
+    )
+
+    def timed(batch, idx):
+        t0 = time.perf_counter()
+        n = lsh_index_update(spark, batch, idx)
+        return round(time.perf_counter() - t0, 2), n
+
+    t_small, u_small = timed(batch1, small_idx)
+    t_big, u_big = timed(batch1, big_idx)
+    t_big4, u_big4 = timed(batch4, big_idx)
+    assert u_small == u_big == n1 and u_big4 == n4
+    out = {
+        "operator": "lsh_index_update",
+        "index_docs": {"small": n_small, "big": n_big},
+        "batch_docs": {"b1": n1, "b4": n4},
+        "update_b1_small_index_s": t_small,
+        "update_b1_big_index_s": t_big,
+        "update_b4_big_index_s": t_big4,
+        "index_size_ratio": round(t_big / max(t_small, 1e-9), 2),
+        "batch_size_ratio": round(t_big4 / max(t_big, 1e-9), 2),
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def main() -> int:
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -134,7 +205,14 @@ def main() -> int:
     print(f"scaled dir: {big}")
     base = time_queries(spark, BASE_SF)
     scaled = time_queries(spark, big)
-    out = {"copies": copies, "base_sf": 0.1, "queries": {}}
+    maint = maintenance_check(spark, big)
+    print(f"maintenance: {json.dumps(maint)}")
+    out = {
+        "copies": copies,
+        "base_sf": 0.1,
+        "queries": {},
+        "maintenance": maint,
+    }
     for name in QUERIES:
         ratio = (
             round(scaled[name]["warm_s"] / max(base[name]["warm_s"], 1e-9), 2)

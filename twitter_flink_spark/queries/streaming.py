@@ -1910,15 +1910,24 @@ def streaming_watermark_frontier(
         .groupBy(F.window("ts", "60 seconds"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    q = (
-        agg.writeStream.format("noop")
-        .outputMode("append")
-        .option(
-            "checkpointLocation", scratch_dir("wmf-ckpt")
+    # size the stream's state like run_to_memory does (8 instances, not
+    # the session's 32): 3 micro-batches x 32 state-store commits was
+    # this query's whole cost, and the frontier telemetry it returns is
+    # partitioning-independent
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("append")
+            .option(
+                "checkpointLocation", scratch_dir("wmf-ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     await_or_raise(q, 300)
     seen = []
     for prog in q.recentProgress:

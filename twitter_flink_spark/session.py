@@ -34,6 +34,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Python DataSource API: allow readers to absorb filters (sources/pyds.py)
     "spark.sql.python.filterPushdown.enabled": "true",
+    # State-store maintenance (snapshot compaction) defaults to every 60 s
+    # per provider; a full-registry sweep runs 60+ short availableNow
+    # drains in one JVM, and their accumulated providers' background
+    # maintenance competes with live queries for the same /tmp. The drains
+    # finish in seconds and never replay, so maintenance adds nothing —
+    # push it past the sweep's horizon.
+    "spark.sql.streaming.stateStore.maintenanceInterval": "600s",
 }
 
 
