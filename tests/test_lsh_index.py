@@ -348,3 +348,59 @@ def test_legacy_index_backfills_markers_once(spark, tmp_path):
     assert total_rows == band_rows_before + n_new * (LSH_BANDS) + n_old + n_new
     assert lsh_index_update(spark, docs, idx) == 0
     assert spark.read.parquet(idx).count() == total_rows
+
+
+def test_index_delete_tombstone_then_compact(spark, tmp_path):
+    """Tombstoned docs must vanish from every serve path immediately
+    (candidates AND probe, either side), survive redelivery (the
+    coverage marker keeps the update from re-signing a deleted doc),
+    and compaction must reclaim rows without changing the served set."""
+    from twitter_flink_spark.operators.dedup import (
+        TOMB_BAND,
+        lsh_index_compact,
+        lsh_index_delete,
+        lsh_index_probe,
+    )
+
+    docs, split = _split_docs(spark)
+    idx = str(tmp_path / "lshidx")
+    lsh_index_build(spark, docs, idx)
+    full = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_index_candidates(spark, idx).collect()
+    )
+    assert full, "fixture must have candidate pairs"
+    # delete every doc appearing as doc_a in some pair: guarantees the
+    # served set actually changes
+    doomed_ids = sorted({a for a, _ in full})[:3]
+    doomed = spark.createDataFrame(
+        [(i,) for i in doomed_ids], "doc_id long"
+    )
+    assert lsh_index_delete(spark, doomed, idx) == len(doomed_ids)
+    assert lsh_index_delete(spark, doomed, idx) == 0  # idempotent
+    served = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_index_candidates(spark, idx).collect()
+    )
+    assert served == [
+        p for p in full if p[0] not in doomed_ids and p[1] not in doomed_ids
+    ]
+    # probe with the whole corpus: deleted docs pair on neither side
+    probed = lsh_index_probe(spark, docs, idx)
+    bad = set(doomed_ids)
+    assert not [
+        r for r in probed.collect() if r["doc_a"] in bad or r["doc_b"] in bad
+    ]
+    # redelivery cannot resurrect: the update sees the marker, signs nothing
+    assert lsh_index_update(spark, docs, idx) == 0
+    # compact: rows shrink, tombstones gone, served set identical
+    pre = spark.read.parquet(idx).count()
+    assert lsh_index_compact(spark, idx) == len(doomed_ids)
+    post = spark.read.parquet(idx)
+    assert post.count() < pre
+    assert post.where(F.col("band") == TOMB_BAND).count() == 0
+    assert sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_index_candidates(spark, idx).collect()
+    ) == served
+    assert lsh_index_compact(spark, idx) == 0  # no-op without tombstones

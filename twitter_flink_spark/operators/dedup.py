@@ -465,6 +465,38 @@ def prefix_filter_jaccard_pairs(
 #: self-join can never pair two markers.
 COVER_BAND = -1
 
+#: tombstone band id: one ``(doc_id, -2, str(doc_id))`` row per DELETED
+#: doc. A tombstone wins over everything — the doc serves in no candidate
+#: pair and is never re-signed by an update (its coverage marker stays,
+#: so redelivery still sees it as covered) — until `lsh_index_compact`
+#: physically rewrites the index without it. Same unique-hash trick as
+#: the markers, so an unfiltered self-join can never pair two tombstones.
+TOMB_BAND = -2
+
+
+def _move_parquet_into(df: DataFrame, index_dir: str, label: str) -> None:
+    """Append ``df``'s rows to ``index_dir`` via stage-write + per-file
+    rename — the index's multi-writer append protocol (pid/thread-unique
+    stage dir; each os.rename is atomic, so readers see whole files or
+    nothing; a crash strands only uniquely-named stage litter)."""
+    import os
+    import shutil
+    import threading
+    import uuid
+
+    ident = f"{os.getpid()}-{threading.get_ident()}"
+    tag = uuid.uuid4().hex[:8]
+    stage = index_dir + f".stage-{label}-{ident}"
+    shutil.rmtree(stage, ignore_errors=True)
+    df.write.mode("overwrite").parquet(stage)
+    for f in os.listdir(stage):
+        if f.endswith(".parquet"):
+            os.rename(
+                os.path.join(stage, f),
+                os.path.join(index_dir, f"{label}-{tag}-{f}"),
+            )
+    shutil.rmtree(stage, ignore_errors=True)
+
 
 def _marker_rows(
     ids: DataFrame, ngram: int, k: int, bands: int
@@ -564,10 +596,6 @@ def lsh_index_update(spark, docs: DataFrame, index_dir: str) -> int:
     batch containing one would be recounted (and re-signed) forever and
     redelivery would never converge to a no-op. Returns the number of
     newly indexed docs; 0 is a pure no-op."""
-    import os
-    import shutil
-    import uuid
-
     idx = spark.read.parquet(index_dir)
     p = idx.select("ngram", "k", "bands").first()
     markers = idx.where(F.col("band") == COVER_BAND).select("doc_id")
@@ -596,22 +624,9 @@ def lsh_index_update(spark, docs: DataFrame, index_dir: str) -> int:
     n_new = new_docs.select("doc_id").distinct().count()
     if not n_new and legacy_fully is None:
         return 0
-    import threading
-
-    ident = f"{os.getpid()}-{threading.get_ident()}"
-    tag = uuid.uuid4().hex[:8]
 
     def _move_in(df, label: str) -> None:
-        stage = index_dir + f".stage-{label}-{ident}"
-        shutil.rmtree(stage, ignore_errors=True)
-        df.write.mode("overwrite").parquet(stage)
-        for f in os.listdir(stage):
-            if f.endswith(".parquet"):
-                os.rename(
-                    os.path.join(stage, f),
-                    os.path.join(index_dir, f"{label}-{tag}-{f}"),
-                )
-        shutil.rmtree(stage, ignore_errors=True)
+        _move_parquet_into(df, index_dir, label)
 
     if n_new:
         sh = doc_shingles(new_docs, ngram=int(p["ngram"]))
@@ -653,16 +668,88 @@ def lsh_index_update(spark, docs: DataFrame, index_dir: str) -> int:
     return n_new
 
 
+def lsh_index_delete(spark, doc_ids: DataFrame, index_dir: str) -> int:
+    """DELETE docs from the index by TOMBSTONE — the GDPR/right-to-be-
+    forgotten maintenance op, O(delete batch), never a rewrite: one
+    `TOMB_BAND` row per deleted doc appends through the same stage+
+    rename protocol as updates, and every serve path anti-joins the
+    tombstone set before pairing. The doc's band rows and coverage
+    marker stay on disk (so a redelivered copy of the doc is still
+    "covered" and is NOT re-signed back to life — delete wins over
+    redelivery), and `lsh_index_compact` reclaims the bytes later, the
+    tombstone-then-compact split every LSM/table format uses.
+    Idempotent: re-deleting returns 0 and appends nothing. Docs absent
+    from the index are ignored (nothing to forget). Returns the number
+    of newly tombstoned docs."""
+    idx = spark.read.parquet(index_dir)
+    p = idx.select("ngram", "k", "bands").first()
+    covered = idx.where(F.col("band") == COVER_BAND).select("doc_id")
+    tombs = idx.where(F.col("band") == TOMB_BAND).select("doc_id")
+    todo = (
+        doc_ids.select("doc_id")
+        .distinct()
+        .join(covered, "doc_id", "left_semi")
+        .join(tombs, "doc_id", "left_anti")
+    )
+    n = todo.count()
+    if not n:
+        return 0
+    rows = todo.select(
+        "doc_id",
+        F.lit(TOMB_BAND).alias("band"),
+        F.col("doc_id").cast("string").alias("band_hash"),
+        F.lit(int(p["ngram"])).alias("ngram"),
+        F.lit(int(p["k"])).alias("k"),
+        F.lit(int(p["bands"])).alias("bands"),
+    )
+    _move_parquet_into(rows, index_dir, "tomb")
+    return n
+
+
+def lsh_index_compact(spark, index_dir: str) -> int:
+    """Physically remove tombstoned docs: one anti-join rewrite of the
+    index (band rows, markers, AND the tombstones themselves) committed
+    via tmp write + atomic swap — after it, serving reads strictly
+    fewer bytes and the tombstone anti-join is empty. Run on the
+    LSM cadence (when tombstones exceed a fraction of the index), not
+    per delete. NOTE: compaction erases the "covered" memory of deleted
+    docs along with their tombstones — a source that redelivers a
+    compacted-away doc re-indexes it; keeping deleted docs out of the
+    SOURCE is the upstream contract, the index only forgets. Returns
+    the number of docs reclaimed; 0 is a pure no-op (no rewrite)."""
+    import shutil
+
+    from twitter_flink_spark.operators.skipping import (
+        _replace_dir,
+        _scratch_name,
+    )
+
+    idx = spark.read.parquet(index_dir)
+    tombs = idx.where(F.col("band") == TOMB_BAND).select("doc_id").distinct()
+    n = tombs.count()
+    if not n:
+        return 0
+    kept = idx.join(tombs, "doc_id", "left_anti")
+    tmp = _scratch_name(index_dir, "tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    kept.write.mode("overwrite").parquet(tmp)
+    _replace_dir(tmp, index_dir)
+    return n
+
+
 def lsh_index_candidates(spark, index_dir: str) -> DataFrame:
     """Candidate pairs straight from the persisted index: the same
     (band, band_hash) equi self-join as `lsh_candidate_pairs`, reading
     hashes instead of recomputing signatures (coverage-marker rows are
     filtered out — they carry per-doc unique hashes and could never
-    pair anyway, but they are bookkeeping, not signal). Callers
+    pair anyway, but they are bookkeeping, not signal; tombstoned docs
+    are anti-joined out — a deleted doc serves in no pair). Callers
     restrict the pair set (e.g. at-least-one-side-new) and verify with
     exact Jaccard."""
+    idx = spark.read.parquet(index_dir)
+    tombs = idx.where(F.col("band") == TOMB_BAND).select("doc_id")
     return lsh_candidate_pairs(
-        spark.read.parquet(index_dir).where(F.col("band") >= 0)
+        idx.where(F.col("band") >= 0).join(tombs, "doc_id", "left_anti")
     )
 
 
@@ -676,10 +763,14 @@ def lsh_index_probe(spark, docs: DataFrame, index_dir: str) -> DataFrame:
     batch of its LATER side (probe after extending the index with the
     batch, so batch-internal pairs surface too), and the union of
     probes over batches equals the batch pipeline's full candidate set
-    (md5-deterministic banding). Returns distinct (doc_a < doc_b)."""
+    (md5-deterministic banding). Returns distinct (doc_a < doc_b);
+    tombstoned docs pair on neither side."""
     idx = spark.read.parquet(index_dir)
     p = idx.select("ngram", "k", "bands").first()
-    sh = doc_shingles(docs, ngram=int(p["ngram"]))
+    tombs = idx.where(F.col("band") == TOMB_BAND).select("doc_id")
+    sh = doc_shingles(
+        docs.join(tombs, "doc_id", "left_anti"), ngram=int(p["ngram"])
+    )
     nb = lsh_bands(
         minhash_signature(sh, k=int(p["k"])),
         k=int(p["k"]),
@@ -688,7 +779,9 @@ def lsh_index_probe(spark, docs: DataFrame, index_dir: str) -> DataFrame:
     return (
         nb.alias("n")
         .join(
-            idx.where(F.col("band") >= 0).alias("i"),
+            idx.where(F.col("band") >= 0)
+            .join(tombs, "doc_id", "left_anti")
+            .alias("i"),
             on=["band", "band_hash"],
         )
         .where(F.col("n.doc_id") != F.col("i.doc_id"))

@@ -41,10 +41,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_pair_ctes(k: int = MINHASH_K, bands: int = 8, ngram: int = 3,
-                       threshold: float = 0.5) -> str:
+                       threshold: float = 0.5,
+                       doc_filter: str = "TRUE") -> str:
     """The shared CTE chain ending in `pairs` (verified near-dup pairs) —
     composed into both the pair oracle and the recursive clustering
-    oracle."""
+    oracle. ``doc_filter`` restricts the corpus (the delete-oracle twin:
+    pairs over documents minus the tombstoned set)."""
     r = k // bands
     h_cols = ",\n         ".join(
         f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(k)
@@ -58,7 +60,7 @@ def _minhash_pair_ctes(k: int = MINHASH_K, bands: int = 8, ngram: int = 3,
     )
     return f"""tok AS (
   SELECT doc_id, str_split(text, ' ') AS toks FROM documents
-  WHERE len(str_split(text, ' ')) >= {ngram}
+  WHERE len(str_split(text, ' ')) >= {ngram} AND ({doc_filter})
 ),
 sh AS (
   SELECT DISTINCT doc_id, array_to_string(toks[i:i+{ngram - 1}], ' ') AS shingle
@@ -1954,4 +1956,85 @@ def dedup_cluster_size_histogram(
     conserved = int(total) == docs.count()
     return out.select(
         "*", F.lit(bool(conserved)).alias("mass_conserved")
+    )
+
+
+@register(
+    "dedup_lsh_index_delete_compact",
+    oracle=f"""
+WITH {_minhash_pair_ctes(doc_filter="doc_id % 13 <> 0")}
+SELECT doc_a, doc_b, jaccard,
+       TRUE AS delete_idempotent,
+       TRUE AS compaction_reclaimed,
+       TRUE AS serve_equal_post_compact
+FROM pairs
+""",
+)
+def dedup_lsh_index_delete_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELETE-from-the-dedup-index lifecycle — the right-to-be-forgotten
+    op a 100 TB corpus index must support without rebuilds: build the
+    persisted LSH index, tombstone every doc_id % 13 == 0
+    (`lsh_index_delete`, O(batch) append through the same stage+rename
+    protocol as updates), serve candidates (deleted docs pair on
+    NEITHER side), then `lsh_index_compact` (one anti-join rewrite,
+    atomic swap) and serve again. Pins carried in-result:
+    `delete_idempotent` (re-deleting the same batch returns 0 and
+    appends nothing), `compaction_reclaimed` (compact returned the
+    tombstone count and the post-compact index holds no tombstones and
+    strictly fewer rows), `serve_equal_post_compact` (verified pair set
+    before and after compaction is row-identical — compaction reclaims
+    bytes, never changes answers). The oracle is the ground truth of
+    deletion: the full batch pipeline over documents WITH THE DELETED
+    DOCS REMOVED — a hash match proves tombstone serving equals a world
+    where the docs never existed. Scale: delete is O(batch), serve adds
+    one bounded anti-join per side, compact is one linear rewrite on
+    the LSM cadence (amortized over many deletes), and nothing ever
+    re-signs the surviving corpus."""
+    import os
+
+    from twitter_flink_spark.operators.dedup import (
+        TOMB_BAND,
+        jaccard_verify_sets,
+        lsh_index_build,
+        lsh_index_candidates,
+        lsh_index_compact,
+        lsh_index_delete,
+    )
+    from twitter_flink_spark.sources.staging import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    index_dir = os.path.join(scratch_dir("lshdel"), "index")
+    lsh_index_build(spark, docs, index_dir)
+    doomed = docs.where(F.col("doc_id") % 13 == 0).select("doc_id")
+    n_del = lsh_index_delete(spark, doomed, index_dir)
+    n_again = lsh_index_delete(spark, doomed, index_dir)  # idempotent
+    sets = _staged_shingle_sets(spark, sf_dir)
+    before = jaccard_verify_sets(
+        lsh_index_candidates(spark, index_dir), sets, threshold=0.5
+    )
+    # pin the serve set across compaction by content, not by plan
+    before_rows = {tuple(r) for r in before.collect()}  # bounded: pairs
+    rows_pre = spark.read.parquet(index_dir).count()
+    n_reclaimed = lsh_index_compact(spark, index_dir)
+    post = spark.read.parquet(index_dir)
+    rows_post = post.count()
+    tombs_post = post.where(F.col("band") == TOMB_BAND).count()
+    after = jaccard_verify_sets(
+        lsh_index_candidates(spark, index_dir), sets, threshold=0.5
+    )
+    after_rows = {tuple(r) for r in after.collect()}
+    idempotent = n_del > 0 and n_again == 0
+    reclaimed = (
+        n_reclaimed == n_del and tombs_post == 0 and rows_post < rows_pre
+    )
+    serve_equal = before_rows == after_rows
+    return after.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.lit(bool(idempotent)).alias("delete_idempotent"),
+        F.lit(bool(reclaimed)).alias("compaction_reclaimed"),
+        F.lit(bool(serve_equal)).alias("serve_equal_post_compact"),
     )
