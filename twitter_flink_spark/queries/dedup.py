@@ -2038,3 +2038,91 @@ def dedup_lsh_index_delete_compact(
         F.lit(bool(reclaimed)).alias("compaction_reclaimed"),
         F.lit(bool(serve_equal)).alias("serve_equal_post_compact"),
     )
+
+
+@register(
+    "dedup_leakage_safe_split",
+    oracle=f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+bidir AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+walk(node, label) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM bidir)
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN bidir e ON e.a = w.node
+),
+cl AS (SELECT node AS doc_id, min(label) AS cluster_id
+       FROM walk GROUP BY node),
+g AS (
+  SELECT d.doc_id,
+         len(str_split(d.text, ' ')) AS n_tok,
+         coalesce(cl.cluster_id, d.doc_id) AS grp
+  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+),
+lab AS (
+  SELECT *, CASE WHEN grp % 10 < 8 THEN 'train' ELSE 'test' END AS split
+  FROM g
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+       TRUE AS no_cluster_straddles
+FROM lab GROUP BY split
+""",
+)
+def dedup_leakage_safe_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTAMINATION-SAFE train/test split — the step after dedup in
+    every eval-honest training pipeline: a random per-DOCUMENT split
+    leaks, because a near-duplicate of a test doc lands in train and
+    the eval measures memorization of its twin. The unit of assignment
+    must be the near-dup CLUSTER: label every doc with its connected
+    component over the verified MinHash-LSH pairs (singletons are their
+    own group), then route whole GROUPS to train/test by a
+    deterministic rule on the group id (grp % 10 < 8 => train, the
+    80/20 split both engines compute identically). Output is the
+    2-row split census a datacard quotes (docs, tokens, groups per
+    split) plus `no_cluster_straddles`, pinned IN Spark by counting
+    groups with >1 distinct split (must be zero — true by construction
+    here, and the regression alarm if anyone ever swaps the rule to a
+    per-doc hash). Scale: one CC over the bounded pair set, one
+    broadcast-sized join onto the corpus, one aggregate — no shuffle
+    the plain dedup pipeline doesn't already pay; at 100 TB the split
+    rule stays a pure function of group id, so new crawls route
+    consistently without reshuffling old data."""
+    from twitter_flink_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _near_dup_pairs_staged(spark, sf_dir)
+    cl = connected_components(pairs)
+    g = (
+        docs.join(F.broadcast(cl), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_tok"),
+            F.coalesce("cluster_id", "doc_id").alias("grp"),
+        )
+        .withColumn(
+            "split",
+            F.when(F.col("grp") % 10 < 8, F.lit("train")).otherwise(
+                F.lit("test")
+            ),
+        )
+    )
+    n_straddle = (
+        g.groupBy("grp")
+        .agg(F.count_distinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .count()
+    )  # 0 by construction: the pin that the split rule stays group-pure
+    return g.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.count_distinct("grp").cast("long").alias("n_groups"),
+        F.lit(bool(n_straddle == 0)).alias("no_cluster_straddles"),
+    )
