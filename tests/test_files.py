@@ -2342,3 +2342,65 @@ def test_int_floor_div_matches_python_everywhere(spark):
     for r in got:
         exp = max(0, min(h - 1, (r["off"] * h) // r["span"]))
         assert r["b"] == exp, (r["off"], r["span"], r["b"], exp)
+
+
+def test_zorder_value_interleaves_bits(spark):
+    """Morton code of (a, b): a's bit i lands at position 2i+1, b's at
+    2i — pinned against a pure-Python reference over the 8-bit corner
+    cases and a sample grid."""
+    from twitter_flink_spark.operators.zorder import zorder_value
+
+    def ref(a: int, b: int) -> int:
+        out = 0
+        for i in range(8):
+            out |= ((a >> i) & 1) << (2 * i + 1)
+            out |= ((b >> i) & 1) << (2 * i)
+        return out
+
+    cases = [(0, 0), (255, 255), (255, 0), (0, 255), (1, 2), (170, 85)]
+    cases += [(a, b) for a in (3, 77, 200) for b in (5, 128, 254)]
+    df = spark.createDataFrame(cases, "a long, b long")
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", zorder_value(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+    assert got == {(a, b): ref(a, b) for a, b in cases}
+
+
+def test_zorder_layout_tightens_both_envelopes(spark, tmp_path):
+    """The Z layout's per-file envelopes must be tight on BOTH columns:
+    mean envelope width over files is strictly smaller than the linear
+    layout's on user_id (where linear files span the whole range)."""
+    from twitter_flink_spark.operators import skipping
+    from twitter_flink_spark.operators.zorder import zorder_layout
+    from twitter_flink_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    b = e.agg(
+        F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+        F.min(F.unix_micros("ts")).alias("tlo"),
+        F.max(F.unix_micros("ts")).alias("thi"),
+    ).first()
+    lin = str(tmp_path / "lin")
+    zd = str(tmp_path / "z")
+    e.repartitionByRange(16, "ts").write.parquet(lin)
+    zorder_layout(
+        e.withColumn("ts_us", F.unix_micros("ts")), "user_id", "ts_us",
+        (int(b["ulo"]), int(b["uhi"]), int(b["tlo"]), int(b["thi"])), 16,
+    ).drop("ts_us").write.parquet(zd)
+
+    def mean_u_width(root):
+        skipping.build(spark, root, ["user_id"], two_level_threshold=10**6)
+        m = spark.read.parquet(
+            f"{root}/{skipping.STATS_DIR}"
+        )
+        return m.agg(
+            F.avg(F.col("max_user_id") - F.col("min_user_id"))
+        ).first()[0]
+
+    assert mean_u_width(zd) < mean_u_width(lin)

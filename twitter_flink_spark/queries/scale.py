@@ -4069,3 +4069,145 @@ def mixed_conjunction_point_range(
             "index_pruned"
         ),
     )
+
+
+def _ensure_zorder_layouts(spark: SparkSession, sf_dir: str) -> str:
+    """Two 32-file copies of events under one fixture: ``linear/``
+    (ts-range-sorted — the single-column layout every ingest produces)
+    and ``zorder/`` (Morton-interleaved (user_id, ts) tiles,
+    `operators.zorder`). Data files are path-relocatable and build in
+    the scratch phase; the two flat (user_id, ts) stats manifests store
+    absolute paths and build in finalize. Cross-process write-once."""
+    from twitter_flink_spark.operators import skipping
+    from twitter_flink_spark.operators.zorder import zorder_layout
+    from twitter_flink_spark.sources.staging import stage_once
+
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg(
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
+        F.min(F.unix_micros("ts")).alias("tlo"),
+        F.max(F.unix_micros("ts")).alias("thi"),
+    ).first()
+
+    def _build(p: str) -> None:
+        import os
+
+        (
+            e.repartitionByRange(32, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(os.path.join(p, "linear"))
+        )
+        zorder_layout(
+            e.withColumn("ts_us", F.unix_micros("ts")),
+            "user_id",
+            "ts_us",
+            (int(b["ulo"]), int(b["uhi"]), int(b["tlo"]), int(b["thi"])),
+            32,
+        ).drop("ts_us").write.mode("overwrite").parquet(
+            os.path.join(p, "zorder")
+        )
+
+    def _finalize(dest: str) -> None:
+        import os
+
+        skipping.build(spark, os.path.join(dest, "linear"), ["user_id", "ts"])
+        skipping.build(spark, os.path.join(dest, "zorder"), ["user_id", "ts"])
+
+    dest, _ = stage_once("zorder", sf_dir, _build, _finalize)
+    return dest
+
+
+@register(
+    "zorder_multicol_pruning",
+    oracle="""
+WITH b AS (SELECT min(ts) AS t0, min(user_id) AS u_lo,
+                  max(user_id) AS u_mx FROM events)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(e.value), 2) AS total_value,
+       TRUE AS zorder_scans_fewer,
+       TRUE AS prune_sound
+FROM events e, b
+WHERE e.user_id >= b.u_lo
+  AND e.user_id < b.u_lo + CAST(floor((b.u_mx - b.u_lo + 1) / 4.0)
+                                AS BIGINT)
+  AND e.ts >= b.t0 + INTERVAL 10 DAY
+  AND e.ts <  b.t0 + INTERVAL 20 DAY
+GROUP BY e.event_type
+""",
+)
+def zorder_multicol_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering vs linear sort, consulted through the SAME
+    min/max file-skipping index — the lakehouse OPTIMIZE ZORDER BY
+    story: a 2-D box predicate (quarter of the user range x a 10-day
+    window) against (a) the ts-sorted layout, where every file's
+    user_id envelope spans the whole range so only the ts bound prunes,
+    and (b) the Morton-tiled layout, where file envelopes are tight on
+    BOTH columns and the consult drops to the overlapped tiles. Both
+    consults run `skipping.select_files` with the identical conjunction
+    — the LAYOUT is the only variable, exactly how Z-ordering ships in
+    production (the index format never changes). The aggregate is
+    computed from the Z-pruned scan with the box as residual;
+    `zorder_scans_fewer` pins that the Z consult touched strictly fewer
+    files than the linear one, `prune_sound` that the pruned-scan
+    aggregate equals the full-scan aggregate row-for-row (the index may
+    only skip files it can prove empty of the box). The oracle computes
+    the same box aggregate over the raw table — a hash match proves the
+    whole prune-then-scan path lost nothing. Scale: the rewrite is
+    compaction-cadence work; serving pays one O(files) manifest consult
+    either way, the Z layout just returns ~area-fraction of the files
+    instead of the ts-fraction."""
+    import datetime
+    import os
+
+    from twitter_flink_spark.operators import skipping
+
+    dest = _ensure_zorder_layouts(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg(
+        F.min("ts").alias("t0"),
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("umx"),
+    ).first()
+    u_lo = int(b["ulo"])
+    u_hi = u_lo + (int(b["umx"]) - u_lo + 1) // 4
+    t_lo = b["t0"] + datetime.timedelta(days=10)
+    t_hi = b["t0"] + datetime.timedelta(days=20)
+    preds = [("user_id", u_lo, u_hi), ("ts", t_lo, t_hi)]
+    lin_files, _ = skipping.select_files(
+        spark, os.path.join(dest, "linear"), preds
+    )
+    z_files, _ = skipping.select_files(
+        spark, os.path.join(dest, "zorder"), preds
+    )
+    box = (
+        (F.col("user_id") >= u_lo)
+        & (F.col("user_id") < u_hi)
+        & (F.col("ts") >= F.lit(t_lo))
+        & (F.col("ts") < F.lit(t_hi))
+    )
+
+    def _agg(df):
+        return df.where(box).groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+
+    # the staged layouts were written from the normalized table, so the
+    # pruned scan reads proper timestamps with no re-normalization
+    pruned = _agg(spark.read.parquet(*z_files))
+    full = _agg(e)
+    sound = {tuple(r) for r in pruned.collect()} == {
+        tuple(r) for r in full.collect()
+    }  # bounded: one row per event_type
+    return pruned.select(
+        "event_type",
+        "cnt",
+        "total_value",
+        F.lit(bool(len(z_files) < len(lin_files))).alias(
+            "zorder_scans_fewer"
+        ),
+        F.lit(bool(sound)).alias("prune_sound"),
+    )
