@@ -2297,6 +2297,7 @@ def _ivf_inc_oracle(
     label_filter: bool = False,
     rare_mod: int | None = None,
     escalate: bool = False,
+    delete_sql: str | None = None,
 ) -> str:
     """Corpus-half Lloyd fit (same unrolled rounds as `_kmeans_ctes`, with
     the fit restricted to vec_id <= split), then assignment of EVERY
@@ -2379,6 +2380,11 @@ c{r} AS (
         label_pred += f"""
     AND a.vec_id % {rare_mod}
         = (SELECT p.vec_id % {rare_mod} FROM probe p)"""
+    if delete_sql is not None:
+        # the deleted vectors never candidate: the SQL twin of serving
+        # through tombstones (or of a compacted index)
+        label_pred += f"""
+    AND NOT ({delete_sql})"""
     if escalate:
         # minimal distance-ranked cell prefix reaching topk filtered
         # candidates (else all cells): the escalation loop's fixed point
@@ -2619,6 +2625,135 @@ def ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
             F.lit(bool(ok)).alias("incrementally_assigned"),
         )
+    )
+
+
+@register(
+    "ivf_index_delete_compact",
+    oracle=_ivf_inc_oracle(
+        delete_sql="a.vec_id % 9 = 3",
+        flags_sql=(
+            "TRUE AS delete_idempotent, TRUE AS compact_cells_local, "
+            "TRUE AS serve_equal_post_compact"
+        ),
+    ),
+)
+def ivf_index_delete_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELETE-from-the-vector-index lifecycle (`operators/ivf.py`) — the
+    embeddings twin of `dedup_lsh_index_delete_compact`, with the
+    structural win the cid-partitioned inverted-list layout buys:
+    tombstone every vec_id % 9 == 3 (O(batch) append to a ``_tombs``
+    sidecar; probe excluded so serving stays defined), serve the
+    nprobe=1 top-5 through the tombstone anti-join, then compact — a
+    rewrite of ONLY the cid directories that contain deleted vectors —
+    and serve again. Pins carried in-result: `delete_idempotent`
+    (re-delete returns 0), `compact_cells_local` (compaction reported
+    exactly the cells holding deleted vectors, reclaimed exactly the
+    tombstone count, and every UNTOUCHED cid dir's file listing is
+    byte-identical before/after — the partition-level-delete contract),
+    `serve_equal_post_compact` (top-5 identical either side of the
+    rewrite). The oracle refits from scratch and excludes the deleted
+    set from candidacy — a hash match proves tombstone serving equals a
+    world where those vectors were never indexed. Scale: delete O(batch),
+    serve adds one anti-join against the tombstone set, compact touches
+    k'/k of the table on the LSM cadence."""
+    import os
+    import shutil
+
+    from twitter_flink_spark.operators.clustering import assign_clusters
+    from twitter_flink_spark.operators.ivf import (
+        ivf_index_compact,
+        ivf_index_delete,
+        ivf_tombstones,
+    )
+    from twitter_flink_spark.sources.staging import scratch_dir
+
+    staged, split, _led = _ensure_ivf_inc_index(spark, sf_dir)
+    work = os.path.join(scratch_dir("ivfdel"), "index")
+    shutil.copytree(os.path.realpath(staged), work)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_id = int(emb.agg(F.max("vec_id")).first()[0])
+    doomed = emb.where(
+        (F.col("vec_id") % 9 == 3) & (F.col("vec_id") != probe_id)
+    ).select("vec_id")
+    n_del = ivf_index_delete(spark, doomed, work)
+    n_again = ivf_index_delete(spark, doomed, work)
+    assign_dir = os.path.join(work, "_assign")
+    doomed_cells = sorted(
+        int(r["cid"])
+        for r in spark.read.parquet(assign_dir)
+        .join(ivf_tombstones(spark, work), "vec_id", "left_semi")
+        .select("cid")
+        .distinct()
+        .collect()
+    )
+    listing_before = {
+        d: sorted(os.listdir(os.path.join(assign_dir, d)))
+        for d in os.listdir(assign_dir)
+        if d.startswith("cid=")
+    }
+
+    cents = spark.read.parquet(os.path.join(work, "_centroids"))
+    probe = emb.where(F.col("vec_id") == probe_id).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    pcid = int(assign_clusters(probe, cents).first()["cid"])
+    probe_vec = probe.select(F.col("e").alias("pe"))
+
+    def _serve() -> DataFrame:
+        cands = (
+            spark.read.parquet(os.path.join(assign_dir, f"cid={pcid}"))
+            .join(ivf_tombstones(spark, work), "vec_id", "left_anti")
+            .where(F.col("vec_id") != probe_id)
+            .select("vec_id")
+            .join(emb, "vec_id")
+            .select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("e"),
+            )
+        )
+        scored = cands.crossJoin(F.broadcast(probe_vec)).select(
+            "vec_id",
+            F.round(
+                dot(F.col("e"), F.col("pe"))
+                / (
+                    F.sqrt(dot(F.col("e"), F.col("e")))
+                    * F.sqrt(dot(F.col("pe"), F.col("pe")))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        return scored.orderBy(F.desc("cosine"), "vec_id").limit(5)
+
+    before = [tuple(r) for r in _serve().collect()]  # 5 rows
+    n_reclaimed, n_cells = ivf_index_compact(spark, work)
+    after = _serve()
+    after_rows = [tuple(r) for r in after.collect()]
+    untouched_same = all(
+        sorted(os.listdir(os.path.join(assign_dir, d)))
+        == listing_before[d]
+        for d in listing_before
+        if int(d.split("=", 1)[1]) not in doomed_cells
+    )
+    cells_local = (
+        n_reclaimed == n_del
+        and n_cells == len(doomed_cells)
+        and untouched_same
+        and not os.path.isdir(os.path.join(work, "_tombs"))
+    )
+    return after.select(
+        "vec_id",
+        "cosine",
+        F.lit(bool(n_del > 0 and n_again == 0)).alias(
+            "delete_idempotent"
+        ),
+        F.lit(bool(cells_local)).alias("compact_cells_local"),
+        F.lit(bool(before == after_rows)).alias(
+            "serve_equal_post_compact"
+        ),
     )
 
 
