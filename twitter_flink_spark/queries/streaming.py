@@ -3003,3 +3003,120 @@ FROM merged GROUP BY source
 
 
 _attach_dedup_ledger_oracle()
+
+
+def _ensure_delete_stream(spark: SparkSession, sf_dir: str) -> str:
+    """The GDPR delete-request feed: doc_id % 13 == 0 split into 2
+    doc_id-ordered parquet files (replayable arrival order for the
+    streaming delete maintenance). Cross-process write-once."""
+    from twitter_flink_spark.sources.staging import stage_once
+    from twitter_flink_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    doomed = docs.where(F.col("doc_id") % 13 == 0).select("doc_id")
+    mid = doomed.agg(
+        (F.min("doc_id") + F.max("doc_id")) / 2
+    ).first()[0]
+
+    def _build(p: str) -> None:
+        for pred in (F.col("doc_id") <= mid, F.col("doc_id") > mid):
+            doomed.where(pred).coalesce(1).write.mode("append").parquet(p)
+
+    dest, _ = stage_once("delstream2", sf_dir, _build)
+    return dest
+
+
+@register("streaming_lsh_delete_maintenance")  # oracle attached below
+def streaming_lsh_delete_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Right-to-be-forgotten as a STREAM — the delete-request feed every
+    compliant corpus store drains continuously, completing the LSH
+    index's lifecycle triple (build / extend / DELETE) in streaming
+    form: build the persisted index over the corpus, then replay the
+    delete requests (doc_id % 13 == 0) as two micro-batches, each
+    applied by `lsh_index_delete` — an O(batch) tombstone append
+    through the same stage+rename protocol as extends, idempotent under
+    redelivery (pinned by re-draining the full doomed set after the
+    stream: 0 new tombstones). After the drain the index serves the
+    verified pair set with deleted docs on NEITHER side; a final
+    `lsh_index_compact` (one anti-join rewrite, LSM cadence) must
+    reclaim exactly the tombstoned docs and leave the served set
+    row-identical (`compact_preserves_serve`). The oracle is the batch
+    pipeline over documents WITH THE DELETED DOCS REMOVED — streamed
+    tombstoning and never-having-ingested must be indistinguishable.
+    At 100 TB: each delete batch pays one semi-join + one appended
+    parquet; nothing re-signs the surviving corpus; the compaction
+    amortizes over many delete batches."""
+    import os
+
+    from twitter_flink_spark.operators.dedup import (
+        jaccard_verify_sets,
+        lsh_index_build,
+        lsh_index_candidates,
+        lsh_index_compact,
+        lsh_index_delete,
+    )
+    from twitter_flink_spark.queries.dedup import _staged_shingle_sets
+    from twitter_flink_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    index_dir = os.path.join(scratch_dir("lshdelstream"), "index")
+    lsh_index_build(spark, docs, index_dir)
+    staged = _ensure_delete_stream(spark, sf_dir)
+    ledger: list[int] = []
+
+    def sink(batch_df, batch_id: int) -> None:
+        ledger.append(lsh_index_delete(spark, batch_df, index_dir))
+
+    schema = spark.read.parquet(staged).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", scratch_dir("lshdelstream-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 300)
+    streamed_ok = len(ledger) == 2 and all(n > 0 for n in ledger)
+    doomed = docs.where(F.col("doc_id") % 13 == 0).select("doc_id")
+    redelivery_noop = lsh_index_delete(spark, doomed, index_dir) == 0
+
+    sets = _staged_shingle_sets(spark, sf_dir)
+    served = jaccard_verify_sets(
+        lsh_index_candidates(spark, index_dir), sets, threshold=0.5
+    )
+    served_rows = {tuple(r) for r in served.collect()}  # bounded: pairs
+    n_reclaimed = lsh_index_compact(spark, index_dir)
+    after = jaccard_verify_sets(
+        lsh_index_candidates(spark, index_dir), sets, threshold=0.5
+    )
+    compact_ok = n_reclaimed == sum(ledger) and {
+        tuple(r) for r in after.collect()
+    } == served_rows
+    return after.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.lit(bool(streamed_ok)).alias("streamed_in_batches"),
+        F.lit(bool(redelivery_noop)).alias("redelivery_noop"),
+        F.lit(bool(compact_ok)).alias("compact_preserves_serve"),
+    )
+
+
+def _attach_lsh_delete_stream_oracle() -> None:
+    from twitter_flink_spark.queries.dedup import _minhash_pair_ctes
+    from twitter_flink_spark.registry import ORACLES
+
+    ORACLES["streaming_lsh_delete_maintenance"] = f"""
+WITH {_minhash_pair_ctes(doc_filter="doc_id % 13 <> 0")}
+SELECT doc_a, doc_b, jaccard,
+       TRUE AS streamed_in_batches, TRUE AS redelivery_noop,
+       TRUE AS compact_preserves_serve
+FROM pairs
+"""
+
+
+_attach_lsh_delete_stream_oracle()
