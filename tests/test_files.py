@@ -2404,3 +2404,60 @@ def test_zorder_layout_tightens_both_envelopes(spark, tmp_path):
         ).first()[0]
 
     assert mean_u_width(zd) < mean_u_width(lin)
+
+
+def test_compaction_plan_ffd_properties():
+    """Pure-metadata planner: only sub-target files, no bin exceeds the
+    target, singleton bins are dropped, deterministic ordering."""
+    from twitter_flink_spark.operators.compaction import compaction_plan
+
+    files = [(f"f{i}", s) for i, s in enumerate(
+        [100, 40, 40, 35, 30, 25, 10, 5, 5]
+    )]
+    plan = compaction_plan(files, target_bytes=100)
+    flat = [p for g in plan for p in g]
+    assert len(flat) == len(set(flat))  # each file in at most one group
+    assert "f0" not in flat  # at-target file is never planned
+    sizes = dict(files)
+    for g in plan:
+        assert len(g) >= 2
+        assert sum(sizes[p] for p in g) <= 100
+    assert sum(sizes[p] for p in flat) >= 150  # the small tail is packed
+    assert plan == compaction_plan(files, 100)  # deterministic
+
+
+def test_compact_table_preserves_rows_and_inodes(spark, tmp_path):
+    """Execution: rows identical, untouched file hardlinked (same
+    inode), strictly fewer files, crash-free atomicity via the pointer
+    swap (the committed dir is always a complete generation)."""
+    import os
+
+    from twitter_flink_spark.operators.compaction import compact_table
+    from twitter_flink_spark.operators.skipping import _norm_path
+    from twitter_flink_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    t = str(tmp_path / "table")
+    e.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(t)
+    for i in range(6):
+        e.where(
+            (F.col("event_id") % 2 == 1)
+            & ((F.col("event_id") / 2).cast("long") % 6 == i)
+        ).coalesce(1).write.mode("append").parquet(t)
+    rows_before = e.count()
+    files = [_norm_path(f) for f in spark.read.parquet(t).inputFiles()]
+    sizes = {p: os.stat(p).st_size for p in files}
+    big = max(sizes, key=lambda p: sizes[p])
+    ino = os.stat(big).st_ino
+    nb, na, ng = compact_table(spark, t, sizes[big])
+    assert ng >= 1 and na < nb == len(files)
+    assert spark.read.parquet(t).count() == rows_before
+    kept = [
+        _norm_path(f)
+        for f in spark.read.parquet(t).inputFiles()
+        if os.path.basename(_norm_path(f)) == os.path.basename(big)
+    ]
+    assert kept and os.stat(kept[0]).st_ino == ino

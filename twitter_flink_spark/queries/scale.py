@@ -4211,3 +4211,126 @@ def zorder_multicol_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(bool(sound)).alias("prune_sound"),
     )
+
+
+def _ensure_smallfiles_table(spark: SparkSession, sf_dir: str) -> str:
+    """The small-files pathology, staged: events written as ONE large
+    file (half the rows) plus 16 tiny files (the other half sliced by
+    event_id) under ``<fixture>/table``. Cross-process write-once; the
+    compaction query copies the table before mutating it (the fixture
+    itself stays pristine for every process)."""
+    import os
+
+    from twitter_flink_spark.sources.staging import stage_once
+
+    e = load_table(spark, sf_dir, "events")
+
+    def _build(p: str) -> None:
+        t = os.path.join(p, "table")
+        e.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(t)
+        for i in range(16):
+            e.where(
+                (F.col("event_id") % 2 == 1)
+                & ((F.col("event_id") / 2).cast("long") % 16 == i)
+            ).coalesce(1).write.mode("append").parquet(t)
+
+    dest, _ = stage_once("smallfiles", sf_dir, _build)
+    return os.path.join(dest, "table")
+
+
+@register(
+    "compaction_small_files",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 2) AS total_value,
+       TRUE AS files_reduced,
+       TRUE AS untouched_hardlinked,
+       TRUE AS converged_to_fixpoint
+FROM events GROUP BY event_type
+""",
+)
+def compaction_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION (`operators/compaction.py`) — the
+    maintenance chore every streaming sink creates and every 100 TB
+    table schedules: a staged events table of 1 large + 16 tiny files
+    is planned (first-fit-decreasing bin-pack of the sub-target files,
+    pure metadata) and executed as a NEW GENERATION — untouched files
+    HARDLINKED in (zero bytes copied; pinned by inode equality across
+    the swap), planned groups each read once and written as one merged
+    file, published by the same atomic pointer swap the skipping
+    manifests use, so readers never see a half-compacted file set and a
+    crash strands only scratch. Compaction runs to its FIXPOINT (merged
+    files compress better than the sum of their parts, so a first pass
+    can leave re-mergeable output — exactly why production compaction
+    is a recurring job, not a one-shot). Pins: `files_reduced`
+    (strictly fewer files, >= 1 group merged), `untouched_hardlinked`
+    (the large file's inode survived EVERY pass — the copy-free
+    contract), `converged_to_fixpoint` (a bounded number of passes
+    reaches a layout where one more pass is a no-op, with the file
+    count strictly decreasing every productive pass). The oracle
+    aggregates the raw table — a hash match proves compaction moved
+    every row exactly once. At 100 TB: planning is O(files) over
+    manifest metadata, execution I/O is the small tail being fixed,
+    never the table."""
+    import os
+    import shutil
+
+    from twitter_flink_spark.operators.compaction import compact_table
+    from twitter_flink_spark.operators.skipping import _norm_path
+    from twitter_flink_spark.sources.staging import scratch_dir
+
+    staged = _ensure_smallfiles_table(spark, sf_dir)
+    work = os.path.join(scratch_dir("compact"), "table")
+    shutil.copytree(os.path.realpath(staged), work)
+
+    files = [
+        _norm_path(f) for f in spark.read.parquet(work).inputFiles()
+    ]
+    sizes = {p: os.stat(p).st_size for p in files}
+    big = max(sizes, key=lambda p: sizes[p])
+    big_ino = os.stat(big).st_ino
+    target = sizes[big]  # merge the tail up to the healthy-file size
+
+    n_initial = len(files)
+    counts, total_groups = [n_initial], 0
+    for _ in range(5):  # fixpoint: bounded because counts must shrink
+        b, a, g = compact_table(spark, work, target)
+        if not g:
+            break
+        total_groups += g
+        counts.append(a)
+    b2, a2, g2 = compact_table(spark, work, target)  # one-more: no-op
+    after_files = {
+        os.path.basename(_norm_path(f)): _norm_path(f)
+        for f in spark.read.parquet(work).inputFiles()
+    }
+    reduced = counts[-1] < n_initial and total_groups >= 1 and counts[
+        -1
+    ] == len(after_files)
+    kept_big = after_files.get(os.path.basename(big))
+    hardlinked = (
+        kept_big is not None and os.stat(kept_big).st_ino == big_ino
+    )
+    converged = g2 == 0 and b2 == a2 == counts[-1] and all(
+        counts[i + 1] < counts[i] for i in range(len(counts) - 1)
+    )
+
+    return (
+        spark.read.parquet(work)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "event_type",
+            "cnt",
+            "total_value",
+            F.lit(bool(reduced)).alias("files_reduced"),
+            F.lit(bool(hardlinked)).alias("untouched_hardlinked"),
+            F.lit(bool(converged)).alias("converged_to_fixpoint"),
+        )
+    )
