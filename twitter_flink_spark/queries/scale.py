@@ -4255,7 +4255,13 @@ FROM events GROUP BY event_type
 def compaction_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file COMPACTION (`operators/compaction.py`) — the
     maintenance chore every streaming sink creates and every 100 TB
-    table schedules: a staged events table of 1 large + 16 tiny files
+    table schedules. Third member of the compaction family:
+    `compact_small_files` rewrites every partition wholesale (one task
+    per partition -> one file), `compact_target_file_size` adds
+    skew-safe exact size targeting; THIS one is the incremental
+    variant — plan WHICH files need merging and touch only those,
+    the shape a recurring OPTIMIZE job needs when 99% of the table is
+    already right-sized. A staged events table of 1 large + 16 tiny files
     is planned (first-fit-decreasing bin-pack of the sub-target files,
     pure metadata) and executed as a NEW GENERATION — untouched files
     HARDLINKED in (zero bytes copied; pinned by inode equality across

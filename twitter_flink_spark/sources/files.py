@@ -212,8 +212,12 @@ def binpack_write(
 
 def scratch_dir(tag: str) -> str:
     """Per-run scratch directory for sink round-trips (driver runs queries
-    repeatedly in one process; each run writes fresh)."""
-    return os.path.join(tempfile.mkdtemp(prefix=f"tfs-{tag}-"), tag)
+    repeatedly in one process; each run writes fresh). Delegates to the
+    swept ``staging.scratch_dir`` namespace so abandoned run dirs age
+    out instead of accumulating one mkdtemp per query run."""
+    from twitter_flink_spark.sources.staging import scratch_dir as _eph
+
+    return os.path.join(_eph(tag), tag)
 
 
 def partition_listing(
