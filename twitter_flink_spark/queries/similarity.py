@@ -3857,3 +3857,171 @@ def ivf_nprobe_autoselect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(chosen)).cast("int").alias("chosen_nprobe"),
         F.lit(True).alias("measured_selection"),
     )
+
+
+@register(
+    "ann_sq8_quantized_topk",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+dims AS (
+  SELECT t.i AS dim, min(v.e[t.i]) AS mn, max(v.e[t.i]) AS mx
+  FROM v, unnest(range(1, {_KM_DIM + 1})) AS t(i) GROUP BY t.i
+),
+qd AS (
+  SELECT v.vec_id,
+         list(CASE WHEN d.mx = d.mn THEN d.mn
+              ELSE d.mn + (least(greatest(
+                     floor((v.e[d.dim] - d.mn) * 256.0 / (d.mx - d.mn)),
+                     0), 255) + 0.5) * (d.mx - d.mn) / 256.0 END
+              ORDER BY d.dim) AS eq
+  FROM v CROSS JOIN dims d
+  GROUP BY v.vec_id
+),
+probe AS (SELECT vec_id, e FROM v
+          WHERE vec_id = (SELECT max(vec_id) FROM v)),
+approx AS (
+  SELECT q.vec_id,
+         list_dot_product(q.eq, p.e)
+           / (sqrt(list_dot_product(q.eq, q.eq))
+              * sqrt(list_dot_product(p.e, p.e))) AS acos_raw
+  FROM qd q CROSS JOIN probe p
+  WHERE q.vec_id <> p.vec_id
+),
+prelim AS (
+  SELECT vec_id FROM approx ORDER BY acos_raw DESC, vec_id LIMIT 32
+),
+rescored AS (
+  SELECT c.vec_id,
+         round(list_dot_product(c.e, p.e)
+               / (sqrt(list_dot_product(c.e, c.e))
+                  * sqrt(list_dot_product(p.e, p.e))), 6) AS cosine
+  FROM v c JOIN prelim USING (vec_id) CROSS JOIN probe p
+),
+topk AS (SELECT vec_id, cosine FROM rescored
+         ORDER BY cosine DESC, vec_id LIMIT 5),
+brute AS (
+  SELECT c.vec_id FROM v c CROSS JOIN probe p
+  WHERE c.vec_id <> p.vec_id
+  ORDER BY round(list_dot_product(c.e, p.e)
+                 / (sqrt(list_dot_product(c.e, c.e))
+                    * sqrt(list_dot_product(p.e, p.e))), 6) DESC, c.vec_id
+  LIMIT 5
+),
+rec AS (SELECT CAST(count(*) AS DOUBLE) / 5 + 0.0 AS recall_at_5
+        FROM topk JOIN brute USING (vec_id))
+SELECT t.vec_id, t.cosine, rec.recall_at_5
+FROM topk t, rec
+""",
+)
+def ann_sq8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 SCALAR-QUANTIZED search — the third production quantization in
+    the family (PQ codebooks: `ivf_pq_ann_topk`; residual PQ:
+    `ivf_residual_pq`; THIS: per-dimension 8-bit scalar quantization,
+    the FAISS SQ8 / Lucene scalar-codec layout that needs no codebook
+    fit at all): each dimension linearly quantized to 256 levels over
+    its corpus [min, max] (4x memory cut — 64 doubles serve from 64
+    bytes), candidates scored against the probe with DEQUANTIZED
+    midpoint values (mn + (q+0.5)·span/256), the approx top-32 rescored
+    with exact vectors, exact top-5 returned — the standard
+    quantize-scan-rescore serving shape. `recall_at_5` against the
+    exact brute-force top-5 rides the result (both engines compute it,
+    so the hash pins the measured recall too). Everything is IEEE
+    double arithmetic in the same evaluation order on both engines, so
+    quantization buckets, approx ranks, and rescored ranks agree
+    exactly. Scale: the per-dim stats are one tiny agg (64 rows);
+    quantization is a transform expression inside codegen (no UDF, no
+    shuffle); the scan reads byte-width columns instead of floats —
+    memory-bandwidth-bound ANN's dominant cost — and only 32 exact
+    vectors page in for the rescore."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    stats = (
+        v.select(F.posexplode("e").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )  # 64 rows: the whole "codebook" of SQ8
+    mn_arr = F.array(*[F.lit(float(r["mn"])) for r in stats])
+    mx_arr = F.array(*[F.lit(float(r["mx"])) for r in stats])
+
+    def dequant(col: F.Column) -> F.Column:
+        # quantize + midpoint-dequantize in one expression: the scan
+        # never materializes floats it only had bytes for
+        def f(x, i):
+            mn = F.element_at(mn_arr, i + 1)
+            mx = F.element_at(mx_arr, i + 1)
+            q = F.least(
+                F.lit(255.0),
+                F.greatest(
+                    F.lit(0.0),
+                    F.floor((x - mn) * 256.0 / (mx - mn)),
+                ),
+            )
+            return F.when(mx == mn, mn).otherwise(
+                mn + (q + 0.5) * (mx - mn) / 256.0
+            )
+
+        return F.transform(col, f)
+
+    probe_id = int(emb.agg(F.max("vec_id")).first()[0])
+    probe_vec = v.where(F.col("vec_id") == probe_id).select(
+        F.col("e").alias("pe")
+    )
+    approx = (
+        v.where(F.col("vec_id") != probe_id)
+        .select("vec_id", dequant(F.col("e")).alias("eq"))
+        .crossJoin(F.broadcast(probe_vec))
+        .select(
+            "vec_id",
+            (
+                dot(F.col("eq"), F.col("pe"))
+                / (
+                    F.sqrt(dot(F.col("eq"), F.col("eq")))
+                    * F.sqrt(dot(F.col("pe"), F.col("pe")))
+                )
+            ).alias("acos_raw"),
+        )
+    )
+    prelim = approx.orderBy(F.desc("acos_raw"), "vec_id").limit(32)
+    rescored = (
+        v.join(prelim.select("vec_id"), "vec_id")
+        .crossJoin(F.broadcast(probe_vec))
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("e"), F.col("pe"))
+                / (
+                    F.sqrt(dot(F.col("e"), F.col("e")))
+                    * F.sqrt(dot(F.col("pe"), F.col("pe")))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    topk = rescored.orderBy(F.desc("cosine"), "vec_id").limit(5)
+    brute = (
+        v.where(F.col("vec_id") != probe_id)
+        .crossJoin(F.broadcast(probe_vec))
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("e"), F.col("pe"))
+                / (
+                    F.sqrt(dot(F.col("e"), F.col("e")))
+                    * F.sqrt(dot(F.col("pe"), F.col("pe")))
+                ),
+                6,
+            ).alias("bcos"),
+        )
+        .orderBy(F.desc("bcos"), "vec_id")
+        .limit(5)
+    )
+    n_hit = topk.join(brute.select("vec_id"), "vec_id").count()
+    return topk.select(
+        "vec_id",
+        "cosine",
+        F.lit(float(n_hit) / 5.0).alias("recall_at_5"),
+    )
