@@ -3914,11 +3914,14 @@ FROM topk t, rec
 """,
 )
 def ann_sq8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQ8 SCALAR-QUANTIZED search — the third production quantization in
-    the family (PQ codebooks: `ivf_pq_ann_topk`; residual PQ:
-    `ivf_residual_pq`; THIS: per-dimension 8-bit scalar quantization,
-    the FAISS SQ8 / Lucene scalar-codec layout that needs no codebook
-    fit at all): each dimension linearly quantized to 256 levels over
+    """SQ8 SCALAR-QUANTIZED search — the SERVING half of the scalar-
+    quantization story: `sq8_encode_embeddings` pins the per-dim affine
+    ENCODE (codes + reconstruction error), `int8_quantized_mips_topk`
+    serves per-VECTOR symmetric int8 MIPS; this query serves the
+    per-DIM affine layout end-to-end with the quantize-scan-RESCORE
+    pipeline every production SQ deployment runs (and PQ variants:
+    `ivf_pq_ann_topk`, `ivf_pq_residual_ann_topk`): each dimension
+    linearly quantized to 256 levels over
     its corpus [min, max] (4x memory cut — 64 doubles serve from 64
     bytes), candidates scored against the probe with DEQUANTIZED
     midpoint values (mn + (q+0.5)·span/256), the approx top-32 rescored
