@@ -2298,6 +2298,7 @@ def _ivf_inc_oracle(
     rare_mod: int | None = None,
     escalate: bool = False,
     delete_sql: str | None = None,
+    final_sql: str | None = None,
 ) -> str:
     """Corpus-half Lloyd fit (same unrolled rounds as `_kmeans_ctes`, with
     the fit restricted to vec_id <= split), then assignment of EVERY
@@ -2464,6 +2465,10 @@ scored AS (
   FROM cand c CROSS JOIN probe p
 )"""
     )
+    if final_sql is not None:
+        # caller supplies its own tail (extra CTEs + SELECT) over the
+        # shared fit/assignment chain — e.g. the cell-balance report
+        return "WITH " + ",\n".join(parts) + final_sql
     return (
         "WITH "
         + ",\n".join(parts)
@@ -4027,4 +4032,70 @@ def ann_sq8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "cosine",
         F.lit(float(n_hit) / 5.0).alias("recall_at_5"),
+    )
+
+
+@register(
+    "ivf_cell_balance_report",
+    oracle=_ivf_inc_oracle(
+        final_sql=""",
+cellcount AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs
+  FROM aall GROUP BY cid
+),
+tot AS (
+  SELECT sum(n_vecs) AS n, count(*) AS k, max(n_vecs) AS mx,
+         sum(n_vecs * n_vecs) AS s2
+  FROM cellcount
+)
+SELECT CAST(c.cid AS BIGINT) AS cid, c.n_vecs,
+       round(c.n_vecs * 1.0 / t.n, 6) AS share,
+       round(t.mx * t.k * 1.0 / t.n, 6) AS imbalance_factor,
+       round(t.k * t.s2 * 1.0 / (t.n * t.n), 6) AS probe_cost_x_ideal
+FROM cellcount c, tot t
+"""
+    ),
+)
+def ivf_cell_balance_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF CELL-BALANCE telemetry — the number an operator reads before
+    deciding to refit: per-cell occupancy plus two skew statistics.
+    `imbalance_factor` = max cell / mean cell (1.0 = perfectly
+    balanced; the biggest cell bounds worst-case probe latency).
+    `probe_cost_x_ideal` = k·Σn_c²/N² — the expected vectors scanned
+    per nprobe=1 query under corpus-distributed probes (a probe lands
+    in cell c with probability n_c/N and scans n_c), normalized by the
+    balanced ideal N/k: this is the factor by which skew inflates the
+    index's whole REASON to exist (scanning N/k instead of N), and the
+    principled refit trigger alongside `ivf_assignment_drift`'s
+    distance-based one. One groupBy over the persisted assignment
+    table — the index's own metadata grain (k cells), no vector math at
+    all; at 100 TB this is a manifest-sized aggregate a dashboard runs
+    per ingest. Oracle recomputes occupancy from the from-scratch refit
+    chain — a hash match proves the incremental index's cells are the
+    rebuild's cells, occupancy included."""
+    import os
+
+    dest, _split, _led = _ensure_ivf_inc_index(spark, sf_dir)
+    counts = (
+        spark.read.parquet(os.path.join(dest, "_assign"))
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    )
+    t = counts.agg(
+        F.sum("n_vecs").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.max("n_vecs").alias("mx"),
+        F.sum(F.col("n_vecs") * F.col("n_vecs")).alias("s2"),
+    ).first()  # k-row metadata aggregate: the report's denominators
+    n, k, mx, s2 = int(t["n"]), int(t["k"]), int(t["mx"]), int(t["s2"])
+    return counts.select(
+        F.col("cid").cast("long").alias("cid"),
+        "n_vecs",
+        F.round(F.col("n_vecs") * 1.0 / n, 6).alias("share"),
+        F.round(F.lit(mx * k * 1.0 / n), 6).alias("imbalance_factor"),
+        F.round(F.lit(k * s2 * 1.0 / (n * n)), 6).alias(
+            "probe_cost_x_ideal"
+        ),
     )
