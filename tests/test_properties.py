@@ -794,3 +794,26 @@ def test_hist_estimate_is_sound_upper_bound(envs, q):
     true = sum(1 for mn, mx in envs if mn < qhi and mx >= qlo)
     assert est >= true
     assert est <= len(envs)
+
+
+def test_median_selection_bucket_inverse_exact():
+    """The histogram-narrowing recursion's bucket-bounds inverse must be
+    exact for arbitrary (lo, width, B): for every value c in [lo, hi],
+    c's bucket bi and the recomputed range [lo', hi'] must satisfy
+    lo' <= c <= hi' AND every value in [lo', hi'] maps back to bi —
+    a floor-based lower bound re-admits bucket bi-1 edge values."""
+    import random
+
+    rng = random.Random(13)
+    for _ in range(200):
+        lo = rng.randrange(-10**9, 10**9)
+        width = rng.randrange(2, 10**7)
+        B = rng.choice([2, 7, 64, 1024])
+        hi = lo + width - 1
+        for c in {lo, hi, lo + width // 3, lo + rng.randrange(width)}:
+            bi = (c - lo) * B // width
+            lo2 = lo + (bi * width + B - 1) // B
+            hi2 = lo + ((bi + 1) * width + B - 1) // B - 1
+            assert lo2 <= c <= hi2
+            assert (lo2 - lo) * B // width == bi
+            assert (hi2 - lo) * B // width == bi

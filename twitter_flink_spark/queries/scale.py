@@ -4340,3 +4340,83 @@ def compaction_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(bool(converged)).alias("converged_to_fixpoint"),
         )
     )
+
+
+@register(
+    "exact_median_selection",
+    oracle="""
+WITH s AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+           FROM lineitem),
+t AS (SELECT count(*) AS n FROM s)
+SELECT (SELECT c FROM s ORDER BY c
+        LIMIT 1 OFFSET (SELECT (n + 1) // 2 - 1 FROM t)) AS median_cents,
+       (SELECT CAST(n AS BIGINT) FROM t) AS n_rows,
+       TRUE AS narrowed_not_sorted
+""",
+)
+def exact_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT k-th order statistic WITHOUT a global sort — the selection
+    algorithm a 100 TB median actually runs: a total sort is an
+    all-to-all shuffle of the table, but the median only needs its
+    VALUE, so narrow instead — bucket the candidate range into 1024
+    histogram bins (one filtered aggregate, predicate pushed to the
+    scan), walk the cumulative counts on the driver (1024 ints) to find
+    the bin holding rank k, recurse into that bin, and collect-sort
+    only when <= 4096 candidates remain. Each pass shrinks the range
+    ~1000x, so passes = O(log_1024(value range)) — two or three scans
+    of ever-smaller filtered slices beat one full shuffle by the
+    sort-vs-selection gap. Values are lifted to exact integer CENTS
+    (prices are 2-decimal; round(x*100) recovers the integer exactly)
+    so bucket boundaries are integer arithmetic — no float-boundary
+    drift between passes or engines. `narrowed_not_sorted` pins that
+    the narrowing path actually ran (>= 1 histogram pass before the
+    terminal collect). Oracle: DuckDB's ORDER BY/OFFSET k-th element —
+    the sort-based ground truth the selection must equal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
+    )
+    n = s.count()
+    k = (n + 1) // 2
+    b = s.agg(F.min("c").alias("lo"), F.max("c").alias("hi")).first()
+    lo, hi, rank, passes = int(b["lo"]), int(b["hi"]), k, 0
+    B = 1024
+    while True:
+        cur = s.where((F.col("c") >= lo) & (F.col("c") <= hi))
+        width = hi - lo + 1
+        cnt = cur.count()
+        if cnt <= 4096 or width <= B:
+            vals = sorted(
+                r["c"] for r in cur.collect()
+            )  # bounded: <= 4096 candidates (or an integer range <= B)
+            median = int(vals[rank - 1])
+            break
+        hist = {
+            int(r["b"]): int(r["cnt"])
+            for r in cur.select(
+                F.expr(f"(c - {lo}) * {B} DIV {width}").alias("b")
+            )
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }  # 1024 ints: the driver-side walk is metadata-sized
+        cum = 0
+        for bi in range(B):
+            here = hist.get(bi, 0)
+            if cum + here >= rank:
+                rank -= cum
+                # exact inverse of `(c-lo)*B DIV width == bi`: bucket bi
+                # holds c-lo in [ceil(bi*w/B), ceil((bi+1)*w/B) - 1] —
+                # floor bounds would re-admit edge values of bucket bi-1
+                # that `cum` already counted, corrupting the rank
+                lo, hi = (
+                    lo + (bi * width + B - 1) // B,
+                    lo + ((bi + 1) * width + B - 1) // B - 1,
+                )
+                break
+            cum += here
+        passes += 1
+    return spark.createDataFrame(
+        [(median, n, passes >= 1)],
+        "median_cents long, n_rows long, narrowed_not_sorted boolean",
+    )
