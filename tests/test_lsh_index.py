@@ -404,3 +404,32 @@ def test_index_delete_tombstone_then_compact(spark, tmp_path):
         for r in lsh_index_candidates(spark, idx).collect()
     ) == served
     assert lsh_index_compact(spark, idx) == 0  # no-op without tombstones
+
+
+def test_legacy_index_delete_uses_fallback_coverage(spark, tmp_path):
+    """Deleting from a marker-less legacy index must fall back to the
+    all-bands coverage rule — not silently tombstone nothing."""
+    from twitter_flink_spark.operators.dedup import (
+        COVER_BAND,
+        lsh_index_delete,
+    )
+
+    docs, split = _split_docs(spark)
+    idx = str(tmp_path / "lshidx")
+    lsh_index_build(spark, docs, idx)
+    legacy = spark.read.parquet(idx).where(F.col("band") != COVER_BAND)
+    tmp = idx + ".rewrite"
+    legacy.write.mode("overwrite").parquet(tmp)
+    from twitter_flink_spark.operators.skipping import _rm_committed
+
+    _rm_committed(idx)
+    os.rename(tmp, idx)
+
+    victim = int(docs.agg(F.min("doc_id")).first()[0])
+    doomed = spark.createDataFrame([(victim,)], "doc_id long")
+    assert lsh_index_delete(spark, doomed, idx) == 1
+    assert lsh_index_delete(spark, doomed, idx) == 0  # still idempotent
+    got = lsh_index_candidates(spark, idx).where(
+        (F.col("doc_a") == victim) | (F.col("doc_b") == victim)
+    )
+    assert got.count() == 0

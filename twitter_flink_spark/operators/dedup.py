@@ -684,6 +684,17 @@ def lsh_index_delete(spark, doc_ids: DataFrame, index_dir: str) -> int:
     idx = spark.read.parquet(index_dir)
     p = idx.select("ngram", "k", "bands").first()
     covered = idx.where(F.col("band") == COVER_BAND).select("doc_id")
+    if not covered.head(1):
+        # legacy marker-less index: the same all-bands fallback the
+        # update path uses — without it every delete would silently
+        # no-op ("nothing covered") until some update backfills markers
+        covered = (
+            idx.where(F.col("band") >= 0)
+            .groupBy("doc_id")
+            .agg(F.count_distinct("band").alias("nb"))
+            .where(F.col("nb") >= p["bands"])
+            .select("doc_id")
+        )
     tombs = idx.where(F.col("band") == TOMB_BAND).select("doc_id")
     todo = (
         doc_ids.select("doc_id")
