@@ -36,8 +36,10 @@ def test_stage_once_builds_then_replays_ledger(tmp_path, monkeypatch):
 def test_stage_once_finalize_runs_at_final_path(tmp_path, monkeypatch):
     _tag(tmp_path, monkeypatch)
     seen = {}
+    calls = []
 
     def build(p):
+        calls.append(p)
         with open(os.path.join(p, "d"), "w") as f:
             f.write("x")
         return {"a": 1}
@@ -51,10 +53,10 @@ def test_stage_once_finalize_runs_at_final_path(tmp_path, monkeypatch):
     assert seen["dest"] == d  # finalize saw the FINAL path
     assert m == {"a": 1, "b": 2}
     # ledger is committed: a reuser replays both phases' entries
-    _, m2 = staging.stage_once(
-        "t2", "/sf", lambda p: (_ for _ in ()).throw(AssertionError)
-    )
+    # without re-running the builder (same owner, marker fast path)
+    _, m2 = staging.stage_once("t2", "/sf", build)
     assert m2 == {"a": 1, "b": 2}
+    assert len(calls) == 1
 
 
 def test_stage_once_losing_rename_reuses_winner(tmp_path, monkeypatch):
@@ -209,3 +211,29 @@ def test_scratch_dir_sweeps_only_abandoned_ephemerals(tmp_path, monkeypatch):
     assert live.exists()  # live pid: kept
     assert young.exists()  # young: kept
     assert fixture.exists()  # staged fixture namespace: never touched
+
+
+def test_stage_once_tag_collision_raises(tmp_path, monkeypatch):
+    """Two DIFFERENT builders sharing a tag must fail loudly — a silent
+    collision serves one site's layout to the other (the r13 'lshidx'
+    incident)."""
+    import pytest
+
+    from twitter_flink_spark.sources import staging
+
+    monkeypatch.setattr(staging.tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(staging, "_TAG_OWNERS", {})
+
+    def builder_a(p):
+        import os
+
+        open(os.path.join(p, "a"), "w").write("a")
+
+    def builder_b(p):
+        raise AssertionError("must not run")
+
+    staging.stage_once("collide", "/sf", builder_a)
+    # same builder re-staging is fine (the reuse path)
+    staging.stage_once("collide", "/sf", builder_a)
+    with pytest.raises(ValueError, match="one tag = one layout"):
+        staging.stage_once("collide", "/sf", builder_b)

@@ -3052,17 +3052,18 @@ def streaming_lsh_delete_maintenance(
 
     from twitter_flink_spark.operators.dedup import (
         jaccard_verify_sets,
-        lsh_index_build,
         lsh_index_candidates,
         lsh_index_compact,
         lsh_index_delete,
     )
-    from twitter_flink_spark.queries.dedup import _staged_shingle_sets
+    from twitter_flink_spark.queries.dedup import (
+        _fresh_lsh_index_copy,
+        _staged_shingle_sets,
+    )
     from twitter_flink_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    index_dir = os.path.join(scratch_dir("lshdelstream"), "index")
-    lsh_index_build(spark, docs, index_dir)
+    index_dir = _fresh_lsh_index_copy(spark, sf_dir)
     staged = _ensure_delete_stream(spark, sf_dir)
     ledger: list[int] = []
 

@@ -139,6 +139,13 @@ def _finalizing_alive(dest: str) -> bool:
         return False
 
 
+#: (tag) -> owning builder qualname: two DIFFERENT call sites sharing a
+#: tag would silently serve one site's layout to the other (the r13 bug:
+#: a new "lshidx" fixture collided with an older query's and handed it a
+#: layout with no index subdir) — fail loudly at the second caller.
+_TAG_OWNERS: dict[str, str] = {}
+
+
 def stage_once(
     tag: str,
     sf_dir: str,
@@ -152,6 +159,13 @@ def stage_once(
     the final path (index builds whose manifests store absolute file
     paths, mutation sequences whose counts the ledger records). Both
     may return a dict merged into the committed ledger."""
+    owner = f"{build.__module__}.{build.__qualname__}"
+    prev = _TAG_OWNERS.setdefault(tag, owner)
+    if prev != owner:
+        raise ValueError(
+            f"stage_once tag {tag!r} is owned by {prev}; {owner} must "
+            "pick its own tag (one tag = one layout)"
+        )
     dest = fixture_path(tag, sf_dir)
     mark = os.path.join(dest, MARKER)
     meta = _read_marker(mark)
