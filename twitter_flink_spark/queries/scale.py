@@ -2471,9 +2471,6 @@ def filestats_vacuum_after_compact(
     )
 
 
-_BLOOM_ERA_FOR: dict[str, str] = {}
-
-
 def _ensure_two_era_bloom_orders(
     spark: SparkSession, sf_dir: str
 ) -> tuple[str, bool]:
@@ -2485,28 +2482,47 @@ def _ensure_two_era_bloom_orders(
     import tempfile
 
     from twitter_flink_spark.operators import skipping
+    from twitter_flink_spark.sources.staging import stage_once
 
-    dest = os.path.join(
-        tempfile.gettempdir(),
-        "tfs-bloomera-" + sf_dir.strip("/").replace("/", "-"),
-    )
-    if _BLOOM_ERA_FOR.get("sf") == sf_dir and os.path.isdir(dest):
-        return dest, False
-    shutil.rmtree(dest, ignore_errors=True)
     o = load_table(spark, sf_dir, "orders")
     b = o.agg(
         F.min("o_orderkey").alias("k0"), F.max("o_orderkey").alias("k1")
     ).first()
     mid = (b["k0"] + b["k1"]) // 2
-    for pred, mode in [
-        (F.col("o_orderkey") <= F.lit(mid), "overwrite"),
-        (F.col("o_orderkey") > F.lit(mid), "append"),
-    ]:
-        o.where(pred).repartition(8).write.mode(mode).parquet(dest)
-        if mode == "overwrite":
-            skipping.build_bloom(spark, dest, "o_orderkey")
-    _BLOOM_ERA_FOR["sf"] = sf_dir
-    return dest, True
+
+    def _build(p: str) -> None:
+        # era-1 data files only: relocatable parquet
+        o.where(F.col("o_orderkey") <= F.lit(mid)).repartition(
+            8
+        ).write.mode("overwrite").parquet(p)
+
+    def _finalize(dest: str) -> None:
+        # the manifest stores absolute paths (final-path phase); era 2
+        # appends AFTER the commit, the unindexed state consumers want
+        skipping.build_bloom(spark, dest, "o_orderkey")
+        o.where(F.col("o_orderkey") > F.lit(mid)).repartition(
+            8
+        ).write.mode("append").parquet(dest)
+
+    # cross-process write-once (was: a process-local dict — every
+    # bench/driver process re-paid the ~4 s build). "Fresh" is derived
+    # from DISK, not from who built: fresh iff manifest-absent files
+    # exist, so the FIRST consumer (in any process) sees n_new > 0 and
+    # every later one sees the no-op — the era-layout convention.
+    dest, _ = stage_once("bloomera2", sf_dir, _build, _finalize)
+    known = {
+        skipping._norm_path(r["file"])
+        for r in spark.read.parquet(
+            skipping._bloom_dir(dest, "o_orderkey")
+        )
+        .select("file")
+        .collect()
+    }
+    live = {
+        skipping._norm_path(f)
+        for f in spark.read.parquet(dest).inputFiles()
+    }
+    return dest, bool(live - known)
 
 
 @register(
@@ -2652,33 +2668,30 @@ def metadata_minmax_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TWOLEVEL_LAYOUT_FOR: dict[str, str] = {}
-
-
 def _ensure_two_level_layout(spark: SparkSession, sf_dir: str) -> str:
     """events in 64 ts-clustered files with a TWO-LEVEL manifest: the
     file manifest partitioned into 8 range buckets of min_ts plus a
-    parent manifest of partition envelopes."""
-    import os
-    import tempfile
-
+    parent manifest of partition envelopes. Read-only for every
+    consumer; cross-process write-once (was: a process-local dict, so
+    every bench/driver process re-paid the ~4 s build)."""
     from twitter_flink_spark.operators import skipping
+    from twitter_flink_spark.sources.staging import stage_once
 
-    dest = os.path.join(
-        tempfile.gettempdir(),
-        "tfs-twolevel-" + sf_dir.strip("/").replace("/", "-"),
-    )
-    if _TWOLEVEL_LAYOUT_FOR.get("sf") == sf_dir and os.path.isdir(dest):
-        return dest
     e = load_table(spark, sf_dir, "events")
-    (
-        e.repartitionByRange(64, "ts")
-        .sortWithinPartitions("ts")
-        .write.mode("overwrite")
-        .parquet(dest)
-    )
-    skipping.build_two_level(spark, dest, "ts", n_parts=8)
-    _TWOLEVEL_LAYOUT_FOR["sf"] = sf_dir
+
+    def _build(p: str) -> None:
+        (
+            e.repartitionByRange(64, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+
+    def _finalize(dest: str) -> None:
+        # manifests store absolute file paths: build at the final path
+        skipping.build_two_level(spark, dest, "ts", n_parts=8)
+
+    dest, _ = stage_once("twolayout64", sf_dir, _build, _finalize)
     return dest
 
 
@@ -2911,9 +2924,6 @@ def twolevel_incremental_update(
     )
 
 
-_TWOLEVEL_VACUUM_FOR: dict[str, tuple] = {}
-
-
 def _ensure_twolevel_vacuumed_layout(
     spark: SparkSession, sf_dir: str
 ) -> tuple[str, int, int]:
@@ -2928,45 +2938,52 @@ def _ensure_twolevel_vacuumed_layout(
     recorded counts."""
     import os
     import shutil
-    import tempfile
 
     from twitter_flink_spark.operators import skipping
+    from twitter_flink_spark.sources.staging import stage_once
 
-    dest = os.path.join(
-        tempfile.gettempdir(),
-        "tfs-vactwolevel-" + sf_dir.strip("/").replace("/", "-"),
-    )
-    if _TWOLEVEL_VACUUM_FOR.get("sf") == sf_dir and os.path.isdir(dest):
-        return dest, *_TWOLEVEL_VACUUM_FOR["counts"]
-    shutil.rmtree(dest, ignore_errors=True)
     e = load_table(spark, sf_dir, "events")
-    (
-        e.repartitionByRange(16, "ts")
-        .sortWithinPartitions("ts")
-        .write.mode("overwrite")
-        .parquet(dest)
-    )
-    skipping.build_two_level(spark, dest, "ts", n_parts=4)
-    tmp, gc = dest + ".compact", dest + ".gc"
-    shutil.rmtree(tmp, ignore_errors=True)
-    (
-        spark.read.parquet(dest)
-        .repartitionByRange(4, "ts")
-        .sortWithinPartitions("ts")
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
-    shutil.rmtree(gc, ignore_errors=True)
-    os.rename(dest, gc)
-    os.rename(tmp, dest)
-    for d in (skipping.PARTS_DIR, skipping.ROOT_MANIFEST):
-        skipping.move_committed(os.path.join(gc, d), os.path.join(dest, d))
-    shutil.rmtree(gc, ignore_errors=True)
-    n_new = skipping.update_two_level(spark, dest, "ts")
-    n_dead = skipping.vacuum_two_level(spark, dest, "ts")
-    _TWOLEVEL_VACUUM_FOR["sf"] = sf_dir
-    _TWOLEVEL_VACUUM_FOR["counts"] = (n_new, n_dead)
-    return dest, n_new, n_dead
+
+    def _build(p: str) -> None:
+        # only the relocatable 16-file initial write; every manifest
+        # step stores absolute paths and must run at the final path
+        (
+            e.repartitionByRange(16, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+
+    def _finalize(dest: str) -> dict:
+        skipping.build_two_level(spark, dest, "ts", n_parts=4)
+        tmp, gc = dest + ".compact", dest + ".gc"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            spark.read.parquet(dest)
+            .repartitionByRange(4, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        shutil.rmtree(gc, ignore_errors=True)
+        os.rename(dest, gc)
+        os.rename(tmp, dest)
+        for d in (skipping.PARTS_DIR, skipping.ROOT_MANIFEST):
+            skipping.move_committed(
+                os.path.join(gc, d), os.path.join(dest, d)
+            )
+        shutil.rmtree(gc, ignore_errors=True)
+        return {
+            "n_new": skipping.update_two_level(spark, dest, "ts"),
+            "n_dead": skipping.vacuum_two_level(spark, dest, "ts"),
+        }
+
+    # cross-process write-once (was: a process-local dict, so EVERY
+    # bench/driver process re-ran the ~10 s lifecycle; the stage_once
+    # ledger replays (n_new, n_dead) instead — the r12
+    # twolevel_incremental_update precedent)
+    dest, meta = stage_once("vactwo", sf_dir, _build, _finalize)
+    return dest, int(meta["n_new"]), int(meta["n_dead"])
 
 
 @register(
