@@ -1741,9 +1741,6 @@ def streaming_dedup_then_window(
 
 
 #: sf_dir the two-file late-data staging was last built for
-_LATE_STAGED_FOR: dict[str, str] = {}
-
-
 def _ensure_late_staged(spark: SparkSession, sf_dir: str) -> str:
     """Stage events as THREE files with controlled arrival order:
     00-early = days before the split date, 01-rest = the remaining
@@ -1754,26 +1751,17 @@ def _ensure_late_staged(spark: SparkSession, sf_dir: str) -> str:
     same batch that closes its window may legally be absorbed: the
     watermark filter is planned a batch behind the eviction watermark
     — measured). Modification times pin the arrival order."""
+    import datetime
     import os
     import shutil
-    import tempfile
 
+    from twitter_flink_spark.sources.staging import stage_once
     from twitter_flink_spark.sources.tables import load_table
 
-    dest = os.path.join(
-        tempfile.gettempdir(),
-        "tfs-late-" + sf_dir.strip("/").replace("/", "-"),
-    )
-    if _LATE_STAGED_FOR.get("sf") == sf_dir and os.path.isdir(dest):
-        return dest
-    shutil.rmtree(dest, ignore_errors=True)
-    os.makedirs(dest)
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(
         F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
     ).collect()[0]
-    import datetime
-
     split = bounds.d0 + datetime.timedelta(days=20)
     replay_before = bounds.d0 + datetime.timedelta(days=10)
     early = ev.where(F.to_date("ts") < F.lit(split))
@@ -1782,18 +1770,27 @@ def _ensure_late_staged(spark: SparkSession, sf_dir: str) -> str:
         (F.to_date("ts") < F.lit(replay_before))
         & (F.col("event_id") % 37 == 0)
     )
-    for i, part in ((0, early), (1, rest), (2, replay)):
-        tmp = os.path.join(dest, f"_b{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        # inputFiles-based pick of the single part file (no os.listdir)
-        src = os.path.basename(spark.read.parquet(tmp).inputFiles()[0])
-        os.rename(
-            os.path.join(tmp, src), os.path.join(dest, f"{i:02d}.parquet")
-        )
-        shutil.rmtree(tmp)
-        # pin arrival order for the file source (oldest mtime first)
-        os.utime(os.path.join(dest, f"{i:02d}.parquet"), (1_000_000 + i, 1_000_000 + i))
-    _LATE_STAGED_FOR["sf"] = sf_dir
+
+    def _build(p: str) -> None:
+        # plain data files + pinned mtimes: fully relocatable (rename
+        # preserves mtimes), so no finalize phase is needed
+        for i, part in ((0, early), (1, rest), (2, replay)):
+            tmp = os.path.join(p, f"_b{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            # inputFiles-based pick of the single part file
+            src = os.path.basename(spark.read.parquet(tmp).inputFiles()[0])
+            os.rename(
+                os.path.join(tmp, src), os.path.join(p, f"{i:02d}.parquet")
+            )
+            shutil.rmtree(tmp)
+            # pin arrival order for the file source (oldest mtime first)
+            os.utime(
+                os.path.join(p, f"{i:02d}.parquet"),
+                (1_000_000 + i, 1_000_000 + i),
+            )
+
+    # cross-process write-once (was: process-local dict, rebuilt per run)
+    dest, _ = stage_once("latestaged", sf_dir, _build)
     return dest
 
 
