@@ -3118,3 +3118,155 @@ FROM pairs
 
 
 _attach_lsh_delete_stream_oracle()
+
+
+def _ensure_vec_delete_stream(spark: SparkSession, sf_dir: str) -> str:
+    """The vector delete-request feed: vec_id % 9 == 3 (minus the probe,
+    which serving needs alive) split into 2 vec_id-ordered parquet
+    files. Cross-process write-once."""
+    from twitter_flink_spark.sources.staging import stage_once
+    from twitter_flink_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_id = int(emb.agg(F.max("vec_id")).first()[0])
+    doomed = emb.where(
+        (F.col("vec_id") % 9 == 3) & (F.col("vec_id") != probe_id)
+    ).select("vec_id")
+    mid = doomed.agg((F.min("vec_id") + F.max("vec_id")) / 2).first()[0]
+
+    def _build(p: str) -> None:
+        for pred in (F.col("vec_id") <= mid, F.col("vec_id") > mid):
+            doomed.where(pred).coalesce(1).write.mode("append").parquet(p)
+
+    dest, _ = stage_once("vecdelstream2", sf_dir, _build)
+    return dest
+
+
+@register("streaming_ivf_delete_maintenance")  # oracle attached below
+def streaming_ivf_delete_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The vector-store delete feed as a STREAM — `streaming_lsh_delete_
+    maintenance`'s embeddings twin, completing the delete lifecycle
+    triple on the IVF side (batch delete+compact: `ivf_index_delete_
+    compact`): a private copy of the staged inverted-list index drains
+    2 micro-batches of delete requests (vec_id % 9 == 3, probe
+    excluded) through `ivf_index_delete` — O(batch) tombstone appends —
+    then redelivers the full doomed set (0 new tombstones: idempotent),
+    serves the nprobe=1 top-5 through the tombstone anti-join, compacts
+    (rewriting ONLY the cells that held deleted vectors), and serves
+    again. `compact_preserves_serve` pins top-5 equality across the
+    rewrite; the oracle refits from scratch excluding the deleted set —
+    streamed tombstoning must equal never-having-indexed. At 100 TB the
+    delete feed drains continuously at O(batch) cost and compaction
+    amortizes on the LSM cadence, touching k'/k of the table."""
+    import os
+    import shutil
+
+    from twitter_flink_spark.operators.clustering import assign_clusters
+    from twitter_flink_spark.operators.ivf import (
+        ivf_index_compact,
+        ivf_index_delete,
+        ivf_tombstones,
+    )
+    from twitter_flink_spark.queries.similarity import (
+        _ensure_ivf_inc_index,
+        dot,
+    )
+    from twitter_flink_spark.sources.tables import load_table
+
+    staged_idx, _split, _led = _ensure_ivf_inc_index(spark, sf_dir)
+    work = os.path.join(scratch_dir("ivfdelstream"), "index")
+    shutil.copytree(os.path.realpath(staged_idx), work)
+    assign_dir = os.path.join(work, "_assign")
+
+    staged = _ensure_vec_delete_stream(spark, sf_dir)
+    ledger: list[int] = []
+
+    def sink(batch_df, batch_id: int) -> None:
+        ledger.append(ivf_index_delete(spark, batch_df, work))
+
+    schema = spark.read.parquet(staged).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", scratch_dir("ivfdelstream-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 300)
+    streamed_ok = len(ledger) == 2 and all(n > 0 for n in ledger)
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_id = int(emb.agg(F.max("vec_id")).first()[0])
+    doomed = emb.where(
+        (F.col("vec_id") % 9 == 3) & (F.col("vec_id") != probe_id)
+    ).select("vec_id")
+    redelivery_noop = ivf_index_delete(spark, doomed, work) == 0
+
+    cents = spark.read.parquet(os.path.join(work, "_centroids"))
+    probe = emb.where(F.col("vec_id") == probe_id).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    pcid = int(assign_clusters(probe, cents).first()["cid"])
+    probe_vec = probe.select(F.col("e").alias("pe"))
+
+    def _serve() -> DataFrame:
+        cands = (
+            spark.read.parquet(os.path.join(assign_dir, f"cid={pcid}"))
+            .join(ivf_tombstones(spark, work), "vec_id", "left_anti")
+            .where(F.col("vec_id") != probe_id)
+            .select("vec_id")
+            .join(emb, "vec_id")
+            .select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("e"),
+            )
+        )
+        return (
+            cands.crossJoin(F.broadcast(probe_vec))
+            .select(
+                "vec_id",
+                F.round(
+                    dot(F.col("e"), F.col("pe"))
+                    / (
+                        F.sqrt(dot(F.col("e"), F.col("e")))
+                        * F.sqrt(dot(F.col("pe"), F.col("pe")))
+                    ),
+                    6,
+                ).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), "vec_id")
+            .limit(5)
+        )
+
+    before = [tuple(r) for r in _serve().collect()]  # 5 rows
+    n_reclaimed, _cells = ivf_index_compact(spark, work)
+    after = _serve()
+    compact_ok = n_reclaimed == sum(ledger) and [
+        tuple(r) for r in after.collect()
+    ] == before
+    return after.select(
+        "vec_id",
+        "cosine",
+        F.lit(bool(streamed_ok)).alias("streamed_in_batches"),
+        F.lit(bool(redelivery_noop)).alias("redelivery_noop"),
+        F.lit(bool(compact_ok)).alias("compact_preserves_serve"),
+    )
+
+
+def _attach_ivf_delete_stream_oracle() -> None:
+    from twitter_flink_spark.queries.similarity import _ivf_inc_oracle
+    from twitter_flink_spark.registry import ORACLES
+
+    ORACLES["streaming_ivf_delete_maintenance"] = _ivf_inc_oracle(
+        delete_sql="a.vec_id % 9 = 3",
+        flags_sql=(
+            "TRUE AS streamed_in_batches, TRUE AS redelivery_noop, "
+            "TRUE AS compact_preserves_serve"
+        ),
+    )
+
+
+_attach_ivf_delete_stream_oracle()
