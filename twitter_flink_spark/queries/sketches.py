@@ -519,3 +519,122 @@ def approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("in_approx_topk"),
         )
     )
+
+
+_CMS_DEPTH = 4  #: independent hash rows (P[overestimate by > eps·N] ~ 2^-depth)
+_CMS_WIDTH = 1024  #: counters per row (eps ~ e/width of total mass)
+
+
+def _cms_oracle() -> str:
+    digit_terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1) "
+        f"* {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"""
+WITH tok AS (
+  SELECT unnest(str_split(text, ' ')) AS token FROM documents
+),
+t AS (SELECT token FROM tok WHERE token <> ''),
+hashed AS (
+  SELECT token, d.d,
+         md5('cms' || d.d || ':' || token) AS hx
+  FROM t, (SELECT unnest(range(0, {_CMS_DEPTH})) AS d) d
+),
+bucketed AS (
+  SELECT token, d, ({digit_terms}) % {_CMS_WIDTH} AS bucket
+  FROM hashed
+),
+counters AS (
+  SELECT d, bucket, count(*) AS cnt FROM bucketed GROUP BY d, bucket
+),
+truecnt AS (SELECT token, count(*) AS true_cnt FROM t GROUP BY token),
+probes AS (
+  SELECT token, true_cnt FROM truecnt
+  ORDER BY true_cnt DESC, token LIMIT 10
+),
+pb AS (
+  SELECT DISTINCT p.token, p.true_cnt, b.d, b.bucket
+  FROM probes p JOIN bucketed b ON b.token = p.token
+),
+est AS (
+  SELECT pb.token, pb.true_cnt, min(c.cnt) AS cms_est
+  FROM pb JOIN counters c ON c.d = pb.d AND c.bucket = pb.bucket
+  GROUP BY pb.token, pb.true_cnt
+)
+SELECT token, CAST(true_cnt AS BIGINT) AS true_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       cms_est >= true_cnt AS never_underestimates,
+       {_CMS_DEPTH} AS depth, {_CMS_WIDTH} AS width
+FROM est
+"""
+
+
+@register("countmin_token_frequencies", oracle=_cms_oracle())
+def countmin_token_frequencies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COUNT-MIN SKETCH point-frequency serving — the mergeable
+    heavy-hitter counter the HLL family doesn't cover: 4x1024 counters
+    (md5-derived buckets, so both engines build the IDENTICAL sketch
+    and the driver hash pins the full arithmetic, unlike the
+    engine-specific HLL/GK sketches whose queries pin error bounds
+    instead), each counter the count of tokens hashing there, estimate
+    = min over the 4 rows — never an underestimate (every counter
+    counts the token plus non-negative collision mass; pinned
+    in-result for the top-10 probes). Build is one explode + a 4096-
+    group aggregate: partial counts map-side combine, the shuffle
+    carries <= depth x width rows per task regardless of corpus size —
+    at 100 TB the sketch table is still 4 KB of longs, the
+    merge-across-crawls is counter addition, and the probe is a
+    broadcast lookup. The classic trade vs exact `token_counts_global`:
+    O(1) state for a provable one-sided error."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    d_arr = F.array(*[F.lit(d) for d in range(_CMS_DEPTH)])
+    bucketed = tok.select(
+        "token", F.explode(d_arr).alias("d")
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cms"), F.col("d"), F.lit(":"), F.col("token"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_WIDTH,
+    )
+    counters = bucketed.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    truecnt = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    probes = truecnt.orderBy(F.desc("true_cnt"), "token").limit(10)
+    pb = (
+        F.broadcast(probes)
+        .join(bucketed, "token")
+        .select("token", "true_cnt", "d", "bucket")
+        .distinct()
+    )
+    est = (
+        pb.join(counters, ["d", "bucket"])
+        .groupBy("token", "true_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "token",
+        F.col("true_cnt").cast("long").alias("true_cnt"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") >= F.col("true_cnt")).alias(
+            "never_underestimates"
+        ),
+        F.lit(_CMS_DEPTH).cast("int").alias("depth"),
+        F.lit(_CMS_WIDTH).cast("int").alias("width"),
+    )
