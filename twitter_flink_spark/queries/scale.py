@@ -4437,3 +4437,167 @@ def exact_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(median, n, passes >= 1)],
         "median_cents long, n_rows long, narrowed_not_sorted boolean",
     )
+
+
+@register(
+    "zorder_incremental_recluster",
+    oracle="""
+WITH b AS (SELECT min(ts) AS t0, min(user_id) AS u_lo,
+                  max(user_id) AS u_mx FROM events)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(e.value), 2) AS total_value,
+       TRUE AS append_stayed_servable,
+       TRUE AS recluster_tightened,
+       TRUE AS recluster_local
+FROM events e, b
+WHERE e.user_id >= b.u_lo
+  AND e.user_id < b.u_lo + CAST(floor((b.u_mx - b.u_lo + 1) / 4.0)
+                                AS BIGINT)
+  AND e.ts >= b.t0 + INTERVAL 10 DAY
+  AND e.ts <  b.t0 + INTERVAL 20 DAY
+GROUP BY e.event_type
+""",
+)
+def zorder_incremental_recluster(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The OPTIMIZE ZORDER BY *cadence* — what happens BETWEEN
+    compactions: a Z-clustered table (first half of events by event_id,
+    24 Morton-tiled files) receives an unclustered APPEND (the second
+    half, 8 ingest-order files — what a streaming sink or hourly batch
+    actually lands), the manifest refreshes incrementally
+    (`skipping.update` stats ONLY the 8 new files), and the 2-D box
+    consult DEGRADES GRACEFULLY: new files have wide user_id envelopes,
+    so most stay candidates, but every indexed file still serves and
+    results stay exact (`append_stayed_servable`). Then the maintenance
+    job re-clusters ONLY the appended files (read 8, Z-write 8, the old
+    24 tiles never rewritten — `recluster_local` pins their listing
+    byte-identical) and rebuilds the manifest: the same consult now
+    touches strictly fewer files (`recluster_tightened`). The oracle
+    aggregates the raw table — layout changes must never change
+    answers. At 100 TB this IS the recurring OPTIMIZE job: cost scales
+    with the un-clustered tail since the last run, never with the
+    table, and serving never blocks on it."""
+    import datetime
+    import os
+    import shutil
+
+    from twitter_flink_spark.operators import skipping
+    from twitter_flink_spark.operators.zorder import zorder_layout
+    from twitter_flink_spark.sources.staging import scratch_dir
+
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg(
+        F.min("ts").alias("t0"),
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("umx"),
+        F.min(F.unix_micros("ts")).alias("tlo"),
+        F.max(F.unix_micros("ts")).alias("thi"),
+        F.max("event_id").alias("emx"),
+    ).first()
+    bounds = (int(b["ulo"]), int(b["umx"]), int(b["tlo"]), int(b["thi"]))
+    mid = int(b["emx"]) // 2
+    work = os.path.join(scratch_dir("zrecluster"), "table")
+
+    # era 1: Z-clustered half
+    zorder_layout(
+        e.where(F.col("event_id") <= mid).withColumn(
+            "ts_us", F.unix_micros("ts")
+        ),
+        "user_id",
+        "ts_us",
+        bounds,
+        24,
+    ).drop("ts_us").write.mode("overwrite").parquet(work)
+    era1_paths = {
+        skipping._norm_path(f)
+        for f in spark.read.parquet(work).inputFiles()
+    }  # captured BEFORE the append: era 2 = live minus this set
+    skipping.build(spark, work, ["user_id", "ts"])
+    # era 2: unclustered ingest-order append + incremental index refresh
+    e.where(F.col("event_id") > mid).repartition(8).write.mode(
+        "append"
+    ).parquet(work)
+    n_new = skipping.update(spark, work, ["user_id", "ts"])
+
+    u_lo = int(b["ulo"])
+    u_hi = u_lo + (int(b["umx"]) - u_lo + 1) // 4
+    t_lo = b["t0"] + datetime.timedelta(days=10)
+    t_hi = b["t0"] + datetime.timedelta(days=20)
+    preds = [("user_id", u_lo, u_hi), ("ts", t_lo, t_hi)]
+    files_before, total_before = skipping.select_files(spark, work, preds)
+
+    # recluster ONLY the appended files: read them, Z-write, swap via a
+    # new generation hardlinking the untouched era-1 tiles
+    live = sorted(
+        skipping._norm_path(f)
+        for f in spark.read.parquet(work).inputFiles()
+    )
+    appended = [p for p in live if p not in era1_paths]
+    gen = skipping._scratch_name(work, "tmp")
+    shutil.rmtree(gen, ignore_errors=True)
+    os.makedirs(gen, exist_ok=True)
+    inos_before = {p: os.stat(p).st_ino for p in era1_paths}
+    for p in era1_paths:
+        os.link(p, os.path.join(gen, os.path.basename(p)))
+    stage = skipping._scratch_name(work, "zmerge")
+    shutil.rmtree(stage, ignore_errors=True)
+    zorder_layout(
+        spark.read.parquet(*appended).withColumn(
+            "ts_us", F.unix_micros("ts")
+        ),
+        "user_id",
+        "ts_us",
+        bounds,
+        8,
+    ).drop("ts_us").write.mode("overwrite").parquet(stage)
+    zi = 0
+    for f in sorted(os.listdir(stage)):
+        if f.endswith(".parquet"):
+            os.rename(
+                os.path.join(stage, f),
+                os.path.join(gen, f"compacted-z-{zi:04d}.parquet"),
+            )
+            zi += 1
+    shutil.rmtree(stage, ignore_errors=True)
+    skipping._replace_dir(gen, work)
+    skipping.build(spark, work, ["user_id", "ts"])  # fresh manifest
+    files_after, total_after = skipping.select_files(spark, work, preds)
+    after_live = {
+        os.path.basename(skipping._norm_path(f)): skipping._norm_path(f)
+        for f in spark.read.parquet(work).inputFiles()
+    }
+    local_ok = all(
+        os.path.basename(p) in after_live
+        and os.stat(after_live[os.path.basename(p)]).st_ino == ino
+        for p, ino in inos_before.items()
+    )
+
+    box = (
+        (F.col("user_id") >= u_lo)
+        & (F.col("user_id") < u_hi)
+        & (F.col("ts") >= F.lit(t_lo))
+        & (F.col("ts") < F.lit(t_hi))
+    )
+    agg = (
+        spark.read.parquet(*files_after)
+        .where(box)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        "cnt",
+        "total_value",
+        F.lit(bool(n_new == 8 and len(files_before) <= total_before)).alias(
+            "append_stayed_servable"
+        ),
+        F.lit(bool(len(files_after) < len(files_before))).alias(
+            "recluster_tightened"
+        ),
+        F.lit(bool(local_ok)).alias("recluster_local"),
+    )
