@@ -638,3 +638,112 @@ def countmin_token_frequencies(
         F.lit(_CMS_DEPTH).cast("int").alias("depth"),
         F.lit(_CMS_WIDTH).cast("int").alias("width"),
     )
+
+
+_AMS_D = 8  #: independent ±1-sign estimators; median-of-8 concentrates
+
+
+def _ams_oracle() -> str:
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN strpos('0123456789abcdef', "
+        f"substr(md5('ams{d}:' || token), 1, 1)) % 2 = 0 "
+        f"THEN 1 ELSE -1 END) AS s{d}"
+        for d in range(_AMS_D)
+    )
+    ests = ", ".join(f"(s{d} * s{d})" for d in range(_AMS_D))
+    return f"""
+WITH tok AS (
+  SELECT unnest(str_split(text, ' ')) AS token FROM documents
+),
+t AS (SELECT token FROM tok WHERE token <> ''),
+sk AS (
+  SELECT count(*) AS n,
+       {sums}
+  FROM t
+),
+f2 AS (
+  SELECT sum(c * c) AS f2_exact
+  FROM (SELECT count(*) AS c FROM t GROUP BY token)
+),
+med AS (
+  SELECT e AS f2_est FROM (
+    SELECT unnest([{ests}]) AS e FROM sk
+  ) ORDER BY e LIMIT 1 OFFSET {_AMS_D // 2 - 1}
+)
+SELECT CAST(sk.n AS BIGINT) AS n_tokens,
+       CAST(f2.f2_exact AS BIGINT) AS f2_exact,
+       CAST(med.f2_est AS BIGINT) AS f2_est_median,
+       round(CAST(med.f2_est AS DOUBLE) / f2.f2_exact, 4) AS est_ratio,
+       med.f2_est >= f2.f2_exact / 4
+         AND med.f2_est <= f2.f2_exact * 4 AS within_4x
+FROM sk, f2, med
+"""
+
+
+@register("ams_f2_join_size", oracle=_ams_oracle())
+def ams_f2_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS/Tug-of-War SECOND-MOMENT sketch — the join-size estimator a
+    cost-based planner consults before picking a strategy: the
+    self-join size of the token equi-join is F2 = Σ count², exact
+    computation needs the full frequency vector (O(distinct keys)
+    state), while the AMS sketch keeps ONE counter per estimator — each
+    row adds a ±1 md5-derived sign, est = S², E[est] = F2 — and the
+    lower-median of 8 independent estimators concentrates. Everything
+    is md5-derived integer arithmetic, so both engines build the
+    IDENTICAL sketch and the driver hash pins the full computation
+    (the same exactly-reproducible-sketch posture as
+    `countmin_token_frequencies`); the exact F2 rides the row, with the
+    measured ratio and a 4x-envelope flag. One pass, 8 constant-space
+    sums (the sign columns are projected once, then plain SUM
+    aggregates — map-side combine carries 8 longs per task); at 100 TB
+    the planner gets its join-size estimate from 64 bytes of state
+    merged across every partition, and cross-crawl merges are sign-sum
+    additions."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    signs = [
+        F.when(
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(
+                    F.md5(F.concat(F.lit(f"ams{d}:"), F.col("token"))), 1, 1
+                ),
+            )
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias(f"g{d}")
+        for d in range(_AMS_D)
+    ]
+    pre = tok.select(*signs)
+    sk = pre.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"g{d}").alias(f"s{d}") for d in range(_AMS_D)],
+    ).first()  # 1 row: the whole sketch
+    n = int(sk["n"])
+    ests = sorted(int(sk[f"s{d}"]) ** 2 for d in range(_AMS_D))
+    est = ests[_AMS_D // 2 - 1]  # lower median: stays integral
+    f2 = int(
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")))
+        .first()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                f2,
+                est,
+                round(est / f2, 4),
+                bool(f2 / 4 <= est <= f2 * 4),
+            )
+        ],
+        "n_tokens long, f2_exact long, f2_est_median long, "
+        "est_ratio double, within_4x boolean",
+    )
