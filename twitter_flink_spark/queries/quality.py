@@ -805,3 +805,116 @@ def quarantine_repair_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(nothing_lost)).alias("nothing_lost"),
         F.lit(bool(index_fresh)).alias("index_fresh"),
     )
+
+
+_PSI_BUCKETS = 10
+
+
+@register(
+    "psi_value_drift_eras",
+    oracle=f"""
+WITH b AS (
+  SELECT min(ts) AS t0, max(ts) AS t1, min(value) AS v0, max(value) AS v1
+  FROM events
+),
+lab AS (
+  SELECT CASE WHEN epoch_us(e.ts)
+              < (epoch_us(b.t0) + epoch_us(b.t1)) // 2
+              THEN 'era1' ELSE 'era2' END AS era,
+         least({_PSI_BUCKETS - 1}, greatest(0,
+           CAST(floor((e.value - b.v0) * {_PSI_BUCKETS}.0
+                      / (b.v1 - b.v0)) AS INTEGER))) AS bucket
+  FROM events e, b
+),
+cnt AS (
+  SELECT bucket,
+         sum(CASE WHEN era = 'era1' THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN era = 'era2' THEN 1 ELSE 0 END) AS n2
+  FROM lab GROUP BY bucket
+),
+tot AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM cnt),
+frac AS (
+  SELECT c.bucket,
+         (c.n1 + 0.5) / (t.t1 + {_PSI_BUCKETS} * 0.5) AS p,
+         (c.n2 + 0.5) / (t.t2 + {_PSI_BUCKETS} * 0.5) AS q,
+         CAST(c.n1 AS BIGINT) AS n_era1, CAST(c.n2 AS BIGINT) AS n_era2
+  FROM cnt c, tot t
+)
+SELECT CAST(bucket AS INTEGER) AS bucket, n_era1, n_era2,
+       round((p - q) * ln(p / q), 6) AS psi_term,
+       round((SELECT sum((p - q) * ln(p / q)) FROM frac), 6) AS psi_total,
+       (SELECT sum((p - q) * ln(p / q)) FROM frac) < 0.2 AS stable
+FROM frac
+""",
+)
+def psi_value_drift_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX between time eras — the distribution-
+    shift gate a training pipeline runs before mixing a new crawl into
+    an old corpus: bucket `value` into 10 fixed bins over the FULL
+    table's [min, max] (shared bins — per-era bins would hide shift by
+    re-normalizing it away), split rows at the time midpoint, and
+    compute PSI = Σ (p_i - q_i)·ln(p_i/q_i) over Laplace-smoothed bin
+    fractions (the +0.5 smoothing keeps empty bins finite without
+    dropping them — a bin present in one era only is exactly the signal
+    PSI exists to catch). One row per bin with both counts and the
+    bin's PSI term, plus the total and the standard < 0.2 stability
+    verdict. Everything is one scan + one 10-group aggregate; the
+    bucketing is the same exact-arithmetic floor both engines compute
+    identically, and ln/× are IEEE ops in identical order, so the
+    driver hash pins the full drift computation. At 100 TB this runs
+    per ingest over billions of rows into 10 counters — partial
+    aggregation makes the shuffle 10 rows per task."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+        F.min("value").alias("v0"),
+        F.max("value").alias("v1"),
+    ).first()
+    v0, v1 = float(b["v0"]), float(b["v1"])
+    # exact integer-microsecond midpoint: interval halving rounds
+    # differently across engines and moves boundary rows between eras
+    eb = e.agg(
+        F.min(F.unix_micros("ts")).alias("u0"),
+        F.max(F.unix_micros("ts")).alias("u1"),
+    ).first()
+    mid_us = (int(eb["u0"]) + int(eb["u1"])) // 2
+    lab = e.select(
+        F.when(F.unix_micros("ts") < mid_us, F.lit("era1"))
+        .otherwise(F.lit("era2"))
+        .alias("era"),
+        F.least(
+            F.lit(_PSI_BUCKETS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("value") - v0) * float(_PSI_BUCKETS) / (v1 - v0)
+                ).cast("int"),
+            ),
+        ).alias("bucket"),
+    )
+    cnt = lab.groupBy("bucket").agg(
+        F.sum((F.col("era") == "era1").cast("int")).alias("n1"),
+        F.sum((F.col("era") == "era2").cast("int")).alias("n2"),
+    )
+    t = cnt.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2")).first()
+    t1, t2 = int(t["t1"]), int(t["t2"])
+    sm = _PSI_BUCKETS * 0.5
+    frac = cnt.select(
+        "bucket",
+        F.col("n1").cast("long").alias("n_era1"),
+        F.col("n2").cast("long").alias("n_era2"),
+        ((F.col("n1") + 0.5) / (t1 + sm)).alias("p"),
+        ((F.col("n2") + 0.5) / (t2 + sm)).alias("q"),
+    ).withColumn(
+        "term", (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    )
+    total = float(frac.agg(F.sum("term")).first()[0])  # 1-row pin read
+    return frac.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_era1",
+        "n_era2",
+        F.round("term", 6).alias("psi_term"),
+        F.round(F.lit(total), 6).alias("psi_total"),
+        F.lit(bool(total < 0.2)).alias("stable"),
+    )
