@@ -2461,3 +2461,116 @@ def test_compact_table_preserves_rows_and_inodes(spark, tmp_path):
         if os.path.basename(_norm_path(f)) == os.path.basename(big)
     ]
     assert kept and os.stat(kept[0]).st_ino == ino
+
+
+def test_compact_table_repeat_no_generation_clobber(spark, tmp_path):
+    """Regression: a SECOND compaction whose merge-group 0 coexists with
+    an UNTOUCHED merged file from the first pass must not rename its
+    fresh output over that hardlinked survivor (the old fixed
+    ``compacted-{i:05d}`` naming silently did, and the rows were lost
+    for good once the old generation was swept). Generation-unique
+    names make the collision impossible; the pin is exact row
+    preservation plus the survivor's inode."""
+    import os
+
+    from twitter_flink_spark.operators.compaction import compact_table
+    from twitter_flink_spark.operators.skipping import _norm_path
+    from twitter_flink_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    t = str(tmp_path / "table")
+    # one healthy file + 4 tiny files -> pass 1 merges the tiny tail
+    e.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(t)
+    for i in range(4):
+        e.where(
+            (F.col("event_id") % 2 == 1)
+            & ((F.col("event_id") / 2).cast("long") % 4 == i)
+        ).coalesce(1).write.mode("append").parquet(t)
+    rows1 = e.count()
+    files = {
+        _norm_path(f): os.stat(_norm_path(f)).st_size
+        for f in spark.read.parquet(t).inputFiles()
+    }
+    nb, na, ng = compact_table(spark, t, max(files.values()))
+    assert ng >= 1 and spark.read.parquet(t).count() == rows1
+    merged = [
+        _norm_path(f)
+        for f in spark.read.parquet(t).inputFiles()
+        if "compacted-" in os.path.basename(_norm_path(f))
+    ]
+    assert merged, "pass 1 produced a merged file"
+    m = min(merged, key=lambda p: os.stat(p).st_size)
+    m_ino, m_size = os.stat(m).st_ino, os.stat(m).st_size
+    # append two tiny files strictly smaller than m, then compact with
+    # target == m's size: m is untouched (hardlinked), the new tinies
+    # form merge-group 0 -> the exact collision the old naming had
+    extra = e.limit(40)
+    extra.limit(20).coalesce(1).write.mode("append").parquet(t)
+    extra.subtract(extra.limit(20)).coalesce(1).write.mode(
+        "append"
+    ).parquet(t)
+    rows2 = spark.read.parquet(t).count()
+    assert rows2 == rows1 + 40
+    tiny_sizes = [
+        os.stat(_norm_path(f)).st_size
+        for f in spark.read.parquet(t).inputFiles()
+        if _norm_path(f) not in files and _norm_path(f) != m
+        and "compacted-" not in os.path.basename(_norm_path(f))
+    ]
+    assert tiny_sizes and all(s < m_size for s in tiny_sizes), (
+        "fixture precondition: appended files must be smaller than the "
+        "pass-1 merged file"
+    )
+    nb2, na2, ng2 = compact_table(spark, t, m_size)
+    assert ng2 >= 1
+    # the old naming lost m's rows here; exact count is the pin
+    assert spark.read.parquet(t).count() == rows2
+    kept = [
+        _norm_path(f)
+        for f in spark.read.parquet(t).inputFiles()
+        if os.path.basename(_norm_path(f)) == os.path.basename(m)
+    ]
+    assert kept and os.stat(kept[0]).st_ino == m_ino
+
+
+def test_compact_table_one_job_for_all_groups(spark, tmp_path):
+    """The distributed executor writes EVERY merge group in one Spark
+    job: the merge-write job count is a small constant independent of
+    how many groups the plan holds (the old per-group coalesce(1) loop
+    ran O(groups) sequential jobs)."""
+    import os
+
+    from twitter_flink_spark.operators import compaction
+    from twitter_flink_spark.operators.compaction import (
+        compact_table,
+        compaction_plan,
+    )
+    from twitter_flink_spark.operators.skipping import _norm_path
+    from twitter_flink_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    t = str(tmp_path / "table")
+    e.coalesce(1).write.mode("append").parquet(t)  # healthy anchor
+    for i in range(16):  # 16 tiny files -> several merge groups
+        e.where(F.col("event_id") % 16 == i).limit(8).coalesce(
+            1
+        ).write.mode("append").parquet(t)
+    rows = spark.read.parquet(t).count()
+    sizes = [
+        (_norm_path(f), os.stat(_norm_path(f)).st_size)
+        for f in spark.read.parquet(t).inputFiles()
+    ]
+    target = max(s for _, s in sizes)
+    expected_groups = len(compaction_plan(sorted(sizes), target))
+    nb, na, ng = compact_table(spark, t, target)
+    assert ng == expected_groups >= 2
+    assert spark.read.parquet(t).count() == rows
+    assert compaction.LAST_MERGE_JOBS is not None
+    assert compaction.LAST_MERGE_JOBS <= 4, (
+        f"merge ran {compaction.LAST_MERGE_JOBS} jobs for {ng} groups "
+        "- the executor must not launch one job per group"
+    )

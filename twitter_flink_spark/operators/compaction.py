@@ -29,15 +29,24 @@ fraction being fixed, not the table.
 from __future__ import annotations
 
 import os
+import re
 import shutil
+import time
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from twitter_flink_spark.operators.skipping import (
     _norm_path,
     _replace_dir,
     _scratch_name,
 )
+
+#: Diagnostic: Spark job count of the LAST ``compact_table`` merge write
+#: (None until a merge has run). The distributed executor writes every
+#: merge group in ONE job, so this stays a small constant no matter how
+#: many groups the plan holds — ``tests/test_files.py`` pins it.
+LAST_MERGE_JOBS: int | None = None
 
 
 def compaction_plan(
@@ -69,7 +78,27 @@ def compact_table(
     returns (files_before, files_after, groups_merged). No-op (no swap)
     when the plan is empty. Untouched files are hardlinked into the new
     generation — same inode, zero copy — so repeated compactions cost
-    only the small tail they actually fix."""
+    only the small tail they actually fix.
+
+    The executor is DISTRIBUTED: all merge groups are written in ONE
+    Spark job — every planned file is read in a single scan, each row
+    tagged with its plan group via a broadcast (basename -> gid) join,
+    hash-repartitioned into exactly ``len(plan)`` partitions on gid (so
+    one group never splits across tasks), and written partitioned by
+    gid. A driver loop of one ``coalesce(1)`` job per group would
+    serialize O(groups) sequential jobs — a driver-side bottleneck at a
+    million-small-file table; this shape is O(1) jobs with all merge
+    work parallel across the cluster (the ``binpack_write`` precedent).
+
+    Merged basenames carry a GENERATION COUNTER
+    (``compacted-g{gen}-{gid}.parquet``, gen = 1 + max seen in the live
+    file set): a previous pass's compacted file that is untouched this
+    pass is hardlinked into the new generation under its old basename,
+    and a same-named fresh merge output would silently rename OVER that
+    hardlink — permanently losing its rows once the old generation is
+    swept. Unique-per-generation names make that collision impossible.
+    """
+    global LAST_MERGE_JOBS
     live = [
         _norm_path(f) for f in spark.read.parquet(root).inputFiles()
     ]
@@ -78,26 +107,71 @@ def compact_table(
     if not plan:
         return len(live), len(live), 0
     planned = {p for group in plan for p in group}
+    gen_no = 1 + max(
+        (
+            int(m.group(1))
+            for p, _ in sizes
+            if (m := re.match(r"compacted-g(\d+)-", os.path.basename(p)))
+        ),
+        default=0,
+    )
     gen = _scratch_name(root, "tmp")
     shutil.rmtree(gen, ignore_errors=True)
     os.makedirs(gen, exist_ok=True)
     for p, _ in sizes:
         if p not in planned:
             os.link(p, os.path.join(gen, os.path.basename(p)))
-    for i, group in enumerate(plan):
-        stage = _scratch_name(root, f"merge{i}")
-        shutil.rmtree(stage, ignore_errors=True)
-        spark.read.parquet(*group).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        part = next(
-            f for f in os.listdir(stage) if f.endswith(".parquet")
+    stage = _scratch_name(root, "merge")
+    shutil.rmtree(stage, ignore_errors=True)
+    gid_rows = [
+        (os.path.basename(p), gid)
+        for gid, group in enumerate(plan)
+        for p in group
+    ]
+    gid_map = spark.createDataFrame(
+        gid_rows, "__compact_file string, __compact_gid int"
+    )
+    # input_file_name() is non-deterministic: Catalyst rejects it inside
+    # a join condition, so materialize the basename as a column first
+    src = spark.read.parquet(*sorted(planned)).withColumn(
+        "__compact_src",
+        F.substring_index(F.input_file_name(), "/", -1),
+    )
+    sc = spark.sparkContext
+    job_group = f"compact-merge-{os.getpid()}-{time.monotonic_ns():x}"
+    sc.setJobGroup(job_group, "compaction: merge all groups (one job)")
+    try:
+        (
+            src.join(
+                F.broadcast(gid_map),
+                src["__compact_src"] == gid_map["__compact_file"],
+            )
+            .drop("__compact_file", "__compact_src")
+            .repartition(len(plan), F.col("__compact_gid"))
+            .write.partitionBy("__compact_gid")
+            .mode("overwrite")
+            .parquet(stage)
         )
-        os.rename(
-            os.path.join(stage, part),
-            os.path.join(gen, f"compacted-{i:05d}.parquet"),
+        LAST_MERGE_JOBS = len(
+            sc.statusTracker().getJobIdsForGroup(job_group)
         )
-        shutil.rmtree(stage, ignore_errors=True)
+    finally:
+        sc.setJobGroup("", "")
+    for gid in range(len(plan)):
+        gdir = os.path.join(stage, f"__compact_gid={gid}")
+        if not os.path.isdir(gdir):  # all-empty group: nothing to move
+            continue
+        parts = sorted(
+            f for f in os.listdir(gdir) if f.endswith(".parquet")
+        )
+        for j, part in enumerate(parts):
+            os.rename(
+                os.path.join(gdir, part),
+                os.path.join(
+                    gen, f"compacted-g{gen_no}-{gid:05d}-{j:02d}.parquet"
+                ),
+            )
+    shutil.rmtree(stage, ignore_errors=True)
     n_after = sum(
         1 for f in os.listdir(gen) if f.endswith(".parquet")
     )
