@@ -152,7 +152,13 @@ def maintenance_check(spark: SparkSession, big_dir: str) -> dict:
     b4 = (F.col("doc_id") % 8 >= 1) & (F.col("doc_id") % 8 <= 4)
     batch1 = rep0.where(b1)
     batch4 = rep0.where(b4)
-    n1, n4 = batch1.count(), batch4.count()
+    # lsh_index_update returns only BAND-ELIGIBLE docs (>= ngram=3
+    # tokens — shorter docs can never produce a shingle); count the
+    # batches under the same filter or a short doc in the batch makes
+    # the equality assertion below fire spuriously
+    eligible = F.size(F.split(F.col("text"), " ")) >= 3
+    n1 = batch1.where(eligible).count()
+    n4 = batch4.where(eligible).count()
 
     work = os.path.join(tempfile.gettempdir(), "tfs-scalecheck-maint")
     shutil.rmtree(work, ignore_errors=True)

@@ -30,10 +30,16 @@ def _scale_to_bits(c: F.Column, lo: int, hi: int, bits: int = Z_BITS) -> F.Colum
     exact long arithmetic (no double rounding at the boundaries), clamped
     so hi itself lands in the top bucket."""
     span = max(int(hi) - int(lo) + 1, 1)
+    # `div` is Spark's integral (long) division — `/` would round-trip
+    # through double and values near a bucket boundary could round into
+    # the adjacent bucket once (c - lo) * 2^bits exceeds 2^53
     return F.least(
         F.lit((1 << bits) - 1),
-        ((c.cast("long") - F.lit(int(lo))) * F.lit(1 << bits) / F.lit(span))
-        .cast("long"),
+        F.call_function(
+            "div",
+            (c.cast("long") - F.lit(int(lo))) * F.lit(1 << bits),
+            F.lit(span),
+        ),
     )
 
 

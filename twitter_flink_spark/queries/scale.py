@@ -4403,10 +4403,24 @@ def exact_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         width = hi - lo + 1
         cnt = cur.count()
         if cnt <= 4096 or width <= B:
-            vals = sorted(
-                r["c"] for r in cur.collect()
-            )  # bounded: <= 4096 candidates (or an integer range <= B)
-            median = int(vals[rank - 1])
+            # terminal: aggregate counts per DISTINCT value, never raw
+            # rows — a width-<=B range can still hold billions of rows
+            # on duplicate-heavy data, but it holds at most B distinct
+            # values (and the cnt<=4096 branch at most 4096), so the
+            # driver reads <= max(4096, B) (value, count) pairs and
+            # walks the cumulative counts to rank k
+            pairs = sorted(
+                (int(r["c"]), int(r["cnt"]))
+                for r in cur.groupBy("c")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+            cum = 0
+            for v, c_here in pairs:
+                cum += c_here
+                if cum >= rank:
+                    median = v
+                    break
             break
         hist = {
             int(r["b"]): int(r["cnt"])

@@ -3260,13 +3260,21 @@ def ivf_filtered_ann_escalating(
             )
         )
 
+    # escalate with a RUNNING count: each step opens and counts ONLY the
+    # newly added cell dir (a prefix re-count would make escalation
+    # O(nprobe^2) reads); the chosen prefix is then read once, lazily,
+    # for the final scoring pass — every cell dir is touched at most
+    # twice total (once counted, once scored), independent of nprobe
+    def _count_cell(cid: int) -> int:
+        one = _cands([cid])
+        return one.count() if one is not None else 0
+
     nprobe = 1
-    while True:
-        cands = _cands(order[:nprobe])
-        n_match = cands.count() if cands is not None else 0
-        if n_match >= 5 or nprobe >= len(order):
-            break
+    n_match = _count_cell(order[0]) if order else 0
+    while n_match < 5 and nprobe < len(order):
         nprobe += 1  # one more cell dir, never a rescan of rejects
+        n_match += _count_cell(order[nprobe - 1])
+    cands = _cands(order[:nprobe])
     if cands is None:
         cands = spark.createDataFrame([], "vec_id long, e array<double>")
     probe_vec = probe.select(F.col("e").alias("pe"))
