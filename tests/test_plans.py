@@ -707,3 +707,13 @@ def test_binpack_offsets_join_broadcast(spark):
         rows_per_type[r["event_type"]] += r["n"]
     for et, n_files in files_per_type.items():
         assert n_files == -(-rows_per_type[et] // 100), et
+
+
+def test_sketch_driven_strategy_hints_engaged(spark):
+    """The AMS-estimate-driven decision must reach the physical plan:
+    the small-estimate pair broadcasts, the large-estimate pair
+    shuffle-hashes, and neither falls back to a sort-merge join."""
+    plan = plan_of(spark, "ams_join_strategy_pick")
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -246,8 +246,6 @@ def ivf_refit_on_drift(
     ratio ~1. Returns {fired, ratio, measured, baseline}."""
     import os
 
-    from twitter_flink_spark.operators.skipping import _swap_dirs
-
     meta = spark.read.parquet(os.path.join(index_dir, "_meta")).first()
     k, iters = int(meta["k"]), int(meta["iters"])
     baseline = float(meta["fit_mean_dist"])
@@ -263,7 +261,36 @@ def ivf_refit_on_drift(
     out = {"ratio": ratio, "measured": measured, "baseline": baseline}
     if ratio <= threshold:
         return {"fired": False, **out}
+    new_baseline = _ivf_full_refit(
+        spark, index_dir, vectors, k, iters, id_col, vec_col
+    )
+    return {"fired": True, **out, "baseline_after": new_baseline}
 
+
+def _ivf_full_refit(
+    spark,
+    index_dir: str,
+    vectors: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """The shared FIRING body of every refit trigger (drift- and
+    imbalance-based): deterministic Lloyd on ``vectors``, reassign
+    everything to the frozen on-disk doubles, and atomically cut the
+    index over assign -> centroids -> meta (each a tmp-write +
+    rename-swap; a crash-torn mix measures as inflated drift/skew on
+    the next run and the deterministic refit refires idempotently).
+    Returns the new `_meta` baseline mean distance."""
+    import os
+    import shutil
+
+    from twitter_flink_spark.operators.skipping import _swap_dirs
+
+    v = vectors.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("e")
+    )
     cents_dir = os.path.join(index_dir, "_centroids")
     assign_dir = os.path.join(index_dir, "_assign")
     meta_dir = os.path.join(index_dir, "_meta")
@@ -275,8 +302,6 @@ def ivf_refit_on_drift(
     new_cents = kmeans_fit(
         vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col
     ).select("cid", "cent")
-    import shutil
-
     for t in (tmp_c, tmp_a, tmp_m):
         shutil.rmtree(t, ignore_errors=True)
     new_cents.coalesce(1).write.mode("overwrite").parquet(tmp_c)
@@ -292,4 +317,66 @@ def ivf_refit_on_drift(
     _swap_dirs(tmp_a, assign_dir)
     _swap_dirs(tmp_c, cents_dir)
     _swap_dirs(tmp_m, meta_dir)
-    return {"fired": True, **out, "baseline_after": new_baseline}
+    return new_baseline
+
+
+def ivf_imbalance_factor(spark, index_dir: str) -> float:
+    """max cell / mean cell over the persisted assignment table — the
+    skew statistic `ivf_cell_balance_report` surfaces (1.0 = perfectly
+    balanced; the biggest cell bounds worst-case probe latency). One
+    groupBy at the index's metadata grain (k cells), no vector math."""
+    import os
+
+    counts = (
+        spark.read.parquet(os.path.join(index_dir, "_assign"))
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    t = counts.agg(
+        F.sum("n_vecs").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.max("n_vecs").alias("mx"),
+    ).first()
+    if not t["n"]:
+        return 1.0
+    return int(t["mx"]) * int(t["k"]) / int(t["n"])
+
+
+def ivf_refit_on_imbalance(
+    spark,
+    index_dir: str,
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """The SKEW-triggered sibling of `ivf_refit_on_drift` — closing the
+    loop `ivf_cell_balance_report` opened: when the imbalance factor
+    (max cell / mean cell) of the persisted assignment table exceeds
+    ``threshold``, the index's whole reason to exist (scanning ~N/k per
+    probe instead of N) is compromised, so refit on ``vectors`` with
+    the same deterministic Lloyd and atomically cut over (shared
+    `_ivf_full_refit` body — identical crash posture and idempotence).
+    At or below the threshold the call is a PURE no-op: the trigger
+    reads only the k-cell occupancy aggregate, never a vector. Returns
+    {fired, imbalance[, baseline_after]}."""
+    imb = ivf_imbalance_factor(spark, index_dir)
+    if imb <= threshold:
+        return {"fired": False, "imbalance": imb}
+    import os
+
+    meta = spark.read.parquet(os.path.join(index_dir, "_meta")).first()
+    new_baseline = _ivf_full_refit(
+        spark,
+        index_dir,
+        vectors,
+        int(meta["k"]),
+        int(meta["iters"]),
+        id_col,
+        vec_col,
+    )
+    return {
+        "fired": True,
+        "imbalance": imb,
+        "baseline_after": new_baseline,
+    }

@@ -4454,6 +4454,117 @@ def exact_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exact_median_per_type",
+    oracle="""
+WITH s AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+r AS (SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM s)
+SELECT event_type, c AS median_cents, CAST(n AS BIGINT) AS n_rows,
+       TRUE AS narrowed_not_sorted
+FROM r WHERE rn = (n + 1) // 2
+""",
+)
+def exact_median_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED exact selection — `exact_median_selection`'s per-group
+    variant, the common production ask ("exact median per event type")
+    whose naive port loops the global narrowing walk once per group,
+    paying G full scans per round. Instead ALL groups narrow in ONE
+    pass per round: each active group's [lo, hi] rides a broadcast
+    bounds frame joined to the data, every surviving row computes its
+    group-local 1024-bucket id with exact long `div` arithmetic, and a
+    single (group, bucket) aggregate feeds the driver walk — per round
+    the driver reads <= groups x 1024 ints and each group's range
+    shrinks ~1000x, so passes = O(log_1024(value range)) TOTAL, not per
+    group. A group is done when its bucket's integer inverse pins a
+    single value (the ceil-exact bucket bounds from the global query),
+    so no terminal collect of any kind exists — the driver never holds
+    more than the histogram. Values lift to integer cents via
+    round(value*100): both engines round the identical IEEE double
+    half-up-for-positives, so the lift is deterministic cross-engine
+    even where value carries more than 2 decimals. Oracle: per-group
+    ORDER BY/row_number k-th element — the sort-based ground truth. At
+    100 TB: a total sort per group is G all-to-all shuffles; this is
+    2-3 filtered aggregates of ever-smaller slices, and adding groups
+    adds driver ints, not passes."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    base = (
+        s.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c").alias("lo"),
+            F.max("c").alias("hi"),
+        )
+        .collect()
+    )  # G rows: per-group count + candidate range
+    n_rows = {r["g"]: int(r["n"]) for r in base}
+    state = {
+        r["g"]: [int(r["lo"]), int(r["hi"]), (int(r["n"]) + 1) // 2]
+        for r in base
+    }
+    B = 1024
+    medians: dict[str, int] = {}
+    for g in list(state):
+        if state[g][0] == state[g][1]:  # single-valued group
+            medians[g] = state[g][0]
+            del state[g]
+    passes = 0
+    while state:
+        bounds = spark.createDataFrame(
+            [(g, lo, hi) for g, (lo, hi, _r) in state.items()],
+            "g string, lo long, hi long",
+        )
+        hist = (
+            s.join(F.broadcast(bounds), "g")
+            .where((F.col("c") >= F.col("lo")) & (F.col("c") <= F.col("hi")))
+            .select(
+                "g",
+                F.call_function(
+                    "div",
+                    (F.col("c") - F.col("lo")) * F.lit(B),
+                    F.col("hi") - F.col("lo") + F.lit(1),
+                ).alias("b"),
+            )
+            .groupBy("g", "b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )  # <= active-groups x 1024 ints: the driver-side walk input
+        by_g: dict[str, dict[int, int]] = {}
+        for r in hist:
+            by_g.setdefault(r["g"], {})[int(r["b"])] = int(r["cnt"])
+        for g in list(state):
+            lo, hi, rank = state[g]
+            width = hi - lo + 1
+            hist_g = by_g.get(g, {})
+            cum = 0
+            for bi in range(B):
+                here = hist_g.get(bi, 0)
+                if cum + here >= rank:
+                    # same ceil-exact bucket inverse as the global query
+                    nlo = lo + (bi * width + B - 1) // B
+                    nhi = lo + ((bi + 1) * width + B - 1) // B - 1
+                    if nlo == nhi:
+                        medians[g] = nlo
+                        del state[g]
+                    else:
+                        state[g] = [nlo, nhi, rank - cum]
+                    break
+                cum += here
+        passes += 1
+    return spark.createDataFrame(
+        [(g, medians[g], n_rows[g], passes >= 1) for g in sorted(medians)],
+        "event_type string, median_cents long, n_rows long, "
+        "narrowed_not_sorted boolean",
+    )
+
+
+@register(
     "zorder_incremental_recluster",
     oracle="""
 WITH b AS (SELECT min(ts) AS t0, min(user_id) AS u_lo,

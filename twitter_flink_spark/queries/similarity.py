@@ -3003,6 +3003,164 @@ def ivf_index_refit_on_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IMBAL_THRESHOLD = 2.25  #: refit when max-cell/mean-cell exceeds this
+#: measured margins (deterministic data): pre-refit imbalance 2.48-2.62
+#: across sf0.001/0.01/0.1, post-refit exactly 2.0 — >= 0.22 on each side
+
+
+def _ensure_ivf_imbal_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, int, dict]:
+    """The imbalance-refit lifecycle fixture — `_ensure_ivf_refit_index`'s
+    skew-triggered twin: corpus-half fit, the DRIFTED new era streamed
+    in against frozen centroids (it piles into the few cells nearest
+    the shifted cloud, spiking max-cell/mean-cell well above
+    `_IMBAL_THRESHOLD`), then `ivf_refit_on_imbalance` run twice — the
+    first fires on the occupancy statistic alone (no vector math in
+    the trigger), the second is a pure no-op on the rebalanced index."""
+    import os
+
+    from twitter_flink_spark.operators.clustering import (
+        assign_clusters,
+        assigned_mean_dist,
+        ivf_meta_df,
+        ivf_refit_on_imbalance,
+        kmeans_fit,
+    )
+    from twitter_flink_spark.sources.staging import stage_once
+    from twitter_flink_spark.sources.tables import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.agg(
+        F.min("vec_id").alias("mn"), F.max("vec_id").alias("mx")
+    ).first()
+    split = (int(b["mn"]) + int(b["mx"])) // 2
+
+    def _build(p: str) -> dict:
+        allv = _refit_vectors(spread(emb, "vec_id"), split)
+        corpus = allv.where(F.col("vec_id") <= split)
+        cents = kmeans_fit(corpus, k=_KM_K, iters=_KM_ITERS).select(
+            "cid", "cent"
+        )
+        cents.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(p, "_centroids")
+        )
+        disk_cents = spark.read.parquet(os.path.join(p, "_centroids"))
+        vc = corpus.select("vec_id", F.col("embedding").alias("e"))
+        assign_dir = os.path.join(p, "_assign")
+        assign_clusters(vc, disk_cents).write.mode(
+            "overwrite"
+        ).partitionBy("cid").parquet(assign_dir)
+        baseline = assigned_mean_dist(
+            vc, disk_cents, spark.read.parquet(assign_dir)
+        )
+        ivf_meta_df(spark, baseline, _KM_K, _KM_ITERS).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(p, "_meta"))
+        newv = allv.where(F.col("vec_id") > split).select(
+            "vec_id", F.col("embedding").alias("e")
+        )
+        assign_clusters(newv, disk_cents).write.mode(
+            "append"
+        ).partitionBy("cid").parquet(assign_dir)
+        # the maintenance job, twice: fire on skew, then clean no-op
+        r1 = ivf_refit_on_imbalance(
+            spark, p, allv, threshold=_IMBAL_THRESHOLD
+        )
+        r2 = ivf_refit_on_imbalance(
+            spark, p, allv, threshold=_IMBAL_THRESHOLD
+        )
+        return {
+            "fired1": bool(r1["fired"]),
+            "imb1": float(r1["imbalance"]),
+            "fired2": bool(r2["fired"]),
+            "imb2": float(r2["imbalance"]),
+        }
+
+    dest, meta = stage_once("ivfimbal", sf_dir, _build)
+    return dest, split, meta
+
+
+@register(
+    "ivf_index_refit_on_imbalance",
+    oracle=_ivf_inc_oracle(
+        shift_new=_REFIT_SHIFT,
+        fit_full=True,
+        flags_sql="TRUE AS refit_fired, TRUE AS refit_noop_second",
+    ),
+)
+def ivf_index_refit_on_imbalance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SKEW-triggered refit (round-13 VERDICT item 3 — closing the loop
+    `ivf_cell_balance_report` opened, the way `ivf_index_refit_on_drift`
+    closed `ivf_assignment_drift`'s): the drifted new era piles into
+    the cells nearest the shifted cloud, so max-cell/mean-cell spikes
+    to ~2.5-2.6 (measured across sfs) against the 2.25 threshold; the
+    maintenance job reads ONLY the k-cell occupancy aggregate (no
+    vector math in the trigger), fires, refits on all vectors with the
+    shared deterministic `_ivf_full_refit` body, and atomically cuts
+    over. `refit_fired` pins the first run fired above threshold;
+    `refit_noop_second` that the second run was a pure no-op — the
+    rebalanced index measures exactly 2.0 (the two drifted clouds split
+    the corpus evenly across k=4 cells) and STRICTLY below the firing
+    measurement. Serving routes the probe through the refitted index —
+    identical to the drift query's post-refit state, so the same
+    full-rebuild oracle proves cutover-equals-rebuild for this trigger
+    too. At 100 TB the two triggers guard different failures: drift
+    catches the data moving away from the centroids, imbalance catches
+    the centroids failing to SPLIT the data — a hot cell inflates every
+    probe that routes to it even when distances still look fine."""
+    import os
+
+    from twitter_flink_spark.operators.clustering import assign_clusters
+
+    dest, split, led = _ensure_ivf_imbal_index(spark, sf_dir)
+    fired_ok = bool(led["fired1"]) and led["imb1"] > _IMBAL_THRESHOLD
+    noop_ok = (
+        (not led["fired2"])
+        and led["imb2"] <= _IMBAL_THRESHOLD
+        and led["imb2"] < led["imb1"]
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    allv = _refit_vectors(emb, split)
+    probe_id = int(emb.agg(F.max("vec_id")).first()[0])
+    cents = spark.read.parquet(os.path.join(dest, "_centroids"))
+    probe = allv.where(F.col("vec_id") == probe_id).select(
+        "vec_id", F.col("embedding").alias("e")
+    )
+    pcid = int(assign_clusters(probe, cents).first()["cid"])
+    probe_vec = probe.select(F.col("e").alias("pe"))
+    cands = (
+        spark.read.parquet(os.path.join(dest, "_assign", f"cid={pcid}"))
+        .where(F.col("vec_id") != probe_id)
+        .select("vec_id")
+        .join(allv, "vec_id")
+        .select("vec_id", F.col("embedding").alias("e"))
+    )
+    scored = cands.crossJoin(F.broadcast(probe_vec)).select(
+        "vec_id",
+        F.round(
+            dot(F.col("e"), F.col("pe"))
+            / (
+                F.sqrt(dot(F.col("e"), F.col("e")))
+                * F.sqrt(dot(F.col("pe"), F.col("pe")))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    return (
+        scored.orderBy(F.desc("cosine"), "vec_id")
+        .limit(5)
+        .select(
+            "vec_id",
+            "cosine",
+            F.lit(bool(fired_ok)).alias("refit_fired"),
+            F.lit(bool(noop_ok)).alias("refit_noop_second"),
+        )
+    )
+
+
 @register(
     "ivf_inverted_nprobe_serving",
     oracle=_ivf_inc_oracle(
