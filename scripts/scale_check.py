@@ -195,6 +195,307 @@ def maintenance_check(spark: SparkSession, big_dir: str) -> dict:
     return out
 
 
+def skipping_consult_check(spark: SparkSession, copies: int) -> dict:
+    """Round-13 VERDICT item 6: the two-level-manifest claim — consult
+    cost is O(parent + touched shards), independent of TOTAL file
+    count — measured instead of argued. Two layouts of the same events
+    data: SMALL (1 replica, ~80 files) and BIG (``copies`` replicas
+    with user_id AND ts offset per replica, ~80x``copies`` files — the
+    extra replicas occupy disjoint key ranges, so a narrow predicate
+    over replica 0 touches the SAME shard mass in both layouts while
+    total files grow ``copies``x). `select_files_multi` with the same
+    narrow 2-column box should cost ~the same on both
+    (``narrow_ratio`` ~1); a FULL-RANGE box on the big layout touches
+    every shard and is the touched-shards-cost control."""
+    import datetime
+    import shutil
+
+    from twitter_flink_spark.operators.skipping import (
+        build_two_level_columns,
+        select_files_multi,
+    )
+    from twitter_flink_spark.sources.tables import load_table
+
+    # load_table, not a raw read: the testdata's TIMESTAMP(NANOS) must
+    # normalize to TIMESTAMP (the raw read yields TIMESTAMP_NTZ, which
+    # the manifest builder's unix_micros rejects)
+    ev = load_table(spark, BASE_SF, "events")
+    b = ev.agg(
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
+        F.min("ts").alias("tlo"),
+        F.max("ts").alias("thi"),
+    ).first()
+    ulo, uhi = int(b["ulo"]), int(b["uhi"])
+    uspan = uhi - ulo + 1
+    tspan_s = int((b["thi"] - b["tlo"]).total_seconds()) + 1
+
+    work = os.path.join(tempfile.gettempdir(), "tfs-scalecheck-skip")
+    shutil.rmtree(work, ignore_errors=True)
+    small_dir = os.path.join(work, "small")
+    big_dir = os.path.join(work, "big")
+    files_per_rep = 80
+    # Z-ordered layout per replica: tight (user_id, ts) envelopes are
+    # what make the manifest prune at all — a hash-random layout gives
+    # every file a full-range envelope and nothing skips (measured)
+    from twitter_flink_spark.operators.zorder import zorder_layout
+
+    tlo_us = None
+
+    def z_write(df, dest, k):
+        bb = df.agg(
+            F.min("user_id").alias("ul"),
+            F.max("user_id").alias("uh"),
+            F.min(F.unix_micros("ts")).alias("tl"),
+            F.max(F.unix_micros("ts")).alias("th"),
+        ).first()
+        zorder_layout(
+            df.withColumn("ts_us", F.unix_micros("ts")),
+            "user_id",
+            "ts_us",
+            (int(bb["ul"]), int(bb["uh"]), int(bb["tl"]), int(bb["th"])),
+            files_per_rep,
+        ).drop("ts_us").write.mode(
+            "overwrite" if k == 0 else "append"
+        ).parquet(dest)
+
+    z_write(ev, small_dir, 0)
+    for k in range(copies):
+        rep = ev
+        if k:
+            rep = ev.withColumn(
+                "user_id", F.col("user_id") + F.lit(k * uspan)
+            ).withColumn(
+                "ts",
+                F.col("ts") + F.expr(f"INTERVAL {k * tspan_s} SECOND"),
+            )
+        z_write(rep, big_dir, k)
+
+    t0 = time.perf_counter()
+    build_two_level_columns(spark, small_dir, ["user_id", "ts"])
+    t_build_small = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    build_two_level_columns(spark, big_dir, ["user_id", "ts"])
+    t_build_big = round(time.perf_counter() - t0, 2)
+
+    narrow = [
+        ("user_id", ulo, ulo + uspan // 100),
+        (
+            "ts",
+            b["tlo"],
+            b["tlo"] + datetime.timedelta(seconds=tspan_s // 100),
+        ),
+    ]
+    full_big = [
+        ("user_id", ulo, ulo + copies * uspan),
+        (
+            "ts",
+            b["tlo"],
+            b["tlo"] + datetime.timedelta(seconds=copies * tspan_s),
+        ),
+    ]
+
+    def timed_consult(root, preds):
+        out = {}
+        for run in range(2):  # warm = run 2 (manifest footers cached)
+            plan: dict = {}
+            t0 = time.perf_counter()
+            paths, total, _ = select_files_multi(
+                spark, root, preds, plan_out=plan
+            )
+            out = {
+                "consult_s": round(time.perf_counter() - t0, 2),
+                "files_selected": len(paths),
+                "files_total": total,
+                "selected_per_col": plan.get("selected_files"),
+            }
+        return out
+
+    c_small = timed_consult(small_dir, narrow)
+    c_big = timed_consult(big_dir, narrow)
+    c_big_full = timed_consult(big_dir, full_big)
+    out = {
+        "claim": "consult cost ~ parent + touched shards, not total files",
+        "build_small_s": t_build_small,
+        "build_big_s": t_build_big,
+        "narrow_small": c_small,
+        "narrow_big": c_big,
+        "full_big": c_big_full,
+        "narrow_ratio": round(
+            c_big["consult_s"] / max(c_small["consult_s"], 1e-9), 2
+        ),
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def delete_lifecycle_check(spark: SparkSession, big_dir: str) -> dict:
+    """Round-13 VERDICT item 7: the delete-lifecycle cost claims at 10x
+    index size, measured.
+
+    - IVF cell-local compaction: on the SAME big index, a delete batch
+      confined to ONE cell vs the same-size batch spread across ALL
+      cells — rewrite cost must track the TOUCHED-CELL MASS (spread
+      compaction rewrites ~k cells' rows, confined rewrites ~1 cell's),
+      never the index size. ``spread_vs_confined_ratio`` toward k is
+      the pass signal.
+    - LSH delete (tombstone append) at 1x vs 10x index:
+      ``delete_index_ratio`` near 1 — O(batch) appends plus a
+      pushed-filter marker consult. LSH compact IS a full rewrite by
+      design (LSM cadence, documented O(index)); its 1x-vs-10x ratio
+      is recorded as the honest baseline, not a flatness claim."""
+    import shutil
+
+    from twitter_flink_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_fit,
+    )
+    from twitter_flink_spark.operators.dedup import (
+        lsh_index_build,
+        lsh_index_compact,
+        lsh_index_delete,
+    )
+    from twitter_flink_spark.operators.ivf import (
+        ivf_index_compact,
+        ivf_index_delete,
+    )
+
+    work = os.path.join(tempfile.gettempdir(), "tfs-scalecheck-del")
+    shutil.rmtree(work, ignore_errors=True)
+
+    # ---- IVF: one-cell vs all-cells delete on the same big index ----
+    emb = spark.read.parquet(os.path.join(big_dir, "embeddings.parquet"))
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    k = 4
+    cents = kmeans_fit(vecs, k=k, iters=2, vec_col="e").select(
+        "cid", "cent"
+    )
+
+    def build_ivf(p):
+        cents.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(p, "_centroids")
+        )
+        disk = spark.read.parquet(os.path.join(p, "_centroids"))
+        assign_clusters(vecs, disk).write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(os.path.join(p, "_assign"))
+
+    ivf_a = os.path.join(work, "ivf_confined")
+    ivf_b = os.path.join(work, "ivf_spread")
+    build_ivf(ivf_a)
+    build_ivf(ivf_b)
+    assign = spark.read.parquet(os.path.join(ivf_a, "_assign"))
+    counts = {
+        int(r["cid"]): int(r["n"])
+        for r in assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    hot = max(counts, key=lambda c: counts[c])
+    d = 512  # delete batch size, same for both shapes
+    # materialize the batches NOW: both delete sets are derived from
+    # index A's assignment dir, which its own compaction rewrites —
+    # a lazy plan would re-read vanished files on the second use
+    def _ids_df(rows):
+        return spark.createDataFrame(
+            [(int(r["vec_id"]),) for r in rows], "vec_id long"
+        )
+
+    confined = _ids_df(
+        assign.where(F.col("cid") == hot)
+        .orderBy("vec_id")
+        .limit(d)
+        .collect()
+    )
+    per_cell = d // len(counts)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cid").orderBy("vec_id")
+    spread = _ids_df(
+        assign.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= per_cell)
+        .select("vec_id")
+        .collect()
+    )
+
+    def timed_ivf(idx, ids):
+        t0 = time.perf_counter()
+        nd = ivf_index_delete(spark, ids, idx)
+        t_del = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        nc, cells = ivf_index_compact(spark, idx)
+        return {
+            "deleted": nd,
+            "delete_s": t_del,
+            "compact_s": round(time.perf_counter() - t0, 2),
+            "cells_rewritten": cells,
+        }
+
+    r_conf = timed_ivf(ivf_a, confined)
+    r_spread = timed_ivf(ivf_b, spread)
+
+    # ---- LSH: same delete batch against 1x and 10x indexes ----
+    docs_all = spark.read.parquet(
+        os.path.join(big_dir, "documents.parquet")
+    )
+    docs_base = spark.read.parquet(
+        os.path.join(BASE_SF, "documents.parquet")
+    )
+    max_doc = docs_base.agg(F.max("doc_id")).first()[0] + 1
+    rep0 = docs_all.where(F.col("doc_id") < max_doc)
+    lsh_small = os.path.join(work, "lsh_small")
+    lsh_big = os.path.join(work, "lsh_big")
+    n_small = lsh_index_build(spark, rep0, lsh_small)
+    n_big = lsh_index_build(spark, docs_all, lsh_big)
+    dels = rep0.where(F.col("doc_id") % 16 == 0).select("doc_id")
+
+    def timed_lsh(idx):
+        t0 = time.perf_counter()
+        nd = lsh_index_delete(spark, dels, idx)
+        t_del = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        nc = lsh_index_compact(spark, idx)
+        return {
+            "deleted": nd,
+            "delete_s": t_del,
+            "compact_s": round(time.perf_counter() - t0, 2),
+            "reclaimed": nc,
+        }
+
+    l_small = timed_lsh(lsh_small)
+    l_big = timed_lsh(lsh_big)
+    assert l_small["deleted"] == l_big["deleted"]
+    out = {
+        "ivf": {
+            "index_vectors": sum(counts.values()),
+            "cells": len(counts),
+            "confined_1cell": r_conf,
+            "spread_allcells": r_spread,
+            "spread_vs_confined_compact_ratio": round(
+                r_spread["compact_s"] / max(r_conf["compact_s"], 1e-9), 2
+            ),
+            "claim": "compact cost tracks touched-cell mass, not index size",
+        },
+        "lsh": {
+            "index_docs": {"small": n_small, "big": n_big},
+            "small": l_small,
+            "big": l_big,
+            "delete_index_ratio": round(
+                l_big["delete_s"] / max(l_small["delete_s"], 1e-9), 2
+            ),
+            "compact_index_ratio": round(
+                l_big["compact_s"] / max(l_small["compact_s"], 1e-9), 2
+            ),
+            "claim": (
+                "delete is O(batch) (ratio ~1); compact is a documented "
+                "O(index) full rewrite on the LSM cadence"
+            ),
+        },
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def main() -> int:
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -213,11 +514,17 @@ def main() -> int:
     scaled = time_queries(spark, big)
     maint = maintenance_check(spark, big)
     print(f"maintenance: {json.dumps(maint)}")
+    skip = skipping_consult_check(spark, copies)
+    print(f"skipping consult: {json.dumps(skip)}")
+    dlc = delete_lifecycle_check(spark, big)
+    print(f"delete lifecycle: {json.dumps(dlc)}")
     out = {
         "copies": copies,
         "base_sf": 0.1,
         "queries": {},
         "maintenance": maint,
+        "skipping_consult": skip,
+        "delete_lifecycle": dlc,
     }
     for name in QUERIES:
         ratio = (

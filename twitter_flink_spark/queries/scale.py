@@ -4453,47 +4453,22 @@ def exact_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "exact_median_per_type",
-    oracle="""
-WITH s AS (SELECT event_type,
-                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
-r AS (SELECT event_type, c,
-             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
-             count(*) OVER (PARTITION BY event_type) AS n
-      FROM s)
-SELECT event_type, c AS median_cents, CAST(n AS BIGINT) AS n_rows,
-       TRUE AS narrowed_not_sorted
-FROM r WHERE rn = (n + 1) // 2
-""",
-)
-def exact_median_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPED exact selection — `exact_median_selection`'s per-group
-    variant, the common production ask ("exact median per event type")
-    whose naive port loops the global narrowing walk once per group,
-    paying G full scans per round. Instead ALL groups narrow in ONE
-    pass per round: each active group's [lo, hi] rides a broadcast
-    bounds frame joined to the data, every surviving row computes its
-    group-local 1024-bucket id with exact long `div` arithmetic, and a
-    single (group, bucket) aggregate feeds the driver walk — per round
-    the driver reads <= groups x 1024 ints and each group's range
-    shrinks ~1000x, so passes = O(log_1024(value range)) TOTAL, not per
-    group. A group is done when its bucket's integer inverse pins a
-    single value (the ceil-exact bucket bounds from the global query),
-    so no terminal collect of any kind exists — the driver never holds
-    more than the histogram. Values lift to integer cents via
-    round(value*100): both engines round the identical IEEE double
-    half-up-for-positives, so the lift is deterministic cross-engine
-    even where value carries more than 2 decimals. Oracle: per-group
-    ORDER BY/row_number k-th element — the sort-based ground truth. At
-    100 TB: a total sort per group is G all-to-all shuffles; this is
-    2-3 filtered aggregates of ever-smaller slices, and adding groups
-    adds driver ints, not passes."""
-    ev = load_table(spark, sf_dir, "events")
-    s = ev.select(
-        F.col("event_type").alias("g"),
-        F.round(F.col("value") * 100).cast("long").alias("c"),
-    )
+def _grouped_exact_select(
+    spark: SparkSession, s: DataFrame, rank_of
+) -> tuple[dict[str, int], dict[str, int], int]:
+    """ALL-GROUPS-IN-ONE-PASS exact order statistic over a (g, c) frame
+    — the shared engine of `exact_median_per_type` /
+    `exact_p95_per_type`: each active group's [lo, hi] rides a
+    broadcast bounds frame joined to the data, every surviving row
+    computes its group-local 1024-bucket id with exact long `div`
+    arithmetic, and a single (group, bucket) aggregate feeds the driver
+    walk — per round the driver reads <= groups x 1024 ints and each
+    group's range shrinks ~1000x, so passes = O(log_1024(value range))
+    TOTAL, not per group. A group is done when its bucket's ceil-exact
+    integer inverse pins a single value, so NO terminal collect of any
+    kind exists — the driver never holds more than the histogram.
+    ``rank_of(n)`` maps a group's row count to the 1-based rank wanted.
+    Returns (selected value per group, row count per group, passes)."""
     base = (
         s.groupBy("g")
         .agg(
@@ -4505,14 +4480,14 @@ def exact_median_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # G rows: per-group count + candidate range
     n_rows = {r["g"]: int(r["n"]) for r in base}
     state = {
-        r["g"]: [int(r["lo"]), int(r["hi"]), (int(r["n"]) + 1) // 2]
+        r["g"]: [int(r["lo"]), int(r["hi"]), rank_of(int(r["n"]))]
         for r in base
     }
     B = 1024
-    medians: dict[str, int] = {}
+    found: dict[str, int] = {}
     for g in list(state):
         if state[g][0] == state[g][1]:  # single-valued group
-            medians[g] = state[g][0]
+            found[g] = state[g][0]
             del state[g]
     passes = 0
     while state:
@@ -4550,16 +4525,97 @@ def exact_median_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                     nlo = lo + (bi * width + B - 1) // B
                     nhi = lo + ((bi + 1) * width + B - 1) // B - 1
                     if nlo == nhi:
-                        medians[g] = nlo
+                        found[g] = nlo
                         del state[g]
                     else:
                         state[g] = [nlo, nhi, rank - cum]
                     break
                 cum += here
         passes += 1
+    return found, n_rows, passes
+
+
+@register(
+    "exact_median_per_type",
+    oracle="""
+WITH s AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+r AS (SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM s)
+SELECT event_type, c AS median_cents, CAST(n AS BIGINT) AS n_rows,
+       TRUE AS narrowed_not_sorted
+FROM r WHERE rn = (n + 1) // 2
+""",
+)
+def exact_median_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED exact selection — `exact_median_selection`'s per-group
+    variant, the common production ask ("exact median per event type")
+    whose naive port loops the global narrowing walk once per group,
+    paying G full scans per round. `_grouped_exact_select` narrows all
+    groups in one histogram aggregate per round instead. Values lift to
+    integer cents via round(value*100): both engines round the
+    identical IEEE double half-up-for-positives, so the lift is
+    deterministic cross-engine even where value carries more than 2
+    decimals. Oracle: per-group ORDER BY/row_number k-th element — the
+    sort-based ground truth. At 100 TB: a total sort per group is G
+    all-to-all shuffles; this is 2-3 filtered aggregates of
+    ever-smaller slices, and adding groups adds driver ints, not
+    passes."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    found, n_rows, passes = _grouped_exact_select(
+        spark, s, lambda n: (n + 1) // 2
+    )
     return spark.createDataFrame(
-        [(g, medians[g], n_rows[g], passes >= 1) for g in sorted(medians)],
+        [(g, found[g], n_rows[g], passes >= 1) for g in sorted(found)],
         "event_type string, median_cents long, n_rows long, "
+        "narrowed_not_sorted boolean",
+    )
+
+
+@register(
+    "exact_p95_per_type",
+    oracle="""
+WITH s AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+r AS (SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM s)
+SELECT event_type, c AS p95_cents, CAST(n AS BIGINT) AS n_rows,
+       TRUE AS narrowed_not_sorted
+FROM r WHERE rn = (19 * n + 19) // 20
+""",
+)
+def exact_p95_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p95 per group without a sort — THE canonical operations
+    ask (p95 latency per service) at its exact, auditable grain: rank
+    k = ceil(0.95·n) per group (the smallest value whose cumulative
+    count reaches the 95th percentile — integer arithmetic
+    ceil(19n/20) = (19n+19)//20, no float quantile-definition drift
+    between engines), served by the same `_grouped_exact_select`
+    narrowing engine as the median (all groups per pass, <= groups x
+    1024 driver ints per round, no terminal collect). The approximate
+    twin (`approx_value_percentiles_per_type`) is the cheap dashboard
+    path; THIS is what you run when the p95 feeds an SLA decision and
+    'approximately breached' is not an answer. Oracle: per-group
+    row_number at the same integer rank."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    found, n_rows, passes = _grouped_exact_select(
+        spark, s, lambda n: (19 * n + 19) // 20
+    )
+    return spark.createDataFrame(
+        [(g, found[g], n_rows[g], passes >= 1) for g in sorted(found)],
+        "event_type string, p95_cents long, n_rows long, "
         "narrowed_not_sorted boolean",
     )
 
