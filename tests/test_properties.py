@@ -817,3 +817,44 @@ def test_median_selection_bucket_inverse_exact():
             assert lo2 <= c <= hi2
             assert (lo2 - lo) * B // width == bi
             assert (hi2 - lo) * B // width == bi
+
+
+def test_grouped_exact_select_matches_sorted_truth(spark):
+    """`_grouped_exact_select` must equal the sort-based order statistic
+    for every group simultaneously, across adversarial group shapes:
+    duplicate-heavy (the raw-collect trap), single-valued, two-valued,
+    wide-range sparse, and a 1-row group — for both the median rank and
+    the p95 rank, with NO terminal collect (the engine only ever reads
+    (group, bucket) histograms)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.queries.scale import _grouped_exact_select
+
+    rng = random.Random(41)
+    data = []
+    # duplicate-heavy: 3 distinct values across 4001 rows
+    data += [("dup", rng.choice([7, 7, 7, 9, 1_000_003])) for _ in range(4001)]
+    # single-valued
+    data += [("one", 42)] * 57
+    # two-valued, uneven split
+    data += [("two", 5)] * 30 + [("two", 6)] * 11
+    # wide sparse range (forces >1 narrowing pass at B=1024)
+    data += [("wide", rng.randrange(-10**12, 10**12)) for _ in range(500)]
+    # singleton group
+    data += [("lone", -17)]
+    s = spark.createDataFrame(data, "g string, c long")
+
+    truth: dict[str, list[int]] = {}
+    for g, c in data:
+        truth.setdefault(g, []).append(c)
+    for g in truth:
+        truth[g].sort()
+
+    for rank_of in (lambda n: (n + 1) // 2, lambda n: (19 * n + 19) // 20):
+        found, n_rows, _passes = _grouped_exact_select(spark, s, rank_of)
+        assert set(found) == set(truth)
+        for g, vals in truth.items():
+            assert n_rows[g] == len(vals)
+            assert found[g] == vals[rank_of(len(vals)) - 1], g

@@ -438,3 +438,78 @@ def test_centroid_separation_exact_on_two_clusters(spark, tmp_path):
         assert abs(got[lab]["scatter"] - 1.0) < 1e-6
         assert got[lab]["nearest_label"] == other
         assert abs(got[lab]["db_component"] - 0.2) < 1e-6
+
+
+def test_ivf_refit_on_imbalance_fires_and_noops(spark, tmp_path):
+    """`ivf_refit_on_imbalance` (the skew-triggered sibling): balanced
+    occupancy is a PURE no-op (index untouched on disk, trigger reads
+    only the k-cell aggregate); a hot cell above threshold fires the
+    shared full refit, after which the rebalanced index no-ops."""
+    import os
+
+    from twitter_flink_spark.operators.clustering import (
+        assign_clusters,
+        assigned_mean_dist,
+        ivf_imbalance_factor,
+        ivf_meta_df,
+        ivf_refit_on_imbalance,
+        kmeans_fit,
+    )
+
+    def vecs(lo, hi, shift=0.0):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *(
+                    (F.col("id") % m).cast("double") + F.lit(shift)
+                    for m in (3, 5, 7, 11)
+                )
+            ).alias("embedding"),
+        )
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx)
+    corpus = vecs(0, 60)
+    cents = kmeans_fit(corpus, k=4, iters=2).select("cid", "cent")
+    cents.coalesce(1).write.parquet(os.path.join(idx, "_centroids"))
+    disk = spark.read.parquet(os.path.join(idx, "_centroids"))
+    v = corpus.select("vec_id", F.col("embedding").alias("e"))
+    assign_clusters(v, disk).write.partitionBy("cid").parquet(
+        os.path.join(idx, "_assign")
+    )
+    base = assigned_mean_dist(
+        v, disk, spark.read.parquet(os.path.join(idx, "_assign"))
+    )
+    ivf_meta_df(spark, base, 4, 2).coalesce(1).write.parquet(
+        os.path.join(idx, "_meta")
+    )
+    imb0 = ivf_imbalance_factor(spark, idx)
+
+    # 1. threshold above current skew: pure no-op, nothing rewritten
+    files_before = sorted(
+        spark.read.parquet(os.path.join(idx, "_assign")).inputFiles()
+    )
+    r = ivf_refit_on_imbalance(spark, idx, corpus, threshold=imb0 + 0.1)
+    assert r["fired"] is False and abs(r["imbalance"] - imb0) < 1e-9
+    assert (
+        sorted(spark.read.parquet(os.path.join(idx, "_assign")).inputFiles())
+        == files_before
+    )
+
+    # 2. a shifted era piles into one cell -> skew spikes -> refit fires
+    newv = vecs(60, 180, shift=25.0).select(
+        "vec_id", F.col("embedding").alias("e")
+    )
+    assign_clusters(newv, disk).write.mode("append").partitionBy(
+        "cid"
+    ).parquet(os.path.join(idx, "_assign"))
+    imb1 = ivf_imbalance_factor(spark, idx)
+    assert imb1 > imb0  # the hot cell moved the statistic
+    allv = vecs(0, 60).union(vecs(60, 180, shift=25.0))
+    thr = (imb0 + imb1) / 2
+    r2 = ivf_refit_on_imbalance(spark, idx, allv, threshold=thr)
+    assert r2["fired"] is True and r2["imbalance"] == imb1
+    imb2 = ivf_imbalance_factor(spark, idx)
+    assert imb2 < imb1  # the refit genuinely rebalanced
+    r3 = ivf_refit_on_imbalance(spark, idx, allv, threshold=thr)
+    assert r3["fired"] is False and abs(r3["imbalance"] - imb2) < 1e-9
