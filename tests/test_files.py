@@ -2574,3 +2574,65 @@ def test_compact_table_one_job_for_all_groups(spark, tmp_path):
         f"merge ran {compaction.LAST_MERGE_JOBS} jobs for {ng} groups "
         "- the executor must not launch one job per group"
     )
+
+
+def test_compact_table_reader_snapshot_across_swap(spark, tmp_path):
+    """A reader that pinned its generation BEFORE compaction keeps a
+    consistent pre-compact snapshot through the swap (and through the
+    post-grace sweep), while new readers see the compacted file set —
+    the compactor's end of the pointer-swap isolation contract. The
+    table must already be pointer-managed: the FIRST compaction of a
+    legacy real dir migrates it in place (documented single rename-
+    aside window), so the pin guarantee starts at the second."""
+    import os
+    import time
+
+    from twitter_flink_spark.operators import skipping as sk
+    from twitter_flink_spark.operators.compaction import compact_table
+    from twitter_flink_spark.operators.skipping import _norm_path
+    from twitter_flink_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    t = str(tmp_path / "table")
+    e.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(t)
+    for i in range(4):
+        e.where(
+            (F.col("event_id") % 2 == 1)
+            & ((F.col("event_id") / 2).cast("long") % 4 == i)
+        ).coalesce(1).write.mode("append").parquet(t)
+    rows = e.count()
+    sizes = {
+        _norm_path(f): os.stat(_norm_path(f)).st_size
+        for f in spark.read.parquet(t).inputFiles()
+    }
+    target = max(sizes.values())
+    compact_table(spark, t, target)  # migrate to the pointer layout
+    assert os.path.islink(t)
+    # new small tail for the second (pinned) compaction to merge
+    e.limit(20).coalesce(1).write.mode("append").parquet(t)
+    e.limit(45).subtract(e.limit(25)).coalesce(1).write.mode(
+        "append"
+    ).parquet(t)
+    rows2 = spark.read.parquet(t).count()
+    with sk.pin_generation(t) as snap:
+        files_in_snap = sorted(
+            f for f in os.listdir(snap) if f.endswith(".parquet")
+        )
+        nb, na, ng = compact_table(spark, t, target)
+        assert ng >= 1 and na < nb
+        # pinned snapshot: same files, full pre-compact row count, even
+        # after a commit + aged sweep lands mid-scan
+        past = time.time() - sk._GEN_GRACE_S - 5
+        os.utime(snap, (past, past))
+        sk._sweep_gens(t)
+        assert sorted(
+            f for f in os.listdir(snap) if f.endswith(".parquet")
+        ) == files_in_snap
+        assert spark.read.parquet(snap).count() == rows2
+    # new readers: the compacted set, same rows
+    assert len(spark.read.parquet(t).inputFiles()) == na
+    assert spark.read.parquet(t).count() == rows2
+    assert rows2 == rows + 40
