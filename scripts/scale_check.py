@@ -240,8 +240,6 @@ def skipping_consult_check(spark: SparkSession, copies: int) -> dict:
     # every file a full-range envelope and nothing skips (measured)
     from twitter_flink_spark.operators.zorder import zorder_layout
 
-    tlo_us = None
-
     def z_write(df, dest, k):
         bb = df.agg(
             F.min("user_id").alias("ul"),
@@ -401,22 +399,31 @@ def delete_lifecycle_check(spark: SparkSession, big_dir: str) -> dict:
             [(int(r["vec_id"]),) for r in rows], "vec_id long"
         )
 
-    confined = _ids_df(
-        assign.where(F.col("cid") == hot)
-        .orderBy("vec_id")
-        .limit(d)
-        .collect()
-    )
+    # build spread FIRST (small cells may cap its per-cell take), then
+    # size the confined batch to exactly match it — the claim compares
+    # SAME-SIZE batches, differing only in cell locality
     per_cell = d // len(counts)
     from pyspark.sql import Window
 
     w = Window.partitionBy("cid").orderBy("vec_id")
-    spread = _ids_df(
+    spread_rows = (
         assign.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= per_cell)
         .select("vec_id")
         .collect()
     )
+    spread = _ids_df(spread_rows)
+    confined_rows = (
+        assign.where(F.col("cid") == hot)
+        .orderBy("vec_id")
+        .limit(len(spread_rows))
+        .collect()
+    )
+    assert len(confined_rows) == len(spread_rows), (
+        len(confined_rows),
+        len(spread_rows),
+    )
+    confined = _ids_df(confined_rows)
 
     def timed_ivf(idx, ids):
         t0 = time.perf_counter()

@@ -2507,11 +2507,12 @@ def test_compact_table_repeat_no_generation_clobber(spark, tmp_path):
     # append two tiny files strictly smaller than m, then compact with
     # target == m's size: m is untouched (hardlinked), the new tinies
     # form merge-group 0 -> the exact collision the old naming had
-    extra = e.limit(40)
-    extra.limit(20).coalesce(1).write.mode("append").parquet(t)
-    extra.subtract(extra.limit(20)).coalesce(1).write.mode(
-        "append"
-    ).parquet(t)
+    # deterministic slices: LIMIT without ORDER BY can return different
+    # prefixes across the separate actions below
+    first20 = e.orderBy("event_id").limit(20)
+    next20 = e.orderBy("event_id").limit(40).subtract(first20)
+    first20.coalesce(1).write.mode("append").parquet(t)
+    next20.coalesce(1).write.mode("append").parquet(t)
     rows2 = spark.read.parquet(t).count()
     assert rows2 == rows1 + 40
     tiny_sizes = [
@@ -2612,10 +2613,10 @@ def test_compact_table_reader_snapshot_across_swap(spark, tmp_path):
     compact_table(spark, t, target)  # migrate to the pointer layout
     assert os.path.islink(t)
     # new small tail for the second (pinned) compaction to merge
-    e.limit(20).coalesce(1).write.mode("append").parquet(t)
-    e.limit(45).subtract(e.limit(25)).coalesce(1).write.mode(
-        "append"
-    ).parquet(t)
+    first20 = e.orderBy("event_id").limit(20)
+    next20 = e.orderBy("event_id").limit(40).subtract(first20)
+    first20.coalesce(1).write.mode("append").parquet(t)
+    next20.coalesce(1).write.mode("append").parquet(t)
     rows2 = spark.read.parquet(t).count()
     with sk.pin_generation(t) as snap:
         files_in_snap = sorted(

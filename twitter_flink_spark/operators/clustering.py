@@ -324,7 +324,14 @@ def ivf_imbalance_factor(spark, index_dir: str) -> float:
     """max cell / mean cell over the persisted assignment table — the
     skew statistic `ivf_cell_balance_report` surfaces (1.0 = perfectly
     balanced; the biggest cell bounds worst-case probe latency). One
-    groupBy at the index's metadata grain (k cells), no vector math."""
+    groupBy at the index's metadata grain (k cells), no vector math.
+
+    The mean divides by the index's FITTED k (from `_meta`), not the
+    observed non-empty cell count: an index degenerated into one cell
+    (deletes/compaction emptied the rest) is the WORST imbalance, but a
+    non-empty-cells mean would score it exactly 1.0 and the refit
+    trigger would never fire on the index it exists to rescue. Falls
+    back to observed cells for indexes without a `_meta`."""
     import os
 
     counts = (
@@ -339,7 +346,11 @@ def ivf_imbalance_factor(spark, index_dir: str) -> float:
     ).first()
     if not t["n"]:
         return 1.0
-    return int(t["mx"]) * int(t["k"]) / int(t["n"])
+    k = int(t["k"])
+    meta_path = os.path.join(index_dir, "_meta")
+    if os.path.isdir(meta_path):
+        k = max(k, int(spark.read.parquet(meta_path).first()["k"]))
+    return int(t["mx"]) * k / int(t["n"])
 
 
 def ivf_refit_on_imbalance(

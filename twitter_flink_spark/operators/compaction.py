@@ -123,8 +123,17 @@ def compact_table(
             os.link(p, os.path.join(gen, os.path.basename(p)))
     stage = _scratch_name(root, "merge")
     shutil.rmtree(stage, ignore_errors=True)
+    # input_file_name() renders the URI-ENCODED path (space -> %20,
+    # % -> %25, '+' kept), so the map keys must carry the same encoding
+    # or an exotic basename would silently match nothing and its rows
+    # would be written nowhere; quote(..., safe="+") mirrors Hadoop's
+    # Path encoding for those cases, and the row-conservation guard
+    # below turns any residual disagreement into a loud error instead
+    # of silent data loss
+    from urllib.parse import quote
+
     gid_rows = [
-        (os.path.basename(p), gid)
+        (quote(os.path.basename(p), safe="+"), gid)
         for gid, group in enumerate(plan)
         for p in group
     ]
@@ -157,6 +166,25 @@ def compact_table(
         )
     finally:
         sc.setJobGroup("", "")
+    # ROW-CONSERVATION GUARD: every planned row must be in the staged
+    # merge output (an unmatched basename drops rows silently — the
+    # inner join writes them nowhere and the per-gid move loop cannot
+    # tell an all-empty group from a lost one). Two counts over the
+    # small tail being compacted; on mismatch abandon scratch and raise
+    # BEFORE any swap, so the live table is untouched.
+    n_src = src.count()
+    # an all-empty-file plan stages no readable parquet at all
+    n_staged = (
+        spark.read.parquet(stage).count() if n_src else 0
+    )
+    if n_src != n_staged:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(gen, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_table: merge staged {n_staged} rows for "
+            f"{n_src} planned rows under {root}; aborting before the "
+            "swap (basename/URI-encoding mismatch?)"
+        )
     for gid in range(len(plan)):
         gdir = os.path.join(stage, f"__compact_gid={gid}")
         if not os.path.isdir(gdir):  # all-empty group: nothing to move

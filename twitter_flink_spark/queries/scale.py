@@ -4468,7 +4468,15 @@ def _grouped_exact_select(
     integer inverse pins a single value, so NO terminal collect of any
     kind exists — the driver never holds more than the histogram.
     ``rank_of(n)`` maps a group's row count to the 1-based rank wanted.
-    Returns (selected value per group, row count per group, passes)."""
+    Returns (selected value per group, row count per group, passes).
+
+    Selection is defined over NON-NULL (g, c) pairs and the engine
+    enforces that up front: a NULL group key never equi-joins the
+    bounds frame and NULL values are invisible to min/max and the range
+    filter while still counting toward n — either way a group's
+    histogram could never reach its rank and the narrowing loop would
+    spin forever."""
+    s = s.where(F.col("g").isNotNull() & F.col("c").isNotNull())
     base = (
         s.groupBy("g")
         .agg(
@@ -4495,8 +4503,18 @@ def _grouped_exact_select(
             [(g, lo, hi) for g, (lo, hi, _r) in state.items()],
             "g string, lo long, hi long",
         )
+        # global envelope as LITERALS: the per-group range predicate
+        # references joined columns and cannot reach the parquet scan,
+        # but min/max over the active bounds can — after one round the
+        # scanned slice shrinks toward the docstring's ~1000x claim
+        # instead of every pass re-reading the whole table
+        env_lo = min(lo for lo, _h, _r in state.values())
+        env_hi = max(hi for _l, hi, _r in state.values())
         hist = (
-            s.join(F.broadcast(bounds), "g")
+            s.where(
+                (F.col("c") >= F.lit(env_lo)) & (F.col("c") <= F.lit(env_hi))
+            )
+            .join(F.broadcast(bounds), "g")
             .where((F.col("c") >= F.col("lo")) & (F.col("c") <= F.col("hi")))
             .select(
                 "g",

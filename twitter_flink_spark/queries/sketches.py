@@ -643,13 +643,42 @@ def countmin_token_frequencies(
 _AMS_D = 8  #: independent ±1-sign estimators; median-of-8 concentrates
 
 
-def _ams_oracle() -> str:
-    sums = ",\n       ".join(
+def _ams_sign_cols(col: F.Column, salt: str) -> list[F.Column]:
+    """The 8 md5-derived ±1 sign columns (``s0..s7``) over ``col`` —
+    the ONE definition both AMS consumers project and both oracles must
+    mirror character-for-character (`_ams_sign_sums_sql` is the SQL
+    twin; change them together)."""
+    return [
+        F.when(
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{salt}{d}:"), col)), 1, 1
+                ),
+            )
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias(f"s{d}")
+        for d in range(_AMS_D)
+    ]
+
+
+def _ams_sign_sums_sql(key_sql: str, salt: str) -> str:
+    """DuckDB twin of `_ams_sign_cols` summed: the 8 ±1 sign-sum select
+    expressions (``s0..s7``) over ``key_sql``."""
+    return ",\n       ".join(
         f"sum(CASE WHEN strpos('0123456789abcdef', "
-        f"substr(md5('ams{d}:' || token), 1, 1)) % 2 = 0 "
+        f"substr(md5('{salt}{d}:' || {key_sql}), 1, 1)) % 2 = 0 "
         f"THEN 1 ELSE -1 END) AS s{d}"
         for d in range(_AMS_D)
     )
+
+
+def _ams_oracle() -> str:
+    sums = _ams_sign_sums_sql("token", "ams")
     ests = ", ".join(f"(s{d} * s{d})" for d in range(_AMS_D))
     return f"""
 WITH tok AS (
@@ -704,26 +733,10 @@ def ams_f2_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(F.split("text", " ")).alias("token"))
         .where(F.col("token") != "")
     )
-    signs = [
-        F.when(
-            F.instr(
-                F.lit("0123456789abcdef"),
-                F.substring(
-                    F.md5(F.concat(F.lit(f"ams{d}:"), F.col("token"))), 1, 1
-                ),
-            )
-            % 2
-            == 0,
-            1,
-        )
-        .otherwise(-1)
-        .alias(f"g{d}")
-        for d in range(_AMS_D)
-    ]
-    pre = tok.select(*signs)
+    pre = tok.select(*_ams_sign_cols(F.col("token"), "ams"))
     sk = pre.agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(f"g{d}").alias(f"s{d}") for d in range(_AMS_D)],
+        *[F.sum(f"s{d}").alias(f"s{d}") for d in range(_AMS_D)],
     ).first()  # 1 row: the whole sketch
     n = int(sk["n"])
     ests = sorted(int(sk[f"s{d}"]) ** 2 for d in range(_AMS_D))
@@ -760,13 +773,9 @@ _JS_THRESH = 1000  #: est join size at/below this -> broadcast the dim
 
 def _js_sum_cte(alias: str, table: str, key: str) -> str:
     """Per-table AMS sign-sum CTE: 8 md5-derived ±1 sums over ``key``
-    cast to VARCHAR — the byte-identical twin of the Spark side."""
-    sums = ",\n       ".join(
-        f"sum(CASE WHEN strpos('0123456789abcdef', "
-        f"substr(md5('amsjs{d}:' || CAST({key} AS VARCHAR)), 1, 1)) "
-        f"% 2 = 0 THEN 1 ELSE -1 END) AS s{d}"
-        for d in range(_AMS_D)
-    )
+    cast to VARCHAR — the byte-identical twin of the Spark side
+    (`_ams_sign_sums_sql` is the shared sum builder)."""
+    sums = _ams_sign_sums_sql(f"CAST({key} AS VARCHAR)", "amsjs")
     return f"{alias} AS (SELECT {sums} FROM {table})"
 
 
@@ -831,31 +840,10 @@ def ams_join_strategy_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
 
     def side_sums(df: DataFrame, key: str) -> list[int]:
-        signs = [
-            F.when(
-                F.instr(
-                    F.lit("0123456789abcdef"),
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit(f"amsjs{d}:"),
-                                F.col(key).cast("string"),
-                            )
-                        ),
-                        1,
-                        1,
-                    ),
-                )
-                % 2
-                == 0,
-                1,
-            )
-            .otherwise(-1)
-            .alias(f"s{d}")
-            for d in range(_AMS_D)
-        ]
         row = (
-            df.select(*signs)
+            df.select(
+                *_ams_sign_cols(F.col(key).cast("string"), "amsjs")
+            )
             .agg(*[F.sum(f"s{d}").alias(f"s{d}") for d in range(_AMS_D)])
             .first()
         )  # 1 row: 8 longs — the whole sketch
