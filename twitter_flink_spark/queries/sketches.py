@@ -525,18 +525,17 @@ _CMS_DEPTH = 4  #: independent hash rows (P[overestimate by > eps·N] ~ 2^-depth
 _CMS_WIDTH = 1024  #: counters per row (eps ~ e/width of total mass)
 
 
-def _cms_oracle() -> str:
+def _cms_ctes_sql() -> str:
+    """The Count-Min build as SQL CTE text (expects a ``t(token)`` CTE
+    in scope; yields ``hashed``/``bucketed``/``counters``) — the ONE
+    definition every CM oracle reuses; `_cms_bucketed` is the Spark
+    twin, change them together."""
     digit_terms = " + ".join(
         f"(strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1) "
         f"* {16 ** (7 - j)}"
         for j in range(8)
     )
-    return f"""
-WITH tok AS (
-  SELECT unnest(str_split(text, ' ')) AS token FROM documents
-),
-t AS (SELECT token FROM tok WHERE token <> ''),
-hashed AS (
+    return f"""hashed AS (
   SELECT token, d.d,
          md5('cms' || d.d || ':' || token) AS hx
   FROM t, (SELECT unnest(range(0, {_CMS_DEPTH})) AS d) d
@@ -547,7 +546,39 @@ bucketed AS (
 ),
 counters AS (
   SELECT d, bucket, count(*) AS cnt FROM bucketed GROUP BY d, bucket
+)"""
+
+
+def _cms_bucketed(tok: DataFrame) -> DataFrame:
+    """(token, d, bucket) rows for the Count-Min build over a
+    one-column ``token`` frame — the Spark twin of `_cms_ctes_sql`."""
+    d_arr = F.array(*[F.lit(d) for d in range(_CMS_DEPTH)])
+    return tok.select("token", F.explode(d_arr).alias("d")).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cms"), F.col("d"), F.lit(":"), F.col("token")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_WIDTH,
+    )
+
+
+def _cms_oracle() -> str:
+    return f"""
+WITH tok AS (
+  SELECT unnest(str_split(text, ' ')) AS token FROM documents
 ),
+t AS (SELECT token FROM tok WHERE token <> ''),
+{_cms_ctes_sql()},
 truecnt AS (SELECT token, count(*) AS true_cnt FROM t GROUP BY token),
 probes AS (
   SELECT token, true_cnt FROM truecnt
@@ -594,22 +625,7 @@ def countmin_token_frequencies(
         docs.select(F.explode(F.split("text", " ")).alias("token"))
         .where(F.col("token") != "")
     )
-    d_arr = F.array(*[F.lit(d) for d in range(_CMS_DEPTH)])
-    bucketed = tok.select(
-        "token", F.explode(d_arr).alias("d")
-    ).withColumn(
-        "bucket",
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("cms"), F.col("d"), F.lit(":"), F.col("token"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _CMS_WIDTH,
-    )
+    bucketed = _cms_bucketed(tok)
     counters = bucketed.groupBy("d", "bucket").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -896,3 +912,128 @@ def ams_join_strategy_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pair_a.unionByName(pair_b)
+
+
+def _cms_hh_oracle() -> str:
+    return f"""
+WITH t AS (
+  SELECT CAST(CAST(floor(sqrt(event_id)) AS BIGINT) AS VARCHAR) AS token
+  FROM events
+),
+{_cms_ctes_sql()},
+tot AS (SELECT count(*) AS n FROM t),
+thr AS (SELECT greatest(n // 400, 1) AS t FROM tot),
+dtok AS (SELECT DISTINCT token FROM t),
+est AS (
+  SELECT b.token, min(c.cnt) AS cms_est
+  FROM (SELECT DISTINCT token, d, bucket FROM bucketed) b
+  JOIN counters c ON c.d = b.d AND c.bucket = b.bucket
+  GROUP BY b.token
+),
+cand AS (SELECT e.token, e.cms_est FROM est e, thr WHERE e.cms_est >= thr.t),
+truecnt AS (SELECT token, count(*) AS true_cnt FROM t GROUP BY token),
+verified AS (
+  SELECT c.token, c.cms_est, tc.true_cnt,
+         tc.true_cnt >= thr.t AS is_heavy
+  FROM cand c JOIN truecnt tc USING (token), thr
+),
+stats AS (
+  SELECT (SELECT count(*) FROM cand) AS n_candidates,
+         (SELECT count(*) FROM truecnt, thr
+          WHERE true_cnt >= thr.t) AS n_true_heavy,
+         NOT EXISTS (
+           SELECT 1 FROM truecnt tc, thr
+           WHERE tc.true_cnt >= thr.t
+             AND tc.token NOT IN (SELECT token FROM cand)
+         ) AS no_false_negative
+)
+SELECT v.token, CAST(v.cms_est AS BIGINT) AS cms_est,
+       CAST(v.true_cnt AS BIGINT) AS true_cnt, v.is_heavy,
+       CAST(s.n_candidates AS BIGINT) AS n_candidates,
+       CAST(s.n_true_heavy AS BIGINT) AS n_true_heavy,
+       s.no_false_negative
+FROM verified v, stats s
+ORDER BY v.true_cnt DESC, v.token
+LIMIT 15
+"""
+
+
+@register("countmin_heavy_hitters_verified", oracle=_cms_hh_oracle())
+def countmin_heavy_hitters_verified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SKETCH-GUIDED heavy-hitter detection WITH exact verification —
+    closing the loop `countmin_token_frequencies` opened, the same way
+    `ams_join_strategy_pick` closed the AMS one (and completing
+    `cms_heavy_hitters`, which reports raw estimates over a 5-key
+    universe without a verify pass): the Count-Min sketch PRUNES the
+    candidate set (every distinct key's estimate served from the 4 KB
+    counter table; keys with est >= the phi=1/400 mass threshold
+    become candidates), and the EXACT pass then verifies only
+    candidates. One-sided error makes the pruning safe by construction —
+    CM never underestimates, so a truly-heavy key can never be pruned
+    (`no_false_negative`, recomputed against the full exact counts as
+    the in-result pin) — while collisions can only ADD false positives,
+    which the verify pass weeds (`is_heavy` per candidate,
+    `n_candidates` vs `n_true_heavy` the precision telemetry). The key
+    universe is a deterministic SKEWED derivation both engines share
+    bit-for-bit — floor(sqrt(event_id)) ramps frequencies linearly, so
+    the threshold genuinely splits the distribution at every sf
+    (uniform TPC-H keys would make heavy hitters degenerate). Top 15
+    verified candidates by exact count. At 100 TB: the sketch build is
+    one 4096-group aggregate with map-side combine, candidate serving
+    is a broadcast of 4 KB, and the exact pass aggregates ONLY rows
+    whose key semi-joins the candidate list — the full per-key census
+    this query avoids is exactly the O(distinct keys) state the sketch
+    family exists to dodge."""
+    ev = load_table(spark, sf_dir, "events")
+    tok = ev.select(
+        F.floor(F.sqrt(F.col("event_id")))
+        .cast("long")
+        .cast("string")
+        .alias("token")
+    )
+    n = tok.count()
+    thr = max(n // 400, 1)
+    bucketed = _cms_bucketed(tok)
+    counters = bucketed.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    est = (
+        bucketed.select("token", "d", "bucket")
+        .distinct()
+        .join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    cand = est.where(F.col("cms_est") >= F.lit(thr))
+    truecnt = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    verified = cand.join(truecnt, "token").withColumn(
+        "is_heavy", F.col("true_cnt") >= F.lit(thr)
+    )
+    # pins computed exactly: candidate/heavy census + the one-sided
+    # error guarantee checked against the FULL exact counts
+    n_candidates = cand.count()
+    n_true_heavy = truecnt.where(
+        F.col("true_cnt") >= F.lit(thr)
+    ).count()
+    missed = (
+        truecnt.where(F.col("true_cnt") >= F.lit(thr))
+        .join(cand.select("token"), "token", "left_anti")
+        .count()
+    )
+    return (
+        verified.orderBy(F.desc("true_cnt"), "token")
+        .limit(15)
+        .select(
+            "token",
+            F.col("cms_est").cast("long").alias("cms_est"),
+            F.col("true_cnt").cast("long").alias("true_cnt"),
+            "is_heavy",
+            F.lit(n_candidates).cast("long").alias("n_candidates"),
+            F.lit(n_true_heavy).cast("long").alias("n_true_heavy"),
+            F.lit(missed == 0).alias("no_false_negative"),
+        )
+    )
