@@ -2637,3 +2637,30 @@ def test_compact_table_reader_snapshot_across_swap(spark, tmp_path):
     assert len(spark.read.parquet(t).inputFiles()) == na
     assert spark.read.parquet(t).count() == rows2
     assert rows2 == rows + 40
+
+
+def test_compact_table_rejects_duplicate_basenames(spark, tmp_path):
+    """Nested/partitioned layouts repeat basenames per subdir; both the
+    basename-keyed merge tagging and the hardlink flatten would collide
+    (and the flatten would strip partition discovery). The operator must
+    reject such a layout loudly UP FRONT — before any scratch work —
+    not fail the row-conservation guard mid-compact."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from twitter_flink_spark.operators.compaction import compact_table
+
+    e = load_table(spark, SF_DIR, "events")
+    t = str(tmp_path / "nested")
+    # partitionBy produces day=N/part-*.parquet with repeating basenames
+    e.limit(200).withColumn(
+        "day", (F.col("event_id") % 2).cast("int")
+    ).coalesce(1).write.partitionBy("day").mode("overwrite").parquet(t)
+    names = [
+        os.path.basename(f) for f in spark.read.parquet(t).inputFiles()
+    ]
+    assert len(names) > len(set(names)), "fixture must repeat a basename"
+    with pytest.raises(ValueError, match="duplicate basenames"):
+        compact_table(spark, t, 1 << 30)
+    # the live table is untouched
+    assert spark.read.parquet(t).count() == 200

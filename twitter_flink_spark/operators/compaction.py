@@ -45,7 +45,12 @@ from twitter_flink_spark.operators.skipping import (
 #: Diagnostic: Spark job count of the LAST ``compact_table`` merge write
 #: (None until a merge has run). The distributed executor writes every
 #: merge group in ONE job, so this stays a small constant no matter how
-#: many groups the plan holds — ``tests/test_files.py`` pins it.
+#: many groups the plan holds — ``tests/test_files.py`` pins it (<= a
+#: small bound, not == 1: ``getJobIdsForGroup`` counts EVERY job in the
+#: group, and AQE stage re-optimization or the broadcast-map build can
+#: legitimately add one or two). Diagnostic only — a mutable module
+#: global, last-writer-wins across concurrent compactions in one
+#: process; never read it for correctness decisions.
 LAST_MERGE_JOBS: int | None = None
 
 
@@ -102,6 +107,23 @@ def compact_table(
     live = [
         _norm_path(f) for f in spark.read.parquet(root).inputFiles()
     ]
+    # FLAT-LAYOUT PRECONDITION, checked loudly up front: both the merge
+    # tagging (broadcast basename->gid join) and the untouched-file
+    # hardlink flatten key on BASENAME. A nested/partitioned layout
+    # where part-00000.parquet repeats per subdir would (a) tag rows
+    # into multiple gid_map entries, tripping the row-conservation
+    # guard on every attempt, and (b) collide in the hardlink flatten —
+    # and flattening would strip the partition directories from
+    # discovery anyway. Compact each leaf directory separately (or use
+    # ``binpack_write``, which is partition-aware).
+    names = [os.path.basename(p) for p in live]
+    if len(set(names)) != len(names):
+        dup = sorted({n for n in names if names.count(n) > 1})[:3]
+        raise ValueError(
+            f"compact_table: duplicate basenames under {root} "
+            f"(e.g. {dup}); nested/partitioned layouts are not "
+            "supported — compact each leaf directory separately"
+        )
     sizes = [(p, os.stat(p).st_size) for p in sorted(live)]
     plan = compaction_plan(sizes, target_bytes)
     if not plan:

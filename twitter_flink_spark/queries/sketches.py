@@ -982,10 +982,14 @@ def countmin_heavy_hitters_verified(
     (uniform TPC-H keys would make heavy hitters degenerate). Top 15
     verified candidates by exact count. At 100 TB: the sketch build is
     one 4096-group aggregate with map-side combine, candidate serving
-    is a broadcast of 4 KB, and the exact pass aggregates ONLY rows
-    whose key semi-joins the candidate list — the full per-key census
-    this query avoids is exactly the O(distinct keys) state the sketch
-    family exists to dodge."""
+    is a broadcast of 4 KB, and the VERIFY aggregate reads only rows
+    whose key semi-joins the broadcast candidate list (<= 4096 keys by
+    the counter-table bound) — that is the serving path, and it never
+    holds O(distinct keys) state. The full per-key census computed
+    below is retained SOLELY for the in-result verification pins
+    (`n_true_heavy`, `no_false_negative` — checking one-sided error
+    requires ground truth over every key); a production deployment
+    drops those pins and with them the census."""
     ev = load_table(spark, sf_dir, "events")
     tok = ev.select(
         F.floor(F.sqrt(F.col("event_id")))
@@ -1007,11 +1011,22 @@ def countmin_heavy_hitters_verified(
         .agg(F.min("cnt").alias("cms_est"))
     )
     cand = est.where(F.col("cms_est") >= F.lit(thr))
+    # serving path: exact counts over CANDIDATE rows only (semi-join
+    # against the broadcast <= 4096-key candidate list) — identical
+    # values to a full-census lookup for those keys, without the
+    # O(distinct keys) aggregate
+    verify_cnt = (
+        tok.join(F.broadcast(cand.select("token")), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    verified = cand.join(verify_cnt, "token").withColumn(
+        "is_heavy", F.col("true_cnt") >= F.lit(thr)
+    )
+    # pin-only full census (see docstring): ground truth for the
+    # one-sided-error check, dropped in production
     truecnt = tok.groupBy("token").agg(
         F.count(F.lit(1)).alias("true_cnt")
-    )
-    verified = cand.join(truecnt, "token").withColumn(
-        "is_heavy", F.col("true_cnt") >= F.lit(thr)
     )
     # pins computed exactly: candidate/heavy census + the one-sided
     # error guarantee checked against the FULL exact counts
