@@ -77,7 +77,9 @@ def test_incremental_index_recovers_torn_append(spark, tmp_path):
         (F.col("doc_id") != victim) | (F.col("band") == 0)
     )
     tmp = idx + ".rewrite"
-    kept.write.mode("overwrite").parquet(tmp)
+    # keep the segmented layout — this simulates a torn MOVE, not a
+    # legacy index; seg rides along as the partition column
+    kept.write.partitionBy("seg").mode("overwrite").parquet(tmp)
     from twitter_flink_spark.operators.skipping import _rm_committed
 
     _rm_committed(idx)  # the committed dest is a pointer symlink
@@ -314,7 +316,11 @@ def test_legacy_index_backfills_markers_once(spark, tmp_path):
     n_old = lsh_index_build(spark, old, idx)
 
     # strip the markers: simulate an index written before COVER_BAND
-    legacy = spark.read.parquet(idx).where(F.col("band") != COVER_BAND)
+    legacy = (
+        spark.read.parquet(idx)
+        .where(F.col("band") != COVER_BAND)
+        .drop("seg", "nseg")  # pre-segmentation layouts had neither
+    )
     tmp = idx + ".rewrite"
     legacy.write.mode("overwrite").parquet(tmp)
     from twitter_flink_spark.operators.skipping import _rm_committed
@@ -417,7 +423,11 @@ def test_legacy_index_delete_uses_fallback_coverage(spark, tmp_path):
     docs, split = _split_docs(spark)
     idx = str(tmp_path / "lshidx")
     lsh_index_build(spark, docs, idx)
-    legacy = spark.read.parquet(idx).where(F.col("band") != COVER_BAND)
+    legacy = (
+        spark.read.parquet(idx)
+        .where(F.col("band") != COVER_BAND)
+        .drop("seg", "nseg")  # pre-segmentation layouts had neither
+    )
     tmp = idx + ".rewrite"
     legacy.write.mode("overwrite").parquet(tmp)
     from twitter_flink_spark.operators.skipping import _rm_committed
@@ -433,3 +443,97 @@ def test_legacy_index_delete_uses_fallback_coverage(spark, tmp_path):
         (F.col("doc_a") == victim) | (F.col("doc_b") == victim)
     )
     assert got.count() == 0
+
+
+def test_compact_rewrites_only_tombstone_bearing_segments(spark, tmp_path):
+    """Segment-local compaction (the IVF cell-local precedent): every
+    row of a doc — bands, marker, tombstone — shares one ``seg=N/``
+    dir, so compacting a delete batch rewrites exactly the tombstones'
+    segments. Untouched segments are pinned BY INODE: their files are
+    not merely equal afterwards, they are the same files, never opened
+    or rewritten. Served candidates match a full-rewrite oracle."""
+    from twitter_flink_spark.operators.dedup import (
+        TOMB_BAND,
+        _seg_expr,
+        lsh_index_compact,
+        lsh_index_delete,
+    )
+
+    docs, split = _split_docs(spark)
+    idx = str(tmp_path / "lshidx")
+    lsh_index_build(spark, docs, idx)
+
+    def seg_files():
+        out = {}
+        root = os.path.realpath(idx)
+        for d in os.listdir(root):
+            if d.startswith("seg="):
+                seg_dir = os.path.realpath(os.path.join(root, d))
+                out[d] = {
+                    f: os.stat(os.path.join(seg_dir, f)).st_ino
+                    for f in os.listdir(seg_dir)
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    before = seg_files()
+    assert len(before) >= 2, "fixture must span several segments"
+
+    # doom every doc of ONE segment's hash class that has band rows
+    seg_of = {
+        int(r["doc_id"]): int(r["seg"])
+        for r in spark.read.parquet(idx)
+        .select("doc_id", "seg")
+        .distinct()
+        .collect()
+    }
+    target_seg = min(seg_of.values())
+    doomed_ids = sorted(d for d, s in seg_of.items() if s == target_seg)[:2]
+    doomed = spark.createDataFrame(
+        [(i,) for i in doomed_ids], "doc_id long"
+    )
+    assert lsh_index_delete(spark, doomed, idx) == len(doomed_ids)
+    # the tombstones landed in the same segment as their docs' rows
+    tomb_segs = {
+        int(r["seg"])
+        for r in spark.read.parquet(idx)
+        .where(F.col("band") == TOMB_BAND)
+        .select("seg")
+        .distinct()
+        .collect()
+    }
+    assert tomb_segs == {target_seg}
+
+    served_before = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_index_candidates(spark, idx).collect()
+    )
+    assert lsh_index_compact(spark, idx) == len(doomed_ids)
+    after = seg_files()
+
+    # untouched segments: identical file sets, identical INODES
+    for d in before:
+        if d == f"seg={target_seg}":
+            continue
+        assert after[d] == before[d], f"{d} was rewritten"
+    # the touched segment was rewritten (no tombstones, no doomed rows)
+    post = spark.read.parquet(idx)
+    assert post.where(F.col("band") == TOMB_BAND).count() == 0
+    assert (
+        post.where(F.col("doc_id").isin([int(i) for i in doomed_ids])).count()
+        == 0
+    )
+    # served set unchanged by the physical rewrite
+    assert sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_index_candidates(spark, idx).collect()
+    ) == served_before
+    # placement function sanity: the segment really is the doc hash
+    seg_check = (
+        spark.read.parquet(idx)
+        .where(F.col("band") >= 0)
+        .select("doc_id", "seg", _seg_expr(16).alias("want"))
+        .where(F.col("seg") != F.col("want"))
+        .count()
+    )
+    assert seg_check == 0

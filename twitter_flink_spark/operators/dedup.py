@@ -473,12 +473,53 @@ COVER_BAND = -1
 #: the markers, so an unfiltered self-join can never pair two tombstones.
 TOMB_BAND = -2
 
+#: number of doc_id-hash SEGMENTS a segmented index is partitioned into
+#: (``seg=N/`` Hive dirs). Every row of a doc — bands, coverage marker,
+#: tombstone — lands in the one segment pmod(xxhash64(doc_id), nseg)
+#: selects, so delete-compaction rewrites ONLY tombstone-bearing
+#: segments (the IVF cell-local precedent, `operators/ivf.py`) instead
+#: of anti-join-rewriting the whole index. The count rides every row as
+#: the ``nseg`` column — like ngram/k/bands, so an append can never
+#: place rows with a skewed segment function even across code versions
+#: (a mismatch would silently strand a doc's band rows in a segment
+#: compaction never rewrites). At 100 TB raise it (segments ≈ index
+#: size / target rewrite quantum); 16 keeps test layouts readable.
+LSH_SEGMENTS = 16
 
-def _move_parquet_into(df: DataFrame, index_dir: str, label: str) -> None:
+
+def _seg_expr(nseg: int):
+    """The segment of a doc's rows: type-agnostic stable hash of the id."""
+    return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(int(nseg))).cast(
+        "int"
+    )
+
+
+def _index_nseg(idx: DataFrame) -> int | None:
+    """The segment count a segmented index's rows were placed with
+    (None = legacy flat layout). An EMPTY segmented index (everything
+    deleted and compacted away) has no row to read — any placement is
+    vacuously consistent with zero rows, so the module default
+    applies."""
+    if "seg" not in idx.columns:
+        return None
+    row = idx.select("nseg").first()
+    return int(row["nseg"]) if row is not None else LSH_SEGMENTS
+
+
+def _move_parquet_into(
+    df: DataFrame, index_dir: str, label: str, nseg: int | None = None
+) -> None:
     """Append ``df``'s rows to ``index_dir`` via stage-write + per-file
     rename — the index's multi-writer append protocol (pid/thread-unique
     stage dir; each os.rename is atomic, so readers see whole files or
-    nothing; a crash strands only uniquely-named stage litter)."""
+    nothing; a crash strands only uniquely-named stage litter).
+
+    With ``nseg`` the append targets a SEGMENTED layout: rows are
+    staged partitioned by their doc's segment (hash-repartitioned on
+    seg first, so an append adds ~one file per touched segment instead
+    of tasks x segments small files) and each staged file renames into
+    its ``seg=N/`` subdir. Without it the append is flat (legacy
+    indexes keep their layout until a compaction migrates them)."""
     import os
     import shutil
     import threading
@@ -488,18 +529,54 @@ def _move_parquet_into(df: DataFrame, index_dir: str, label: str) -> None:
     tag = uuid.uuid4().hex[:8]
     stage = index_dir + f".stage-{label}-{ident}"
     shutil.rmtree(stage, ignore_errors=True)
-    df.write.mode("overwrite").parquet(stage)
-    for f in os.listdir(stage):
-        if f.endswith(".parquet"):
-            os.rename(
-                os.path.join(stage, f),
-                os.path.join(index_dir, f"{label}-{tag}-{f}"),
-            )
+    if nseg is None:
+        df.write.mode("overwrite").parquet(stage)
+        for f in os.listdir(stage):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(stage, f),
+                    os.path.join(index_dir, f"{label}-{tag}-{f}"),
+                )
+    else:
+        (
+            df.withColumn("seg", _seg_expr(nseg))
+            .repartition(int(nseg), F.col("seg"))
+            .write.partitionBy("seg")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        for d in os.listdir(stage):
+            if not d.startswith("seg="):
+                continue
+            seg_dst = os.path.join(index_dir, d)
+            os.makedirs(seg_dst, exist_ok=True)
+            for f in os.listdir(os.path.join(stage, d)):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(stage, d, f),
+                        os.path.join(seg_dst, f"{label}-{tag}-{f}"),
+                    )
     shutil.rmtree(stage, ignore_errors=True)
 
 
+def _param_cols(
+    ngram: int, k: int, bands: int, nseg: int | None
+) -> list:
+    """The per-row parameter literals every index row carries; ``nseg``
+    only in segmented layouts (legacy flat indexes keep their schema so
+    mixed-schema reads can never arise within one layout)."""
+    cols = [
+        F.lit(ngram).alias("ngram"),
+        F.lit(k).alias("k"),
+        F.lit(bands).alias("bands"),
+    ]
+    if nseg is not None:
+        cols.append(F.lit(int(nseg)).alias("nseg"))
+    return cols
+
+
 def _marker_rows(
-    ids: DataFrame, ngram: int, k: int, bands: int
+    ids: DataFrame, ngram: int, k: int, bands: int, nseg: int | None
 ) -> DataFrame:
     """Marker rows from a bare ``doc_id`` frame (callers guarantee the
     ids are fully banded — either band-eligible new docs whose band
@@ -508,14 +585,12 @@ def _marker_rows(
         "doc_id",
         F.lit(COVER_BAND).alias("band"),
         F.col("doc_id").cast("string").alias("band_hash"),
-        F.lit(ngram).alias("ngram"),
-        F.lit(k).alias("k"),
-        F.lit(bands).alias("bands"),
+        *_param_cols(ngram, k, bands, nseg),
     )
 
 
 def _coverage_rows(
-    docs: DataFrame, ngram: int, k: int, bands: int
+    docs: DataFrame, ngram: int, k: int, bands: int, nseg: int | None
 ) -> DataFrame:
     """One marker row per BAND-ELIGIBLE doc (>= ngram tokens — banding
     is deterministic and total for eligible docs, so eligibility IS
@@ -524,7 +599,7 @@ def _coverage_rows(
     eligible = docs.where(
         F.size(F.split(F.col("text"), " ")) >= ngram
     ).select("doc_id").distinct()
-    return _marker_rows(eligible, ngram, k, bands)
+    return _marker_rows(eligible, ngram, k, bands, nseg)
 
 
 def lsh_index_build(
@@ -534,19 +609,22 @@ def lsh_index_build(
     ngram: int = 3,
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
+    nseg: int = LSH_SEGMENTS,
 ) -> int:
     """Persist the banded-signature table (doc_id, band, band_hash) as an
     on-disk LSH INDEX — the shape that lets tomorrow's crawl probe
     today's corpus without recomputing a single corpus signature. At
     100 TB re-shingling the corpus per dedup run IS the cost; the index
     is O(docs x bands) rows of hashes, appended to incrementally
-    (`lsh_index_update`). Parameters (ngram/k/bands) ride every row so
-    an update can never band with skewed settings — the Bloom-manifest
-    m/k principle. Each fully-banded doc also gets a COVERAGE-MARKER
-    row (`COVER_BAND`), the cheap "is it indexed" bit updates consult.
-    Commits via tmp write + atomic rename. Returns the number of
-    indexed docs."""
-    import os
+    (`lsh_index_update`). Parameters (ngram/k/bands/nseg) ride every
+    row so an update can never band — or PLACE — with skewed settings:
+    the Bloom-manifest m/k principle. The layout is SEGMENTED
+    (``seg=N/`` dirs keyed by doc_id hash, `LSH_SEGMENTS`), which is
+    what makes `lsh_index_compact` segment-local — all of a doc's rows
+    (bands, marker, tombstone) share one segment by construction. Each
+    fully-banded doc also gets a COVERAGE-MARKER row (`COVER_BAND`),
+    the cheap "is it indexed" bit updates consult. Commits via tmp
+    write + atomic rename. Returns the number of indexed docs."""
     import shutil
 
     sh = doc_shingles(docs, ngram=ngram)
@@ -554,11 +632,9 @@ def lsh_index_build(
         "doc_id",
         "band",
         "band_hash",
-        F.lit(ngram).alias("ngram"),
-        F.lit(k).alias("k"),
-        F.lit(bands).alias("bands"),
+        *_param_cols(ngram, k, bands, nseg),
     )
-    rows = rows.unionByName(_coverage_rows(docs, ngram, k, bands))
+    rows = rows.unionByName(_coverage_rows(docs, ngram, k, bands, nseg))
     from twitter_flink_spark.operators.skipping import (
         _replace_dir,
         _scratch_name,
@@ -566,7 +642,13 @@ def lsh_index_build(
 
     tmp = _scratch_name(index_dir, "tmp")
     shutil.rmtree(tmp, ignore_errors=True)
-    rows.write.mode("overwrite").parquet(tmp)
+    (
+        rows.withColumn("seg", _seg_expr(nseg))
+        .repartition(int(nseg), F.col("seg"))
+        .write.partitionBy("seg")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
     _replace_dir(tmp, index_dir)  # pid-unique scratch, last-commit-wins
     return (
         spark.read.parquet(index_dir)
@@ -595,9 +677,19 @@ def lsh_index_update(spark, docs: DataFrame, index_dir: str) -> int:
     excluded from the new-doc count up front, otherwise a redelivered
     batch containing one would be recounted (and re-signed) forever and
     redelivery would never converge to a no-op. Returns the number of
-    newly indexed docs; 0 is a pure no-op."""
+    newly indexed docs; 0 is a pure no-op.
+
+    Layout-preserving: a segmented index (``seg`` partition column)
+    gets segmented appends placed with the index's OWN stored ``nseg``;
+    a legacy flat index keeps flat appends until a compaction migrates
+    it — one layout per index, never a mix."""
     idx = spark.read.parquet(index_dir)
+    seg_nseg = _index_nseg(idx)
     p = idx.select("ngram", "k", "bands").first()
+    if p is None:
+        # the index was compacted down to zero rows (every doc deleted):
+        # there are no stored parameters left to honor, so re-found it
+        return lsh_index_build(spark, docs, index_dir)
     markers = idx.where(F.col("band") == COVER_BAND).select("doc_id")
     legacy_fully = None
     if markers.head(1):
@@ -626,7 +718,7 @@ def lsh_index_update(spark, docs: DataFrame, index_dir: str) -> int:
         return 0
 
     def _move_in(df, label: str) -> None:
-        _move_parquet_into(df, index_dir, label)
+        _move_parquet_into(df, index_dir, label, nseg=seg_nseg)
 
     if n_new:
         sh = doc_shingles(new_docs, ngram=int(p["ngram"]))
@@ -638,15 +730,19 @@ def lsh_index_update(spark, docs: DataFrame, index_dir: str) -> int:
             "doc_id",
             "band",
             "band_hash",
-            F.lit(int(p["ngram"])).alias("ngram"),
-            F.lit(int(p["k"])).alias("k"),
-            F.lit(int(p["bands"])).alias("bands"),
+            *_param_cols(
+                int(p["ngram"]), int(p["k"]), int(p["bands"]), seg_nseg
+            ),
         )
         _move_in(rows, "inc")
         # markers land LAST: their rename is the per-doc commit point
         _move_in(
             _coverage_rows(
-                new_docs, int(p["ngram"]), int(p["k"]), int(p["bands"])
+                new_docs,
+                int(p["ngram"]),
+                int(p["k"]),
+                int(p["bands"]),
+                seg_nseg,
             ),
             "cov",
         )
@@ -661,7 +757,11 @@ def lsh_index_update(spark, docs: DataFrame, index_dir: str) -> int:
         # and the backfill then completes for the rest.
         _move_in(
             _marker_rows(
-                legacy_fully, int(p["ngram"]), int(p["k"]), int(p["bands"])
+                legacy_fully,
+                int(p["ngram"]),
+                int(p["k"]),
+                int(p["bands"]),
+                seg_nseg,
             ),
             "covfill",
         )
@@ -680,9 +780,17 @@ def lsh_index_delete(spark, doc_ids: DataFrame, index_dir: str) -> int:
     tombstone-then-compact split every LSM/table format uses.
     Idempotent: re-deleting returns 0 and appends nothing. Docs absent
     from the index are ignored (nothing to forget). Returns the number
-    of newly tombstoned docs."""
+    of newly tombstoned docs.
+
+    In a segmented index the tombstone lands in the SAME segment as the
+    doc's band rows and marker (same doc_id hash, same stored nseg) —
+    the invariant `lsh_index_compact` relies on to find every row it
+    must reclaim from the tombstones' own segments."""
     idx = spark.read.parquet(index_dir)
+    seg_nseg = _index_nseg(idx)
     p = idx.select("ngram", "k", "bands").first()
+    if p is None:
+        return 0  # empty index: nothing is covered, nothing to forget
     covered = idx.where(F.col("band") == COVER_BAND).select("doc_id")
     if not covered.head(1):
         # legacy marker-less index: the same all-bands fallback the
@@ -709,29 +817,43 @@ def lsh_index_delete(spark, doc_ids: DataFrame, index_dir: str) -> int:
         "doc_id",
         F.lit(TOMB_BAND).alias("band"),
         F.col("doc_id").cast("string").alias("band_hash"),
-        F.lit(int(p["ngram"])).alias("ngram"),
-        F.lit(int(p["k"])).alias("k"),
-        F.lit(int(p["bands"])).alias("bands"),
+        *_param_cols(
+            int(p["ngram"]), int(p["k"]), int(p["bands"]), seg_nseg
+        ),
     )
-    _move_parquet_into(rows, index_dir, "tomb")
+    _move_parquet_into(rows, index_dir, "tomb", nseg=seg_nseg)
     return n
 
 
 def lsh_index_compact(spark, index_dir: str) -> int:
-    """Physically remove tombstoned docs: one anti-join rewrite of the
-    index (band rows, markers, AND the tombstones themselves) committed
-    via tmp write + atomic swap — after it, serving reads strictly
-    fewer bytes and the tombstone anti-join is empty. Run on the
-    LSM cadence (when tombstones exceed a fraction of the index), not
-    per delete. NOTE: compaction erases the "covered" memory of deleted
-    docs along with their tombstones — a source that redelivers a
-    compacted-away doc re-indexes it; keeping deleted docs out of the
-    SOURCE is the upstream contract, the index only forgets. Returns
-    the number of docs reclaimed; 0 is a pure no-op (no rewrite)."""
+    """Physically remove tombstoned docs, rewriting ONLY the segments
+    that hold them — the LSM-cadence reclaim made SEGMENT-LOCAL (the
+    IVF cell-local precedent, `operators/ivf.py:ivf_index_compact`):
+    every row of a doc (bands, marker, tombstone) lives in the one
+    ``seg=N/`` dir its doc_id hash selects, so the tombstones' own
+    segments are exactly the segments with anything to reclaim. Each
+    touched segment is anti-join-rewritten and swapped atomically
+    (`_replace_dir` per segment); untouched segments' files are never
+    opened — compaction cost tracks TOMBSTONE-BEARING SEGMENT MASS,
+    not index size (at 100 TB a 0.1% delete touches ~min(segments,
+    batch) segments, not the whole band table). Crash posture: per-seg
+    swaps are atomic and a segment's tombstones are removed by its own
+    rewrite, so a crash mid-compact leaves the untouched segments'
+    tombstones in place — serving stays correct (the anti-join still
+    hides them) and the next compact finishes the rest. A legacy FLAT
+    index takes the old full anti-join rewrite once, MIGRATING to the
+    segmented layout in the same swap. NOTE: compaction erases the
+    "covered" memory of deleted docs along with their tombstones — a
+    source that redelivers a compacted-away doc re-indexes it; keeping
+    deleted docs out of the SOURCE is the upstream contract, the index
+    only forgets. Returns the number of docs reclaimed; 0 is a pure
+    no-op (no rewrite)."""
+    import os
     import shutil
 
     from twitter_flink_spark.operators.skipping import (
         _replace_dir,
+        _rm_committed,
         _scratch_name,
     )
 
@@ -740,11 +862,66 @@ def lsh_index_compact(spark, index_dir: str) -> int:
     n = tombs.count()
     if not n:
         return 0
-    kept = idx.join(tombs, "doc_id", "left_anti")
-    tmp = _scratch_name(index_dir, "tmp")
-    shutil.rmtree(tmp, ignore_errors=True)
-    kept.write.mode("overwrite").parquet(tmp)
-    _replace_dir(tmp, index_dir)
+    if "seg" not in idx.columns:
+        # legacy flat layout: one full rewrite, migrating to segments
+        kept = idx.join(tombs, "doc_id", "left_anti").withColumn(
+            "nseg", F.lit(LSH_SEGMENTS)
+        )
+        tmp = _scratch_name(index_dir, "tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            kept.withColumn("seg", _seg_expr(LSH_SEGMENTS))
+            .repartition(LSH_SEGMENTS, F.col("seg"))
+            .write.partitionBy("seg")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        _replace_dir(tmp, index_dir)
+        return n
+    # tombstone rows carry their doc's segment (placed with the index's
+    # own stored nseg at delete time) — collecting their distinct segs
+    # is a <= nseg-row driver read off a band==TOMB_BAND scan that
+    # parquet row-group stats confine to the tombstone files
+    affected = sorted(
+        int(r["seg"])
+        for r in idx.where(F.col("band") == TOMB_BAND)
+        .select("seg")
+        .distinct()
+        .collect()
+    )
+    kept = idx.where(F.col("seg").isin(affected)).join(
+        tombs, "doc_id", "left_anti"
+    )
+    stage = _scratch_name(index_dir, "tmp")
+    shutil.rmtree(stage, ignore_errors=True)
+    (
+        kept.repartition(len(affected), F.col("seg"))
+        .write.partitionBy("seg")
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    survivors = 0
+    for s in affected:
+        src = os.path.join(stage, f"seg={s}")
+        dst = os.path.join(index_dir, f"seg={s}")
+        if os.path.isdir(src):
+            _replace_dir(src, dst)
+            survivors += 1
+        else:
+            _rm_committed(dst)  # every doc in the segment was deleted
+    shutil.rmtree(stage, ignore_errors=True)
+    if not survivors and not any(
+        d.startswith("seg=") for d in os.listdir(index_dir)
+    ):
+        # the whole corpus was deleted: leave one empty-but-schema'd
+        # segment dir so the index stays readable (and still reads as
+        # segmented) instead of a dir Spark cannot infer a schema from;
+        # `_index_nseg` falls back to the module default on zero rows
+        empty = idx.limit(0).drop("seg")
+        tmp = _scratch_name(index_dir, "tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        empty.write.mode("overwrite").parquet(tmp)
+        _replace_dir(tmp, os.path.join(index_dir, "seg=0"))
     return n
 
 
