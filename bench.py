@@ -192,6 +192,14 @@ def main() -> None:
         if (i + 1) % CANARY_EVERY == 0:
             canary_s.append(_canary(spark))
     canary_s.append(_canary(spark))
+    # staged-fixture freshness: which cross-process fixtures this run
+    # BUILT (or awaited another process building) vs served from cache.
+    # A query that jumps round-over-round while its fixture tag reads
+    # "built" was charged a staging rebuild, not a plan regression —
+    # the r14 doc-LSH attribution gap, closed in the artifact itself.
+    from twitter_flink_spark.sources.staging import BUILD_OUTCOMES
+
+    staged_builds = dict(sorted(BUILD_OUTCOMES.items()))
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     headline = {n: timings[n] for n in HEADLINE}
     headline_total = round(sum(t for t in headline.values() if t >= 0), 3)
@@ -226,6 +234,7 @@ def main() -> None:
                 "headline_total_s": headline_total,
                 "headline": headline,
                 "canary_s": canary_s,
+                "staged_builds": staged_builds,
             },
             f,
             indent=1,
@@ -247,6 +256,12 @@ def main() -> None:
                 "all_in_s": all_in_s,
                 "headline_total_s": headline_total,
                 "canary_s": canary_s,
+                # stdout stays tail-bounded: only the tags that were NOT
+                # pure cache hits (usually empty on a warm machine); the
+                # complete map is in BENCH_QUERIES_LATEST.json
+                "staged_builds": {
+                    k: v for k, v in staged_builds.items() if v != "cached"
+                },
                 "failed": sorted(n for n, t in timings.items() if t < 0),
             }
         ),

@@ -237,3 +237,27 @@ def test_stage_once_tag_collision_raises(tmp_path, monkeypatch):
     staging.stage_once("collide", "/sf", builder_a)
     with pytest.raises(ValueError, match="one tag = one layout"):
         staging.stage_once("collide", "/sf", builder_b)
+
+
+def test_stage_once_records_build_outcomes(tmp_path, monkeypatch):
+    """`BUILD_OUTCOMES` is the bench's fixture-freshness signal: the
+    first call records "built", replays record "cached", and the
+    costlier outcome is sticky — a later cache hit never demotes a
+    recorded build, so the bench artifact shows every tag whose build
+    wall-clock landed somewhere in the run."""
+    _tag(tmp_path, monkeypatch)
+    monkeypatch.setattr(staging, "BUILD_OUTCOMES", {})
+
+    def build(p):
+        with open(os.path.join(p, "x"), "w") as f:
+            f.write("1")
+        return {}
+
+    staging.stage_once("outc", "/sf", build)
+    assert staging.BUILD_OUTCOMES["outc"] == "built"
+    staging.stage_once("outc", "/sf", build)
+    assert staging.BUILD_OUTCOMES["outc"] == "built"  # sticky
+    # a fresh process (empty dict) replaying the marker reads "cached"
+    monkeypatch.setattr(staging, "BUILD_OUTCOMES", {})
+    staging.stage_once("outc", "/sf", build)
+    assert staging.BUILD_OUTCOMES["outc"] == "cached"

@@ -145,6 +145,27 @@ def _finalizing_alive(dest: str) -> bool:
 #: layout with no index subdir) — fail loudly at the second caller.
 _TAG_OWNERS: dict[str, str] = {}
 
+#: (tag) -> "built" | "awaited" | "cached": THIS process's per-tag
+#: staging outcome. "built" = this process paid the build wall-clock
+#: (even if another builder's commit won the rename race); "awaited" =
+#: another process built while this one blocked on the marker (same
+#: wall-clock charge, different CPU); "cached" = pure marker hit.
+#: Costlier outcomes are sticky — a later cache hit never demotes them.
+#: `bench.py` emits this next to the per-query map so an in-run fixture
+#: rebuild can never masquerade as a query regression (the r14 doc-LSH
+#: attribution gap: two queries sharing a staged tf-idf profile jumped
+#: together and the artifact could not say whether the fixture was
+#: rebuilt that run).
+BUILD_OUTCOMES: dict[str, str] = {}
+
+_OUTCOME_RANK = {"cached": 0, "awaited": 1, "built": 2}
+
+
+def _record_outcome(tag: str, outcome: str) -> None:
+    prev = BUILD_OUTCOMES.get(tag)
+    if prev is None or _OUTCOME_RANK[outcome] > _OUTCOME_RANK[prev]:
+        BUILD_OUTCOMES[tag] = outcome
+
 
 def stage_once(
     tag: str,
@@ -170,6 +191,7 @@ def stage_once(
     mark = os.path.join(dest, MARKER)
     meta = _read_marker(mark)
     if meta is not None:
+        _record_outcome(tag, "cached")
         return dest, meta
     if os.path.isdir(dest):
         # marker-less dest: await a LIVE finalizer BEFORE paying a
@@ -177,6 +199,7 @@ def stage_once(
         if _finalizing_alive(dest):
             won = _wait_for_marker(mark)
             if won is not None:
+                _record_outcome(tag, "awaited")
                 return dest, won
         shutil.rmtree(dest, ignore_errors=True)
     tmp = f"{dest}.build-{os.getpid()}-{threading.get_ident()}"
@@ -187,6 +210,7 @@ def stage_once(
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)  # never leak the scratch
         raise
+    _record_outcome(tag, "built")  # the build wall-clock is paid either way
     won = _read_marker(mark)
     if won is not None:  # a winner committed while we built
         shutil.rmtree(tmp, ignore_errors=True)
