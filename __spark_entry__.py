@@ -136,25 +136,35 @@ def _affected_modules(touched_files: set[str]) -> set[str]:
     return affected
 
 
-def _verification_order(names: list[str]) -> list[str]:
-    """Order queries so the driver's per-round correctness budget (r01 checked
-    exactly the first 50 of 75) maximizes the VALUE of its 50 rows: queries
-    whose defining module changed this round sort first (their behavior may
-    have changed — a 278-query registry under a 50-row cap is otherwise a
-    6-round blind spot for regressions in touched code), then queries with no
-    green CORRECTNESS row yet, then previously-green ones least-recently-
-    verified first. Reads the driver's own CORRECTNESS_r*.json outputs and
-    git's changed-file list, so the rotation is self-maintaining round over
-    round.
-    """
-    last_green: dict[str, str] = {}
+#: a query whose last driver-green round is this many rounds old jumps
+#: the WHOLE queue, ahead even of touched-module priority: with a
+#: ~50-row driver cap over a 333-query registry, touched-first ordering
+#: alone starved pure-LRU rotation (by round 14, 42 queries had gone
+#: 9+ rounds driver-unverified — found by scripts/check_artifacts.py's
+#: staleness gate, which fails if an overdue query is not scheduled in
+#: the next driver window)
+_OVERDUE_ROUNDS = 7
+
+
+def _last_green_rounds() -> tuple[dict[str, int], int]:
+    """(query -> latest driver-green round, latest driver round seen),
+    read from the driver's own committed CORRECTNESS_r*.json outputs."""
+    import re
+
+    last_green: dict[str, int] = {}
+    latest = 0
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as f:
                 data = json.load(f)
         except (OSError, ValueError):
             continue
+        latest = max(latest, rnd)
         for name, row in data.items():
             if (
                 isinstance(row, dict)
@@ -163,7 +173,23 @@ def _verification_order(names: list[str]) -> list[str]:
                 and row.get("hash_match") is not False
                 and row.get("err") in (None, "")
             ):
-                last_green[name] = path
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return last_green, latest
+
+
+def _verification_order(names: list[str]) -> list[str]:
+    """Order queries so the driver's per-round correctness budget (r01 checked
+    exactly the first 50 of 75) maximizes the VALUE of its 50 rows:
+    OVERDUE queries first (last driver-green `_OVERDUE_ROUNDS`+ rounds
+    ago, or never green — the staleness bound no priority may starve),
+    then queries whose defining module changed this round (their
+    behavior may have changed — a 333-query registry under a 50-row cap
+    is otherwise a 7-round blind spot for regressions in touched code),
+    then previously-green ones least-recently-verified first. Reads the
+    driver's own CORRECTNESS_r*.json outputs and git's changed-file
+    list, so the rotation is self-maintaining round over round.
+    """
+    last_green, latest = _last_green_rounds()
     touched_files = _touched_module_files()
     affected = _affected_modules(touched_files)
     touched = {
@@ -171,9 +197,18 @@ def _verification_order(names: list[str]) -> list[str]:
         for n in names
         if QUERIES[n].__module__.replace(".", "/") + ".py" in affected
     }
+
+    def _overdue(n: str) -> bool:
+        return latest - last_green.get(n, 0) >= _OVERDUE_ROUNDS
+
     return sorted(
         names,
-        key=lambda n: (n not in touched, n in last_green, last_green.get(n, "")),
+        key=lambda n: (
+            not _overdue(n),
+            n not in touched,
+            last_green.get(n, 0),
+            n,
+        ),
     )
 
 

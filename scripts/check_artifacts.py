@@ -90,6 +90,81 @@ def main() -> int:
         if "headline_total_s" not in bench or "canary_s" not in bench:
             problems.append("bench map lacks headline_total_s/canary_s")
 
+    # DRIVER-ROTATION FRESHNESS (round-14 verdict item 7): the driver
+    # verifies <= 50 queries per round, so a 333-query registry takes
+    # ~7 rounds to cycle; the LRU rotation in __spark_entry__ should
+    # keep every query's last driver-green round recent. A query whose
+    # last green driver row is older than DRIVER_STALE_ROUNDS means the
+    # rotation broke — surface it as a loud gate instead of a judge
+    # recomputation. Queries not yet in ANY driver artifact are held to
+    # a tighter bar: the rotation sorts never-green queries first, so
+    # one that existed before the latest driver run (per the committed
+    # local sweeps) and still has no green row is a rotation failure.
+    DRIVER_STALE_ROUNDS = 8
+
+    def _rnd(p: Path) -> int:
+        return int(re.search(r"r(\d+)", p.name).group(1))
+
+    last_green: dict[str, int] = {}
+    driver_rounds: list[int] = []
+    for p in sorted(ROOT.glob("CORRECTNESS_r[0-9]*.json"), key=_rnd):
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        driver_rounds.append(_rnd(p))
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+                and row.get("err") in (None, "")
+            ):
+                last_green[name] = max(last_green.get(name, 0), _rnd(p))
+    first_seen: dict[str, int] = {}
+    for p in sorted(ROOT.glob("CORRECTNESS_LOCAL_r[0-9]*.json"), key=_rnd):
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name in data:
+            first_seen.setdefault(name, _rnd(p))
+    if driver_rounds:
+        latest = max(driver_rounds)
+        stale = sorted(
+            n
+            for n in registered
+            if n in last_green
+            and last_green[n] < latest - DRIVER_STALE_ROUNDS
+        )
+        overdue_new = sorted(
+            n
+            for n in registered
+            if n not in last_green
+            and latest - first_seen.get(n, latest) >= 2
+        )
+        if stale or overdue_new:
+            # a stale query is acceptable ONLY if the rotation schedules
+            # it in the next driver window (the driver runs the first
+            # ~50 of queries(); __spark_entry__ sorts overdue first) —
+            # then the backlog drains next round by construction
+            import __spark_entry__ as entrymod
+
+            window = set(
+                entrymod._verification_order(sorted(registered))[:50]
+            )
+            unscheduled = [
+                n for n in (*stale, *overdue_new) if n not in window
+            ]
+            if unscheduled:
+                problems.append(
+                    f"driver rotation stale: {len(unscheduled)} queries "
+                    f"overdue (last green before r{latest - DRIVER_STALE_ROUNDS}"
+                    " or never) AND not in the next driver window: "
+                    f"{unscheduled[:5]}..."
+                )
+
     spot_path = _latest("CORRECTNESS_LOCAL_SF01_r[0-9]*.json")
     if spot_path:
         spot = json.loads(spot_path.read_text())
