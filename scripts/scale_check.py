@@ -196,17 +196,24 @@ def maintenance_check(spark: SparkSession, big_dir: str) -> dict:
 
 
 def skipping_consult_check(spark: SparkSession, copies: int) -> dict:
-    """Round-13 VERDICT item 6: the two-level-manifest claim — consult
-    cost is O(parent + touched shards), independent of TOTAL file
-    count — measured instead of argued. Two layouts of the same events
-    data: SMALL (1 replica, ~80 files) and BIG (``copies`` replicas
-    with user_id AND ts offset per replica, ~80x``copies`` files — the
-    extra replicas occupy disjoint key ranges, so a narrow predicate
-    over replica 0 touches the SAME shard mass in both layouts while
-    total files grow ``copies``x). `select_files_multi` with the same
-    narrow 2-column box should cost ~the same on both
-    (``narrow_ratio`` ~1); a FULL-RANGE box on the big layout touches
-    every shard and is the touched-shards-cost control."""
+    """Round-13 VERDICT item 6 (+ round-14 item 4: one more decade):
+    the two-level-manifest claim — consult cost is O(parent + touched
+    shards), independent of TOTAL file count — measured instead of
+    argued. Three layouts of the same events data: SMALL (1 replica,
+    ~80 files), BIG (``copies`` replicas with user_id AND ts offset
+    per replica, ~80x``copies`` files — the extra replicas occupy
+    disjoint key ranges, so a narrow predicate over replica 0 touches
+    the SAME shard mass in every layout while total files grow), and
+    HUGE (``10 x copies`` replicas, ~8000 files — two measured decades
+    instead of one). The HUGE tier thins each replica to a 10% row
+    sample: consult cost is driven by FILE COUNT (manifest rows =
+    per-file envelopes), never rows-per-file, and full-mass replicas
+    would pay ~100x the base data in build writes for no additional
+    signal. `select_files_multi` with the same narrow 2-column box
+    should cost ~the same on all three (``narrow_ratio`` /
+    ``narrow_ratio_huge`` ~1, files_selected identical); a FULL-RANGE
+    box on the big layout touches every shard and is the
+    touched-shards-cost control."""
     import datetime
     import shutil
 
@@ -234,6 +241,7 @@ def skipping_consult_check(spark: SparkSession, copies: int) -> dict:
     shutil.rmtree(work, ignore_errors=True)
     small_dir = os.path.join(work, "small")
     big_dir = os.path.join(work, "big")
+    huge_dir = os.path.join(work, "huge")
     files_per_rep = 80
     # Z-ordered layout per replica: tight (user_id, ts) envelopes are
     # what make the manifest prune at all — a hash-random layout gives
@@ -257,17 +265,27 @@ def skipping_consult_check(spark: SparkSession, copies: int) -> dict:
             "overwrite" if k == 0 else "append"
         ).parquet(dest)
 
+    def _rep(base_df, k):
+        if not k:
+            return base_df
+        return base_df.withColumn(
+            "user_id", F.col("user_id") + F.lit(k * uspan)
+        ).withColumn(
+            "ts",
+            F.col("ts") + F.expr(f"INTERVAL {k * tspan_s} SECOND"),
+        )
+
     z_write(ev, small_dir, 0)
     for k in range(copies):
-        rep = ev
-        if k:
-            rep = ev.withColumn(
-                "user_id", F.col("user_id") + F.lit(k * uspan)
-            ).withColumn(
-                "ts",
-                F.col("ts") + F.expr(f"INTERVAL {k * tspan_s} SECOND"),
-            )
-        z_write(rep, big_dir, k)
+        z_write(_rep(ev, k), big_dir, k)
+    # HUGE tier: deterministic 10% thinning (md5 of event_id, not
+    # sample() — reproducible across runs), full key-range coverage
+    # per replica so the z-envelopes keep the same geometry
+    thin = ev.where(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) == "0"
+    )
+    for k in range(10 * copies):
+        z_write(_rep(thin, k), huge_dir, k)
 
     t0 = time.perf_counter()
     build_two_level_columns(spark, small_dir, ["user_id", "ts"])
@@ -275,6 +293,9 @@ def skipping_consult_check(spark: SparkSession, copies: int) -> dict:
     t0 = time.perf_counter()
     build_two_level_columns(spark, big_dir, ["user_id", "ts"])
     t_build_big = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    build_two_level_columns(spark, huge_dir, ["user_id", "ts"])
+    t_build_huge = round(time.perf_counter() - t0, 2)
 
     narrow = [
         ("user_id", ulo, ulo + uspan // 100),
@@ -311,16 +332,22 @@ def skipping_consult_check(spark: SparkSession, copies: int) -> dict:
 
     c_small = timed_consult(small_dir, narrow)
     c_big = timed_consult(big_dir, narrow)
+    c_huge = timed_consult(huge_dir, narrow)
     c_big_full = timed_consult(big_dir, full_big)
     out = {
         "claim": "consult cost ~ parent + touched shards, not total files",
         "build_small_s": t_build_small,
         "build_big_s": t_build_big,
+        "build_huge_s": t_build_huge,
         "narrow_small": c_small,
         "narrow_big": c_big,
+        "narrow_huge": c_huge,
         "full_big": c_big_full,
         "narrow_ratio": round(
             c_big["consult_s"] / max(c_small["consult_s"], 1e-9), 2
+        ),
+        "narrow_ratio_huge": round(
+            c_huge["consult_s"] / max(c_small["consult_s"], 1e-9), 2
         ),
     }
     shutil.rmtree(work, ignore_errors=True)
@@ -339,9 +366,16 @@ def delete_lifecycle_check(spark: SparkSession, big_dir: str) -> dict:
       the pass signal.
     - LSH delete (tombstone append) at 1x vs 10x index:
       ``delete_index_ratio`` near 1 — O(batch) appends plus a
-      pushed-filter marker consult. LSH compact IS a full rewrite by
-      design (LSM cadence, documented O(index)); its 1x-vs-10x ratio
-      is recorded as the honest baseline, not a flatness claim."""
+      pushed-filter marker consult.
+    - LSH SEGMENT-LOCAL compaction (round-14 verdict item 1: the index
+      is now partitioned into 16 doc-hash segments and compaction
+      rewrites only tombstone-bearing ones): on the same 10x index, a
+      delete batch CONFINED to one segment vs the same-size batch
+      SPREAD across all segments — ``spread_vs_confined_compact_ratio``
+      toward the segment count is the pass signal (compact cost tracks
+      TOMBSTONE-BEARING SEGMENT MASS, not index size); the old
+      full-rewrite O(index) cost is what the spread shape now prices,
+      and the confined shape is the 1/nseg win."""
     import shutil
 
     from twitter_flink_spark.operators.clustering import (
@@ -441,7 +475,13 @@ def delete_lifecycle_check(spark: SparkSession, big_dir: str) -> dict:
     r_conf = timed_ivf(ivf_a, confined)
     r_spread = timed_ivf(ivf_b, spread)
 
-    # ---- LSH: same delete batch against 1x and 10x indexes ----
+    # ---- LSH: O(batch) delete at 1x vs 10x, then segment-local
+    # compaction (confined vs spread same-size batches on the 10x) ----
+    from twitter_flink_spark.operators.dedup import (
+        LSH_SEGMENTS,
+        _seg_expr,
+    )
+
     docs_all = spark.read.parquet(
         os.path.join(big_dir, "documents.parquet")
     )
@@ -452,14 +492,25 @@ def delete_lifecycle_check(spark: SparkSession, big_dir: str) -> dict:
     rep0 = docs_all.where(F.col("doc_id") < max_doc)
     lsh_small = os.path.join(work, "lsh_small")
     lsh_big = os.path.join(work, "lsh_big")
+    lsh_big2 = os.path.join(work, "lsh_big2")
     n_small = lsh_index_build(spark, rep0, lsh_small)
     n_big = lsh_index_build(spark, docs_all, lsh_big)
+    n_big2 = lsh_index_build(spark, docs_all, lsh_big2)
+    assert n_big == n_big2
     dels = rep0.where(F.col("doc_id") % 16 == 0).select("doc_id")
 
-    def timed_lsh(idx):
+    def timed_lsh(idx, batch):
         t0 = time.perf_counter()
-        nd = lsh_index_delete(spark, dels, idx)
+        nd = lsh_index_delete(spark, batch, idx)
         t_del = round(time.perf_counter() - t0, 2)
+        # tombstone-bearing segments = what compaction will rewrite
+        segs = (
+            spark.read.parquet(idx)
+            .where(F.col("band") == -2)
+            .select("seg")
+            .distinct()
+            .count()
+        )
         t0 = time.perf_counter()
         nc = lsh_index_compact(spark, idx)
         return {
@@ -467,11 +518,62 @@ def delete_lifecycle_check(spark: SparkSession, big_dir: str) -> dict:
             "delete_s": t_del,
             "compact_s": round(time.perf_counter() - t0, 2),
             "reclaimed": nc,
+            "segments_rewritten": segs,
         }
 
-    l_small = timed_lsh(lsh_small)
-    l_big = timed_lsh(lsh_big)
+    l_small = timed_lsh(lsh_small, dels)
+    l_big = timed_lsh(lsh_big, dels)
     assert l_small["deleted"] == l_big["deleted"]
+
+    # confined vs spread, SAME batch size, on equal 10x indexes:
+    # spread built first (per-segment take may cap it), confined sized
+    # to match (the r14 review's same-size-batches discipline). Batch
+    # docs must be band-ELIGIBLE (>= 3 tokens — shorter docs are never
+    # covered, so deleting them is a no-op) and outside the `dels`
+    # pattern already compacted out of lsh_big, or the two shapes would
+    # delete different effective batch sizes.
+    eligible = F.size(F.split(F.col("text"), " ")) >= 3
+    in_dels = (F.col("doc_id") < max_doc) & (F.col("doc_id") % 16 == 0)
+    seg_of = docs_all.where(eligible & ~in_dels).select(
+        "doc_id", _seg_expr(LSH_SEGMENTS).alias("s")
+    )
+    from pyspark.sql import Window
+
+    m = 1024
+    per_seg = m // LSH_SEGMENTS
+    wseg = Window.partitionBy("s").orderBy("doc_id")
+    spread_rows = (
+        seg_of.withColumn("rn", F.row_number().over(wseg))
+        .where(F.col("rn") <= per_seg)
+        .select("doc_id")
+        .collect()
+    )
+    hot_seg = int(
+        seg_of.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "s")
+        .first()["s"]
+    )
+    confined_rows = (
+        seg_of.where(F.col("s") == hot_seg)
+        .orderBy("doc_id")
+        .limit(len(spread_rows))
+        .collect()
+    )
+    assert len(confined_rows) == len(spread_rows)
+
+    def _doc_ids(rows):
+        return spark.createDataFrame(
+            [(int(r["doc_id"]),) for r in rows], "doc_id long"
+        )
+
+    # lsh_big was compacted above (tombstone-free): reuse it for the
+    # confined shape; lsh_big2 is fresh for the spread shape
+    l_conf = timed_lsh(lsh_big, _doc_ids(confined_rows))
+    l_spread = timed_lsh(lsh_big2, _doc_ids(spread_rows))
+    assert (
+        l_conf["deleted"] == l_spread["deleted"] == len(spread_rows)
+    ), (l_conf["deleted"], l_spread["deleted"], len(spread_rows))
     out = {
         "ivf": {
             "index_vectors": sum(counts.values()),
@@ -485,6 +587,7 @@ def delete_lifecycle_check(spark: SparkSession, big_dir: str) -> dict:
         },
         "lsh": {
             "index_docs": {"small": n_small, "big": n_big},
+            "segments": LSH_SEGMENTS,
             "small": l_small,
             "big": l_big,
             "delete_index_ratio": round(
@@ -493,9 +596,16 @@ def delete_lifecycle_check(spark: SparkSession, big_dir: str) -> dict:
             "compact_index_ratio": round(
                 l_big["compact_s"] / max(l_small["compact_s"], 1e-9), 2
             ),
+            "confined_1seg": l_conf,
+            "spread_allsegs": l_spread,
+            "spread_vs_confined_compact_ratio": round(
+                l_spread["compact_s"] / max(l_conf["compact_s"], 1e-9), 2
+            ),
             "claim": (
-                "delete is O(batch) (ratio ~1); compact is a documented "
-                "O(index) full rewrite on the LSM cadence"
+                "delete is O(batch) (ratio ~1); compact is SEGMENT-"
+                "LOCAL — cost tracks tombstone-bearing segment mass "
+                "(spread/confined toward the segment count), not index "
+                "size"
             ),
         },
     }
