@@ -1401,8 +1401,14 @@ def lsh_band_occupancy_monitor(
         spark, sf_dir
     )
     ok = n_corpus > 0 and n_new > 0 and n_again == 0
+    # occupancy counts SIGNAL rows only: coverage markers (band=-1) and
+    # tombstones (band=-2) are bookkeeping with per-doc unique hashes —
+    # they can never pair, and the full-rebuild oracle has no counterpart
+    # for them (this leak was masked for several rounds by a staged
+    # fixture predating coverage markers; a fresh build exposed it)
     rows = (
         spark.read.parquet(dest)
+        .where(F.col("band") >= 0)
         .select("doc_id", "band", "band_hash")
         .distinct()
         .withColumn(
