@@ -134,6 +134,51 @@ def test_kmeans_drops_emptied_cluster(spark):
     assert all(n > 0 for n in out.values())  # no empty clusters persist
 
 
+def test_assign_clusters_matches_bruteforce_argmin(spark):
+    """The map-side array-argmin assignment (array_min / array_sort over
+    struct(dist, cid)) must reproduce the brute-force answer exactly:
+    nearest centroid with ties to the LOWER cid, and top_n = the n
+    nearest in (dist, cid) order — the contract the old window
+    formulation implemented. Centroids chosen to force a genuine tie
+    (two centroids equidistant from one point)."""
+    from twitter_flink_spark.operators.clustering import assign_clusters
+
+    vecs = [
+        (10, [0.0, 0.0]),   # tie: equidistant to cids 1 and 2
+        (11, [4.0, 0.0]),   # nearest cid 2
+        (12, [-3.0, 1.0]),  # nearest cid 1
+    ]
+    cents = [(1, [-1.0, 0.0]), (2, [1.0, 0.0]), (3, [9.0, 9.0])]
+    v = spark.createDataFrame(vecs, "vec_id long, e array<double>")
+    c = spark.createDataFrame(cents, "cid long, cent array<double>")
+
+    got = {r.vec_id: r.cid for r in assign_clusters(v, c).collect()}
+    assert got == {10: 1, 11: 2, 12: 1}  # tie at vec 10 -> lower cid
+
+    def brute(n):
+        out = {}
+        for vid, e in vecs:
+            d = sorted(
+                (
+                    sum(x * x for x in e)
+                    - 2 * sum(x * y for x, y in zip(e, cent))
+                    + sum(y * y for y in cent),
+                    cid,
+                )
+                for cid, cent in cents
+            )
+            out[vid] = [cid for _, cid in d[:n]]
+        return out
+
+    top2 = assign_clusters(v, c, top_n=2, keep_dist=True).collect()
+    got2: dict[int, list] = {}
+    for r in sorted(top2, key=lambda r: (r.vec_id, r.dist, r.cid)):
+        got2.setdefault(r.vec_id, []).append(r.cid)
+    assert got2 == brute(2)
+    # keep_dist round-trips the exact double the scorer computed
+    assert all(isinstance(r.dist, float) for r in top2)
+
+
 def test_multiprobe_probes_cover_hamming_ball(spark):
     """Each (id, band, sig) row expands to the signature plus every
     1-bit-flip variant — the Hamming-distance-1 ball, deduplicated."""
