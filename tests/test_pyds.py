@@ -18,6 +18,20 @@ from twitter_flink_spark.sources.pyds import (
 N = 500
 
 
+def _read_rows(reader) -> list:
+    """Flatten reader.read()'s Arrow batches back to status tuples (the
+    connector yields one columnar batch per partition; tests compare
+    against the row generator)."""
+    out = []
+    for part in reader.partitions():
+        for batch in reader.read(part):
+            out.extend(
+                (d["status_id"], d["text"], list(d["tags"]), d["lang"])
+                for d in batch.to_pylist()
+            )
+    return out
+
+
 def test_batch_read_matches_generator(spark):
     register_datasource(spark)
     rows = (
@@ -83,9 +97,7 @@ def test_lang_filter_pushed_into_reader():
     # lang equality absorbed; range predicate handed back to Spark
     assert reader.lang_filter == "en"
     assert leftover == [GreaterThan(("status_id",), 10)]
-    produced = [
-        row for part in reader.partitions() for row in reader.read(part)
-    ]
+    produced = _read_rows(reader)
     assert produced and all(r[3] == "en" for r in produced)
 
 
@@ -201,9 +213,7 @@ def test_track_term_contains_pushed_into_reader():
     assert reader.track_terms == ["tag3"]
     assert reader.lang_filter == "en"
     assert leftover == [GreaterThan(("status_id",), 10)]
-    produced = [
-        row for part in reader.partitions() for row in reader.read(part)
-    ]
+    produced = _read_rows(reader)
     expected = [
         status_row(i)
         for i in range(64)

@@ -26,7 +26,7 @@ freeing) is shared with `operators/graph.py`.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from twitter_flink_spark.operators.graph import (
@@ -39,38 +39,31 @@ from twitter_flink_spark.operators.similarity import dot
 _COMP_SCALE = 7
 
 
-def _packed_candidates(
-    centroids: DataFrame, group_col: str | None = None
-) -> DataFrame:
-    """The centroid table packed into ONE row per group (one row total
-    without a group): an array of (cid, cent) structs. This is the
-    broadcast the map-side argmin consumes — k entries by construction,
-    so the array is executor-memory-trivial at any corpus size."""
-    g = [group_col] if group_col else []
-    return centroids.groupBy(*g).agg(
-        F.collect_list(F.struct("cid", "cent")).alias("_tfs_cands")
-    )
+def _pack_rows(spark, rows, g: list, fields: dict) -> DataFrame:
+    """Local packed-candidate frame from already-collected centroid rows
+    (fields: name -> StructField for the g columns, cid and cent) — the
+    zero-job path `kmeans_fit` uses between Lloyd rounds, where the rows
+    are in hand and a DataFrame round-trip would cost a job per round."""
+    from pyspark.sql.types import ArrayType, StructField, StructType
 
-
-def _with_candidates(
-    vectors: DataFrame,
-    centroids: DataFrame,
-    vec_col: str,
-    group_col: str | None,
-) -> DataFrame:
-    """``vectors`` with the packed candidate array attached (broadcast
-    hash join on the group key, or a 1-row broadcast cross for the
-    global codebook) plus ``_tfs_sq`` = <v,v> hoisted once per vector
-    (the window formulation recomputed it per candidate row; the value
-    is the identical left-to-right accumulation either way)."""
-    packed = _packed_candidates(centroids, group_col)
-    base = vectors.withColumn(
-        "_tfs_sq", dot(F.col(vec_col), F.col(vec_col))
+    groups: dict[tuple, list] = {}
+    for r in rows:
+        groups.setdefault(tuple(r[c] for c in g), []).append(
+            (r["cid"], r["cent"])
+        )
+    schema = StructType(
+        [fields[c] for c in g]
+        + [
+            StructField(
+                "_tfs_cands",
+                ArrayType(
+                    StructType([fields["cid"], fields["cent"]])
+                ),
+            )
+        ]
     )
-    return (
-        base.join(F.broadcast(packed), on=group_col)
-        if group_col
-        else base.crossJoin(F.broadcast(packed))
+    return spark.createDataFrame(
+        [(*key, cands) for key, cands in groups.items()], schema
     )
 
 
@@ -110,29 +103,39 @@ def assign_clusters(
     centroids per vector (the IVF nprobe query-side expansion) instead
     of the argmin.
 
-    Fully MAP-SIDE: the k candidates ride as a packed array on a
-    broadcast, and the argmin is ``array_min`` over struct(dist, cid)
-    inside one projection (``array_sort`` + ``slice`` for top_n) — the
-    corpus is never shuffled and no per-vector sort runs. The previous
-    row_number-over-window formulation paid an Exchange + sort on the
-    vector id for the same answer (bit-identical: same left-to-right
-    distance arithmetic, same (dist, cid) tie order)."""
-    g = [group_col] if group_col else []
-    joined = _with_candidates(vectors, centroids, vec_col, group_col)
-    scored = _scored_expr(vec_col)
-    keys = [id_col] + g
-    if top_n == 1:
-        best = F.array_min(scored)
-        cols = keys + [best["cid"].alias("cid")]
-        if keep_dist:
-            cols.append(best["dist"].alias("dist"))
-        return joined.select(*cols)
-    picked = F.slice(F.array_sort(scored), 1, int(top_n))
-    exploded = joined.select(*keys, F.explode(picked).alias("_tfs_best"))
-    cols = keys + [F.col("_tfs_best.cid").alias("cid")]
-    if keep_dist:
-        cols.append(F.col("_tfs_best.dist").alias("dist"))
-    return exploded.select(*cols)
+    Deliberately the row_number-over-window form. A map-side
+    array-argmin rewrite (pack the k candidates into one broadcast
+    array, array_min over struct(dist, cid) per row — see `kmeans_fit`,
+    which keeps that shape internally) was interleaved-A/B'd against
+    this in r15: result-identical, at par for standalone batch
+    consumers (the window's exchange is k-row-per-vector metadata, not
+    payload), but 1.5-2x SLOWER for foreachBatch sinks that evaluate
+    the assignment twice (count + write re-pay the candidate-packing
+    stage, and the per-call centroid collect serializes against the
+    micro-batch machinery). The window form stays because it is lazy,
+    single-stage to plan, and every caller's centroid side is a k-row
+    broadcast either way."""
+    joined = (
+        vectors.join(F.broadcast(centroids), on=group_col)
+        if group_col
+        else vectors.crossJoin(F.broadcast(centroids))
+    )
+    d = joined.withColumn(
+        "dist",
+        dot(F.col(vec_col), F.col(vec_col))
+        - 2 * dot(F.col(vec_col), F.col("cent"))
+        + dot(F.col("cent"), F.col("cent")),
+    )
+    keys = [id_col] + ([group_col] if group_col else [])
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("dist").asc(), F.col("cid").asc()
+    )
+    out_cols = keys + ["cid"] + (["dist"] if keep_dist else [])
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_n)
+        .select(*out_cols)
+    )
 
 
 def _centroid_means(rows: DataFrame, g: list) -> DataFrame:
@@ -255,10 +258,16 @@ def kmeans_fit(
         )
         .collect()
     )
+    cent_fields = {f.name: f for f in cent_schema.fields}
     for _ in range(iters):
-        cents = spark.createDataFrame(rows, cent_schema)
-        joined = _with_candidates(
-            v, cents.select(*g, "cid", "cent"), "e", group_col
+        # rows are already in hand: pack them locally (zero jobs) —
+        # round cost is exactly ONE job, the means aggregate's collect
+        packed = _pack_rows(spark, rows, g, cent_fields)
+        base = v.withColumn("_tfs_sq", dot(F.col("e"), F.col("e")))
+        joined = (
+            base.join(F.broadcast(packed), on=group_col)
+            if group_col
+            else base.crossJoin(F.broadcast(packed))
         )
         members = joined.select(
             *g,

@@ -158,17 +158,21 @@ def sample_frames(with_payload: DataFrame, n_frames_mod: int = 8) -> DataFrame:
 
 
 def byte_histogram(with_payload: DataFrame) -> DataFrame:
-    """mapInPandas: (doc_id, payload) → (doc_id, byte_value, cnt) rows —
-    a REAL vectorized numpy computation over the raw bytes (np.unique
-    per payload), unlike the deliberately-stubbed pixel decodes: byte
-    histograms need no media library, so this path exercises the Arrow
-    boundary with genuine per-byte work. The boundary stays
-    INTEGER-ONLY (counts, not floats), so the Python side cannot
-    introduce cross-engine numeric drift; any entropy/statistics math
-    happens JVM-side downstream."""
+    """mapInPandas: (doc_id, payload) → (doc_id, byte_value, cnt,
+    n_bytes) rows — a REAL vectorized numpy computation over the raw
+    bytes (np.unique per payload), unlike the deliberately-stubbed
+    pixel decodes: byte histograms need no media library, so this path
+    exercises the Arrow boundary with genuine per-byte work. The
+    boundary stays INTEGER-ONLY (counts, not floats), so the Python
+    side cannot introduce cross-engine numeric drift; any
+    entropy/statistics math happens JVM-side downstream. ``n_bytes``
+    (the payload length, = sum of the doc's cnt by construction) rides
+    every row so downstream per-byte probabilities need NO second
+    aggregate-and-join over the histogram — the total is known the
+    moment the bytes are in hand."""
     import pandas as pd
 
-    schema = "doc_id long, byte_value int, cnt long"
+    schema = "doc_id long, byte_value int, cnt long, n_bytes long"
 
     def gen(batches):
         import numpy as np
@@ -177,14 +181,21 @@ def byte_histogram(with_payload: DataFrame) -> DataFrame:
             ids = []
             vals = []
             cnts = []
+            tots = []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
                 arr = np.frombuffer(bytes(payload), dtype=np.uint8)
                 u, c = np.unique(arr, return_counts=True)
                 ids.extend([did] * len(u))
                 vals.extend(int(x) for x in u)
                 cnts.extend(int(x) for x in c)
+                tots.extend([len(arr)] * len(u))
             yield pd.DataFrame(
-                {"doc_id": ids, "byte_value": vals, "cnt": cnts}
+                {
+                    "doc_id": ids,
+                    "byte_value": vals,
+                    "cnt": cnts,
+                    "n_bytes": tots,
+                }
             )
 
     return with_payload.mapInPandas(gen, schema=schema)

@@ -152,12 +152,18 @@ def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     hist = byte_histogram(attach_payload(spread(docs, "doc_id")))
-    tot = hist.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
-    p = F.col("cnt") * 1.0 / F.col("n")
-    terms = hist.join(tot, "doc_id").select(
+    # n_bytes rides every histogram row out of the Arrow boundary
+    # (= sum of the doc's cnt by construction), so the per-byte
+    # probability needs no aggregate-then-join back over the histogram
+    # — one exchange (the final per-doc aggregate) instead of three
+    terms = hist.select(
         "doc_id",
-        "n",
-        F.round(-p * F.log(p), 10).cast("decimal(28,10)").alias("term"),
+        F.col("n_bytes").alias("n"),
+        F.round(
+            -(F.col("cnt") * 1.0 / F.col("n_bytes"))
+            * F.log(F.col("cnt") * 1.0 / F.col("n_bytes")),
+            10,
+        ).cast("decimal(28,10)").alias("term"),
     )
     return terms.groupBy("doc_id", "n").agg(
         F.count(F.lit(1)).cast("long").alias("n_distinct_bytes"),

@@ -1211,6 +1211,75 @@ def streaming_daily_active_mv(
     )
 
 
+#: (app id, sf_dir) -> (mv root, changelog dir) of the session's ONE
+#: pristine CDF drain (see `_drained_cdf_mv`)
+_CDF_MV_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _drained_cdf_mv(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """The four-micro-batch `IncrementalMV` + changelog drain the whole
+    CDF query family consumes, run ONCE per session — one incremental
+    pipeline, many readers, exactly the `_drained_presence_mv` /
+    `_drained_sink_indexes` precedent. The four CDF queries previously
+    re-ran this identical drain four times (~4-5 s each at sf0.1) to
+    then price their own DIFFERENT maintenance step; now the base query
+    (`streaming_mv_cdf`, first in bench order) absorbs the one drain and
+    the maintenance variants copy-on-write the pristine root
+    (`_cdf_mv_copy`) so compaction/offset mutations stay isolated.
+    Returns (mv root, changelog dir); both stay PRISTINE — never mutate
+    them in place."""
+    import os
+
+    from twitter_flink_spark.streaming.pipeline import IncrementalMV
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CDF_MV_CACHE:
+        staged = _ensure_split_events(spark, sf_dir)
+        schema = spark.read.parquet(staged).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        work = scratch_dir("cdfshared")
+        root = os.path.join(work, "mv")
+        cdf_dir = os.path.join(work, "log")
+        mv = IncrementalMV(
+            spark, key_col="user_id", root=root, changelog_dir=cdf_dir
+        )
+        q = (
+            stream.writeStream.foreachBatch(mv.merge_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 300)
+        _CDF_MV_CACHE[key] = (root, cdf_dir)
+    return _CDF_MV_CACHE[key]
+
+
+def _cdf_mv_copy(
+    spark: SparkSession, sf_dir: str, tag: str
+) -> tuple[str, str]:
+    """A private mutable copy of the pristine drained CDF root for one
+    maintenance variant: hardlink copytree (parquet files are never
+    modified in place — compaction and offset commits both publish via
+    whole-file/dir replace, so shared inodes are safe), per-run scratch.
+    Returns (mv root copy, changelog copy)."""
+    import os
+    import shutil
+
+    root, cdf_dir = _drained_cdf_mv(spark, sf_dir)
+    work = scratch_dir(tag)
+    mv_copy = os.path.join(work, "mv")
+    cdf_copy = os.path.join(work, "log")
+    shutil.copytree(root, mv_copy, copy_function=os.link)
+    shutil.copytree(cdf_dir, cdf_copy, copy_function=os.link)
+    return mv_copy, cdf_copy
+
+
 @register(
     "streaming_mv_cdf",
     oracle="""
@@ -1234,27 +1303,11 @@ def streaming_mv_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     each key's post-image at its max batch_id) must equal the one-shot
     batch aggregate — completeness, ordering, and pre/post integrity in
     one invariant; a missed change, phantom row, or mis-ordered image
-    breaks the hash."""
-    import tempfile
-
-    from twitter_flink_spark.streaming.pipeline import IncrementalMV
-
-    staged = _ensure_split_events(spark, sf_dir)
-    schema = spark.read.parquet(staged).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staged)
-    )
-    cdf_dir = scratch_dir("cdf") + "/log"
-    mv = IncrementalMV(spark, key_col="user_id", changelog_dir=cdf_dir)
-    q = (
-        stream.writeStream.foreachBatch(mv.merge_batch)
-        .option("checkpointLocation", scratch_dir("cdf-ck"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, 300)
+    breaks the hash. The drain is the session-shared `_drained_cdf_mv`
+    (this query, first of the family in bench order, is where its
+    one-time cost lands); the feed is read pristine — nothing here
+    mutates it."""
+    _, cdf_dir = _drained_cdf_mv(spark, sf_dir)
     feed = spark.read.parquet(cdf_dir).distinct()
     latest = feed.groupBy("user_id").agg(
         F.max_by(F.struct("cnt", "val"), "batch_id").alias("post")
@@ -1291,29 +1344,16 @@ def streaming_mv_cdf_compacted(
     reconstruction as `streaming_mv_cdf` — state rebuilt from the
     COMPACTED feed must still equal the one-shot batch aggregate — plus
     a `log_compacted` flag pinning that compaction strictly shrank the
-    log (a no-op rewrite flips it)."""
-    import tempfile
-
+    log (a no-op rewrite flips it). The drain is the session-shared
+    `_drained_cdf_mv`; compaction runs on a hardlinked copy-on-write
+    clone so this query prices the MAINTENANCE step, not a fourth
+    re-run of the identical drain."""
     from twitter_flink_spark.streaming.pipeline import IncrementalMV
 
-    staged = _ensure_split_events(spark, sf_dir)
-    schema = spark.read.parquet(staged).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staged)
+    mv_root, cdf_dir = _cdf_mv_copy(spark, sf_dir, "cdfc")
+    mv = IncrementalMV(
+        spark, key_col="user_id", root=mv_root, changelog_dir=cdf_dir
     )
-    cdf_dir = scratch_dir("cdfc") + "/log"
-    mv = IncrementalMV(spark, key_col="user_id", changelog_dir=cdf_dir)
-    q = (
-        stream.writeStream.foreachBatch(mv.merge_batch)
-        .option(
-            "checkpointLocation", scratch_dir("cdfc-ck")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, 300)
     n_before = spark.read.parquet(cdf_dir).count()
     mv.compact_changelog(upto_batch=2)
     n_after = spark.read.parquet(cdf_dir).count()
@@ -1358,29 +1398,16 @@ def streaming_mv_cdf_checkpointed(
     mirrors. `compacted_upto` emits the derived point (must be the
     slow consumer's 1, not the fast one's 3) and `log_compacted` pins
     strict shrinkage; the reconstruction hash then proves the 0..1 net
-    per key preserved consumer-visible history exactly."""
-    import tempfile
-
+    per key preserved consumer-visible history exactly. The drain is
+    the session-shared `_drained_cdf_mv`; offset commits + compaction
+    run on a hardlinked copy-on-write clone so this query prices the
+    registry/compaction machinery, not a re-run of the drain."""
     from twitter_flink_spark.streaming.pipeline import IncrementalMV
 
-    staged = _ensure_split_events(spark, sf_dir)
-    schema = spark.read.parquet(staged).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staged)
+    mv_root, cdf_dir = _cdf_mv_copy(spark, sf_dir, "cdfk")
+    mv = IncrementalMV(
+        spark, key_col="user_id", root=mv_root, changelog_dir=cdf_dir
     )
-    cdf_dir = scratch_dir("cdfk") + "/log"
-    mv = IncrementalMV(spark, key_col="user_id", changelog_dir=cdf_dir)
-    q = (
-        stream.writeStream.foreachBatch(mv.merge_batch)
-        .option(
-            "checkpointLocation", scratch_dir("cdfk-ck")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, 300)
     mv.register_consumer("rollup")
     mv.register_consumer("audit")
     mv.ack_consumer("rollup", 3)  # fast reader: fully caught up
@@ -1442,29 +1469,15 @@ def streaming_mv_cdf_consumer_lag(
     head and every consumer's applied-count via conditional distinct
     aggregates — O(consumers) expressions, not O(consumers) scans — the
     shape that holds when the feed is TBs and the registry is dozens of
-    readers."""
-    import tempfile
-
+    readers. The drain is the session-shared `_drained_cdf_mv`; the
+    offset registry lives on a hardlinked copy-on-write clone so this
+    query prices the monitor, not a re-run of the drain."""
     from twitter_flink_spark.streaming.pipeline import IncrementalMV
 
-    staged = _ensure_split_events(spark, sf_dir)
-    schema = spark.read.parquet(staged).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staged)
+    mv_root, cdf_dir = _cdf_mv_copy(spark, sf_dir, "cdlag")
+    mv = IncrementalMV(
+        spark, key_col="user_id", root=mv_root, changelog_dir=cdf_dir
     )
-    cdf_dir = scratch_dir("cdlag") + "/log"
-    mv = IncrementalMV(spark, key_col="user_id", changelog_dir=cdf_dir)
-    q = (
-        stream.writeStream.foreachBatch(mv.merge_batch)
-        .option(
-            "checkpointLocation", scratch_dir("cdlag-ck")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, 300)
     log = spark.read.parquet(cdf_dir).distinct()  # absorb re-appends
     head = log.agg(F.max("batch_id")).first()[0]  # 1-row frontier collect
     mv.register_consumer("rollup")

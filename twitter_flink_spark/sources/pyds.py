@@ -90,6 +90,36 @@ class _IdRange(InputPartition):
         self.end = end
 
 
+def rows_to_batches(rows: list):
+    """One Arrow RecordBatch from a list of status rows (empty list →
+    nothing). ``read()`` yields Arrow batches instead of tuples so the
+    executor boundary is columnar (one batch per partition) rather than
+    one pickled row per status — the same guidance as pandas/Arrow UDFs
+    (pass batches, not rows). Values are exactly ``status_row``'s; only
+    the serialization changes."""
+    import pyarrow as pa
+
+    if not rows:
+        return
+    schema = pa.schema(
+        [
+            ("status_id", pa.int64()),
+            ("text", pa.string()),
+            ("tags", pa.list_(pa.string())),
+            ("lang", pa.string()),
+        ]
+    )
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array([r[0] for r in rows], pa.int64()),
+            pa.array([r[1] for r in rows], pa.string()),
+            pa.array([r[2] for r in rows], pa.list_(pa.string())),
+            pa.array([r[3] for r in rows], pa.string()),
+        ],
+        schema=schema,
+    )
+
+
 class SyntheticStatusBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.n_rows = int(options.get("rows", 10000))
@@ -121,14 +151,16 @@ class SyntheticStatusBatchReader(DataSourceReader):
             for lo in range(0, self.n_rows, step)
         ]
 
-    def read(self, partition: _IdRange) -> Iterator[tuple]:
+    def read(self, partition: _IdRange):
+        rows = []
         for i in range(partition.start, partition.end):
             row = status_row(i)
             if self.lang_filter is not None and row[3] != self.lang_filter:
                 continue
             if any(term not in row[1] for term in self.track_terms):
                 continue
-            yield row
+            rows.append(row)
+        yield from rows_to_batches(rows)
 
 
 class SyntheticStatusStreamReader(DataSourceStreamReader):
@@ -168,9 +200,10 @@ class SyntheticStatusStreamReader(DataSourceStreamReader):
         step = -(-(hi - lo) // self.n_parts)
         return [_IdRange(a, min(a + step, hi)) for a in range(lo, hi, step)]
 
-    def read(self, partition: _IdRange) -> Iterator[tuple]:
-        for i in range(partition.start, partition.end):
-            yield status_row(i)
+    def read(self, partition: _IdRange):
+        yield from rows_to_batches(
+            [status_row(i) for i in range(partition.start, partition.end)]
+        )
 
     def commit(self, end: dict) -> None:
         # nothing external to ack (checkpoint offsets are the truth), but
