@@ -1,7 +1,10 @@
-"""Capture .explain("formatted") for named queries into plans/r15/.
+"""Capture .explain("formatted") for named queries into plans/<round>/.
 
-Usage: python scripts/capture_plans.py <suffix> <query> [query ...]
-Writes plans/r15/<query>_<suffix>.txt for each (suffix: before|after).
+Usage: python scripts/capture_plans.py <round_dir> <suffix> <query> [...]
+Writes plans/<round_dir>/<query>_<suffix>.txt for each (suffix:
+before|after). The round dir is an argument (not hardcoded) so reusing
+the script next round can never overwrite or mislabel a prior round's
+artifacts.
 
 The plan is the final served DataFrame's formatted physical plan — for
 queries whose body executes work before returning (streaming drains,
@@ -25,10 +28,11 @@ from twitter_flink_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
-    suffix = sys.argv[1]
-    names = sys.argv[2:]
+    round_dir = sys.argv[1]
+    suffix = sys.argv[2]
+    names = sys.argv[3:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = ROOT / "plans" / "r15"
+    out_dir = ROOT / "plans" / round_dir
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark(app_name="tfs-plan-capture")
 

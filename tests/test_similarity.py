@@ -179,6 +179,30 @@ def test_assign_clusters_matches_bruteforce_argmin(spark):
     assert all(isinstance(r.dist, float) for r in top2)
 
 
+def test_kmeans_fit_tie_breaks_to_lower_cid(spark):
+    """`kmeans_fit`'s internal array-argmin (`_scored_expr` struct field
+    order) must tie-break to the LOWER cid, exactly like
+    `assign_clusters`' window form: a point equidistant to two seed
+    centroids joins the lower-cid cluster. Pins the struct(dist, cid)
+    field order against silent reordering (the assign_clusters tie test
+    exercises the window path, not this one)."""
+    from twitter_flink_spark.operators.clustering import kmeans_fit
+
+    rows = [
+        (0, [-1.0, 0.0]),  # seed cid 0
+        (1, [1.0, 0.0]),   # seed cid 1
+        (2, [0.0, 0.0]),   # equidistant to both seeds -> must pick cid 0
+    ]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = {
+        r.cid: (r.cent, r.n_vecs)
+        for r in kmeans_fit(v, k=2, iters=1).collect()
+    }
+    assert cents[0][1] == 2 and cents[1][1] == 1  # tie joined cid 0
+    assert all(abs(x - y) < 1e-9 for x, y in zip(cents[0][0], [-0.5, 0.0]))
+    assert all(abs(x - y) < 1e-9 for x, y in zip(cents[1][0], [1.0, 0.0]))
+
+
 def test_multiprobe_probes_cover_hamming_ball(spark):
     """Each (id, band, sig) row expands to the signature plus every
     1-bit-flip variant — the Hamming-distance-1 ball, deduplicated."""

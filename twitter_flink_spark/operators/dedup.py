@@ -500,10 +500,38 @@ def _index_nseg(idx: DataFrame) -> int | None:
     deleted and compacted away) has no row to read — any placement is
     vacuously consistent with zero rows, so the module default
     applies."""
+    return _index_meta(idx)[0]
+
+
+def _index_meta(idx: DataFrame):
+    """(seg_nseg, params_row) in ONE job: the stored banding parameters
+    and — for segmented layouts — the placement segment count ride every
+    row, so a single ``first()`` serves both (the previous separate
+    ``_index_nseg`` + params reads paid two driver round-trips per
+    maintenance micro-batch). ``params_row is None`` = the index was
+    compacted to zero rows; ``seg_nseg is None`` = legacy flat layout."""
     if "seg" not in idx.columns:
-        return None
-    row = idx.select("nseg").first()
-    return int(row["nseg"]) if row is not None else LSH_SEGMENTS
+        return None, idx.select("ngram", "k", "bands").first()
+    row = idx.select("ngram", "k", "bands", "nseg").first()
+    if row is None:
+        # empty segmented index: any placement is vacuously consistent
+        # with zero rows — the module default applies
+        return LSH_SEGMENTS, None
+    return int(row["nseg"]), row
+
+
+def _observed_count(obs) -> int:
+    """Count from an `Observation` attached to a maintenance write,
+    robust to the ZERO-ROW case: AQE's empty-relation propagation can
+    replace the whole observed subtree with an empty LocalTableScan, so
+    the CollectMetrics node never executes and ``obs.get`` raises from
+    the JVM (null metrics row in PythonSQLUtils.toPyRow) — which happens
+    exactly when zero rows flowed through the write. A present metrics
+    row is always authoritative."""
+    try:
+        return int(obs.get["n"] or 0)
+    except Exception:
+        return 0
 
 
 def _move_parquet_into(
@@ -518,8 +546,16 @@ def _move_parquet_into(
     staged partitioned by their doc's segment (hash-repartitioned on
     seg first, so an append adds ~one file per touched segment instead
     of tasks x segments small files) and each staged file renames into
-    its ``seg=N/`` subdir. Without it the append is flat (legacy
-    indexes keep their layout until a compaction migrates them)."""
+    its ``seg=N/`` subdir. The seg exchange carries NO pinned partition
+    count: AQE coalesces a micro-batch-sized append down to a task or
+    two (each seg still hashes to exactly one task, so the file count
+    stays = touched segments) while a corpus-sized build spreads across
+    the session's shuffle parallelism — the previous pinned
+    ``repartition(nseg, seg)`` forced ``nseg`` near-empty tasks per
+    append, pure scheduling overhead at micro-batch grain (the r15
+    streaming-maintenance regression). Without ``nseg`` the append is
+    flat (legacy indexes keep their layout until a compaction migrates
+    them)."""
     import os
     import shutil
     import threading
@@ -540,7 +576,7 @@ def _move_parquet_into(
     else:
         (
             df.withColumn("seg", _seg_expr(nseg))
-            .repartition(int(nseg), F.col("seg"))
+            .repartition(F.col("seg"))
             .write.partitionBy("seg")
             .mode("overwrite")
             .parquet(stage)
@@ -556,6 +592,70 @@ def _move_parquet_into(
                         os.path.join(stage, d, f),
                         os.path.join(seg_dst, f"{label}-{tag}-{f}"),
                     )
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def _move_parquet_into_ordered(
+    first: DataFrame,
+    last: DataFrame,
+    index_dir: str,
+    label_first: str,
+    label_last: str,
+    nseg: int | None = None,
+) -> None:
+    """ONE staged write for two append phases whose RENAME ORDER is the
+    index's commit protocol (band rows strictly before coverage
+    markers): the union stages partitioned by a phase column ``mk``
+    (+ ``seg`` in segmented layouts), then every ``mk=0`` file renames
+    in before any ``mk=1`` file. Identical torn-move posture to two
+    sequential `_move_parquet_into` calls — a crash mid-rename still
+    leaves docs marker-less and re-indexable, never marker-before-bands
+    — at HALF the Spark jobs per micro-batch (the r15
+    streaming-maintenance regression was job-submission bound). ``mk``
+    is a staging partition column only; it never reaches the index's
+    files."""
+    import os
+    import shutil
+    import threading
+    import uuid
+
+    ident = f"{os.getpid()}-{threading.get_ident()}"
+    tag = uuid.uuid4().hex[:8]
+    stage = index_dir + f".stage-{label_first}-{ident}"
+    shutil.rmtree(stage, ignore_errors=True)
+    both = first.withColumn("mk", F.lit(0)).unionByName(
+        last.withColumn("mk", F.lit(1))
+    )
+    part_cols = ["mk"]
+    if nseg is not None:
+        both = both.withColumn("seg", _seg_expr(nseg)).repartition(
+            F.col("seg")
+        )
+        part_cols.append("seg")
+    both.write.partitionBy(*part_cols).mode("overwrite").parquet(stage)
+    for mk, label in ((0, label_first), (1, label_last)):
+        mk_dir = os.path.join(stage, f"mk={mk}")
+        if not os.path.isdir(mk_dir):
+            continue
+        if nseg is None:
+            for f in os.listdir(mk_dir):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(mk_dir, f),
+                        os.path.join(index_dir, f"{label}-{tag}-{f}"),
+                    )
+        else:
+            for d in os.listdir(mk_dir):
+                if not d.startswith("seg="):
+                    continue
+                seg_dst = os.path.join(index_dir, d)
+                os.makedirs(seg_dst, exist_ok=True)
+                for f in os.listdir(os.path.join(mk_dir, d)):
+                    if f.endswith(".parquet"):
+                        os.rename(
+                            os.path.join(mk_dir, d, f),
+                            os.path.join(seg_dst, f"{label}-{tag}-{f}"),
+                        )
     shutil.rmtree(stage, ignore_errors=True)
 
 
@@ -627,6 +727,8 @@ def lsh_index_build(
     write + atomic rename. Returns the number of indexed docs."""
     import shutil
 
+    from pyspark.sql import Observation
+
     sh = doc_shingles(docs, ngram=ngram)
     rows = lsh_bands(minhash_signature(sh, k=k), k=k, bands=bands).select(
         "doc_id",
@@ -634,7 +736,15 @@ def lsh_index_build(
         "band_hash",
         *_param_cols(ngram, k, bands, nseg),
     )
-    rows = rows.unionByName(_coverage_rows(docs, ngram, k, bands, nseg))
+    # the indexed-doc count observes the coverage branch DURING the
+    # write (one marker row per indexed doc by construction) instead of
+    # re-scanning the committed index — one job, not two
+    obs = Observation()
+    rows = rows.unionByName(
+        _coverage_rows(docs, ngram, k, bands, nseg).observe(
+            obs, F.count(F.lit(1)).alias("n")
+        )
+    )
     from twitter_flink_spark.operators.skipping import (
         _replace_dir,
         _scratch_name,
@@ -644,17 +754,13 @@ def lsh_index_build(
     shutil.rmtree(tmp, ignore_errors=True)
     (
         rows.withColumn("seg", _seg_expr(nseg))
-        .repartition(int(nseg), F.col("seg"))
+        .repartition(F.col("seg"))
         .write.partitionBy("seg")
         .mode("overwrite")
         .parquet(tmp)
     )
     _replace_dir(tmp, index_dir)  # pid-unique scratch, last-commit-wins
-    return (
-        spark.read.parquet(index_dir)
-        .where(F.col("band") == COVER_BAND)
-        .count()
-    )
+    return _observed_count(obs)
 
 
 def lsh_index_update(spark, docs: DataFrame, index_dir: str) -> int:
@@ -682,10 +788,21 @@ def lsh_index_update(spark, docs: DataFrame, index_dir: str) -> int:
     Layout-preserving: a segmented index (``seg`` partition column)
     gets segmented appends placed with the index's OWN stored ``nseg``;
     a legacy flat index keeps flat appends until a compaction migrates
-    it — one layout per index, never a mix."""
+    it — one layout per index, never a mix.
+
+    Job shape (the r15 streaming-maintenance regression was
+    job-submission bound, not data bound): ONE metadata ``first()``
+    (params + nseg ride every row), one marker-existence ``head(1)``,
+    and ONE staged write — band rows and coverage markers union into a
+    single job partitioned by a phase column, renamed bands-first
+    (`_move_parquet_into_ordered`), with the new-doc count OBSERVED on
+    the marker branch during that write instead of paying a separate
+    distinct-count job. A redelivered batch evaluates to zero rows and
+    appends nothing — still a pure no-op."""
+    from pyspark.sql import Observation
+
     idx = spark.read.parquet(index_dir)
-    seg_nseg = _index_nseg(idx)
-    p = idx.select("ngram", "k", "bands").first()
+    seg_nseg, p = _index_meta(idx)
     if p is None:
         # the index was compacted down to zero rows (every doc deleted):
         # there are no stored parameters left to honor, so re-found it
@@ -713,39 +830,38 @@ def lsh_index_update(spark, docs: DataFrame, index_dir: str) -> int:
         F.size(F.split(F.col("text"), " ")) >= int(p["ngram"])
     )
     new_docs = eligible.join(fully, "doc_id", "left_anti")
-    n_new = new_docs.select("doc_id").distinct().count()
-    if not n_new and legacy_fully is None:
-        return 0
 
     def _move_in(df, label: str) -> None:
         _move_parquet_into(df, index_dir, label, nseg=seg_nseg)
 
-    if n_new:
-        sh = doc_shingles(new_docs, ngram=int(p["ngram"]))
-        rows = lsh_bands(
-            minhash_signature(sh, k=int(p["k"])),
-            k=int(p["k"]),
-            bands=int(p["bands"]),
-        ).select(
-            "doc_id",
-            "band",
-            "band_hash",
-            *_param_cols(
-                int(p["ngram"]), int(p["k"]), int(p["bands"]), seg_nseg
-            ),
-        )
-        _move_in(rows, "inc")
-        # markers land LAST: their rename is the per-doc commit point
-        _move_in(
-            _coverage_rows(
-                new_docs,
-                int(p["ngram"]),
-                int(p["k"]),
-                int(p["bands"]),
-                seg_nseg,
-            ),
-            "cov",
-        )
+    sh = doc_shingles(new_docs, ngram=int(p["ngram"]))
+    rows = lsh_bands(
+        minhash_signature(sh, k=int(p["k"])),
+        k=int(p["k"]),
+        bands=int(p["bands"]),
+    ).select(
+        "doc_id",
+        "band",
+        "band_hash",
+        *_param_cols(
+            int(p["ngram"]), int(p["k"]), int(p["bands"]), seg_nseg
+        ),
+    )
+    obs = Observation()
+    cov = _coverage_rows(
+        new_docs,
+        int(p["ngram"]),
+        int(p["k"]),
+        int(p["bands"]),
+        seg_nseg,
+    ).observe(obs, F.count(F.lit(1)).alias("n"))
+    # one staged write; markers still rename LAST (the per-doc commit
+    # point), and the marker count IS the newly-indexed-doc count
+    # (_coverage_rows is one distinct row per band-eligible new doc)
+    _move_parquet_into_ordered(
+        rows, cov, index_dir, "inc", "cov", nseg=seg_nseg
+    )
+    n_new = _observed_count(obs)
     if legacy_fully is not None:
         # one-time legacy repair: backfill a marker per legacy-covered
         # doc so the NEXT update's markers.head(1) fast path sees the
@@ -786,9 +902,10 @@ def lsh_index_delete(spark, doc_ids: DataFrame, index_dir: str) -> int:
     doc's band rows and marker (same doc_id hash, same stored nseg) —
     the invariant `lsh_index_compact` relies on to find every row it
     must reclaim from the tombstones' own segments."""
+    from pyspark.sql import Observation
+
     idx = spark.read.parquet(index_dir)
-    seg_nseg = _index_nseg(idx)
-    p = idx.select("ngram", "k", "bands").first()
+    seg_nseg, p = _index_meta(idx)
     if p is None:
         return 0  # empty index: nothing is covered, nothing to forget
     covered = idx.where(F.col("band") == COVER_BAND).select("doc_id")
@@ -810,10 +927,11 @@ def lsh_index_delete(spark, doc_ids: DataFrame, index_dir: str) -> int:
         .join(covered, "doc_id", "left_semi")
         .join(tombs, "doc_id", "left_anti")
     )
-    n = todo.count()
-    if not n:
-        return 0
-    rows = todo.select(
+    # the newly-tombstoned count is OBSERVED during the append write —
+    # one job per delete batch, not a count job plus a write job; a
+    # fully-redelivered batch evaluates to zero rows and appends nothing
+    obs = Observation()
+    rows = todo.observe(obs, F.count(F.lit(1)).alias("n")).select(
         "doc_id",
         F.lit(TOMB_BAND).alias("band"),
         F.col("doc_id").cast("string").alias("band_hash"),
@@ -822,7 +940,7 @@ def lsh_index_delete(spark, doc_ids: DataFrame, index_dir: str) -> int:
         ),
     )
     _move_parquet_into(rows, index_dir, "tomb", nseg=seg_nseg)
-    return n
+    return _observed_count(obs)
 
 
 def lsh_index_compact(spark, index_dir: str) -> int:
@@ -871,7 +989,7 @@ def lsh_index_compact(spark, index_dir: str) -> int:
         shutil.rmtree(tmp, ignore_errors=True)
         (
             kept.withColumn("seg", _seg_expr(LSH_SEGMENTS))
-            .repartition(LSH_SEGMENTS, F.col("seg"))
+            .repartition(F.col("seg"))
             .write.partitionBy("seg")
             .mode("overwrite")
             .parquet(tmp)
@@ -895,7 +1013,7 @@ def lsh_index_compact(spark, index_dir: str) -> int:
     stage = _scratch_name(index_dir, "tmp")
     shutil.rmtree(stage, ignore_errors=True)
     (
-        kept.repartition(len(affected), F.col("seg"))
+        kept.repartition(F.col("seg"))
         .write.partitionBy("seg")
         .mode("overwrite")
         .parquet(stage)

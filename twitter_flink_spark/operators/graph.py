@@ -220,6 +220,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list:
     ``pr_{k+1}(v) = (1-d) + d * Σ_{u→v} pr_k(u)/outdeg(u)`` (per-node
@@ -228,9 +229,19 @@ def pagerank(
 
     Fixed iteration count (not convergence-tested) keeps the result a
     pure function of the input — reproducible and oracle-expressible as
-    unrolled SQL. Same iterative-DataFrame discipline as
-    `connected_components`: one self-contained shuffle join per round,
-    `localCheckpoint` to truncate lineage, previous round's blocks freed.
+    unrolled SQL.
+
+    Job shape: the shared inputs (deduped edges, edge+outdeg, node set)
+    localCheckpoint ONCE — each is read every round, so recomputing them
+    per round would be quadratic — but the rounds themselves CHAIN
+    LAZILY: each round's rank table feeds the next round's join as a
+    plan, not a materialized checkpoint, so all ``iters`` rounds execute
+    as ONE Spark job at the first action instead of one
+    localCheckpoint-materialization job per round (at small iters the
+    per-round job submission + block write dominated the actual
+    shuffles; nothing in a round is consumed twice, so laziness
+    duplicates no work and plan depth is bounded by the fixed iteration
+    count).
 
     Cross-engine determinism: each in-neighbor contribution is rounded to
     8 decimals and accumulated as DECIMAL — exact and order-independent —
@@ -239,7 +250,15 @@ def pagerank(
     sc = edges.sparkSession.sparkContext
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     before = _persistent_rdd_ids(sc)
-    e = e.distinct().localCheckpoint()
+    # ``edges_distinct=True`` is the caller ATTESTING the edge list holds
+    # each edge once (problem knowledge the optimizer cannot derive —
+    # e.g. a distinct bipartite pair set unioned with its flip under
+    # disjoint node namespaces): the dedup exchange over the full edge
+    # table is then skipped. Out-degrees and contribution sums assume
+    # unique edges, so a false attestation changes ranks — default off.
+    if not edges_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint()
     e_ids = _persistent_rdd_ids(sc) - before
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     nodes = (
@@ -250,8 +269,10 @@ def pagerank(
     )
     # edges pre-joined with out-degree once — the loop reuses it per round
     esrc = e.join(outdeg, "src").localCheckpoint()
+    # esrc/nodes are materialized (localCheckpoint is eager): the raw
+    # deduped edge blocks have no remaining consumer
+    _unpersist_ids(sc, e_ids)
     pr = nodes.select("node", F.lit(1.0).alias("pr"))
-    pr_ids: set[int] = set()
     for _ in range(iters):
         contribs = (
             esrc.join(pr, esrc.src == pr.node)
@@ -264,23 +285,18 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        before = _persistent_rdd_ids(sc)
-        new_pr = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping)
-                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
-                ).alias("pr"),
-            )
-            .localCheckpoint()
+        pr = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping)
+                * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+            ).alias("pr"),
         )
-        new_ids = _persistent_rdd_ids(sc) - before
-        _unpersist_ids(sc, pr_ids)
-        pr, pr_ids = new_pr, new_ids
-    _unpersist_ids(sc, e_ids)
+    # the checkpointed inputs stay pinned until the caller's action has
+    # consumed the returned (lazy) plan; freeing them here would drop
+    # blocks the plan still references. bench.py / callers sweep
+    # persisted blocks between queries, which reclaims them.
     return pr
 
 

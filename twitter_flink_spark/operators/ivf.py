@@ -36,9 +36,14 @@ def _tombs_path(index_dir: str) -> str:
 
 
 def ivf_tombstones(spark: SparkSession, index_dir: str) -> DataFrame:
-    """The current tombstone set (empty frame if none)."""
+    """The current tombstone set (empty frame if none). Robust to a
+    ``_tombs`` dir holding no parquet files yet (a delete batch that
+    turned out to be fully redelivered appends nothing but may have
+    created the dir) — Spark cannot infer a schema from an empty dir."""
     p = _tombs_path(index_dir)
-    if os.path.isdir(p):
+    if os.path.isdir(p) and any(
+        f.endswith(".parquet") for f in os.listdir(p)
+    ):
         return spark.read.parquet(p).select("vec_id")
     return spark.createDataFrame([], "vec_id long")
 
@@ -50,23 +55,30 @@ def ivf_index_delete(
     semi-join against the assignment table (only indexed vectors can be
     forgotten), one anti-join against existing tombstones (idempotent:
     re-deleting returns 0 and appends nothing), one appended parquet.
+    The newly-tombstoned count is OBSERVED during the append write (one
+    Spark job per delete batch, not a count job plus a write job — the
+    r15 streaming-maintenance regression was job-submission bound).
     Returns the number of newly tombstoned vectors."""
-    from twitter_flink_spark.operators.dedup import _move_parquet_into
+    from pyspark.sql import Observation
+
+    from twitter_flink_spark.operators.dedup import (
+        _move_parquet_into,
+        _observed_count,
+    )
 
     assign = spark.read.parquet(os.path.join(index_dir, "_assign"))
+    obs = Observation()
     todo = (
         vec_ids.select("vec_id")
         .distinct()
         .join(assign.select("vec_id"), "vec_id", "left_semi")
         .join(ivf_tombstones(spark, index_dir), "vec_id", "left_anti")
+        .observe(obs, F.count(F.lit(1)).alias("n"))
     )
-    n = todo.count()
-    if not n:
-        return 0
     p = _tombs_path(index_dir)
     os.makedirs(p, exist_ok=True)
     _move_parquet_into(todo, p, "tomb")
-    return n
+    return _observed_count(obs)
 
 
 def ivf_index_compact(spark: SparkSession, index_dir: str) -> tuple[int, int]:
@@ -81,28 +93,43 @@ def ivf_index_compact(spark: SparkSession, index_dir: str) -> tuple[int, int]:
     Returns (vectors reclaimed, cells rewritten); (0, 0) is a no-op."""
     from twitter_flink_spark.operators.skipping import (
         _replace_dir,
+        _rm_committed,
         _scratch_name,
     )
 
     tombs = ivf_tombstones(spark, index_dir)
     assign_dir = os.path.join(index_dir, "_assign")
+    assign = spark.read.parquet(assign_dir)
     doomed = (
-        spark.read.parquet(assign_dir)
-        .join(tombs, "vec_id", "left_semi")
-        .select("vec_id", "cid")
+        assign.join(tombs, "vec_id", "left_semi").select("vec_id", "cid")
     )
-    cells = [int(r["cid"]) for r in doomed.select("cid").distinct().collect()]
-    n = doomed.count()
+    # cells and reclaim count from ONE k-bounded aggregate (previously a
+    # distinct-collect job plus a count job)
+    per_cell = doomed.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
+    cells = sorted(int(r["cid"]) for r in per_cell)
+    n = sum(int(r["n"]) for r in per_cell)
     if not n:
         return 0, 0
-    for c in sorted(cells):
-        cell_dir = os.path.join(assign_dir, f"cid={c}")
-        kept = spark.read.parquet(cell_dir).join(
-            tombs, "vec_id", "left_anti"
-        )
-        tmp = _scratch_name(cell_dir, "tmp")
-        shutil.rmtree(tmp, ignore_errors=True)
-        kept.write.mode("overwrite").parquet(tmp)
-        _replace_dir(tmp, cell_dir)
+    # rewrite EVERY touched cell in ONE job: the survivors of the
+    # tombstone-bearing cells stage partitioned by cid and each staged
+    # cell dir swaps in atomically — per-cell crash posture unchanged,
+    # but one Spark job instead of a sequential read+write per cell
+    # (the previous driver loop serialized k' jobs)
+    kept = (
+        assign.where(F.col("cid").isin(cells))
+        .join(tombs, "vec_id", "left_anti")
+        .repartition(F.col("cid"))
+    )
+    stage = _scratch_name(assign_dir, "tmp")
+    shutil.rmtree(stage, ignore_errors=True)
+    kept.write.partitionBy("cid").mode("overwrite").parquet(stage)
+    for c in cells:
+        src = os.path.join(stage, f"cid={c}")
+        dst = os.path.join(assign_dir, f"cid={c}")
+        if os.path.isdir(src):
+            _replace_dir(src, dst)
+        else:
+            _rm_committed(dst)  # every vector in the cell was deleted
+    shutil.rmtree(stage, ignore_errors=True)
     shutil.rmtree(_tombs_path(index_dir), ignore_errors=True)
     return n, len(cells)

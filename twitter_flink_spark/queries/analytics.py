@@ -660,22 +660,32 @@ def pagerank_cust_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
-    e0 = (
+    # dedup on the two INT keys BEFORE building the string node ids: the
+    # distinct's exchange then carries 16 bytes/row instead of two
+    # concatenated strings, and the concat projection runs once per
+    # SURVIVING pair (identical result — the c:/s: prefixing is
+    # injective on the int pair)
+    pairs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
-        )
+        .select("o_custkey", "l_suppkey")
         .distinct()
+    )
+    e0 = pairs.select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+            "dst"
+        ),
     )
     bidir = e0.unionAll(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    pr = pagerank(bidir, iters=3, damping=0.85)
+    # bidir holds each edge exactly once BY CONSTRUCTION: e0 is distinct
+    # and the flipped copy lives in disjoint (c:/s:) node namespaces —
+    # attested to the operator so it skips a second full-edge-table
+    # dedup exchange (the optimizer cannot prove this)
+    pr = pagerank(bidir, iters=3, damping=0.85, edges_distinct=True)
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
 
 

@@ -921,6 +921,14 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = simhash16(docs).persist(StorageLevel.MEMORY_AND_DISK)
     import itertools
 
+    # the full 16-bit fingerprint RIDES the band rows (16 extra chars on
+    # the band shuffle) so the Hamming verification runs INSIDE the
+    # self-join's output stage: candidates that fail the distance cut
+    # die before the distinct, and the two doc-keyed joins back to the
+    # signature table — two more shuffles of the whole candidate set —
+    # disappear. The distinct then dedups only TRUE pairs (hamming is a
+    # pure function of the pair, so dedup-after-verify is identical to
+    # the previous verify-after-dedup).
     bands = None
     for i, (b1, b2) in enumerate(itertools.combinations(range(4), 2)):
         part = sig.select(
@@ -930,35 +938,34 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.substring("simhash", b1 * 4 + 1, 4),
                 F.substring("simhash", b2 * 4 + 1, 4),
             ).alias("band_bits"),
+            "simhash",
         )
         bands = part if bands is None else bands.unionByName(part)
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            on=["band", "band_bits"],
-        )
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     ham = sum(
         (
             F.substring("sh_a", j + 1, 1) != F.substring("sh_b", j + 1, 1)
         ).cast("int")
         for j in range(16)
     )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        "band",
+        "band_bits",
+        F.col("simhash").alias("sh_a"),
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        "band",
+        "band_bits",
+        F.col("simhash").alias("sh_b"),
+    )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        a.join(b, on=["band", "band_bits"])
+        .where(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", ham.cast("int"))
         .where(F.col("hamming") <= _SIMHASH_HAM_MAX)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -1405,7 +1412,14 @@ def lsh_band_occupancy_monitor(
     # tombstones (band=-2) are bookkeeping with per-doc unique hashes —
     # they can never pair, and the full-rebuild oracle has no counterpart
     # for them (this leak was masked for several rounds by a staged
-    # fixture predating coverage markers; a fresh build exposed it)
+    # fixture predating coverage markers; a fresh build exposed it).
+    # Band rows of TOMBSTONED docs would still count as occupancy here
+    # while the candidate self-join anti-joins them out; that gap is
+    # moot for THIS monitor because `_ensure_lsh_index` is build+extend
+    # only (its ledger is (n_corpus, n_new, n_again) — no delete ever
+    # runs against it). A monitor over an index with deletes must
+    # left-anti-join the band>=0 rows against the band=-2 doc_id set,
+    # mirroring `operators/dedup.py::lsh_index_candidates`.
     rows = (
         spark.read.parquet(dest)
         .where(F.col("band") >= 0)

@@ -1347,13 +1347,15 @@ FROM lineitem
 def profile_columns_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table profiling — the data-quality census every ingest gate runs
     before a corpus joins a training mix: per-column row/null/distinct
-    counts and typed min/max, computed in ONE scan. All five columns'
-    aggregates land in a single `.agg` (the multi-distinct plan uses
+    counts and typed min/max in one action. The count/distinct
+    aggregates share a single `.agg` (the multi-distinct plan uses
     Spark's Expand operator — one pass over the data multiplied by the
     distinct-column count, the standard profiling trade vs five
-    separate scans), and the single 1-row result pivots to one row per
-    column with `stack` — driver never sees more than the profile
-    itself. Numeric min/max emit as doubles, string/timestamp as
+    separate scans); min/max run as a separate keyless sweep
+    cross-joined onto the 1-row result (see the inline comment — string
+    min/max inside the Expand pipeline forces a SortAggregate over the
+    expanded rows), and the 1-row result pivots to one row per column
+    with `stack` — driver never sees more than the profile itself. Numeric min/max emit as doubles, string/timestamp as
     strings (nulls in the other slot), so the oracle pins exact values
     per type; n_distinct is exact (the sketch-based census lives in the
     sketches family). At 100 TB this is the same plan — the Expand
@@ -1366,27 +1368,35 @@ def profile_columns_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linestatus",
         "l_shipdate",
     ]
+    # TWO aggregate subtrees over the same scan, cross-joined (both are
+    # 1-row) and executed by the one action. Keeping min/max OUT of the
+    # multi-distinct aggregate is what makes the census fast: min/max of
+    # a STRING column has an immutable aggregation buffer, which forces
+    # the whole pipeline into SortAggregate — a full sort of the
+    # row-count x 6 Expand output on six wide keys (measured: ~7 of the
+    # query's ~8 s; plans/r16/profile_columns_lineitem_before.txt).
+    # Split, the distinct pipeline is counts-only (mutable long buffers
+    # -> HashAggregate, no sort) and the min/max pass is a keyless
+    # single sweep that needs no sort regardless of buffer type.
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     for c in cols:
         aggs.append(F.count(c).cast("long").alias(f"{c}__nn"))
         aggs.append(F.count_distinct(c).cast("long").alias(f"{c}__nd"))
-    for c in ["l_quantity", "l_extendedprice"]:
-        aggs.append(F.min(c).alias(f"{c}__min"))
-        aggs.append(F.max(c).alias(f"{c}__max"))
-    for c in ["l_returnflag", "l_linestatus"]:
-        aggs.append(F.min(c).alias(f"{c}__min"))
-        aggs.append(F.max(c).alias(f"{c}__max"))
-    aggs.append(
+    minmax = []
+    for c in ["l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus"]:
+        minmax.append(F.min(c).alias(f"{c}__min"))
+        minmax.append(F.max(c).alias(f"{c}__max"))
+    minmax.append(
         F.date_format(F.min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias(
             "l_shipdate__min"
         )
     )
-    aggs.append(
+    minmax.append(
         F.date_format(F.max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias(
             "l_shipdate__max"
         )
     )
-    one = li.agg(*aggs)
+    one = li.agg(*aggs).crossJoin(li.agg(*minmax))
 
     def _entry(c: str) -> str:
         if c in ("l_quantity", "l_extendedprice"):

@@ -688,9 +688,14 @@ def doc_neardup_lsh_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "dot",
+            # iterate ma's ENTRIES, not its keys: element_at(ma, k)
+            # while iterating ma's own keys re-scans the map per key
+            # (Spark maps are arrays — an O(|ma|) self-lookup per term,
+            # quadratic per pair); e.value is the same number for free.
+            # Identical arithmetic, same iteration order.
             F.expr(
-                "aggregate(map_keys(ma), 0L, (acc, k) -> "
-                "acc + ifnull(element_at(ma, k) * try_element_at(mb, k), 0L))"
+                "aggregate(map_entries(ma), 0L, (acc, e) -> "
+                "acc + ifnull(e.value * try_element_at(mb, e.key), 0L))"
             ),
         )
         .withColumn("__cos", F.col("dot") / (F.sqrt("na") * F.sqrt("nb")))
@@ -1727,9 +1732,14 @@ def doc_neardup_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "dot",
+            # iterate ma's ENTRIES, not its keys: element_at(ma, k)
+            # while iterating ma's own keys re-scans the map per key
+            # (Spark maps are arrays — an O(|ma|) self-lookup per term,
+            # quadratic per pair); e.value is the same number for free.
+            # Identical arithmetic, same iteration order.
             F.expr(
-                "aggregate(map_keys(ma), 0L, (acc, k) -> "
-                "acc + ifnull(element_at(ma, k) * try_element_at(mb, k), 0L))"
+                "aggregate(map_entries(ma), 0L, (acc, e) -> "
+                "acc + ifnull(e.value * try_element_at(mb, e.key), 0L))"
             ),
         )
         .withColumn("__cos", F.col("dot") / (F.sqrt("na") * F.sqrt("nb")))

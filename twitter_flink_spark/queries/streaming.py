@@ -11,6 +11,8 @@ exactly that.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
@@ -1215,6 +1217,12 @@ def streaming_daily_active_mv(
 #: pristine CDF drain (see `_drained_cdf_mv`)
 _CDF_MV_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
 
+#: populate lock: without it, the CONCURRENT bench's CDF queries can
+#: both miss the cache and each pay the full ~4-5 s drain into separate
+#: scratch dirs (correct — each drain is self-contained — but the dedup
+#: this helper exists for is lost exactly in the concurrent runs)
+_CDF_MV_LOCK = threading.Lock()
+
 
 def _drained_cdf_mv(
     spark: SparkSession, sf_dir: str
@@ -1235,7 +1243,11 @@ def _drained_cdf_mv(
     from twitter_flink_spark.streaming.pipeline import IncrementalMV
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _CDF_MV_CACHE:
+    if key in _CDF_MV_CACHE:
+        return _CDF_MV_CACHE[key]
+    with _CDF_MV_LOCK:  # double-checked: concurrent callers share ONE drain
+        if key in _CDF_MV_CACHE:
+            return _CDF_MV_CACHE[key]
         staged = _ensure_split_events(spark, sf_dir)
         schema = spark.read.parquet(staged).schema
         stream = (
@@ -2489,6 +2501,8 @@ def streaming_ivf_assign_maintenance(
     ledger: list[int] = []
 
     def sink(batch_df, batch_id: int) -> None:
+        from pyspark.sql import Observation
+
         vecs = batch_df.select(
             "vec_id",
             F.col("embedding").cast("array<double>").alias("e"),
@@ -2497,12 +2511,18 @@ def streaming_ivf_assign_maintenance(
             known = spark.read.parquet(assign_dir).select("vec_id")
             vecs = vecs.join(known, "vec_id", "left_anti")
         fresh = assign_clusters(vecs, cents)
-        n = fresh.count()
-        if n:
-            fresh.write.mode("append").partitionBy("cid").parquet(
-                assign_dir
-            )
-        ledger.append(n)
+        # the freshly-indexed count is OBSERVED during the append write:
+        # one job per micro-batch, and the window assignment evaluates
+        # ONCE (the previous count-then-write ran it twice — half the
+        # r15 regression on this query). A redelivered batch evaluates
+        # to zero rows and appends no files: still a pure no-op.
+        obs = Observation()
+        fresh.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "append"
+        ).partitionBy("cid").parquet(assign_dir)
+        from twitter_flink_spark.operators.dedup import _observed_count
+
+        ledger.append(_observed_count(obs))
 
     schema = spark.read.parquet(staged).schema
     q = (
@@ -2718,11 +2738,12 @@ FROM pairs
 _attach_lsh_stream_oracle()
 
 #: accumulated verified-pair count above which the ledger's clustering
-#: switches from 1-partition min-label propagation to the O(log n)-round
-#: large-star/small-star CC on normal parallelism. Below it, pairs are a
-#: tiny fraction of the corpus and a 1-task fixed point beats per-round
-#: shuffle setup; above it (a high-dup crawl makes pairs O(docs)), a
-#: single-partition label propagation is a driver-adjacent bottleneck.
+#: switches from a driver-side union-find over the collected (bounded)
+#: pair set to the O(log n)-round large-star/small-star CC on normal
+#: parallelism. Below it, pairs are a tiny fraction of the corpus and
+#: bounded by this constant, so one collect + exact union-find beats
+#: ANY iterative job cadence; above it (a high-dup crawl makes pairs
+#: O(docs)), only the distributed star CC scales.
 LEDGER_CC_STAR_THRESHOLD = 100_000
 
 
@@ -2736,7 +2757,6 @@ def _cluster_pairs_adaptive(
     ``used_star``, if given, receives which path ran (tests pin the
     switchover)."""
     from twitter_flink_spark.operators.graph import (
-        connected_components,
         connected_components_star,
     )
 
@@ -2746,9 +2766,40 @@ def _cluster_pairs_adaptive(
         return connected_components_star(pairs)
     if used_star is not None:
         used_star.append(False)
-    # pairs are a tiny fraction of the corpus: one partition keeps each
-    # label-propagation round a 1-task job
-    return connected_components(pairs.coalesce(1))
+    # below the threshold the pair set is BOUNDED-SMALL by definition
+    # (<= LEDGER_CC_STAR_THRESHOLD rows — the same driver-sized argument
+    # as k-means' k-row centroids): collect once and union-find on the
+    # driver instead of running the iterative min-label propagation,
+    # whose per-round localCheckpoint + fixed-point-signature jobs
+    # dominated the ledger's per-batch census at micro-batch grain (the
+    # r15 streaming-maintenance regression). Identical labels: min node
+    # id reachable through the pair graph, every endpoint labelled.
+    spark = pairs.sparkSession
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in pairs.select("doc_a", "doc_b").collect():
+        a, b = int(r["doc_a"]), int(r["doc_b"])
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-id canonical: the smaller root absorbs the larger
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    rows = sorted((n, find(n)) for n in parent)
+    return spark.createDataFrame(
+        rows, "doc_id long, cluster_id long"
+    )
 
 
 @register("streaming_dedup_impact_ledger")  # oracle attached below
@@ -2822,7 +2873,11 @@ def streaming_dedup_impact_ledger(
     last_cluster: list[DataFrame] = []
 
     def _cluster() -> DataFrame:
-        if os.path.isdir(pairs_dir):
+        # a zero-pair append writes no parquet files, so guard on actual
+        # files (an empty dir has no schema to infer)
+        if os.path.isdir(pairs_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(pairs_dir)
+        ):
             cl = _cluster_pairs_adaptive(
                 spark.read.parquet(pairs_dir).distinct(), pair_total[0]
             )
@@ -2871,15 +2926,35 @@ def streaming_dedup_impact_ledger(
         )
         # materialize the batch's new rows ONCE: the anti-join above is
         # lazy, and appending to stats_dir would make a re-evaluation
-        # see its own output (and return nothing)
+        # see its own output (and return nothing). The new-row count is
+        # OBSERVED during the same write (one job, not write + count).
+        from pyspark.sql import Observation
+
+        obs = Observation()
         scratch = os.path.join(work, f"batch-{len(new_counts)}")
-        fresh.write.mode("overwrite").parquet(scratch)
+        fresh.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(scratch)
         fresh = spark.read.parquet(scratch)
-        n_new = fresh.count()
+        from twitter_flink_spark.operators.dedup import _observed_count
+
+        n_new = _observed_count(obs)
         new_counts.append(int(n_new))
         if not n_new:
             return  # redelivered batch: nothing appends, ledger frozen
-        fresh.write.mode("append").parquet(stats_dir)
+        # the batch's new rows are ALREADY materialized in the scratch
+        # dir: append them to the stats table by hardlink (parquet files
+        # are immutable here; both dirs publish whole files) instead of
+        # re-running the plan through a second write job
+        os.makedirs(stats_dir, exist_ok=True)
+        for f in os.listdir(scratch):
+            if f.endswith(".parquet"):
+                os.link(
+                    os.path.join(scratch, f),
+                    os.path.join(
+                        stats_dir, f"b{len(new_counts) - 1}-{f}"
+                    ),
+                )
         new_bands = bands.join(
             fresh.select("doc_id"), "doc_id", "left_semi"
         )
@@ -2897,14 +2972,17 @@ def streaming_dedup_impact_ledger(
             )
             .distinct()
         )
-        # exact-Jaccard verify, candidate-scoped (`jaccard_verify_sets`)
+        # exact-Jaccard verify, candidate-scoped (`jaccard_verify_sets`);
+        # the appended-pair count is OBSERVED during the append write
+        # (one job — the verify pipeline evaluates once, not twice)
         verified = jaccard_verify_sets(cand, sets, threshold=0.5).select(
             "doc_a", "doc_b"
         )
-        n_pairs = verified.count()
-        if n_pairs:
-            verified.write.mode("append").parquet(pairs_dir)
-            pair_total[0] += int(n_pairs)
+        pobs = Observation()
+        verified.observe(pobs, F.count(F.lit(1)).alias("n")).write.mode(
+            "append"
+        ).parquet(pairs_dir)
+        pair_total[0] += _observed_count(pobs)
         ledger.append(_census_snapshot())
 
     schema = spark.read.parquet(staged).schema

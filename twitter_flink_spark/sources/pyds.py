@@ -90,17 +90,23 @@ class _IdRange(InputPartition):
         self.end = end
 
 
-def rows_to_batches(rows: list):
-    """One Arrow RecordBatch from a list of status rows (empty list →
-    nothing). ``read()`` yields Arrow batches instead of tuples so the
-    executor boundary is columnar (one batch per partition) rather than
+#: rows per emitted Arrow batch: the columnar boundary keeps BOUNDED
+#: memory per task (one chunk's rows, never the whole partition) while
+#: staying large enough that per-batch overhead amortizes.
+BATCH_ROWS = 8192
+
+
+def rows_to_batches(rows):
+    """Arrow RecordBatches of ``BATCH_ROWS`` each from an iterable of
+    status rows (empty → nothing). ``read()`` yields Arrow batches
+    instead of tuples so the executor boundary is columnar rather than
     one pickled row per status — the same guidance as pandas/Arrow UDFs
-    (pass batches, not rows). Values are exactly ``status_row``'s; only
-    the serialization changes."""
+    (pass batches, not rows). Chunking (instead of one batch per
+    partition) bounds peak task memory to a chunk and lets downstream
+    execution start before the partition finishes generating. Values
+    are exactly ``status_row``'s; only the serialization changes."""
     import pyarrow as pa
 
-    if not rows:
-        return
     schema = pa.schema(
         [
             ("status_id", pa.int64()),
@@ -109,7 +115,18 @@ def rows_to_batches(rows: list):
             ("lang", pa.string()),
         ]
     )
-    yield pa.RecordBatch.from_arrays(
+    chunk: list = []
+    for row in rows:
+        chunk.append(row)
+        if len(chunk) >= BATCH_ROWS:
+            yield _chunk_to_batch(chunk, pa, schema)
+            chunk = []
+    if chunk:
+        yield _chunk_to_batch(chunk, pa, schema)
+
+
+def _chunk_to_batch(rows: list, pa, schema):
+    return pa.RecordBatch.from_arrays(
         [
             pa.array([r[0] for r in rows], pa.int64()),
             pa.array([r[1] for r in rows], pa.string()),
@@ -152,15 +169,19 @@ class SyntheticStatusBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: _IdRange):
-        rows = []
-        for i in range(partition.start, partition.end):
-            row = status_row(i)
-            if self.lang_filter is not None and row[3] != self.lang_filter:
-                continue
-            if any(term not in row[1] for term in self.track_terms):
-                continue
-            rows.append(row)
-        yield from rows_to_batches(rows)
+        def surviving():
+            for i in range(partition.start, partition.end):
+                row = status_row(i)
+                if (
+                    self.lang_filter is not None
+                    and row[3] != self.lang_filter
+                ):
+                    continue
+                if any(term not in row[1] for term in self.track_terms):
+                    continue
+                yield row
+
+        yield from rows_to_batches(surviving())
 
 
 class SyntheticStatusStreamReader(DataSourceStreamReader):
@@ -202,7 +223,7 @@ class SyntheticStatusStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _IdRange):
         yield from rows_to_batches(
-            [status_row(i) for i in range(partition.start, partition.end)]
+            status_row(i) for i in range(partition.start, partition.end)
         )
 
     def commit(self, end: dict) -> None:
