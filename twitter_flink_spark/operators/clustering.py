@@ -39,6 +39,31 @@ from twitter_flink_spark.operators.similarity import dot
 _COMP_SCALE = 7
 
 
+def checkpointed_write(
+    df: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Parquet-write a DRIVER-BUILT frame (`createDataFrame`-backed — a
+    fitted codebook, a `_meta` manifest) through a localCheckpoint.
+
+    With Arrow enabled, a file-write job over a Python-local relation
+    re-serves the Arrow batches from the driver and stalls ~4-5 s per
+    write REGARDLESS of row count (measured r16: a 4-row centroid write
+    took 4.5-6.5 s; the identical frame localCheckpointed first, 0.4-
+    0.8 s — and half of the r15 streaming-IVF regression was exactly
+    this stall inside the centroid freeze). Materializing to JVM blocks
+    first turns the write into a block read; the blocks are freed as
+    soon as the write commits. Only worth it for driver-built frames —
+    scan-backed frames never pay the stall."""
+    sc = df.sparkSession.sparkContext
+    before = _persistent_rdd_ids(sc)
+    cp = df.localCheckpoint()
+    ids = _persistent_rdd_ids(sc) - before
+    try:
+        cp.coalesce(1).write.mode(mode).parquet(path)
+    finally:
+        _unpersist_ids(sc, ids)
+
+
 def _pack_rows(spark, rows, g: list, fields: dict) -> DataFrame:
     """Local packed-candidate frame from already-collected centroid rows
     (fields: name -> StructField for the g columns, cid and cent) — the
@@ -417,16 +442,14 @@ def _ivf_full_refit(
     ).select("cid", "cent")
     for t in (tmp_c, tmp_a, tmp_m):
         shutil.rmtree(t, ignore_errors=True)
-    new_cents.coalesce(1).write.mode("overwrite").parquet(tmp_c)
+    checkpointed_write(new_cents, tmp_c)
     disk_cents = spark.read.parquet(tmp_c)  # freeze doubles on disk
     new_assign = assign_clusters(v, disk_cents, id_col=id_col)
     new_assign.write.mode("overwrite").partitionBy("cid").parquet(tmp_a)
     new_baseline = assigned_mean_dist(
         v, disk_cents, spark.read.parquet(tmp_a), id_col=id_col
     )
-    ivf_meta_df(spark, new_baseline, k, iters).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tmp_m)
+    checkpointed_write(ivf_meta_df(spark, new_baseline, k, iters), tmp_m)
     _swap_dirs(tmp_a, assign_dir)
     _swap_dirs(tmp_c, cents_dir)
     _swap_dirs(tmp_m, meta_dir)

@@ -2512,6 +2512,7 @@ def _ensure_ivf_inc_index(
 
     from twitter_flink_spark.operators.clustering import (
         assign_clusters,
+        checkpointed_write,
         kmeans_fit,
     )
     from twitter_flink_spark.sources.staging import stage_once
@@ -2531,9 +2532,7 @@ def _ensure_ivf_inc_index(
         cents = kmeans_fit(corpus, k=_KM_K, iters=_KM_ITERS).select(
             "cid", "cent"
         )
-        cents.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(p, "_centroids")
-        )
+        checkpointed_write(cents, os.path.join(p, "_centroids"))
         disk_cents = spark.read.parquet(os.path.join(p, "_centroids"))
         assign_dir = os.path.join(p, "_assign")
         assign_clusters(vecs, disk_cents).write.mode(
@@ -2879,6 +2878,7 @@ def _ensure_ivf_refit_index(
     from twitter_flink_spark.operators.clustering import (
         assign_clusters,
         assigned_mean_dist,
+        checkpointed_write,
         ivf_meta_df,
         ivf_refit_on_drift,
         kmeans_fit,
@@ -2898,9 +2898,7 @@ def _ensure_ivf_refit_index(
         cents = kmeans_fit(corpus, k=_KM_K, iters=_KM_ITERS).select(
             "cid", "cent"
         )
-        cents.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(p, "_centroids")
-        )
+        checkpointed_write(cents, os.path.join(p, "_centroids"))
         disk_cents = spark.read.parquet(os.path.join(p, "_centroids"))
         vc = corpus.select("vec_id", F.col("embedding").alias("e"))
         assign_dir = os.path.join(p, "_assign")
@@ -2910,9 +2908,10 @@ def _ensure_ivf_refit_index(
         baseline = assigned_mean_dist(
             vc, disk_cents, spark.read.parquet(assign_dir)
         )
-        ivf_meta_df(spark, baseline, _KM_K, _KM_ITERS).coalesce(
-            1
-        ).write.mode("overwrite").parquet(os.path.join(p, "_meta"))
+        checkpointed_write(
+            ivf_meta_df(spark, baseline, _KM_K, _KM_ITERS),
+            os.path.join(p, "_meta"),
+        )
         # the streaming path: drifted arrivals assigned to the FROZEN
         # centroids, appended into their cell dirs
         newv = allv.where(F.col("vec_id") > split).select(
@@ -3033,6 +3032,7 @@ def _ensure_ivf_imbal_index(
     from twitter_flink_spark.operators.clustering import (
         assign_clusters,
         assigned_mean_dist,
+        checkpointed_write,
         ivf_meta_df,
         ivf_refit_on_imbalance,
         kmeans_fit,
@@ -3052,9 +3052,7 @@ def _ensure_ivf_imbal_index(
         cents = kmeans_fit(corpus, k=_KM_K, iters=_KM_ITERS).select(
             "cid", "cent"
         )
-        cents.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(p, "_centroids")
-        )
+        checkpointed_write(cents, os.path.join(p, "_centroids"))
         disk_cents = spark.read.parquet(os.path.join(p, "_centroids"))
         vc = corpus.select("vec_id", F.col("embedding").alias("e"))
         assign_dir = os.path.join(p, "_assign")
@@ -3064,9 +3062,10 @@ def _ensure_ivf_imbal_index(
         baseline = assigned_mean_dist(
             vc, disk_cents, spark.read.parquet(assign_dir)
         )
-        ivf_meta_df(spark, baseline, _KM_K, _KM_ITERS).coalesce(
-            1
-        ).write.mode("overwrite").parquet(os.path.join(p, "_meta"))
+        checkpointed_write(
+            ivf_meta_df(spark, baseline, _KM_K, _KM_ITERS),
+            os.path.join(p, "_meta"),
+        )
         newv = allv.where(F.col("vec_id") > split).select(
             "vec_id", F.col("embedding").alias("e")
         )

@@ -2492,9 +2492,16 @@ def streaming_ivf_assign_maintenance(
     # the offline fit: corpus half, frozen to disk before the stream
     work = scratch_dir("ivfstream")
     corpus = spread(emb, "vec_id").where(F.col("vec_id") <= split)
-    kmeans_fit(corpus, k=_KM_K, iters=_KM_ITERS).select(
-        "cid", "cent"
-    ).coalesce(1).write.parquet(os.path.join(work, "_centroids"))
+    from twitter_flink_spark.operators.clustering import (
+        checkpointed_write,
+    )
+
+    checkpointed_write(
+        kmeans_fit(corpus, k=_KM_K, iters=_KM_ITERS).select(
+            "cid", "cent"
+        ),
+        os.path.join(work, "_centroids"),
+    )
     cents = spark.read.parquet(os.path.join(work, "_centroids"))
     assign_dir = os.path.join(work, "_assign")
 
