@@ -537,3 +537,34 @@ def test_compact_rewrites_only_tombstone_bearing_segments(spark, tmp_path):
         .count()
     )
     assert seg_check == 0
+
+
+def test_band_parallel_spreads_single_partition_losslessly(spark):
+    """`_band_parallel` must raise a one-partition doc batch to the
+    session's parallelism (the micro-batch banding would otherwise run
+    single-task — the shape `lsh_index_update` sees from foreachBatch)
+    while leaving row CONTENT untouched, and must leave an
+    already-parallel input's plan alone. Banding the spread batch must
+    yield exactly the rows of banding the unspread one: the spread is
+    physical only."""
+    from twitter_flink_spark.operators.dedup import _band_parallel
+
+    docs = load_table(spark, SF_DIR, "documents").coalesce(1)
+    assert docs.rdd.getNumPartitions() == 1
+    spreaded = _band_parallel(docs)
+    n = spark.sparkContext.defaultParallelism
+    assert spreaded.rdd.getNumPartitions() == n
+    assert sorted(r["doc_id"] for r in spreaded.collect()) == sorted(
+        r["doc_id"] for r in docs.collect()
+    )
+    # banding output identical (order-insensitive)
+    def banded(d):
+        rows = lsh_bands(minhash_signature(doc_shingles(d)))
+        return sorted(
+            (r["doc_id"], r["band"], r["band_hash"]) for r in rows.collect()
+        )
+
+    assert banded(spreaded) == banded(docs)
+    # an input already at >= default parallelism passes through untouched
+    wide = docs.repartition(n, F.col("doc_id"))
+    assert _band_parallel(wide) is wide

@@ -144,6 +144,58 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return nbrs.unionAll(selfs).where(F.col("src") != F.col("dst")).distinct()
 
 
+def connected_components_adaptive(
+    pairs: DataFrame,
+    n_pairs: int,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    threshold: int = 100_000,
+    used_star: list | None = None,
+) -> DataFrame:
+    """(doc_id, cluster_id) with the CC formulation picked by pair
+    count: above ``threshold`` the alternating-star algorithm (the
+    scale path — O(log n) rounds, all distributed); at or below it a
+    DRIVER union-find over the collected pair set — bounded driver
+    data by construction (<= threshold rows, the same driver-sized
+    argument as k-means' k-row centroids), zero iterative jobs where
+    the star's per-round localCheckpoint + convergence-signature jobs
+    dominate at small grain. Both return the MIN NODE ID reachable
+    through the pair graph for every endpoint, so downstream results
+    are identical either way — only the physical strategy changes
+    (pinned by the ledger switchover test). ``used_star``, if given,
+    receives which path ran."""
+    if n_pairs > threshold:
+        if used_star is not None:
+            used_star.append(True)
+        return connected_components_star(pairs, a_col=a_col, b_col=b_col)
+    if used_star is not None:
+        used_star.append(False)
+    spark = pairs.sparkSession
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in pairs.select(a_col, b_col).collect():
+        a, b = int(r[a_col]), int(r[b_col])
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-id canonical: the smaller root absorbs the larger
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    rows = sorted((n, find(n)) for n in parent)
+    return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+
+
 def connected_components_star(
     pairs: DataFrame,
     a_col: str = "doc_a",

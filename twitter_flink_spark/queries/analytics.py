@@ -180,7 +180,13 @@ def _token_pair_counts(docs: DataFrame) -> DataFrame:
     """(t1, t2, n_docs) co-occurrence counts among the `_TOP_TOKENS` most
     document-frequent tokens (t1 < t2) — the Apriori-pruned pair pipeline
     of `frequent_token_pairs`, shared with the triangle-count query."""
-    tok = docs.select(
+    from twitter_flink_spark.sources.tables import spread
+
+    # single-file table at test SF = one scan task; the explode +
+    # distinct-partial (the heavy map side) would serialize on it
+    # (guide §2.5) — spread is a no-op once the input has >= default-
+    # parallelism files
+    tok = spread(docs, "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).distinct()
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))

@@ -419,12 +419,17 @@ def dedup_select_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster assignment is tiny next to the corpus, so the join back to
     `documents` broadcasts it; survivor selection is one windowed rank per
     cluster."""
-    from twitter_flink_spark.operators.graph import connected_components_star
+    from twitter_flink_spark.operators.graph import (
+        connected_components_adaptive,
+    )
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = _near_dup_pairs_staged(spark, sf_dir)
-    clusters = connected_components_star(pairs)
+    # one count job over the staged pair set buys the adaptive CC's
+    # driver union-find at bounded grain (identical min labels; the
+    # star path takes over past the threshold — see the operator)
+    clusters = connected_components_adaptive(pairs, pairs.count())
     member = F.broadcast(clusters).join(docs, "doc_id").select(
         "cluster_id", "doc_id", "n_chars"
     )

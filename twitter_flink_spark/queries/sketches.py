@@ -856,10 +856,16 @@ def ams_join_strategy_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
 
     def side_sums(df: DataFrame, key: str) -> list[int]:
+        # project to the bare key BEFORE spreading (shuffle the 8-byte
+        # key, not the row — guide §2.3), then spread: a single-file
+        # side scans as ONE task and the 8 md5 sign columns — the
+        # sketch's whole cost — would serialize on it (§2.5). Long
+        # sums are exact and commutative: identical sketch either way.
+        from twitter_flink_spark.sources.tables import spread
+
         row = (
-            df.select(
-                *_ams_sign_cols(F.col(key).cast("string"), "amsjs")
-            )
+            spread(df.select(key), key)
+            .select(*_ams_sign_cols(F.col(key).cast("string"), "amsjs"))
             .agg(*[F.sum(f"s{d}").alias(f"s{d}") for d in range(_AMS_D)])
             .first()
         )  # 1 row: 8 longs — the whole sketch

@@ -2762,50 +2762,19 @@ def _cluster_pairs_adaptive(
     for every node in the pair set, so the census downstream is
     identical either way — only the physical strategy changes.
     ``used_star``, if given, receives which path ran (tests pin the
-    switchover)."""
+    switchover). The strategy pick itself lives in
+    `operators/graph.py::connected_components_adaptive` (shared with
+    `dedup_select_canonical`); this wrapper only binds the ledger's
+    threshold."""
     from twitter_flink_spark.operators.graph import (
-        connected_components_star,
+        connected_components_adaptive,
     )
 
-    if n_pairs > LEDGER_CC_STAR_THRESHOLD:
-        if used_star is not None:
-            used_star.append(True)
-        return connected_components_star(pairs)
-    if used_star is not None:
-        used_star.append(False)
-    # below the threshold the pair set is BOUNDED-SMALL by definition
-    # (<= LEDGER_CC_STAR_THRESHOLD rows — the same driver-sized argument
-    # as k-means' k-row centroids): collect once and union-find on the
-    # driver instead of running the iterative min-label propagation,
-    # whose per-round localCheckpoint + fixed-point-signature jobs
-    # dominated the ledger's per-batch census at micro-batch grain (the
-    # r15 streaming-maintenance regression). Identical labels: min node
-    # id reachable through the pair graph, every endpoint labelled.
-    spark = pairs.sparkSession
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for r in pairs.select("doc_a", "doc_b").collect():
-        a, b = int(r["doc_a"]), int(r["doc_b"])
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # min-id canonical: the smaller root absorbs the larger
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-    rows = sorted((n, find(n)) for n in parent)
-    return spark.createDataFrame(
-        rows, "doc_id long, cluster_id long"
+    return connected_components_adaptive(
+        pairs,
+        n_pairs,
+        threshold=LEDGER_CC_STAR_THRESHOLD,
+        used_star=used_star,
     )
 
 
